@@ -1,0 +1,206 @@
+package graft.orchestrator
+
+import graft.eval._
+import graft.model._
+import graft.rules.RulesReader
+import graft.sink.{ErrorWriter, StatsBuilder, TableWriter, WriterConfig}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Run configuration (subset of the reference's user_config surface). */
+final case class DqConfig(
+    params: Map[String, String] = Map.empty,
+    /** persist the row-dq result before its multiple consumers — fixes the
+      * reference's known repeated-evaluation inefficiency (BASELINE.md).
+      */
+    persistRowDq: Boolean = true,
+    /** drop the meta/action columns from the returned final DataFrame. */
+    cleanFinalDf: Boolean = true,
+    writeErrorTablePath: Option[String] = None,
+    writeTargetTablePath: Option[String] = None,
+    errorWriter: WriterConfig = WriterConfig(mode = "overwrite"),
+    targetWriter: WriterConfig = WriterConfig(mode = "overwrite"))
+
+/** Everything a run produced. */
+final case class DqResult(
+    finalDf: DataFrame,
+    errorDf: DataFrame,
+    stats: DqStats,
+    sourceAggResults: Seq[Map[String, String]],
+    sourceQueryResults: Seq[Map[String, String]],
+    targetAggResults: Seq[Map[String, String]],
+    targetQueryResults: Seq[Map[String, String]],
+    rowSummaries: Seq[RuleFailureSummary],
+    statuses: Map[String, String])
+
+/** The five-stage DQ pipeline
+  * (reference: core/expectations.py:893-1032 + utils/regulate_flow.py:47-158):
+  *
+  *   1. source agg_dq    (batch only)
+  *   2. source query_dq  (batch only)
+  *   3. row_dq           → error extraction → fail/drop enforcement
+  *   4. target agg_dq    (on surviving rows)
+  *   5. target query_dq
+  *
+  * then stats assembly — stats are produced on success AND on rule-failure
+  * abort (reference: sinks/utils/collect_statistics.py:21-50).
+  *
+  * Scale notes: row rules evaluate in one projection (single scan);
+  * the row-dq result is persisted once before its ≥3 consumers (error
+  * write, error count, output count, final write) — the reference re-runs
+  * the upstream plan for each; agg rules for a stage batch into one job.
+  */
+final class SparkExpectations(
+    val productId: String,
+    val targetTable: String,
+    rules: Seq[Rule],
+    config: DqConfig = DqConfig()) {
+
+  private val grouped: Map[RuleType, Seq[Rule]] =
+    RuleType.all.map { t =>
+      t -> rules.filter(r => r.ruleType == t.name && r.isActive)
+        .map(RulesReader.substituteParams(_, config.params))
+    }.toMap
+
+  val settings: ExecutionSettings = RulesReader.executionSettings(grouped)
+
+  def run(df: DataFrame): DqResult = {
+    val spark = df.sparkSession
+    val ctx   = RunContext.create(productId, targetTable)
+    val streaming = df.isStreaming
+
+    var statuses = Map(
+      "run_status" -> StageStatus.Passed,
+      "source_agg_dq" -> StageStatus.Skipped, "source_query_dq" -> StageStatus.Skipped,
+      "row_dq" -> StageStatus.Skipped,
+      "final_agg_dq" -> StageStatus.Skipped, "final_query_dq" -> StageStatus.Skipped)
+    var timings = Map.empty[String, Double]
+    def timed[T](stage: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      try body finally { timings += stage -> (System.nanoTime() - t0) / 1e9 }
+    }
+
+    val inputCount = if (streaming) 0L else df.count()
+    if (!streaming) df.createOrReplaceTempView(ctx.sourceView)
+
+    def statusOf(res: Seq[Map[String, String]]): String =
+      if (res.exists(_.get("status").contains("fail"))) StageStatus.Failed else StageStatus.Passed
+
+    def enforceCollected(res: Seq[Map[String, String]], stage: String): Unit = {
+      val failFailures = res.filter(m =>
+        m.get("status").contains("fail") && m.get("action_if_failed").contains("fail"))
+      if (failFailures.nonEmpty)
+        throw new DqRuleFailedException(
+          s"job failed: $stage rules with action 'fail' failed: " +
+            failFailures.flatMap(_.get("rule")).mkString(", "),
+          failFailures.flatMap(_.get("rule")))
+    }
+
+    var sourceAgg, sourceQuery, targetAgg, targetQuery = Seq.empty[Map[String, String]]
+    var rowSummaries = Seq.empty[RuleFailureSummary]
+    var errorDf = df.limit(0)
+    var errorCount = 0L
+    var outputCount = 0L
+    var finalDf = df
+
+    try {
+      // stage 1: source agg_dq (batch only — reference skips on streaming)
+      val aggRules = grouped(RuleType.AggDq)
+      if (!streaming && settings.sourceAggDq) timed("source_agg_dq") {
+        sourceAgg = AggDqEvaluator.run(df, aggRules.filter(_.enableForSourceDqValidation))
+        statuses += "source_agg_dq" -> statusOf(sourceAgg)
+        enforceCollected(sourceAgg, "source agg_dq")
+      }
+
+      // stage 2: source query_dq
+      val queryRules = grouped(RuleType.QueryDq)
+      if (!streaming && settings.sourceQueryDq) timed("source_query_dq") {
+        sourceQuery = QueryDqEvaluator.run(spark, queryRules.filter(_.enableForSourceDqValidation))
+        statuses += "source_query_dq" -> statusOf(sourceQuery)
+        enforceCollected(sourceQuery, "source query_dq")
+      }
+
+      // stage 3: row_dq
+      val rowRules = grouped(RuleType.RowDq)
+      if (settings.rowDq) timed("row_dq") {
+        val evaluated = RowDqEvaluator.run(df, rowRules)
+        val persisted =
+          if (!streaming && config.persistRowDq) {
+            evaluated.persist(StorageLevel.MEMORY_AND_DISK); evaluated
+          } else evaluated
+
+        if (!streaming) {
+          errorDf = ErrorWriter.errorRows(persisted, ctx)
+          config.writeErrorTablePath.foreach(p =>
+            TableWriter.writePath(errorDf, p, config.errorWriter))
+          errorCount = errorDf.count()
+          rowSummaries = ErrorWriter.summarize(errorDf, rowRules)
+        }
+
+        val withActions = ActionResolver.withActions(persisted, RowDqEvaluator.metaColName)
+        if (!streaming) ActionResolver.failGate(withActions)
+        val kept = ActionResolver.dropFilter(withActions)
+        finalDf =
+          if (config.cleanFinalDf)
+            kept.drop(RowDqEvaluator.metaColName, ActionResolver.ActionCol)
+          else kept
+        statuses += "row_dq" ->
+          (if (errorCount > 0) StageStatus.Failed else StageStatus.Passed)
+        if (!streaming) {
+          finalDf.createOrReplaceTempView(ctx.targetView)
+          outputCount = finalDf.count()
+        }
+      } else if (!streaming) {
+        outputCount = inputCount
+        finalDf.createOrReplaceTempView(ctx.targetView)
+      }
+
+      // stage 4/5: target-side agg/query on the surviving rows
+      if (!streaming && settings.rowDq && settings.targetAggDq) timed("final_agg_dq") {
+        targetAgg = AggDqEvaluator.run(finalDf, aggRules.filter(_.enableForTargetDqValidation))
+        statuses += "final_agg_dq" -> statusOf(targetAgg)
+        enforceCollected(targetAgg, "target agg_dq")
+      }
+      if (!streaming && settings.rowDq && settings.targetQueryDq) timed("final_query_dq") {
+        targetQuery = QueryDqEvaluator.run(spark, queryRules.filter(_.enableForTargetDqValidation))
+        statuses += "final_query_dq" -> statusOf(targetQuery)
+        enforceCollected(targetQuery, "target query_dq")
+      }
+
+      config.writeTargetTablePath.foreach(p =>
+        TableWriter.writePath(finalDf, p, config.targetWriter))
+    } catch {
+      case e: DqRuleFailedException =>
+        statuses += "run_status" -> StageStatus.Failed
+        // stats must still be assembled on failure
+        val stats = StatsBuilder.build(ctx, inputCount, errorCount, outputCount,
+          grouped, sourceAgg, sourceQuery, rowSummaries, targetAgg, targetQuery,
+          statuses, timings)
+        throw new DqRunAbortedException(e, stats)
+    }
+
+    val stats = StatsBuilder.build(ctx, inputCount, errorCount, outputCount,
+      grouped, sourceAgg, sourceQuery, rowSummaries, targetAgg, targetQuery,
+      statuses, timings)
+
+    DqResult(finalDf, errorDf, stats, sourceAgg, sourceQuery, targetAgg,
+      targetQuery, rowSummaries, statuses)
+  }
+}
+
+/** Wraps a rule-failure abort together with the stats that were still
+  * assembled (the reference writes stats on success AND failure).
+  */
+final class DqRunAbortedException(cause: DqRuleFailedException, val stats: DqStats)
+  extends RuntimeException(cause.getMessage, cause)
+
+object SparkExpectations {
+  /** Build from a rules DataFrame (any source), reference-style. */
+  def fromRulesDf(spark: SparkSession, rulesDf: DataFrame, productId: String,
+                  targetTable: String, config: DqConfig = DqConfig()): SparkExpectations = {
+    val filtered = RulesReader.filterRules(rulesDf, productId, targetTable)
+    val rules = RulesReader.toDataset(spark, filtered).collect().toSeq
+    new SparkExpectations(productId, targetTable, rules, config)
+  }
+}

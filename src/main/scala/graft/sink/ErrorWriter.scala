@@ -1,0 +1,104 @@
+package graft.sink
+
+import graft.model.{Rule, RuleFailureSummary, RunContext}
+import graft.eval.RowDqEvaluator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Error-row extraction, error-table shaping, and per-rule failure
+  * summarization (reference: sinks/utils/writer.py:1011-1158).
+  */
+object ErrorWriter {
+
+  val RunIdCol   = "meta_dq_run_id"
+  val RunDateCol = "meta_dq_run_datetime"
+
+  /** Rows with at least one failed row rule, plus run metadata columns —
+    * the error-table shape (reference: sinks/utils/writer.py:1031-1049).
+    * `exists(meta, m -> m.status == 'fail')` replaces the reference's
+    * OR-chain over per-rule size() checks; since `meta_row_dq_results`
+    * already holds only failed maps, a size check suffices.
+    */
+  def errorRows(rowDqDf: DataFrame, ctx: RunContext): DataFrame =
+    rowDqDf
+      .filter(size(col(RowDqEvaluator.metaColName)) > 0)
+      .withColumn(RunIdCol, lit(ctx.runId))
+      .withColumn(RunDateCol, lit(ctx.runDate))
+
+  /** Per-rule failed-row counts via explode + groupBy
+    * (reference: sinks/utils/writer.py:1071-1158), zero-filled for rules
+    * with no failures.
+    */
+  def summarize(errorDf: DataFrame, rules: Seq[Rule]): Seq[RuleFailureSummary] = {
+    val counts: Map[String, Long] =
+      if (rules.isEmpty) Map.empty
+      else errorDf
+        .select(explode(col(RowDqEvaluator.metaColName)).as("m"))
+        .select(element_at(col("m"), "rule").as("rule"))
+        .groupBy(col("rule")).count()
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+    rules.map { r =>
+      RuleFailureSummary(
+        rule = r.rule, ruleType = r.ruleType, actionIfFailed = r.actionIfFailed,
+        tag = r.tag, description = r.description, columnName = r.columnName,
+        failedRowCount = counts.getOrElse(r.rule, 0L),
+        errorDropThreshold = r.errorDropThreshold,
+        enableErrorDropAlert = r.enableErrorDropAlert)
+    }
+  }
+
+  /** Threshold check rows for stats + alerting
+    * (reference: sinks/utils/writer.py:1160-1209).
+    */
+  def thresholds(summaries: Seq[RuleFailureSummary], inputCount: Long)
+      : Seq[Map[String, String]] =
+    summaries.map { s =>
+      Map(
+        "rule"              -> s.rule,
+        "action_if_failed"  -> s.actionIfFailed,
+        "description"       -> s.description,
+        "rule_type"         -> s.ruleType,
+        "error_drop_threshold" -> s.errorDropThreshold.toString,
+        "error_drop_percentage" -> f"${s.failedPct(inputCount)}%.2f",
+        "failed_row_count"  -> s.failedRowCount.toString,
+        "threshold_breached" -> s.thresholdBreached(inputCount).toString)
+    }
+}
+
+/** Batch table sink — a thin, config-driven `DataFrameWriter` chain
+  * (reference: sinks/utils/writer.py:242-292).
+  */
+final case class WriterConfig(
+    format: String = "parquet",
+    mode: String = "append",
+    partitionBy: Seq[String] = Seq.empty,
+    bucketBy: Option[(Int, Seq[String])] = None,
+    sortBy: Seq[String] = Seq.empty,
+    options: Map[String, String] = Map.empty)
+
+object TableWriter {
+
+  def write(df: DataFrame, table: String, cfg: WriterConfig): Unit = {
+    var w = df.write.mode(cfg.mode).format(cfg.format).options(cfg.options)
+    if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
+    cfg.bucketBy.foreach { case (n, cols) =>
+      w = w.bucketBy(n, cols.head, cols.tail: _*)
+      if (cfg.sortBy.nonEmpty) w = w.sortBy(cfg.sortBy.head, cfg.sortBy.tail: _*)
+    }
+    w.saveAsTable(table)
+  }
+
+  def writePath(df: DataFrame, path: String, cfg: WriterConfig): Unit = {
+    var w = df.write.mode(cfg.mode).format(cfg.format).options(cfg.options)
+    if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
+    w.save(path)
+  }
+
+  /** Post-write table property stamp
+    * (reference: sinks/utils/writer.py:146-158 ALTER TABLE ... SET TBLPROPERTIES).
+    */
+  def stampProductId(spark: SparkSession, table: String, productId: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('product_id' = '$productId')")
+}
