@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries: text analysis, dedup tiers, similarity
+  * search, multimodal plumbing. Oracles re-express the exact same
+  * arithmetic in DuckDB (left-fold doubles, integer counts cast to
+  * BIGINT); hash-based ops (MinHash/SimHash/SRP) that depend on Spark's
+  * xxhash64 either share the exact-verify oracle (MinHash: candidates are
+  * verified with exact Jaccard) or are covered by ScalaTest instead.
+  */
+object TextQueries {
+
+  private val sqlTokens = "string_split(text, ' ')"
+  private def sqlStopHits(words: Seq[String]) =
+    s"len(list_filter($sqlTokens, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+  private val enHits = sqlStopHits(TA.stopwords("en"))
+  private val deHits = sqlStopHits(TA.stopwords("de"))
+  private val esHits = sqlStopHits(TA.stopwords("es"))
+  private val frHits = sqlStopHits(TA.stopwords("fr"))
+
+  /** Jaccard-pair oracle shared by the inverted-index and MinHash-LSH
+    * implementations (both verify candidates with exact Jaccard; LSH
+    * recall at j>=0.8 with 21x3 bands is 1 - 3e-7).
+    */
+  private val jaccardOracle = """
+      WITH docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM docs a, docs b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      ORDER BY id_a, id_b"""
+
+  private val dotSql = (x: String, y: String) =>
+    s"list_reduce(list_transform(range(1, 65), i -> $x[i]*$y[i]), (a,b) -> a+b)"
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef("text_tokens", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id, len($sqlTokens) AS n_tokens, length(text) AS text_len
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("text_quality", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TA.avgTokenLen(col("text")).as("avg_token_len"),
+          TA.stopwordRatio(col("text")).as("stop_ratio"),
+          TA.alphaRatio(col("text")).as("alpha_ratio"),
+          TA.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id,
+        CAST(list_reduce(list_transform($sqlTokens, t -> length(t)), (a,b) -> a+b) AS DOUBLE) / len($sqlTokens) AS avg_token_len,
+        CAST($enHits AS DOUBLE) / len($sqlTokens) AS stop_ratio,
+        CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        least(CAST(1.0 AS DOUBLE), CAST(len($sqlTokens) AS DOUBLE) / 100.0) * 0.4
+          + least(CAST(1.0 AS DOUBLE), (CAST($enHits AS DOUBLE) / len($sqlTokens)) * 5.0) * 0.3
+          + CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3 AS quality
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("text_langid", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"),
+          TA.langId(col("text")).as("pred_lang"),
+          TA.stopwordHits(col("text"), "en").cast("long").as("s_en"),
+          TA.stopwordHits(col("text"), "de").cast("long").as("s_de"),
+          TA.stopwordHits(col("text"), "es").cast("long").as("s_es"),
+          TA.stopwordHits(col("text"), "fr").cast("long").as("s_fr"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH sc AS (SELECT doc_id, lang,
+        $enHits AS s_en, $deHits AS s_de, $esHits AS s_es, $frHits AS s_fr
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+             WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+             WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS pred_lang,
+        s_en, s_de, s_es, s_fr
+      FROM sc ORDER BY doc_id""")),
+
+    QueryDef("text_fingerprint", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("dedup_exact", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.exactGroups(docs, "doc_id", "text").orderBy("fp")
+    }, Some("""
+      SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
+      FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    QueryDef("dedup_ngram", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.8)
+        .orderBy("id_a", "id_b")
+    }, Some(jaccardOracle)),
+
+    QueryDef("dedup_minhash", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3, tau = 0.8)
+        .orderBy("id_a", "id_b")
+    }, Some(jaccardOracle)),
+
+    // SimHash pairs depend on Spark's xxhash64 — no SQL oracle; the
+    // driver records a rows-only check and ScalaTest asserts the planted
+    // near-dup pairs are recovered.
+    QueryDef("dedup_simhash", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }, None),
+
+    QueryDef("sim_topk", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+      val q = e.filter(col("id") < 20)
+      Similarity.bruteForceTopK(q, e, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          ${dotSql("q.v", "c.v")} / (sqrt(${dotSql("q.v", "q.v")}) * sqrt(${dotSql("c.v", "c.v")})) AS cosine
+        FROM e q, e c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+      SELECT query_id, neighbor_id, rank, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+      ORDER BY query_id, rank""")),
+
+    // SRP-LSH top-k: bucket membership depends on seeded hyperplanes —
+    // rows-only for the driver; recall vs brute force asserted in tests.
+    QueryDef("sim_topk_lsh", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+      val q = e.filter(col("id") < 20)
+      Similarity.srpLshTopK(q, e, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }, None),
+
+    QueryDef("mm_binary_meta", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Multimodal.withBinaryPayload(docs, "text")
+        .select(col("doc_id"), col("media_type"),
+          col("byte_len").cast("long").as("byte_len"),
+          sha2(col("text"), 256).as("sha"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, 'text/plain' AS media_type,
+        octet_length(encode(text)) AS byte_len, sha256(text) AS sha
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("mm_features", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val withBin = Multimodal.withBinaryPayload(docs, "text")
+      val feats = Multimodal.extractFeatures(withBin, "doc_id", "payload", dim = 8)
+      feats.select(col("doc_id"), size(col("features")).cast("long").as("feature_dim"),
+          // first fake feature = first byte / 255 — deterministic, so it
+          // can be oracle-checked through the whole mapPartitions path
+          element_at(col("features"), 1).cast("double").as("f0"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, CAST(8 AS BIGINT) AS feature_dim,
+        CAST(CAST(ord(substr(text, 1, 1)) AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE) AS f0
+      FROM documents ORDER BY doc_id"""))
+  )
+}
