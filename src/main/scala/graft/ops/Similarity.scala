@@ -61,20 +61,42 @@ object Similarity {
       when(dot(vec, p) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Approximate top-k: score only same-bucket candidates. Recall is
-    * tunable via numPlanes (fewer planes → bigger buckets → higher
-    * recall, more compute). Verified against bruteForceTopK in tests.
+  /** (table, bucket) membership rows for multi-table SRP-LSH: `numTables`
+    * independent hash tables of `planesPerTable` sign bits each
+    * (OR-amplification — a pair is a candidate if it collides in ANY
+    * table). Single-table SRP has poor recall on unclustered data: a
+    * neighbor at 75° disagrees per plane with p=0.42, so an 8-bit single
+    * table keeps it with p≈0.01; eight 4-bit tables keep it with p≈0.55.
+    */
+  private def tableBuckets(vecs: DataFrame, idAlias: String,
+                           numTables: Int, planesPerTable: Int, dim: Int): DataFrame = {
+    val entries = (0 until numTables).map { t =>
+      val planes = hyperplanes(planesPerTable, dim, seed = 42L + t)
+      struct(lit(t).as("tbl"), srpBucket(col("vec"), planes).as("bucket"))
+    }
+    vecs.select(col("id").as(idAlias), col("vec"),
+        explode(array(entries: _*)).as("tb"))
+      .select(col(idAlias), col("vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Approximate top-k via multi-table SRP-LSH: score only candidates
+    * colliding with the query in at least one table. Recall/cost is
+    * tuned by (numTables, planesPerTable); verified against
+    * bruteForceTopK in tests. At scale the (tbl, bucket) pair is the
+    * shuffle key and the corpus side can be bucketed on it.
     */
   def srpLshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                 numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      srpBucket(col("vec"), planes).as("bucket"))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      srpBucket(col("vec"), planes).as("bucket"))
-    val scored = broadcast(q).join(c, Seq("bucket"))
+                 numTables: Int = 8, planesPerTable: Int = 4,
+                 dim: Int = 64): DataFrame = {
+    val q = tableBuckets(queries, "query_id", numTables, planesPerTable, dim)
+      .withColumnRenamed("vec", "qv")
+    val c = tableBuckets(corpus, "neighbor_id", numTables, planesPerTable, dim)
+      .withColumnRenamed("vec", "cv")
+    val cands = broadcast(q).join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -83,16 +105,22 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above `tau` — the fifth dedup
-    * tier (embedding-space). Brute force within SRP buckets.
+    * tier (embedding-space). Brute force within multi-table SRP buckets;
+    * at tau ≥ 0.95 (θ ≤ 18°) eight 6-bit tables miss a true pair with
+    * p ≈ (1-(1-18/180)^6)^8 ≈ 2%.
     */
   def embeddingNearDupPairs(vecs: DataFrame, tau: Double,
-                            numPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val v = vecs.select(col("id"), col("vec"), srpBucket(col("vec"), planes).as("bucket"))
+                            numTables: Int = 8, planesPerTable: Int = 6,
+                            dim: Int = 64): DataFrame = {
+    val v = tableBuckets(vecs, "id", numTables, planesPerTable, dim)
     v.as("a").join(v.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosine(col("a.vec"), col("b.vec")))
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.vec").as("va"),
+        col("b.id").as("id_b"), col("b.vec").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= tau)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

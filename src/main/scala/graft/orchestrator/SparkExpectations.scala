@@ -20,7 +20,12 @@ final case class DqConfig(
     writeErrorTablePath: Option[String] = None,
     writeTargetTablePath: Option[String] = None,
     errorWriter: WriterConfig = WriterConfig(mode = "overwrite"),
-    targetWriter: WriterConfig = WriterConfig(mode = "overwrite"))
+    targetWriter: WriterConfig = WriterConfig(mode = "overwrite"),
+    /** notification fan-out around the run (reference: the
+      * send_notification / threshold / ignore-rule decorators,
+      * notifications/push/spark_expectations_notify.py:42-388).
+      */
+    notifier: Option[graft.notify.Notifier] = None)
 
 /** Everything a run produced. */
 final case class DqResult(
@@ -81,6 +86,7 @@ final class SparkExpectations(
       try body finally { timings += stage -> (System.nanoTime() - t0) / 1e9 }
     }
 
+    config.notifier.foreach(_.onStart(productId, targetTable))
     val inputCount = if (streaming) 0L else df.count()
     if (!streaming) df.createOrReplaceTempView(ctx.sourceView)
 
@@ -121,30 +127,53 @@ final class SparkExpectations(
         enforceCollected(sourceQuery, "source query_dq")
       }
 
-      // stage 3: row_dq
+      // stage 3: row_dq — bitmask evaluation (see MaskedRowDqEvaluator):
+      // rules compile to long bitmasks (codegen, 8 bytes/row cached);
+      // meta maps are rebuilt only for the error subset.
       val rowRules = grouped(RuleType.RowDq)
       if (settings.rowDq) timed("row_dq") {
-        val evaluated = RowDqEvaluator.run(df, rowRules)
+        val masked = MaskedRowDqEvaluator.run(df, rowRules)
         val persisted =
           if (!streaming && config.persistRowDq) {
-            evaluated.persist(StorageLevel.MEMORY_AND_DISK); evaluated
-          } else evaluated
+            masked.persist(StorageLevel.MEMORY_AND_DISK); masked
+          } else masked
+        val maskCols = MaskedRowDqEvaluator.maskColNames(rowRules.size)
 
         if (!streaming) {
-          errorDf = ErrorWriter.errorRows(persisted, ctx)
+          // ONE aggregate yields error count + per-rule summaries (and
+          // materializes the cache for the consumers below)
+          val (errCount, summaries) = ErrorWriter.summarizeMasked(persisted, rowRules)
+          errorCount = errCount
+          rowSummaries = summaries
+          errorDf = ErrorWriter.errorRowsMasked(persisted, rowRules, ctx)
           config.writeErrorTablePath.foreach(p =>
             TableWriter.writePath(errorDf, p, config.errorWriter))
-          errorCount = errorDf.count()
-          rowSummaries = ErrorWriter.summarize(errorDf, rowRules)
+          config.notifier.foreach { n =>
+            n.onThresholdBreach(productId, targetTable,
+              rowSummaries.filter(_.thresholdBreached(inputCount)), inputCount)
+            n.onIgnoreRuleFailures(rowRules,
+              rowSummaries.filter(_.failedRowCount > 0).map(_.rule).toSet)
+          }
+          // fail gate from the summaries already in hand — no extra job
+          val failFailed = rowSummaries.filter(s =>
+            s.actionIfFailed == "fail" && s.failedRowCount > 0)
+          if (failFailed.nonEmpty)
+            throw new DqRuleFailedException(
+              s"job failed: row_dq rules with action 'fail' failed: " +
+                failFailed.map(_.rule).mkString(", "),
+              failFailed.map(_.rule))
         }
 
-        val withActions = ActionResolver.withActions(persisted, RowDqEvaluator.metaColName)
-        if (!streaming) ActionResolver.failGate(withActions)
-        val kept = ActionResolver.dropFilter(withActions)
+        val kept = masked.filter(
+          !MaskedRowDqEvaluator.hasFailedAction(rowRules, "drop"))
         finalDf =
-          if (config.cleanFinalDf)
-            kept.drop(RowDqEvaluator.metaColName, ActionResolver.ActionCol)
+          if (config.cleanFinalDf) kept.drop(maskCols: _*)
           else kept
+            .withColumn(RowDqEvaluator.metaColName,
+              MaskedRowDqEvaluator.metaColumn(rowRules))
+            .withColumn(ActionResolver.ActionCol,
+              ActionResolver.actionsColumn(RowDqEvaluator.metaColName))
+            .drop(maskCols: _*)
         statuses += "row_dq" ->
           (if (errorCount > 0) StageStatus.Failed else StageStatus.Passed)
         if (!streaming) {
@@ -177,12 +206,14 @@ final class SparkExpectations(
         val stats = StatsBuilder.build(ctx, inputCount, errorCount, outputCount,
           grouped, sourceAgg, sourceQuery, rowSummaries, targetAgg, targetQuery,
           statuses, timings)
+        config.notifier.foreach(_.onFailure(productId, targetTable, e.getMessage))
         throw new DqRunAbortedException(e, stats)
     }
 
     val stats = StatsBuilder.build(ctx, inputCount, errorCount, outputCount,
       grouped, sourceAgg, sourceQuery, rowSummaries, targetAgg, targetQuery,
       statuses, timings)
+    config.notifier.foreach(_.onCompletion(stats))
 
     DqResult(finalDf, errorDf, stats, sourceAgg, sourceQuery, targetAgg,
       targetQuery, rowSummaries, statuses)

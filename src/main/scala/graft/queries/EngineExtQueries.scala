@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.model.{DetailedStat, Rule, RunContext}
+import graft.rules.{RuleLoaders, RuleValidator}
+import graft.sink.Report
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries over the round-2 engine surface: rule-file
+  * loading (SURVEY §2A #34), static validation (#33), and the
+  * observability report (#26/#36). Non-deterministic columns (run_id,
+  * timestamps) are projected away so results hash-compare.
+  */
+object EngineExtQueries {
+
+  private val rulesYaml =
+    """product_id: graft
+      |dq_env:
+      |  dev:
+      |    table_name: dev.lineitem
+      |    action_if_failed: ignore
+      |  prod:
+      |    table_name: prod.lineitem
+      |    action_if_failed: drop
+      |    priority: high
+      |rules:
+      |  - rule: qty_cap
+      |    rule_type: row_dq
+      |    column_name: l_quantity
+      |    expectation: "l_quantity <= 45"
+      |  - rule: flags
+      |    rule_type: agg_dq
+      |    expectation: "count(distinct l_returnflag) = 3"
+      |    action_if_failed: ignore
+      |""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+
+    // -- operator #34: YAML rule loading with dq_env selection -------------
+    QueryDef("dq_rules_load", (s, dir) => {
+      import s.implicits._
+      val p = java.nio.file.Files.createTempFile("graft_rules", ".yaml")
+      java.nio.file.Files.writeString(p, rulesYaml)
+      val rules = RuleLoaders.load(p.toString, env = Some("PROD"))
+      rules.map(r => (r.rule, r.tableName, r.ruleType, r.actionIfFailed, r.priority))
+        .toDF("rule", "table_name", "rule_type", "action_if_failed", "priority")
+        .orderBy("rule")
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('flags', 'prod.lineitem', 'agg_dq', 'ignore', 'high'),
+        ('qty_cap', 'prod.lineitem', 'row_dq', 'drop', 'high')
+      ) AS t(rule, table_name, rule_type, action_if_failed, priority)
+      ORDER BY rule""")),
+
+    // -- operator #33: static rule validation on Spark's parser ------------
+    QueryDef("dq_validate", (s, dir) => {
+      import s.implicits._
+      val rules = Seq(
+        Rule("p", "t", "row_dq", "ok_row", "c", "c1 > 1 AND c2 IS NOT NULL"),
+        Rule("p", "t", "row_dq", "bad_agg_in_row", "c", "sum(c1) > 10"),
+        Rule("p", "t", "row_dq", "ok_window", "c", "count(*) OVER (PARTITION BY k) = 1"),
+        Rule("p", "t", "agg_dq", "bad_no_agg", "c", "c1 > 10"),
+        Rule("p", "t", "agg_dq", "ok_agg", "c", "avg(c1) between 1 and 2"),
+        Rule("p", "t", "query_dq", "ok_query", "c", "(select count(*) from x) > 0"),
+        Rule("p", "t", "row_dq", "bad_action", "c", "c1 > 1", "explode"))
+      val violations = RuleValidator.validate(s, rules)
+        .map(v => v.rule.rule).distinct.sorted
+      val verdict = rules.map(r => (r.rule, if (violations.contains(r.rule)) "invalid" else "valid"))
+      verdict.toDF("rule", "verdict").orderBy("rule")
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('bad_action', 'invalid'), ('bad_agg_in_row', 'invalid'),
+        ('bad_no_agg', 'invalid'), ('ok_agg', 'valid'),
+        ('ok_query', 'valid'), ('ok_row', 'valid'), ('ok_window', 'valid')
+      ) AS t(rule, verdict) ORDER BY rule""")),
+
+    // -- operators #26/#36: report build + alert summaries over real data --
+    QueryDef("dq_report", (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val inputCount = li.count()
+      val failedQty = li.filter(not(expr("l_quantity <= 45"))).count()
+      val failedDisc = li.filter(not(expr("l_discount BETWEEN 0 AND 0.05"))).count()
+      val ctx = RunContext.create("graft", "lineitem")
+      def det(rule: String, colName: String, failed: Long) = DetailedStat(
+        ctx.runId, "graft", "lineitem", "row_dq", rule, colName, "", "", "",
+        if (failed == 0) "pass" else "fail", "", "", "", "", failed)
+      val report = Report.build(s, ctx,
+        details = Seq(det("qty_cap", "l_quantity", failedQty),
+          det("disc_range", "l_discount", failedDisc)),
+        queryRows = Seq(("rowcount_match", "", inputCount.toString, inputCount.toString)),
+        inputCount = inputCount)
+      report.select(col("rule"), col("status"), col("total_records"),
+        col("failed_records"), col("valid_records"),
+        col("success_percentage").cast("double").as("success_pct"))
+        .orderBy("rule")
+    }, Some("""
+      WITH c AS (SELECT count(*) AS n,
+          count(*) FILTER (WHERE NOT l_quantity <= 45) AS f_qty,
+          count(*) FILTER (WHERE NOT (l_discount BETWEEN 0 AND 0.05)) AS f_disc
+        FROM lineitem)
+      SELECT rule, status, total_records, failed_records, valid_records,
+        CAST(CAST(least(100.0, greatest(0.0, 100.0 * (total_records - failed_records) / total_records)) AS DECIMAL(20,2)) AS DOUBLE) AS success_pct
+      FROM (
+        SELECT 'disc_range' AS rule, CASE WHEN f_disc = 0 THEN 'pass' ELSE 'fail' END AS status,
+               n AS total_records, f_disc AS failed_records, n - f_disc AS valid_records FROM c
+        UNION ALL
+        SELECT 'qty_cap', CASE WHEN f_qty = 0 THEN 'pass' ELSE 'fail' END, n, f_qty, n - f_qty FROM c
+        UNION ALL
+        SELECT 'rowcount_match', 'pass', n, 0, n FROM c)
+      ORDER BY rule""")),
+
+    // -- #36 alert rule summary over the same report -----------------------
+    QueryDef("dq_report_summary", (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val inputCount = li.count()
+      val failedQty = li.filter(not(expr("l_quantity <= 45"))).count()
+      val ctx = RunContext.create("graft", "lineitem")
+      val report = Report.build(s, ctx,
+        details = Seq(DetailedStat(ctx.runId, "graft", "lineitem", "row_dq",
+          "qty_cap", "l_quantity", "", "", "",
+          if (failedQty == 0) "pass" else "fail", "", "", "", "", failedQty)),
+        queryRows = Seq.empty, inputCount = inputCount)
+      Report.ruleSummary(s, report)
+        .select("product_id", "rule", "no_of_rules_executed", "overall_status", "status_summary")
+        .orderBy("rule")
+    }, Some("""
+      SELECT 'graft' AS product_id, 'qty_cap' AS rule, CAST(1 AS BIGINT) AS no_of_rules_executed,
+        CASE WHEN count(*) FILTER (WHERE NOT l_quantity <= 45) > 0 THEN 'FAIL' ELSE 'PASS' END AS overall_status,
+        CASE WHEN count(*) FILTER (WHERE NOT l_quantity <= 45) > 0
+             THEN 'Pass:0 / Fail:1' ELSE 'Pass:1 / Fail:0' END AS status_summary
+      FROM lineitem"""))
+  )
+}

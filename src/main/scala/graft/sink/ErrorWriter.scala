@@ -25,6 +25,36 @@ object ErrorWriter {
       .withColumn(RunIdCol, lit(ctx.runId))
       .withColumn(RunDateCol, lit(ctx.runDate))
 
+  /** Error rows rebuilt from the bitmask evaluation: filter on the mask
+    * (codegen), attach the reference-shaped meta maps only to this small
+    * subset, drop the mask columns.
+    */
+  def errorRowsMasked(masked: DataFrame, rules: Seq[Rule], ctx: RunContext): DataFrame = {
+    import graft.eval.MaskedRowDqEvaluator._
+    masked
+      .filter(anyFailed(rules))
+      .withColumn(RowDqEvaluator.metaColName, metaColumn(rules))
+      .drop(maskColNames(rules.size): _*)
+      .withColumn(RunIdCol, lit(ctx.runId))
+      .withColumn(RunDateCol, lit(ctx.runDate))
+  }
+
+  /** Error count + zero-filled per-rule summaries in ONE aggregate over
+    * the masked frame (no explode/groupBy shuffle).
+    */
+  def summarizeMasked(masked: DataFrame, rules: Seq[Rule])
+      : (Long, Seq[RuleFailureSummary]) = {
+    val (total, counts) = graft.eval.MaskedRowDqEvaluator.failureCounts(masked, rules)
+    (total, rules.map { r =>
+      RuleFailureSummary(
+        rule = r.rule, ruleType = r.ruleType, actionIfFailed = r.actionIfFailed,
+        tag = r.tag, description = r.description, columnName = r.columnName,
+        failedRowCount = counts.getOrElse(r.rule, 0L),
+        errorDropThreshold = r.errorDropThreshold,
+        enableErrorDropAlert = r.enableErrorDropAlert)
+    })
+  }
+
   /** Per-rule failed-row counts via explode + groupBy
     * (reference: sinks/utils/writer.py:1071-1158), zero-filled for rules
     * with no failures.

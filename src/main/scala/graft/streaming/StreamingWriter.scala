@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming sink configuration + writer chain
+  * (reference: sinks/utils/writer.py:168-241 — outputMode, format,
+  * queryName, partitionBy, trigger processingTime|once|continuous,
+  * options, per-table checkpoint suffixing, toTable) and the query
+  * status/stop helpers (writer.py:1211-1313).
+  *
+  * Streaming DQ semantics carried by the orchestrator: row_dq only,
+  * drop-only enforcement, counts reported as 0
+  * (core/expectations.py:523-546,960).
+  */
+final case class StreamingConfig(
+    format: String = "parquet",
+    outputMode: String = "append",
+    queryName: Option[String] = None,
+    partitionBy: Seq[String] = Seq.empty,
+    /** "processingTime=10 seconds" | "once" | "availableNow" | "continuous=5 seconds" */
+    trigger: Option[String] = None,
+    checkpointRoot: Option[String] = None,
+    /** appended per-table so two streams never share checkpoints
+      * (reference: writer.py:190-205).
+      */
+    checkpointSuffix: String = "_checkpoint",
+    options: Map[String, String] = Map.empty)
+
+object StreamingWriter {
+
+  def parseTrigger(spec: String): Trigger = {
+    val s = spec.trim
+    val lower = s.toLowerCase
+    if (lower == "once") Trigger.Once()
+    else if (lower == "availablenow" || lower == "available_now") Trigger.AvailableNow()
+    else if (lower.startsWith("continuous")) Trigger.Continuous(s.split("=", 2)(1).trim)
+    else if (lower.startsWith("processingtime") || lower.startsWith("processing_time"))
+      Trigger.ProcessingTime(s.split("=", 2)(1).trim)
+    else Trigger.ProcessingTime(s) // bare interval like "10 seconds"
+  }
+
+  /** Per-table checkpoint path: `<root>/<table with dots as paths><suffix>`. */
+  def checkpointPath(root: String, table: String, suffix: String): String =
+    s"${root.stripSuffix("/")}/${table.replace('.', '/')}$suffix"
+
+  def configure(df: DataFrame, table: String, cfg: StreamingConfig): DataStreamWriter[Row] = {
+    var w = df.writeStream
+      .outputMode(cfg.outputMode)
+      .format(cfg.format)
+      .options(cfg.options)
+    cfg.queryName.foreach(n => w = w.queryName(n))
+    if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
+    cfg.trigger.foreach(t => w = w.trigger(parseTrigger(t)))
+    cfg.checkpointRoot.foreach(r =>
+      w = w.option("checkpointLocation", checkpointPath(r, table, cfg.checkpointSuffix)))
+    w
+  }
+
+  /** Start a managed-table stream (reference: writer.py:234 toTable). */
+  def startToTable(df: DataFrame, table: String, cfg: StreamingConfig): StreamingQuery =
+    configure(df, table, cfg).toTable(table)
+
+  /** Start a path-based stream (hermetic test path). */
+  def startToPath(df: DataFrame, path: String, cfg: StreamingConfig): StreamingQuery =
+    configure(df, path.replace('/', '_'), cfg)
+      .option("path", path)
+      .option("checkpointLocation",
+        cfg.checkpointRoot.map(r => checkpointPath(r, path.split('/').last, cfg.checkpointSuffix))
+          .getOrElse(s"$path${cfg.checkpointSuffix}"))
+      .start()
+
+  /** Status helpers (reference: writer.py:1211-1313). */
+  def isActive(q: StreamingQuery): Boolean = q.isActive
+  def lastProgressJson(q: StreamingQuery): Option[String] =
+    Option(q.lastProgress).map(_.json)
+  def stopQuery(q: StreamingQuery): Unit = if (q.isActive) q.stop()
+  def awaitAvailableNow(q: StreamingQuery): Unit = q.awaitTermination()
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base text + a near-dup (one token changed) + an exact dup + an unrelated doc
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val near = "the quick brown fox jumps over the lazy cat and runs far away today"
+  private val docs = Seq(
+    (1L, base), (2L, near), (3L, base),
+    (4L, "completely different content about spark engines and data quality checks"))
+    .toDF("doc_id", "text")
+
+  test("exactGroups groups identical texts under one keeper") {
+    val out = Dedup.exactGroups(docs, "doc_id", "text")
+      .orderBy("keeper").collect()
+    out.length shouldBe 3
+    val g = out.map(r => r.getLong(1) -> r.getLong(2)).toMap // keeper -> n
+    g(1L) shouldBe 2 // docs 1 and 3
+    g(2L) shouldBe 1
+    g(4L) shouldBe 1
+  }
+
+  test("ngramJaccardPairs finds exact and near duplicates above tau") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 3L)) // exact dup, jaccard 1.0
+    pairs should contain((1L, 2L)) // near dup
+    pairs should contain((2L, 3L))
+    pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
+  }
+
+  test("minhashLshPairs agrees with exact ngram pairs on this corpus") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh shouldBe exact
+  }
+
+  test("minhash jaccard values match exact jaccard (verify step is exact)") {
+    val byPair = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3, tau = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    byPair((1L, 3L)) shouldBe 1.0
+  }
+
+  test("simhashPairs recovers exact dups at tight tolerance") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 3L)) // identical → hamming 0
+    pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
+  }
+
+  test("simhashPairs recovers a one-token near-dup at matching tolerance") {
+    // a 1-of-14-token change moves every bit whose signed sum sits within
+    // ±2 of zero — on short docs that's many of the 63 bits, so the
+    // hamming budget (and with it the pigeonhole banding) must widen
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 24)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    out.keySet should contain((1L, 2L))
+    out((1L, 3L)) shouldBe 0
+    // precision: every returned pair is within the budget
+    all(out.values) should be <= 24
+  }
+
+  test("shingles produces distinct k-grams; short docs yield empty") {
+    val out = Seq((1L, "a b c d"), (2L, "a b"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .orderBy("doc_id").collect()
+    out(0).getSeq[String](1).toList shouldBe List("a b c", "b c d")
+    out(1).getSeq[String](1).toList shouldBe Nil
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecDf(rows: Seq[(Long, Seq[Double])]) =
+    rows.toDF("id", "vec")
+
+  test("dot and cosine fold deterministically") {
+    val df = vecDf(Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(4.0, 5.0, 6.0))))
+    val a = df.filter($"id" === 1).select($"vec".as("a"))
+    val b = df.filter($"id" === 2).select($"vec".as("b"))
+    val d = a.crossJoin(b).select(Similarity.dot(col("a"), col("b"))).head().getDouble(0)
+    d shouldBe 32.0
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val corpus = vecDf(Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.9, 0.1)),   // closest to 1
+      (3L, Seq(0.0, 1.0)),   // orthogonal to 1
+      (4L, Seq(0.7, 0.7))))
+    val out = Similarity.bruteForceTopK(corpus.filter($"id" === 1), corpus, k = 2)
+      .orderBy("rank").collect()
+    out.map(_.getLong(1)).toList shouldBe List(2L, 4L)
+    out(0).getDouble(3) should be > out(1).getDouble(3)
+  }
+
+  test("srpLshTopK recall vs brute force on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val corpus = vecDf((0L until 200L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian()))))
+    val queries = corpus.filter($"id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.srpLshTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 tables × 4 planes (OR-amplified): high recall even on unclustered data
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.5
+    approx.size should be <= exact.size // LSH can only return fewer/equal
+  }
+
+  test("embeddingNearDupPairs finds planted identical vectors") {
+    val v = Seq.fill(64)(0.5)
+    val corpus = vecDf(Seq((1L, v), (2L, v),
+      (3L, Seq.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0))))
+    val pairs = Similarity.embeddingNearDupPairs(corpus, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L))
+  }
+}

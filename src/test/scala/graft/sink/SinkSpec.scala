@@ -1,0 +1,82 @@
+package graft.sink
+
+import graft.SparkSpec
+import graft.eval.RowDqEvaluator
+import graft.model.{Rule, RunContext}
+import org.apache.spark.sql.functions._
+
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq((0, 1), (1, 2), (2, 3)).toDF("row_id", "col1")
+  private val rules = Seq(
+    Rule("p", "t", "row_dq", "gt1", "col1", "col1 > 1", "ignore",
+      enableErrorDropAlert = true, errorDropThreshold = 10),
+    Rule("p", "t", "row_dq", "gt9", "col1", "col1 > 9", "ignore"))
+
+  test("errorRows keeps failing rows with run metadata columns") {
+    val ctx = RunContext.create("p", "t")
+    val err = ErrorWriter.errorRows(RowDqEvaluator.run(df, rules), ctx)
+    err.count() shouldBe 3 // every row fails gt9
+    err.columns should contain allOf (ErrorWriter.RunIdCol, ErrorWriter.RunDateCol)
+    err.select(ErrorWriter.RunIdCol).head().getString(0) shouldBe ctx.runId
+  }
+
+  test("summarize zero-fills rules without failures") {
+    val ctx = RunContext.create("p", "t")
+    val err = ErrorWriter.errorRows(RowDqEvaluator.run(df, rules), ctx)
+    val sums = ErrorWriter.summarize(err, rules).map(s => s.rule -> s.failedRowCount).toMap
+    sums shouldBe Map("gt1" -> 1L, "gt9" -> 3L)
+  }
+
+  test("thresholds computes pct and breach flags") {
+    val ctx = RunContext.create("p", "t")
+    val err = ErrorWriter.errorRows(RowDqEvaluator.run(df, rules), ctx)
+    val th = ErrorWriter.thresholds(ErrorWriter.summarize(err, rules), inputCount = 3)
+    val byRule = th.map(m => m("rule") -> m).toMap
+    byRule("gt1")("error_drop_percentage") shouldBe "33.33"
+    byRule("gt1")("threshold_breached") shouldBe "true"  // 33% > 10, alert enabled
+    byRule("gt9")("threshold_breached") shouldBe "false" // alert not enabled
+  }
+
+  test("stats pct rounds to 2 decimals") {
+    StatsBuilder.pct(1, 3) shouldBe 33.33
+    StatsBuilder.pct(2, 3) shouldBe 66.67
+    StatsBuilder.pct(0, 0) shouldBe 0.0
+  }
+
+  test("kafka payload is one JSON value column per stats row") {
+    val statsDf = Seq(("p", 3L, 1L)).toDF("product_id", "input_count", "error_count")
+    val payload = StatsBuilder.toKafkaPayload(statsDf)
+    payload.columns.toSeq shouldBe Seq("value")
+    val json = payload.head().getString(0)
+    json should include (""""product_id":"p"""")
+    json should include (""""input_count":3""")
+  }
+
+  test("TableWriter.writePath round-trips with partitioning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tw").toString + "/out"
+    TableWriter.writePath(df.withColumn("part", $"col1" % 2), dir,
+      WriterConfig(mode = "overwrite", partitionBy = Seq("part")))
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 3
+    back.columns should contain("part")
+  }
+
+  test("detailedStats full-outer joins source and target sides") {
+    import graft.model.DetailedStat
+    val ctx = RunContext.create("p", "t")
+    def ds(rule: String, status: String) = DetailedStat(
+      ctx.runId, "p", "t", "agg_dq", rule, "c", "sum(c)>0", "tag", "d",
+      status, "5", ">0", "", "", 0L)
+    val out = StatsBuilder.detailedStats(spark, ctx,
+      sourceDetails = Seq(ds("r1", "pass"), ds("r2", "fail")),
+      targetDetails = Seq(ds("r1", "pass")))
+    out.count() shouldBe 2
+    val r1 = out.filter($"rule" === "r1").head()
+    r1.getAs[String]("status") shouldBe "pass"
+    r1.getAs[String]("targetStatus") shouldBe "pass"
+    val r2 = out.filter($"rule" === "r2").head()
+    r2.getAs[String]("targetStatus") shouldBe null
+  }
+}
