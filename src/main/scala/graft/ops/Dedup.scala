@@ -38,17 +38,9 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** Candidate pairs = documents sharing at least one shingle
-    * (inverted-index self-join; id_a < id_b canonical order).
+  /** Exact-Jaccard verification of an (id_a, id_b) candidate set —
+    * used by the LSH tier, where candidates are few.
     */
-  private def candidatesByShingle(docs: DataFrame): DataFrame = {
-    val ex = docs.select(col("id"), explode(col("sh")).as("s"))
-    ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-  }
-
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, tau: Double): DataFrame =
     cands
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -59,11 +51,32 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** Tier 2: n-gram Jaccard near-dup pairs above `tau`. */
+  /** Tier 2: n-gram Jaccard near-dup pairs above `tau`.
+    *
+    * Jaccard via co-occurrence counts: shingles are distinct per doc, so
+    * |A∩B| = the number of shared (shingle) join hits per pair and
+    * |A∪B| = |A|+|B|−|A∩B|. One exploded self-join → count per pair →
+    * join to per-doc sizes. Avoids shuffling shingle ARRAYS and the
+    * interpreted array_intersect/array_union per pair entirely (sf0.1:
+    * 60 s → join-of-counts); the shuffle keys are the shingle (inverted
+    * index) and the (id_a, id_b) pair — both well-distributed at scale.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, tau: Double = 0.8): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-    verifyJaccard(candidatesByShingle(docs), docs, tau)
+    val docs  = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val sizes = docs.select(col("id"), size(col("sh")).as("n"))
+    val ex    = docs.select(col("id"), explode(col("sh")).as("s"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("ic"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("ic").cast("double") / (col("na") + col("nb") - col("ic")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** MinHash signatures as a (id, sig array<long>) frame: explode the

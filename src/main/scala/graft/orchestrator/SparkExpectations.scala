@@ -25,7 +25,25 @@ final case class DqConfig(
       * send_notification / threshold / ignore-rule decorators,
       * notifications/push/spark_expectations_notify.py:42-388).
       */
-    notifier: Option[graft.notify.Notifier] = None)
+    notifier: Option[graft.notify.Notifier] = None,
+    /** break the upstream plan before the pipeline (reference's
+      * temp-table write+readback, core/expectations.py:492-521; the
+      * checkpoint variant is the idiomatic Spark equivalent).
+      */
+    planBreak: PlanBreak = PlanBreak.Off,
+    /** per-rule detailed stats (source/target actual values), the
+      * `<stats>_detailed` table inputs (reference: writer.py:504-622).
+      */
+    enableDetailedStats: Boolean = false)
+
+sealed trait PlanBreak
+object PlanBreak {
+  case object Off extends PlanBreak
+  /** `df.localCheckpoint()` — cuts lineage without a round-trip table. */
+  case object Checkpoint extends PlanBreak
+  /** Write to `<path>` and read back (reference behavior). */
+  final case class TempTable(path: String) extends PlanBreak
+}
 
 /** Everything a run produced. */
 final case class DqResult(
@@ -37,7 +55,15 @@ final case class DqResult(
     targetAggResults: Seq[Map[String, String]],
     targetQueryResults: Seq[Map[String, String]],
     rowSummaries: Seq[RuleFailureSummary],
-    statuses: Map[String, String])
+    statuses: Map[String, String],
+    sourceDetailedStats: Seq[DetailedStat] = Seq.empty,
+    targetDetailedStats: Seq[DetailedStat] = Seq.empty) {
+  /** The `<stats>_detailed` table: source/target sides full-outer joined
+    * on the reference's 6 keys (sinks/utils/writer.py:504-622).
+    */
+  def detailedStatsDf(spark: SparkSession): DataFrame =
+    graft.sink.StatsBuilder.detailedStats(spark, sourceDetailedStats, targetDetailedStats)
+}
 
 /** The five-stage DQ pipeline
   * (reference: core/expectations.py:893-1032 + utils/regulate_flow.py:47-158):
@@ -70,10 +96,19 @@ final class SparkExpectations(
 
   val settings: ExecutionSettings = RulesReader.executionSettings(grouped)
 
-  def run(df: DataFrame): DqResult = {
-    val spark = df.sparkSession
+  def run(inputDf: DataFrame): DqResult = {
+    val spark = inputDf.sparkSession
     val ctx   = RunContext.create(productId, targetTable)
-    val streaming = df.isStreaming
+    val streaming = inputDf.isStreaming
+
+    val df = if (streaming) inputDf else config.planBreak match {
+      case PlanBreak.Off        => inputDf
+      case PlanBreak.Checkpoint => inputDf.localCheckpoint()
+      case PlanBreak.TempTable(path) =>
+        val cols = inputDf.columns
+        inputDf.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).select(cols.map(org.apache.spark.sql.functions.col): _*)
+    }
 
     var statuses = Map(
       "run_status" -> StageStatus.Passed,
@@ -105,6 +140,19 @@ final class SparkExpectations(
 
     var sourceAgg, sourceQuery, targetAgg, targetQuery = Seq.empty[Map[String, String]]
     var rowSummaries = Seq.empty[RuleFailureSummary]
+    // per-rule detailed stats, source- and target-side, joinable on the
+    // reference's 6 keys via StatsBuilder.detailedStats
+    var sourceDetails, targetDetails = Seq.empty[DetailedStat]
+    def aggDetails(data: DataFrame, rules: Seq[Rule]): Seq[DetailedStat] =
+      DetailedAggEvaluator.run(data, rules).map { d =>
+        DetailedStat(ctx.runId, productId, targetTable, d.rule.ruleType,
+          d.rule.rule, d.rule.columnName, d.rule.expectation, d.rule.tag,
+          d.rule.description, d.status,
+          actualValue = String.valueOf(d.actualValue),
+          expectedValue = d.expectedDescription,
+          actualOutcome = d.status, expectedOutcome = "pass",
+          failedRowCount = 0L)
+      }
     var errorDf = df.limit(0)
     var errorCount = 0L
     var outputCount = 0L
@@ -114,7 +162,9 @@ final class SparkExpectations(
       // stage 1: source agg_dq (batch only — reference skips on streaming)
       val aggRules = grouped(RuleType.AggDq)
       if (!streaming && settings.sourceAggDq) timed("source_agg_dq") {
-        sourceAgg = AggDqEvaluator.run(df, aggRules.filter(_.enableForSourceDqValidation))
+        val active = aggRules.filter(_.enableForSourceDqValidation)
+        sourceAgg = AggDqEvaluator.run(df, active)
+        if (config.enableDetailedStats) sourceDetails ++= aggDetails(df, active)
         statuses += "source_agg_dq" -> statusOf(sourceAgg)
         enforceCollected(sourceAgg, "source agg_dq")
       }
@@ -187,7 +237,9 @@ final class SparkExpectations(
 
       // stage 4/5: target-side agg/query on the surviving rows
       if (!streaming && settings.rowDq && settings.targetAggDq) timed("final_agg_dq") {
-        targetAgg = AggDqEvaluator.run(finalDf, aggRules.filter(_.enableForTargetDqValidation))
+        val active = aggRules.filter(_.enableForTargetDqValidation)
+        targetAgg = AggDqEvaluator.run(finalDf, active)
+        if (config.enableDetailedStats) targetDetails ++= aggDetails(finalDf, active)
         statuses += "final_agg_dq" -> statusOf(targetAgg)
         enforceCollected(targetAgg, "target agg_dq")
       }
@@ -215,8 +267,22 @@ final class SparkExpectations(
       statuses, timings)
     config.notifier.foreach(_.onCompletion(stats))
 
+    if (config.enableDetailedStats) {
+      val byRule = grouped(RuleType.RowDq).map(r => r.rule -> r).toMap
+      sourceDetails ++= rowSummaries.flatMap(s => byRule.get(s.rule).map { r =>
+        DetailedStat(ctx.runId, productId, targetTable, r.ruleType, r.rule,
+          r.columnName, r.expectation, r.tag, r.description,
+          status = if (s.failedRowCount > 0) "fail" else "pass",
+          actualValue = s.failedRowCount.toString,
+          expectedValue = "0 failed rows",
+          actualOutcome = if (s.failedRowCount > 0) "fail" else "pass",
+          expectedOutcome = "pass",
+          failedRowCount = s.failedRowCount)
+      })
+    }
+
     DqResult(finalDf, errorDf, stats, sourceAgg, sourceQuery, targetAgg,
-      targetQuery, rowSummaries, statuses)
+      targetQuery, rowSummaries, statuses, sourceDetails, targetDetails)
   }
 }
 

@@ -99,12 +99,14 @@ object DqQueries {
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber, s_disc_range, s_flag_domain, s_pk_unique, s_price_min, s_q_max45""")),
 
-    // -- operator #13/#20: result collapse + error-row extraction ----------
+    // -- operator #13/#20: error-row extraction (mask filter + meta
+    // reconstruction on the failing subset only) --------------------------
     QueryDef("dq_row_errors", (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val evaluated = RowDqEvaluator.run(li, rowRules)
-      evaluated
-        .filter(size(col(RowDqEvaluator.metaColName)) > 0)
+      val masked = MaskedRowDqEvaluator.run(li, rowRules)
+      masked
+        .filter(MaskedRowDqEvaluator.anyFailed(rowRules))
+        .withColumn(RowDqEvaluator.metaColName, MaskedRowDqEvaluator.metaColumn(rowRules))
         .select(col("l_orderkey"), col("l_linenumber"),
           array_join(sort_array(transform(col(RowDqEvaluator.metaColName),
             m => element_at(m, "rule"))), ",").as("failed_rules"))
@@ -134,13 +136,12 @@ object DqQueries {
       WHERE l_quantity <= 45 AND pkc = 1
       ORDER BY l_orderkey, l_linenumber, l_quantity""")),
 
-    // -- operator #21: error summarization (explode + groupBy) -------------
+    // -- operator #21: error summarization (one aggregate over the masks) --
     QueryDef("dq_row_summary", (s, dir) => {
       import s.implicits._
       val li = Tables.load(s, dir, "lineitem")
-      val ctx = RunContext.create(P, T)
-      val errorDf = ErrorWriter.errorRows(RowDqEvaluator.run(li, rowRules), ctx)
-      ErrorWriter.summarize(errorDf, rowRules)
+      val masked = MaskedRowDqEvaluator.run(li, rowRules)
+      ErrorWriter.summarizeMasked(masked, rowRules)._2
         .map(x => (x.rule, x.failedRowCount))
         .toDF("rule", "failed_count").orderBy("rule")
     }, Some(s"""
@@ -157,9 +158,8 @@ object DqQueries {
       import s.implicits._
       val li = Tables.load(s, dir, "lineitem")
       val inputCount = li.count()
-      val ctx = RunContext.create(P, T)
-      val errorDf = ErrorWriter.errorRows(RowDqEvaluator.run(li, rowRules), ctx)
-      ErrorWriter.summarize(errorDf, rowRules)
+      val masked = MaskedRowDqEvaluator.run(li, rowRules)
+      ErrorWriter.summarizeMasked(masked, rowRules)._2
         .map(x => (x.rule, x.failedRowCount, x.failedRowCount * 100.0 / inputCount,
           x.errorDropThreshold, x.failedRowCount * 100.0 / inputCount > x.errorDropThreshold))
         .toDF("rule", "failed_count", "failed_pct", "threshold", "breached")

@@ -84,7 +84,6 @@ object StatsBuilder {
     */
   def detailedStats(
       spark: SparkSession,
-      ctx: RunContext,
       sourceDetails: Seq[DetailedStat],
       targetDetails: Seq[DetailedStat]): DataFrame = {
     import spark.implicits._

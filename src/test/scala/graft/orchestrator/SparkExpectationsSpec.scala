@@ -108,6 +108,35 @@ class SparkExpectationsSpec extends SparkSpec {
     res.stats.dqRulesCount("query_dq")("num_rules") shouldBe 0
   }
 
+  test("detailed stats capture actual values source- and target-side") {
+    val rules = Seq(
+      Rule("p1", "tbl", "row_dq", "gt1", "col1", "col1 > 1", "drop"),
+      Rule("p1", "tbl", "agg_dq", "sum_band", "col1", "sum(col1) between 1 and 100"))
+    val cfg = DqConfig(enableDetailedStats = true)
+    val res = new SparkExpectations("p1", "tbl", rules, cfg).run(input)
+    val src = res.sourceDetailedStats.map(d => d.rule -> d).toMap
+    src("sum_band").actualValue shouldBe "6"
+    src("sum_band").status shouldBe "pass"
+    src("gt1").failedRowCount shouldBe 1
+    src("gt1").status shouldBe "fail"
+    val tgt = res.targetDetailedStats.map(d => d.rule -> d).toMap
+    tgt("sum_band").actualValue shouldBe "5" // rows 2+3 survive the drop
+    res.detailedStatsDf(spark).count() shouldBe 2 // gt1 + joined sum_band
+  }
+
+  test("plan break variants produce identical results") {
+    val rules = Seq(Rule("p1", "tbl", "row_dq", "gt1", "col1", "col1 > 1", "drop"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pb").toString + "/t"
+    for (pb <- Seq(PlanBreak.Off, PlanBreak.Checkpoint, PlanBreak.TempTable(tmp))) {
+      val res = new SparkExpectations("p1", "tbl", rules,
+        DqConfig(planBreak = pb)).run(input)
+      withClue(pb) {
+        res.stats.outputCount shouldBe 2
+        res.finalDf.columns.toSeq shouldBe input.columns.toSeq
+      }
+    }
+  }
+
   test("fromRulesDf builds the engine from a 17-column rules DataFrame") {
     val rulesDf = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(

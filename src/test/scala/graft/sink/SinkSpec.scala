@@ -69,7 +69,7 @@ class SinkSpec extends SparkSpec {
     def ds(rule: String, status: String) = DetailedStat(
       ctx.runId, "p", "t", "agg_dq", rule, "c", "sum(c)>0", "tag", "d",
       status, "5", ">0", "", "", 0L)
-    val out = StatsBuilder.detailedStats(spark, ctx,
+    val out = StatsBuilder.detailedStats(spark,
       sourceDetails = Seq(ds("r1", "pass"), ds("r2", "fail")),
       targetDetails = Seq(ds("r1", "pass")))
     out.count() shouldBe 2
