@@ -104,6 +104,79 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF (inverted-file) top-k: a coarse quantizer of `nlist` centroids
+    * partitions the corpus; each query probes its `nprobe` nearest
+    * centroid cells only. The classic ANN scale path: at 100 TB the cell
+    * id is the partitioning/bucketing key, the centroid table is a
+    * driver-side broadcast, and per-query work is corpus_size *
+    * nprobe/nlist.
+    *
+    * Training is deterministic: seeded sample + `iters` Lloyd rounds,
+    * all distributed (mapPartitions-free — groupBy(cell) mean).
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
+                   seed: Long = 42L): Array[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Array[Seq[Double]] = corpus.select("vec").as[Seq[Double]]
+      .rdd.takeSample(withReplacement = false, nlist, seed)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(col("vec"),
+        nearestCell(col("vec"), cents).as("cell"))
+      val next = assigned.groupBy("cell")
+        .agg(array((0 until cents(0).size).map(i =>
+          avg(element_at(col("vec"), i + 1))): _*).as("c"))
+        .select("cell", "c").as[(Int, Seq[Double])].collect().toMap
+      cents = cents.indices.map(i => next.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** Index of the nearest centroid by cosine (centroids as literals —
+    * the broadcast side of IVF).
+    */
+  def nearestCell(vec: Column, cents: Array[Seq[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }
+    element_at(array_sort(array(scored: _*),
+      (a, b) => when(a.getField("s") > b.getField("s"), -1)
+        .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1)
+      .getField("i")
+  }
+
+  /** `nprobe` nearest cells of a vector, as an array column. */
+  private def probeCells(vec: Column, cents: Array[Seq[Double]], nprobe: Int): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }
+    transform(
+      slice(array_sort(array(scored: _*),
+        (a, b) => when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1, nprobe),
+      x => x.getField("i"))
+  }
+
+  /** Approximate top-k via IVF: corpus rows keyed by cell, queries
+    * exploded over their nprobe probe cells, equi-join on cell.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, iters)
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      nearestCell(col("vec"), cents).as("cell"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+        explode(probeCells(col("vec"), cents, nprobe)).as("cell"))
+    val scored = broadcast(q).join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `tau` — the fifth dedup
     * tier (embedding-space). Brute force within multi-table SRP buckets;
     * at tau ≥ 0.95 (θ ≤ 18°) eight 6-bit tables miss a true pair with

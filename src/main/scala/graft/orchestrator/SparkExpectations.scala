@@ -2,7 +2,7 @@ package graft.orchestrator
 
 import graft.eval._
 import graft.model._
-import graft.rules.RulesReader
+import graft.rules.{CompositeQuerySplitter, RulesReader}
 import graft.sink.{ErrorWriter, StatsBuilder, TableWriter, WriterConfig}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,7 +34,27 @@ final case class DqConfig(
     /** per-rule detailed stats (source/target actual values), the
       * `<stats>_detailed` table inputs (reference: writer.py:504-622).
       */
-    enableDetailedStats: Boolean = false)
+    enableDetailedStats: Boolean = false,
+    /** capture each composite query_dq sub-query's rows for the
+      * query-output table (reference: actions.py:302-424 +
+      * writer.py:420-502), for rules with enable_querydq_custom_output.
+      */
+    enableQueryDqDetailedResult: Boolean = false)
+
+/** One captured sub-query result for the query-output table
+  * (reference 9-column schema, docs/user_guide/data_quality_metrics
+  * .md:168-180).
+  */
+final case class QueryOutput(
+    runId: String,
+    productId: String,
+    tableName: String,
+    rule: String,
+    columnName: String,
+    alias: String,
+    dqType: String, // source_dq | target_dq
+    output: String,
+    runDate: java.sql.Timestamp)
 
 sealed trait PlanBreak
 object PlanBreak {
@@ -57,7 +77,8 @@ final case class DqResult(
     rowSummaries: Seq[RuleFailureSummary],
     statuses: Map[String, String],
     sourceDetailedStats: Seq[DetailedStat] = Seq.empty,
-    targetDetailedStats: Seq[DetailedStat] = Seq.empty) {
+    targetDetailedStats: Seq[DetailedStat] = Seq.empty,
+    queryOutputs: Seq[QueryOutput] = Seq.empty) {
   /** The `<stats>_detailed` table: source/target sides full-outer joined
     * on the reference's 6 keys (sinks/utils/writer.py:504-622).
     */
@@ -92,7 +113,24 @@ final class SparkExpectations(
     RuleType.all.map { t =>
       t -> rules.filter(r => r.ruleType == t.name && r.isActive)
         .map(RulesReader.substituteParams(_, config.params))
+        .map { r =>
+          // composite query_dq expectations are split at prep time, like
+          // the reference's reader (utils/reader.py:183-259): the stored
+          // expectation becomes the base with {alias} → (sql) substituted
+          if (t == RuleType.QueryDq)
+            r.copy(expectation =
+              CompositeQuerySplitter.split(r.expectation, r.queryDqDelimiter).baseExpectation)
+          else r
+        }
     }.toMap
+
+  /** alias → sub-query SQL per composite query_dq rule (pre-split). */
+  private val querySubQueries: Map[String, Map[String, String]] =
+    rules.filter(r => r.ruleType == RuleType.QueryDq.name && r.isActive)
+      .map(RulesReader.substituteParams(_, config.params))
+      .map(r => r.rule ->
+        CompositeQuerySplitter.split(r.expectation, r.queryDqDelimiter).subQueries)
+      .filter(_._2.nonEmpty).toMap
 
   val settings: ExecutionSettings = RulesReader.executionSettings(grouped)
 
@@ -143,6 +181,19 @@ final class SparkExpectations(
     // per-rule detailed stats, source- and target-side, joinable on the
     // reference's 6 keys via StatsBuilder.detailedStats
     var sourceDetails, targetDetails = Seq.empty[DetailedStat]
+    var queryOutputs = Seq.empty[QueryOutput]
+    def captureQueryOutputs(qRules: Seq[Rule], dqType: String): Unit =
+      if (config.enableQueryDqDetailedResult)
+        queryOutputs ++= qRules
+          .filter(r => r.enableQuerydqCustomOutput && querySubQueries.contains(r.rule))
+          .flatMap { r =>
+            querySubQueries(r.rule).map { case (alias, sql) =>
+              val rows = spark.sql(sql).collect()
+              QueryOutput(ctx.runId, productId, targetTable, r.rule, r.columnName,
+                alias, dqType,
+                rows.map(_.toSeq.mkString("[", ",", "]")).mkString(";"), ctx.runDate)
+            }
+          }
     def aggDetails(data: DataFrame, rules: Seq[Rule]): Seq[DetailedStat] =
       DetailedAggEvaluator.run(data, rules).map { d =>
         DetailedStat(ctx.runId, productId, targetTable, d.rule.ruleType,
@@ -172,7 +223,9 @@ final class SparkExpectations(
       // stage 2: source query_dq
       val queryRules = grouped(RuleType.QueryDq)
       if (!streaming && settings.sourceQueryDq) timed("source_query_dq") {
-        sourceQuery = QueryDqEvaluator.run(spark, queryRules.filter(_.enableForSourceDqValidation))
+        val active = queryRules.filter(_.enableForSourceDqValidation)
+        sourceQuery = QueryDqEvaluator.run(spark, active)
+        captureQueryOutputs(active, "source_dq")
         statuses += "source_query_dq" -> statusOf(sourceQuery)
         enforceCollected(sourceQuery, "source query_dq")
       }
@@ -244,7 +297,9 @@ final class SparkExpectations(
         enforceCollected(targetAgg, "target agg_dq")
       }
       if (!streaming && settings.rowDq && settings.targetQueryDq) timed("final_query_dq") {
-        targetQuery = QueryDqEvaluator.run(spark, queryRules.filter(_.enableForTargetDqValidation))
+        val active = queryRules.filter(_.enableForTargetDqValidation)
+        targetQuery = QueryDqEvaluator.run(spark, active)
+        captureQueryOutputs(active, "target_dq")
         statuses += "final_query_dq" -> statusOf(targetQuery)
         enforceCollected(targetQuery, "target query_dq")
       }
@@ -282,7 +337,8 @@ final class SparkExpectations(
     }
 
     DqResult(finalDf, errorDf, stats, sourceAgg, sourceQuery, targetAgg,
-      targetQuery, rowSummaries, statuses, sourceDetails, targetDetails)
+      targetQuery, rowSummaries, statuses, sourceDetails, targetDetails,
+      queryOutputs)
   }
 }
 

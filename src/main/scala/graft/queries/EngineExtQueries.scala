@@ -1,8 +1,9 @@
 package graft.queries
 
+import graft.eval.MaskedRowDqEvaluator
 import graft.model.{DetailedStat, Rule, RunContext}
 import graft.rules.{RuleLoaders, RuleValidator}
-import graft.sink.Report
+import graft.sink.{ErrorWriter, Report}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked queries over the round-2 engine surface: rule-file
@@ -33,7 +34,28 @@ object EngineExtQueries {
       |    action_if_failed: ignore
       |""".stripMargin
 
+  /** 96 generated threshold rules — two mask chunks; scales the single
+    * projection + single aggregate shape to wide rule sets.
+    */
+  private val wideRules: Seq[Rule] = (0 until 96).map { i =>
+    val t = i / 2 + 1
+    Rule("graft", "lineitem", "row_dq", f"w_$i%03d", "l_quantity", s"l_quantity <= $t")
+  }
+
   def all: Seq[QueryDef] = Seq(
+
+    // -- 96 rules in one projection + one aggregate (mask chunking) --------
+    QueryDef("dq_wide_rules", (s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val masked = MaskedRowDqEvaluator.run(li, wideRules)
+      ErrorWriter.summarizeMasked(masked, wideRules)._2
+        .map(x => (x.rule, x.failedRowCount))
+        .toDF("rule", "failed_count").orderBy("rule")
+    }, Some((0 until 96).map { i =>
+      val t = i / 2 + 1
+      s"SELECT 'w_${"%03d".format(i)}' AS rule, count(*) FILTER (WHERE NOT(l_quantity <= $t)) AS failed_count FROM lineitem"
+    }.mkString("", " UNION ALL ", " ORDER BY rule"))),
 
     // -- operator #34: YAML rule loading with dq_env selection -------------
     QueryDef("dq_rules_load", (s, dir) => {

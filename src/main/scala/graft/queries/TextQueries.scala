@@ -146,6 +146,17 @@ object TextQueries {
         FROM scored) WHERE rank <= 5
       ORDER BY query_id, rank""")),
 
+    // IVF top-k: seeded k-means coarse quantizer + nprobe cell probing —
+    // rows-only for the driver; recall vs brute force asserted in tests.
+    QueryDef("sim_topk_ivf", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+      val q = e.filter(col("id") < 20)
+      Similarity.ivfTopK(q, e, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }, None),
+
     // SRP-LSH top-k: bucket membership depends on seeded hyperplanes —
     // rows-only for the driver; recall vs brute force asserted in tests.
     QueryDef("sim_topk_lsh", (s, dir) => {

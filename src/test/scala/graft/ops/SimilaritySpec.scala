@@ -46,6 +46,26 @@ class SimilaritySpec extends SparkSpec {
     approx.size should be <= exact.size // LSH can only return fewer/equal
   }
 
+  test("ivfTopK recall vs brute force; probing all cells is exact") {
+    val rnd = new scala.util.Random(11)
+    val corpus = vecDf((0L until 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian()))))
+    val queries = corpus.filter($"id" < 8)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = Similarity.ivfTopK(queries, corpus, k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect probed).size.toDouble / exact.size
+    recall should be >= 0.5
+    // nprobe = nlist degenerates to exact search
+    val full = Similarity.ivfTopK(queries, corpus, k = 5, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    full shouldBe exact
+  }
+
   test("embeddingNearDupPairs finds planted identical vectors") {
     val v = Seq.fill(64)(0.5)
     val corpus = vecDf(Seq((1L, v), (2L, v),

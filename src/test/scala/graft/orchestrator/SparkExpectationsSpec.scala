@@ -137,6 +137,25 @@ class SparkExpectationsSpec extends SparkSpec {
     }
   }
 
+  test("composite query_dq rules split, evaluate, and capture custom outputs") {
+    input.createOrReplaceTempView("comp_src")
+    val rules = Seq(
+      Rule("p1", "tbl", "query_dq", "count_match", "col1",
+        "{src_count} = {expected}" +
+          "@src_count@select count(*) from comp_src" +
+          "@expected@select 3",
+        enableQuerydqCustomOutput = true),
+      Rule("p1", "tbl", "row_dq", "r", "col1", "col1 > 0", "ignore"))
+    val cfg = DqConfig(enableQueryDqDetailedResult = true)
+    val res = new SparkExpectations("p1", "tbl", rules, cfg).run(input)
+    res.sourceQueryResults.map(_("status")) shouldBe Seq("pass")
+    // custom outputs captured per alias, source- and target-side
+    val byAlias = res.queryOutputs.filter(_.dqType == "source_dq")
+      .map(o => o.alias -> o.output).toMap
+    byAlias shouldBe Map("src_count" -> "[3]", "expected" -> "[3]")
+    res.queryOutputs.map(_.dqType).distinct.sorted shouldBe Seq("source_dq", "target_dq")
+  }
+
   test("fromRulesDf builds the engine from a 17-column rules DataFrame") {
     val rulesDf = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
