@@ -104,17 +104,41 @@ object MaskedRowDqEvaluator {
     * groupBy + count shuffle, sinks/utils/writer.py:1071-1158).
     */
   def failureCounts(masked: DataFrame, rules: Seq[Rule]): (Long, Map[String, Long]) = {
-    if (rules.isEmpty) return (0L, Map.empty)
-    val aggs = sum(when(anyFailed(rules), 1L).otherwise(0L)).as("_total") +:
+    val c = pipelineCounts(masked, rules)
+    (c.errorRows, c.perRule)
+  }
+
+  /** Every count the batch pipeline needs, from one scan. */
+  final case class PipelineCounts(
+      inputRows: Long,
+      errorRows: Long,
+      dropFailedRows: Long,
+      perRule: Map[String, Long]) {
+    def outputRows: Long = inputRows - dropFailedRows
+  }
+
+  /** input/error/dropped/per-rule counts in ONE global aggregate — the
+    * reference issues separate count() jobs for input, errors, and
+    * output (core/expectations.py:960,660; writer.py:1061); over the
+    * masks they are four flavors of the same codegen'd sum.
+    */
+  def pipelineCounts(masked: DataFrame, rules: Seq[Rule]): PipelineCounts = {
+    if (rules.isEmpty) {
+      val n = masked.count()
+      return PipelineCounts(n, 0L, 0L, Map.empty)
+    }
+    val aggs = Seq(
+      count(lit(1)).as("_n"),
+      sum(when(anyFailed(rules), 1L).otherwise(0L)).as("_err"),
+      sum(when(hasFailedAction(rules, "drop"), 1L).otherwise(0L)).as("_drop")) ++
       rules.zipWithIndex.map { case (r, i) =>
         val (c, b) = bitOf(i)
         sum(shiftright(col(c), b).bitwiseAND(lit(1L))).as(s"_c_$i")
       }
     val row = masked.agg(aggs.head, aggs.tail: _*).head()
-    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
-    (total, rules.zipWithIndex.map { case (r, i) =>
-      r.rule -> (if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
-    }.toMap)
+    def l(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    PipelineCounts(l(0), l(1), l(2),
+      rules.zipWithIndex.map { case (r, i) => r.rule -> l(i + 3) }.toMap)
   }
 }
 

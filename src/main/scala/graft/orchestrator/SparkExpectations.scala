@@ -160,7 +160,9 @@ final class SparkExpectations(
     }
 
     config.notifier.foreach(_.onStart(productId, targetTable))
-    val inputCount = if (streaming) 0L else df.count()
+    // input count comes from the row-stage's single aggregate when row
+    // rules run; only rule-sets without row rules need a dedicated count
+    var inputCount = 0L
     if (!streaming) df.createOrReplaceTempView(ctx.sourceView)
 
     def statusOf(res: Seq[Map[String, String]]): String =
@@ -243,10 +245,12 @@ final class SparkExpectations(
         val maskCols = MaskedRowDqEvaluator.maskColNames(rowRules.size)
 
         if (!streaming) {
-          // ONE aggregate yields error count + per-rule summaries (and
-          // materializes the cache for the consumers below)
-          val (errCount, summaries) = ErrorWriter.summarizeMasked(persisted, rowRules)
-          errorCount = errCount
+          // ONE aggregate yields input/error/output counts + per-rule
+          // summaries (and materializes the cache for consumers below)
+          val (pc, summaries) = ErrorWriter.pipelineSummaries(persisted, rowRules)
+          inputCount = pc.inputRows
+          errorCount = pc.errorRows
+          outputCount = pc.outputRows
           rowSummaries = summaries
           errorDf = ErrorWriter.errorRowsMasked(persisted, rowRules, ctx)
           config.writeErrorTablePath.foreach(p =>
@@ -257,14 +261,17 @@ final class SparkExpectations(
             n.onIgnoreRuleFailures(rowRules,
               rowSummaries.filter(_.failedRowCount > 0).map(_.rule).toSet)
           }
-          // fail gate from the summaries already in hand — no extra job
+          // fail gate from the summaries already in hand — no extra job;
+          // nothing is written on abort, so output reports 0
           val failFailed = rowSummaries.filter(s =>
             s.actionIfFailed == "fail" && s.failedRowCount > 0)
-          if (failFailed.nonEmpty)
+          if (failFailed.nonEmpty) {
+            outputCount = 0L
             throw new DqRuleFailedException(
               s"job failed: row_dq rules with action 'fail' failed: " +
                 failFailed.map(_.rule).mkString(", "),
               failFailed.map(_.rule))
+          }
         }
 
         val kept = masked.filter(
@@ -279,11 +286,9 @@ final class SparkExpectations(
             .drop(maskCols: _*)
         statuses += "row_dq" ->
           (if (errorCount > 0) StageStatus.Failed else StageStatus.Passed)
-        if (!streaming) {
-          finalDf.createOrReplaceTempView(ctx.targetView)
-          outputCount = finalDf.count()
-        }
+        if (!streaming) finalDf.createOrReplaceTempView(ctx.targetView)
       } else if (!streaming) {
+        inputCount = df.count()
         outputCount = inputCount
         finalDf.createOrReplaceTempView(ctx.targetView)
       }

@@ -39,20 +39,28 @@ object ErrorWriter {
       .withColumn(RunDateCol, lit(ctx.runDate))
   }
 
-  /** Error count + zero-filled per-rule summaries in ONE aggregate over
-    * the masked frame (no explode/groupBy shuffle).
+  /** All pipeline counts + zero-filled per-rule summaries in ONE
+    * aggregate over the masked frame (no explode/groupBy shuffle, no
+    * separate input/output count jobs).
     */
-  def summarizeMasked(masked: DataFrame, rules: Seq[Rule])
-      : (Long, Seq[RuleFailureSummary]) = {
-    val (total, counts) = graft.eval.MaskedRowDqEvaluator.failureCounts(masked, rules)
-    (total, rules.map { r =>
+  def pipelineSummaries(masked: DataFrame, rules: Seq[Rule])
+      : (graft.eval.MaskedRowDqEvaluator.PipelineCounts, Seq[RuleFailureSummary]) = {
+    val pc = graft.eval.MaskedRowDqEvaluator.pipelineCounts(masked, rules)
+    (pc, rules.map { r =>
       RuleFailureSummary(
         rule = r.rule, ruleType = r.ruleType, actionIfFailed = r.actionIfFailed,
         tag = r.tag, description = r.description, columnName = r.columnName,
-        failedRowCount = counts.getOrElse(r.rule, 0L),
+        failedRowCount = pc.perRule.getOrElse(r.rule, 0L),
         errorDropThreshold = r.errorDropThreshold,
         enableErrorDropAlert = r.enableErrorDropAlert)
     })
+  }
+
+  /** Error count + per-rule summaries (see pipelineSummaries). */
+  def summarizeMasked(masked: DataFrame, rules: Seq[Rule])
+      : (Long, Seq[RuleFailureSummary]) = {
+    val (pc, summaries) = pipelineSummaries(masked, rules)
+    (pc.errorRows, summaries)
   }
 
   /** Per-rule failed-row counts via explode + groupBy
