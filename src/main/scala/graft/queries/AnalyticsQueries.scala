@@ -184,6 +184,44 @@ object AnalyticsQueries {
         CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // gap-based sessionization over the event stream (batch form of the
+    // flatMapGroupsWithState operator; lag + running-sum window)
+    QueryDef("q_sessionize", (s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      graft.streaming.Sessionize.batch(ev, gapMinutes = 30)
+        .orderBy("user_id", "session_start")
+    }, Some("""
+      WITH g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      s AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM g)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        count(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value
+      FROM s GROUP BY user_id, session_idx
+      ORDER BY user_id, session_start""")),
+
+    // JSON property extraction + filtered rollup over the events table
+    QueryDef("q_events_json", (s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      ev.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") >= 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("k")).as("k_sum"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, count(*) AS n,
+        CAST(SUM(CAST(k AS DECIMAL(38,2))) AS DOUBLE) AS k_sum
+      FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      WHERE k >= 50 GROUP BY event_type ORDER BY event_type""")),
+
     // semi/anti joins: orders that have at least one high-value line
     QueryDef("q_semi_anti", (s, dir) => {
       val ord = Tables.load(s, dir, "orders")

@@ -21,6 +21,67 @@ class StreamingSpec extends SparkSpec {
       "/cp/db/tbl_checkpoint"
   }
 
+  test("streaming sessionization matches the batch window form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    def ts(min: Int) = new java.sql.Timestamp(3600_000L * 24 + min * 60_000L)
+    // user 1: two sessions (gap 40min > 30); user 2: one session
+    val evs = Seq(
+      Sessionize.SessionEvent(1L, ts(0), 10.0),
+      Sessionize.SessionEvent(1L, ts(10), 5.0),
+      Sessionize.SessionEvent(1L, ts(50), 2.0),
+      Sessionize.SessionEvent(2L, ts(5), 7.0))
+
+    // batch reference
+    val batchOut = Sessionize.batch(evs.toDF(), gapMinutes = 30)
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    batchOut shouldBe Array((1L, 2L, 15.0), (1L, 1L, 2.0), (2L, 1L, 7.0))
+
+    // streaming: feed events, then far-future event to advance watermark
+    val mem = MemoryStream[Sessionize.SessionEvent]
+    mem.addData(evs: _*)
+    val out = Sessionize.streaming(mem.toDS(), gapMinutes = 30)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Sessionize.SessionEvent(99L, ts(10000), 0.0)) // advance watermark
+      q.processAllAvailable()
+      mem.addData(Sessionize.SessionEvent(99L, ts(20000), 0.0)) // flush timeouts
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .filter($"user_id" < 99)
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      got shouldBe batchOut
+    } finally q.stop()
+  }
+
+  test("streaming hourly rollup with watermark aggregates by window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, min: Int) = new java.sql.Timestamp(3600_000L * (100 + h) + min * 60_000L)
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    mem.addData((ts(0, 5), "click", 1.0), (ts(0, 20), "click", 2.0), (ts(1, 5), "view", 3.0))
+    val rolled = graft.streaming.Sessionize.hourlyRollup(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    val q = rolled.writeStream.format("memory").queryName("roll_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData((ts(10, 0), "late", 0.0)) // advance watermark to close windows
+      q.processAllAvailable()
+      val got = spark.table("roll_out").filter($"event_type" =!= "late")
+        .orderBy("hour_start").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("total_value")))
+      got shouldBe Array(("click", 2L, 3.0), ("view", 1L, 3.0))
+    } finally q.stop()
+  }
+
   test("streaming row_dq enforces drop-only through a full micro-batch run") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
