@@ -44,6 +44,13 @@ object RulesReader {
     RuleType.all.map(t => t -> rules.filter(_.ruleType == t.name)).toMap
   }
 
+  /** DLT-style `{rule -> expectation}` map of active row rules
+    * (reference: utils/reader.py:321-327, `get_rules_from_df(is_dlt=True)`).
+    */
+  def rulesToDict(rules: Seq[Rule], ruleType: String = "row_dq"): Map[String, String] =
+    rules.filter(r => r.isActive && r.ruleType == ruleType)
+      .map(r => r.rule -> r.expectation).toMap
+
   /** Rules DF → typed Dataset[Rule] (snake_case columns → camelCase fields). */
   def toDataset(spark: SparkSession, rulesDf: DataFrame): Dataset[Rule] = {
     import spark.implicits._

@@ -137,6 +137,13 @@ class SparkExpectationsSpec extends SparkSpec {
     }
   }
 
+  test("withExpectations extension method wraps a DataFrame expression") {
+    import graft.syntax._
+    val rules = Seq(Rule("p1", "tbl", "row_dq", "gt1", "col1", "col1 > 1", "drop"))
+    val res = input.withExpectations("p1", "tbl", rules)
+    res.stats.outputCount shouldBe 2
+  }
+
   test("composite query_dq rules split, evaluate, and capture custom outputs") {
     input.createOrReplaceTempView("comp_src")
     val rules = Seq(

@@ -64,6 +64,14 @@ class RulesReaderSpec extends SparkSpec {
     audit shouldBe Map("product_id" -> 1L, "table_name" -> 1L, "rule" -> 1L, "rule_type" -> 1L)
   }
 
+  test("rulesToDict yields the DLT-style rule->expectation map") {
+    val rules = Seq(
+      Rule("p", "t", "row_dq", "r1", "c", "c > 0"),
+      Rule("p", "t", "row_dq", "r_off", "c", "c > 1", isActive = false),
+      Rule("p", "t", "agg_dq", "a1", "c", "sum(c) > 0"))
+    RulesReader.rulesToDict(rules) shouldBe Map("r1" -> "c > 0")
+  }
+
   test("withHashColumns matches Rule.idHash") {
     import spark.implicits._
     val r = Rule("p1", "t1", "row_dq", "r1", "c1", "c1 > 0")
