@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -24,7 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct k-token shingles of a text column. */
+  /** Distinct k-token shingles of a text column, as an ARRAY — small
+    * inputs / tests only: the `transform` lambda is CodegenFallback and
+    * re-evaluates `split(text)` once per shingle (measured 420 s for
+    * 5000×54-token docs in one task). The ops below use [[shingleRows]].
+    */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")
     when(size(toks) >= k,
@@ -33,43 +38,32 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct k-shingle ROWS (id, s) — the scale form: `split` runs once
+    * per doc (posexplode is a Generator), shingle assembly is lead()
+    * windows (whole-stage codegen), and everything after the by-id
+    * shuffle is parallel. Docs shorter than k tokens yield no rows.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val byId = Window.partitionBy(col("id")).orderBy(col("pos"))
+    toks.select(col("id"), col("pos"),
+        concat_ws(" ", (0 until k).map(j => lead(col("tok"), j).over(byId)): _*).as("s"),
+        max(col("pos")).over(Window.partitionBy(col("id"))).as("max_pos"))
+      .filter(col("pos") <= col("max_pos") - (k - 1))
+      .select(col("id"), col("s"))
+      .distinct()
+  }
+
   /** Tier 1: exact duplicate groups via md5 hash-groupBy. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** Exact-Jaccard verification of an (id_a, id_b) candidate set —
-    * used by the LSH tier, where candidates are few.
+  /** jaccard from per-pair intersection counts + per-doc sizes:
+    * |A∪B| = |A|+|B|−|A∩B| (shingles are distinct per doc).
     */
-  private def verifyJaccard(cands: DataFrame, docs: DataFrame, tau: Double): DataFrame =
-    cands
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-
-  /** Tier 2: n-gram Jaccard near-dup pairs above `tau`.
-    *
-    * Jaccard via co-occurrence counts: shingles are distinct per doc, so
-    * |A∩B| = the number of shared (shingle) join hits per pair and
-    * |A∪B| = |A|+|B|−|A∩B|. One exploded self-join → count per pair →
-    * join to per-doc sizes. Avoids shuffling shingle ARRAYS and the
-    * interpreted array_intersect/array_union per pair entirely (sf0.1:
-    * 60 s → join-of-counts); the shuffle keys are the shingle (inverted
-    * index) and the (id_a, id_b) pair — both well-distributed at scale.
-    */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, tau: Double = 0.8): DataFrame = {
-    val docs  = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-    val sizes = docs.select(col("id"), size(col("sh")).as("n"))
-    val ex    = docs.select(col("id"), explode(col("sh")).as("s"))
-    val inter = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("ic"))
+  private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
@@ -77,33 +71,53 @@ object Dedup {
         col("ic").cast("double") / (col("na") + col("nb") - col("ic")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Tier 2: n-gram Jaccard near-dup pairs above `tau`.
+    *
+    * Jaccard via co-occurrence counts: |A∩B| = number of shared-shingle
+    * join hits per pair. One exploded self-join → count per pair → join
+    * to per-doc sizes. No shingle arrays are ever shuffled and no
+    * interpreted array_intersect runs; the shuffle keys are the shingle
+    * (inverted index) and the (id_a, id_b) pair.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, tau: Double = 0.8): DataFrame = {
+    val ex    = shingleRows(df, idCol, textCol, k)
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("ic"))
+    jaccardFromCounts(inter, sizes, tau)
   }
 
-  /** MinHash signatures as a (id, sig array<long>) frame: explode the
-    * shingles once, then ONE groupBy(id) with `numHashes` min-aggregates
-    * (min over xxhash64(seed, shingle)) — a single shuffle, all codegen.
+  /** MinHash signatures + distinct-shingle counts from shingle ROWS in
+    * ONE groupBy(id): `numHashes` min-aggregates (min over
+    * xxhash64(seed, shingle)) + count — a single shuffle, all codegen.
     */
-  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
-    val ex = docs.select(col("id"), explode(col("sh")).as("s"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h_$i"))
+  def minhashSignatures(ex: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = count(lit(1)).as("n") +:
+      (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h_$i"))
     ex.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h_$i")): _*).as("sig"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), col("n"),
+        array((0 until numHashes).map(i => col(s"h_$i")): _*).as("sig"))
   }
 
   /** Tier 3: MinHash-LSH near-dup pairs. Bands of `bandSize` signature
     * rows are hashed to a band key; only same-band-key pairs become
-    * candidates; candidates are verified with EXACT Jaccard, so the
-    * output equals `ngramJaccardPairs` up to LSH recall
+    * candidates; candidates are verified with EXACT Jaccard (shared-
+    * shingle counts restricted to the candidate pairs), so the output
+    * equals `ngramJaccardPairs` up to LSH recall
     * (21 bands × 3 rows ⇒ P[miss | j=0.8] ≈ 3e-7).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, tau: Double = 0.8,
                       numHashes: Int = 63, bandSize: Int = 3): DataFrame = {
     val numBands = numHashes / bandSize
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sigs = minhashSignatures(docs, numHashes)
+    val ex   = shingleRows(df, idCol, textCol, k)
+    val sigs = minhashSignatures(ex, numHashes)
+    val sizes = sigs.select(col("id"), col("n"))
     val bands = sigs.select(col("id"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
@@ -114,7 +128,14 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccard(cands, docs, tau)
+    // exact |A∩B| for candidate pairs only: attach A's shingles, then
+    // inner-join B's matching shingles, count per pair
+    val inter = cands
+      .join(ex.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(ex.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ic"))
+    jaccardFromCounts(inter, sizes, tau)
   }
 
   /** 63-bit SimHash sketches as a (id, sh long) frame: explode tokens,

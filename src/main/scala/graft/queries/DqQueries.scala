@@ -79,15 +79,17 @@ object DqQueries {
 
   def all: Seq[QueryDef] = Seq(
 
-    // -- operator #9/#10: single-projection row-rule evaluation ------------
+    // -- operator #9/#10: single-projection row-rule evaluation (status
+    // strings derived from the bitmask — pure codegen) ---------------------
     QueryDef("dq_row_flags", (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val ruleCols = rowRules.map(RuleCompiler.ruleColumn)
-      val statusCols = rowRules.map(r =>
-        element_at(col(RuleCompiler.resultColName(r)), "status").as(s"s_${r.rule}"))
-      val outCols = Seq(col("l_orderkey"), col("l_linenumber")) ++ statusCols
-      li.select(col("*") +: ruleCols: _*)
-        .select(outCols: _*)
+      val masked = MaskedRowDqEvaluator.run(li, rowRules)
+      val statusCols = rowRules.zipWithIndex.map { case (r, i) =>
+        when(shiftright(col(s"${MaskedRowDqEvaluator.MaskPrefix}${i / 64}"), i % 64)
+          .bitwiseAND(lit(1L)) === 1L, lit("fail")).otherwise(lit("pass"))
+          .as(s"s_${r.rule}")
+      }
+      masked.select(Seq(col("l_orderkey"), col("l_linenumber")) ++ statusCols: _*)
         .orderBy(("l_orderkey" +: "l_linenumber" +: rowRules.map(r => s"s_${r.rule}")).map(col): _*)
     }, Some("""
       SELECT l_orderkey, l_linenumber,

@@ -66,6 +66,18 @@ class DedupSpec extends SparkSpec {
     all(out.values) should be <= 24
   }
 
+  test("shingleRows (lead-window form) matches the array form exactly") {
+    val rows = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val arr = docs.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    rows shouldBe arr
+    // short docs yield no rows
+    import docs.sparkSession.implicits._
+    Dedup.shingleRows(Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .count() shouldBe 0
+  }
+
   test("shingles produces distinct k-grams; short docs yield empty") {
     val out = Seq((1L, "a b c d"), (2L, "a b"))
       .toDF("doc_id", "text")
