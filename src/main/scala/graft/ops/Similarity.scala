@@ -133,16 +133,16 @@ object Similarity {
   }
 
   /** Index of the nearest centroid by cosine (centroids as literals —
-    * the broadcast side of IVF).
+    * the broadcast side of IVF). argmax via `greatest` over
+    * (score, idx) structs — lexicographic struct comparison is a
+    * regular codegen'd expression, unlike an array_sort lambda; this
+    * runs once per CORPUS row, the hot side.
     */
   def nearestCell(vec: Column, cents: Array[Seq[Double]]): Column = {
     val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
     }
-    element_at(array_sort(array(scored: _*),
-      (a, b) => when(a.getField("s") > b.getField("s"), -1)
-        .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1)
-      .getField("i")
+    (if (scored.length == 1) scored.head else greatest(scored: _*)).getField("i")
   }
 
   /** `nprobe` nearest cells of a vector, as an array column. */

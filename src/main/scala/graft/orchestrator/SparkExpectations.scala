@@ -84,6 +84,14 @@ final case class DqResult(
     */
   def detailedStatsDf(spark: SparkSession): DataFrame =
     graft.sink.StatsBuilder.detailedStats(spark, sourceDetailedStats, targetDetailedStats)
+
+  /** Release the pipeline's persisted intermediate once finalDf/errorDf
+    * have been consumed (writes done, counts taken). Safe anytime —
+    * later actions just recompute from source.
+    */
+  def unpersist(): Unit = cleanup()
+
+  private[orchestrator] var cleanup: () => Unit = () => ()
 }
 
 /** The five-stage DQ pipeline
@@ -183,6 +191,7 @@ final class SparkExpectations(
     // per-rule detailed stats, source- and target-side, joinable on the
     // reference's 6 keys via StatsBuilder.detailedStats
     var sourceDetails, targetDetails = Seq.empty[DetailedStat]
+    var pipelineCleanup: () => Unit = () => ()
     var queryOutputs = Seq.empty[QueryOutput]
     def captureQueryOutputs(qRules: Seq[Rule], dqType: String): Unit =
       if (config.enableQueryDqDetailedResult)
@@ -240,7 +249,9 @@ final class SparkExpectations(
         val masked = MaskedRowDqEvaluator.run(df, rowRules)
         val persisted =
           if (!streaming && config.persistRowDq) {
-            masked.persist(StorageLevel.MEMORY_AND_DISK); masked
+            masked.persist(StorageLevel.MEMORY_AND_DISK)
+            pipelineCleanup = () => { masked.unpersist(); () }
+            masked
           } else masked
         val maskCols = MaskedRowDqEvaluator.maskColNames(rowRules.size)
 
@@ -341,9 +352,11 @@ final class SparkExpectations(
       })
     }
 
-    DqResult(finalDf, errorDf, stats, sourceAgg, sourceQuery, targetAgg,
-      targetQuery, rowSummaries, statuses, sourceDetails, targetDetails,
-      queryOutputs)
+    val result = DqResult(finalDf, errorDf, stats, sourceAgg, sourceQuery,
+      targetAgg, targetQuery, rowSummaries, statuses, sourceDetails,
+      targetDetails, queryOutputs)
+    result.cleanup = pipelineCleanup
+    result
   }
 }
 

@@ -137,6 +137,17 @@ class SparkExpectationsSpec extends SparkSpec {
     }
   }
 
+  test("cleanFinalDf=false keeps meta + action columns on the final frame") {
+    val rules = Seq(Rule("p1", "tbl", "row_dq", "gt1", "col1", "col1 > 1", "ignore"))
+    val res = new SparkExpectations("p1", "tbl", rules,
+      DqConfig(cleanFinalDf = false)).run(input)
+    res.finalDf.columns should contain allOf ("meta_row_dq_results", "meta_dq_actions")
+    val byId = res.finalDf.orderBy("row_id")
+      .select("meta_dq_actions").collect().map(_.getSeq[String](0).toList)
+    byId shouldBe Array(List("ignore"), List("ignore"), List("ignore"))
+    res.unpersist() // releases the pipeline cache without error
+  }
+
   test("withExpectations extension method wraps a DataFrame expression") {
     import graft.syntax._
     val rules = Seq(Rule("p1", "tbl", "row_dq", "gt1", "col1", "col1 > 1", "drop"))
