@@ -123,10 +123,15 @@ object AnalyticsQueries {
         AND r_name = 'ASIA'
       GROUP BY n_name ORDER BY n_name""")),
 
-    // window functions: per-supplier top-3 parts by shipped quantity
+    // window functions: per-supplier top-3 parts by shipped quantity.
+    // One shuffle, not two: hash-partitioning by l_suppkey alone
+    // satisfies BOTH the (suppkey, partkey) aggregation's clustering
+    // requirement (subset rule) and the window's partitioning, so the
+    // agg and the window share the exchange.
     QueryDef("q_window_top_parts", (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val sp = li.groupBy(col("l_suppkey"), col("l_partkey"))
+      val sp = li.repartition(col("l_suppkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(dsum(col("l_quantity")).as("qty"))
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("qty").desc, col("l_partkey"))
