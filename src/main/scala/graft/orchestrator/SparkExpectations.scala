@@ -78,7 +78,12 @@ final case class DqResult(
     statuses: Map[String, String],
     sourceDetailedStats: Seq[DetailedStat] = Seq.empty,
     targetDetailedStats: Seq[DetailedStat] = Seq.empty,
-    queryOutputs: Seq[QueryOutput] = Seq.empty) {
+    queryOutputs: Seq[QueryOutput] = Seq.empty,
+    /** releases the pipeline's persisted intermediate; a constructor
+      * field (not a post-construction var) so `copy()`/serialization
+      * can't silently reset it to a no-op and leak the persisted frame.
+      */
+    cleanup: () => Unit = () => ()) {
   /** The `<stats>_detailed` table: source/target sides full-outer joined
     * on the reference's 6 keys (sinks/utils/writer.py:504-622).
     */
@@ -90,8 +95,6 @@ final case class DqResult(
     * later actions just recompute from source.
     */
   def unpersist(): Unit = cleanup()
-
-  private[orchestrator] var cleanup: () => Unit = () => ()
 }
 
 /** The five-stage DQ pipeline
@@ -325,12 +328,23 @@ final class SparkExpectations(
     } catch {
       case e: DqRuleFailedException =>
         statuses += "run_status" -> StageStatus.Failed
+        // a source agg/query rule with action 'fail' aborts before the
+        // row-stage's fused aggregate has counted the input; count it
+        // here (lazily, abort path only) so stats-on-abort match the
+        // reference's eager-count behavior (expectations.py:960)
+        if (!streaming && inputCount == 0L) inputCount = df.count()
         // stats must still be assembled on failure
         val stats = StatsBuilder.build(ctx, inputCount, errorCount, outputCount,
           grouped, sourceAgg, sourceQuery, rowSummaries, targetAgg, targetQuery,
           statuses, timings)
         config.notifier.foreach(_.onFailure(productId, targetTable, e.getMessage))
         throw new DqRunAbortedException(e, stats)
+      // the reference's send_notification_decorator notifies on ANY
+      // error, not just rule failures (spark_expectations_notify.py) —
+      // unexpected analysis/write failures must alert too
+      case scala.util.control.NonFatal(e) =>
+        config.notifier.foreach(_.onFailure(productId, targetTable, e.toString))
+        throw e
     }
 
     val stats = StatsBuilder.build(ctx, inputCount, errorCount, outputCount,
@@ -352,11 +366,9 @@ final class SparkExpectations(
       })
     }
 
-    val result = DqResult(finalDf, errorDf, stats, sourceAgg, sourceQuery,
+    DqResult(finalDf, errorDf, stats, sourceAgg, sourceQuery,
       targetAgg, targetQuery, rowSummaries, statuses, sourceDetails,
-      targetDetails, queryOutputs)
-    result.cleanup = pipelineCleanup
-    result
+      targetDetails, queryOutputs, pipelineCleanup)
   }
 }
 

@@ -78,8 +78,12 @@ object AnalyticsQueries {
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li   = Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      // no broadcast hint on customer: it scales with sf (~1B rows at the
+      // 100 TB target), so a forced hint would bypass Spark's size
+      // threshold and OOM the build side. AQE still picks broadcast at
+      // small sf on its own.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(discPriceExact).cast("double").as("revenue"))
         .select(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"), col("revenue"))
@@ -106,7 +110,9 @@ object AnalyticsQueries {
       val li     = Tables.load(s, dir, "lineitem")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp),
+        // supplier scales with sf — no forced broadcast (see q3 note);
+        // nation/region are fixed 25/5 rows, so their hints stay.
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

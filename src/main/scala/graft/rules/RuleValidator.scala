@@ -57,8 +57,11 @@ object RuleValidator {
     try Right(spark.sessionState.sqlParser.parseExpression(s))
     catch { case e: Exception => Left(s"parse error: ${e.getMessage.linesIterator.next()}") }
 
+  /** Whole-keyword match — a row_dq expression like `with_tax > 0` or
+    * `selected IS NOT NULL` starts with an identifier, not a statement.
+    */
   private def isSelect(s: String): Boolean =
-    s.trim.toLowerCase.startsWith("select") || s.trim.toLowerCase.startsWith("with")
+    s.trim.toLowerCase.matches("(?s)^(select|with)\\b.*")
 
   def validateOne(spark: SparkSession, r: Rule): Seq[Violation] = {
     val v = Seq.newBuilder[Violation]

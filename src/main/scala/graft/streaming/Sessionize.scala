@@ -94,7 +94,13 @@ object Sessionize {
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.last + gapMs)
+              // flatMapGroupsWithState does NOT auto-drop late rows, and
+              // setTimeoutTimestamp throws if the value is not strictly
+              // later than the watermark — one late event (ts + gap <=
+              // watermark) would kill the whole query. Clamp to wm+1 so
+              // the stale session times out on the next trigger instead.
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(st.last + gapMs, wm + 1))
             }
             closed.iterator
           }
