@@ -54,6 +54,43 @@ object WebhookFormats {
   /** Teams message-card payload (reference: notifications/plugins/teams.py). */
   def teams(n: Notification): String =
     s"""{"@type": "MessageCard", "title": "${esc(n.title)}", "text": "${esc(n.body)}"}"""
+  /** Zoom chat payload (reference: notifications/plugins/zoom.py:40-47):
+    * fixed title/color, message with single newlines doubled.
+    */
+  def zoom(n: Notification): String = {
+    val text = s"${n.title}\n${n.body}".replace("\n", "\n\n")
+    s"""{"title": "SE Notification", "themeColor": "008000", "text": "${esc(text)}"}"""
+  }
+  /** PagerDuty Events-API-v2 payload (reference:
+    * notifications/plugins/pagerduty.py:137-156): routing key, a
+    * product+table dedup key so repeated failures consolidate into one
+    * incident, and a fixed source/severity.
+    */
+  def pagerduty(n: Notification, routingKey: String,
+                productId: String, tableName: String): String = {
+    val dedup = s"spark_expectations_${productId}_${tableName}_failure"
+    s"""{"routing_key": "${esc(routingKey)}", "dedup_key": "${esc(dedup)}", """ +
+      s""""event_action": "trigger", "payload": {"summary": "${esc(n.title)}\\n${esc(n.body)}", """ +
+      s""""source": "Spark Expectations", "severity": "error"}}"""
+  }
+}
+
+/** PagerDuty plugin: pages ONLY on failure scenarios — job failure and
+  * threshold breach — never on start/completion/ignore-rule info
+  * (reference gates on failure message patterns and explicitly excludes
+  * the ignore-rules alert, pagerduty.py:80-112; the structured `kind`
+  * field makes that gate exact here).
+  */
+final class PagerDutyNotifier(
+    productId: String,
+    tableName: String,
+    routingKey: String,
+    transport: String => Unit) extends NotificationPlugin {
+  val name = "pagerduty"
+  private val pageableKinds = Set("failure", "threshold")
+  def send(n: Notification): Unit =
+    if (pageableKinds.contains(n.kind))
+      transport(WebhookFormats.pagerduty(n, routingKey, productId, tableName))
 }
 
 /** Builds the reference's notification messages (start / completion /

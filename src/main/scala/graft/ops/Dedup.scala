@@ -60,6 +60,37 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
+  /** Drop shingles whose document frequency exceeds `dfCap` from an
+    * inverted index. A shingle with df=m produces m² hits in a
+    * candidate self-join — one ubiquitous "stop shingle" at web scale
+    * is a quadratic hot-key blowup. Near-dup pairs above any useful tau
+    * share many LOW-df shingles, so capping the index costs recall only
+    * for pairs whose every shared shingle is ubiquitous (which cannot
+    * reach high jaccard against a corpus-wide shingle anyway).
+    * df is computed with a groupBy (map-side partial agg — skew-safe,
+    * unlike a count-over-window which would funnel the hot key into one
+    * task); the filter is a left-semi join on the kept shingles.
+    */
+  private def dfCapped(ex: DataFrame, dfCap: Int): DataFrame =
+    if (dfCap <= 0) ex
+    else ex.join(
+      ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+        .filter(col("df_") <= dfCap).select(col("s")),
+      Seq("s"), "left_semi")
+
+  /** Exact |A∩B| for the candidate pairs only: attach A's full shingle
+    * set, inner-join B's matching shingles, count per pair. Scale-safe
+    * even with hot shingles present: the join key (id_b, s) is unique in
+    * `ex` (shingles are distinct per doc), so output rows are bounded by
+    * Σ|shingles(A)| over candidates — no quadratic key.
+    */
+  private def exactIntersections(cands: DataFrame, ex: DataFrame): DataFrame =
+    cands
+      .join(ex.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(ex.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ic"))
+
   /** jaccard from per-pair intersection counts + per-doc sizes:
     * |A∪B| = |A|+|B|−|A∩B| (shingles are distinct per doc).
     */
@@ -72,22 +103,31 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** Candidate pairs from the df-capped inverted index: pairs of docs
+    * sharing at least one kept shingle. Exposed so specs can assert the
+    * candidate volume stays bounded under a planted ubiquitous shingle.
+    */
+  def ngramCandidates(ex: DataFrame, dfCap: Int): DataFrame = {
+    val idx = dfCapped(ex, dfCap)
+    idx.as("a").join(idx.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** Tier 2: n-gram Jaccard near-dup pairs above `tau`.
     *
-    * Jaccard via co-occurrence counts: |A∩B| = number of shared-shingle
-    * join hits per pair. One exploded self-join → count per pair → join
-    * to per-doc sizes. No shingle arrays are ever shuffled and no
-    * interpreted array_intersect runs; the shuffle keys are the shingle
-    * (inverted index) and the (id_a, id_b) pair.
+    * Candidates come from the df-capped inverted index (no arrays
+    * shuffled, no all-pairs, no hot-key quadratic join); verification is
+    * EXACT jaccard over the FULL shingle sets via [[exactIntersections]]
+    * — the cap bounds candidate volume but never distorts the scores of
+    * pairs that do surface.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, tau: Double = 0.8): DataFrame = {
+                        k: Int = 3, tau: Double = 0.8, dfCap: Int = 512): DataFrame = {
     val ex    = shingleRows(df, idCol, textCol, k)
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("ic"))
+    val inter = exactIntersections(ngramCandidates(ex, dfCap), ex)
     jaccardFromCounts(inter, sizes, tau)
   }
 
@@ -128,14 +168,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact |A∩B| for candidate pairs only: attach A's shingles, then
-    // inner-join B's matching shingles, count per pair
-    val inter = cands
-      .join(ex.select(col("id").as("id_a"), col("s")), Seq("id_a"))
-      .join(ex.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("ic"))
-    jaccardFromCounts(inter, sizes, tau)
+    jaccardFromCounts(exactIntersections(cands, ex), sizes, tau)
   }
 
   /** 63-bit SimHash sketches as a (id, sh long) frame: explode tokens,

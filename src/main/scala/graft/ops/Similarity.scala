@@ -132,30 +132,29 @@ object Similarity {
     cents
   }
 
-  /** Index of the nearest centroid by cosine (centroids as literals —
-    * the broadcast side of IVF). argmax via `greatest` over
-    * (score, idx) structs — lexicographic struct comparison is a
-    * regular codegen'd expression, unlike an array_sort lambda; this
-    * runs once per CORPUS row, the hot side.
+  /** Index of the nearest centroid by cosine — a native codegen
+    * Expression carrying the whole centroid matrix as ONE reference
+    * object (graft.functions.NearestCentroid). O(1) plan nodes at any
+    * nlist, vs the round-1 literal form's nlist x dim literals which
+    * blew up codegen/driver plan size past nlist ~1k. Runs once per
+    * CORPUS row, the hot side; same left-fold arithmetic and ties-to-
+    * highest-index argmax as before.
     */
-  def nearestCell(vec: Column, cents: Array[Seq[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
-    }
-    (if (scored.length == 1) scored.head else greatest(scored: _*)).getField("i")
-  }
+  def nearestCell(vec: Column, cents: Array[Seq[Double]]): Column =
+    org.apache.spark.sql.classic.GraftExpressionBridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.classic.GraftExpressionBridge.expression(vec),
+        cents.map(_.toArray)))
 
-  /** `nprobe` nearest cells of a vector, as an array column. */
-  private def probeCells(vec: Column, cents: Array[Seq[Double]], nprobe: Int): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
-    }
-    transform(
-      slice(array_sort(array(scored: _*),
-        (a, b) => when(a.getField("s") > b.getField("s"), -1)
-          .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1, nprobe),
-      x => x.getField("i"))
-  }
+  /** `nprobe` nearest cells of a vector, as an array column (same
+    * reference-object design; ties keep ascending index like the stable
+    * array_sort it replaces).
+    */
+  private def probeCells(vec: Column, cents: Array[Seq[Double]], nprobe: Int): Column =
+    org.apache.spark.sql.classic.GraftExpressionBridge.column(
+      graft.functions.ProbeCentroids(
+        org.apache.spark.sql.classic.GraftExpressionBridge.expression(vec),
+        cents.map(_.toArray), nprobe))
 
   /** Approximate top-k via IVF: corpus rows keyed by cell, queries
     * exploded over their nprobe probe cells, equi-join on cell.

@@ -6,24 +6,42 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, fingerprinting.
   *
-  * Everything is built from codegen'd column functions and higher-order
-  * functions — no UDFs — so the operators stay inside whole-stage codegen
-  * and scale linearly with a parquet scan (no shuffle at all).
+  * Scale design: every operator is pure per-row string arithmetic —
+  * `length`/`replace`/`regexp_count` — with NO array allocation and NO
+  * higher-order functions (transform/filter/aggregate are
+  * CodegenFallback: interpreted, and measured 30-60x slower on this
+  * exact op class — see Dedup's header note). Everything here stays
+  * inside whole-stage codegen and scales linearly with a parquet scan,
+  * no shuffle at all. Common subexpressions (the space-stripped length,
+  * the per-language hit counts) are shared across derived columns by
+  * Spark's subexpression elimination because all of them ARE codegen'd.
+  *
+  * Tokenizer contract (matches DuckDB `string_split(text, ' ')`): the
+  * separator is a single space, every space is a separator, so
+  *   n_tokens            = n_spaces + 1
+  *   sum(token lengths)  = length(text) - n_spaces
+  * which turns the token-array fold into two `length` calls.
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer (corpus is single-space separated). */
+  /** Whitespace tokenizer as an ARRAY column — kept for composability
+    * (tests, ad-hoc use); the operators below deliberately avoid
+    * materializing it.
+    */
   def tokens(text: Column): Column = split(text, " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** length(text) with all spaces removed = exact sum of token lengths. */
+  private def lenNoSpaces(text: Column): Column =
+    length(regexp_replace(text, " ", ""))
 
-  /** Mean token length: exact integer sum via HOF fold, one final double
-    * division (deterministic).
+  def tokenCount(text: Column): Column =
+    length(text) - lenNoSpaces(text) + lit(1)
+
+  /** Mean token length: exact integer sum (total chars minus separator
+    * count), one final double division (deterministic).
     */
-  def avgTokenLen(text: Column): Column = {
-    val lens = transform(tokens(text), t => length(t))
-    aggregate(lens, lit(0), (acc, x) => acc + x).cast("double") / size(lens)
-  }
+  def avgTokenLen(text: Column): Column =
+    lenNoSpaces(text).cast("double") / tokenCount(text)
 
   /** Per-language stopword lists for the n-gram-free language heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
@@ -32,9 +50,17 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "las", "una"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
-  /** Count of tokens that belong to `lang`'s stopword list. */
+  /** Count of tokens that belong to `lang`'s stopword list, as ONE
+    * regexp_count pass: a token boundary is start-of-string or a space
+    * on the left (consumed — each token owns its immediately preceding
+    * separator, so adjacent stopword tokens each match) and a zero-width
+    * space/end lookahead on the right (`\z`, not `$` — Java's `$` also
+    * matches before a trailing newline, which the token list does not).
+    * Equivalent to `size(filter(split(text,' '), t -> t IN list))` for
+    * any input, including repeated separators (empty tokens never match).
+    */
   def stopwordHits(text: Column, lang: String): Column =
-    size(filter(tokens(text), t => t.isin(stopwords(lang): _*)))
+    regexp_count(text, lit(s"(?:^| )(?:${stopwords(lang).mkString("|")})(?= |\\z)"))
 
   /** Ratio of English stopwords to all tokens (quality signal). */
   def stopwordRatio(text: Column): Column =

@@ -176,17 +176,24 @@ final class SparkExpectations(
     var inputCount = 0L
     if (!streaming) df.createOrReplaceTempView(ctx.sourceView)
 
-    def statusOf(res: Seq[Map[String, String]]): String =
-      if (res.exists(_.get("status").contains("fail"))) StageStatus.Failed else StageStatus.Passed
-
-    def enforceCollected(res: Seq[Map[String, String]], stage: String): Unit = {
+    /** Reference stage-status semantics (utils/regulate_flow.py:150-156 +
+      * conftest golden matrix): a stage reports Failed ONLY when its
+      * fail-action enforcement aborts the run; rules failing with
+      * ignore/drop leave the stage Passed (their outcomes live in the
+      * per-rule results, not the stage status).
+      */
+    def enforceCollected(res: Seq[Map[String, String]], statusKey: String,
+                         stage: String): Unit = {
       val failFailures = res.filter(m =>
         m.get("status").contains("fail") && m.get("action_if_failed").contains("fail"))
-      if (failFailures.nonEmpty)
+      if (failFailures.nonEmpty) {
+        statuses += statusKey -> StageStatus.Failed
         throw new DqRuleFailedException(
           s"job failed: $stage rules with action 'fail' failed: " +
             failFailures.flatMap(_.get("rule")).mkString(", "),
           failFailures.flatMap(_.get("rule")))
+      }
+      statuses += statusKey -> StageStatus.Passed
     }
 
     var sourceAgg, sourceQuery, targetAgg, targetQuery = Seq.empty[Map[String, String]]
@@ -230,8 +237,7 @@ final class SparkExpectations(
         val active = aggRules.filter(_.enableForSourceDqValidation)
         sourceAgg = AggDqEvaluator.run(df, active)
         if (config.enableDetailedStats) sourceDetails ++= aggDetails(df, active)
-        statuses += "source_agg_dq" -> statusOf(sourceAgg)
-        enforceCollected(sourceAgg, "source agg_dq")
+        enforceCollected(sourceAgg, "source_agg_dq", "source agg_dq")
       }
 
       // stage 2: source query_dq
@@ -240,8 +246,7 @@ final class SparkExpectations(
         val active = queryRules.filter(_.enableForSourceDqValidation)
         sourceQuery = QueryDqEvaluator.run(spark, active)
         captureQueryOutputs(active, "source_dq")
-        statuses += "source_query_dq" -> statusOf(sourceQuery)
-        enforceCollected(sourceQuery, "source query_dq")
+        enforceCollected(sourceQuery, "source_query_dq", "source query_dq")
       }
 
       // stage 3: row_dq — bitmask evaluation (see MaskedRowDqEvaluator):
@@ -281,6 +286,7 @@ final class SparkExpectations(
             s.actionIfFailed == "fail" && s.failedRowCount > 0)
           if (failFailed.nonEmpty) {
             outputCount = 0L
+            statuses += "row_dq" -> StageStatus.Failed
             throw new DqRuleFailedException(
               s"job failed: row_dq rules with action 'fail' failed: " +
                 failFailed.map(_.rule).mkString(", "),
@@ -298,12 +304,15 @@ final class SparkExpectations(
             .withColumn(ActionResolver.ActionCol,
               ActionResolver.actionsColumn(RowDqEvaluator.metaColName))
             .drop(maskCols: _*)
-        statuses += "row_dq" ->
-          (if (errorCount > 0) StageStatus.Failed else StageStatus.Passed)
+        // Passed even with error rows: ignore/drop failures don't fail
+        // the stage (reference golden matrix, conftest.py case 0/1)
+        statuses += "row_dq" -> StageStatus.Passed
         if (!streaming) finalDf.createOrReplaceTempView(ctx.targetView)
       } else if (!streaming) {
+        // no row stage: input is still counted eagerly, but output stays 0
+        // — the reference only sets output_count in _run_row_dq
+        // (conftest.py agg-only cases expect output_count=0)
         inputCount = df.count()
-        outputCount = inputCount
         finalDf.createOrReplaceTempView(ctx.targetView)
       }
 
@@ -312,15 +321,13 @@ final class SparkExpectations(
         val active = aggRules.filter(_.enableForTargetDqValidation)
         targetAgg = AggDqEvaluator.run(finalDf, active)
         if (config.enableDetailedStats) targetDetails ++= aggDetails(finalDf, active)
-        statuses += "final_agg_dq" -> statusOf(targetAgg)
-        enforceCollected(targetAgg, "target agg_dq")
+        enforceCollected(targetAgg, "final_agg_dq", "target agg_dq")
       }
       if (!streaming && settings.rowDq && settings.targetQueryDq) timed("final_query_dq") {
         val active = queryRules.filter(_.enableForTargetDqValidation)
         targetQuery = QueryDqEvaluator.run(spark, active)
         captureQueryOutputs(active, "target_dq")
-        statuses += "final_query_dq" -> statusOf(targetQuery)
-        enforceCollected(targetQuery, "target query_dq")
+        enforceCollected(targetQuery, "final_query_dq", "target query_dq")
       }
 
       config.writeTargetTablePath.foreach(p =>

@@ -98,9 +98,14 @@ object EngineExtQueries {
     // -- operators #26/#36: report build + alert summaries over real data --
     QueryDef("dq_report", (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val inputCount = li.count()
-      val failedQty = li.filter(not(expr("l_quantity <= 45"))).count()
-      val failedDisc = li.filter(not(expr("l_discount BETWEEN 0 AND 0.05"))).count()
+      // one aggregate job for all three counts (input + per-rule failed),
+      // the same fused-count shape as Evaluators.pipelineCounts
+      val c = li.agg(
+        count(lit(1)).as("n"),
+        count_if(not(expr("l_quantity <= 45"))).as("f_qty"),
+        count_if(not(expr("l_discount BETWEEN 0 AND 0.05"))).as("f_disc")).head()
+      val (inputCount, failedQty, failedDisc) =
+        (c.getLong(0), c.getLong(1), c.getLong(2))
       val ctx = RunContext.create("graft", "lineitem")
       def det(rule: String, colName: String, failed: Long) = DetailedStat(
         ctx.runId, "graft", "lineitem", "row_dq", rule, colName, "", "", "",
@@ -133,8 +138,9 @@ object EngineExtQueries {
     // -- #36 alert rule summary over the same report -----------------------
     QueryDef("dq_report_summary", (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val inputCount = li.count()
-      val failedQty = li.filter(not(expr("l_quantity <= 45"))).count()
+      val c = li.agg(count(lit(1)).as("n"),
+        count_if(not(expr("l_quantity <= 45"))).as("f_qty")).head()
+      val (inputCount, failedQty) = (c.getLong(0), c.getLong(1))
       val ctx = RunContext.create("graft", "lineitem")
       val report = Report.build(s, ctx,
         details = Seq(DetailedStat(ctx.runId, "graft", "lineitem", "row_dq",

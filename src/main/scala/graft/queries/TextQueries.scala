@@ -40,6 +40,29 @@ object TextQueries {
   private val dotSql = (x: String, y: String) =>
     s"list_reduce(list_transform(range(1, 65), i -> $x[i]*$y[i]), (a,b) -> a+b)"
 
+  /** Recall-vs-brute-force check row for an ANN operator: the query
+    * count is exactly oracle-checkable; recall@5 against the exact
+    * top-k must clear a safe-margin threshold.
+    */
+  private def annRecallRow(s: org.apache.spark.sql.SparkSession, dir: String)
+      (ann: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+    val q = e.filter(col("id") < 20)
+    val exact = Similarity.bruteForceTopK(q, e, k = 5).select("query_id", "neighbor_id")
+    val approx = ann(q, e).select("query_id", "neighbor_id")
+    val total = exact.count()
+    val hits = exact.intersect(approx).count()
+    Seq((q.count(), 5L, hits >= 0.4 * total))
+      .toDF("n_queries", "k", "recall_ok")
+  }
+
+  private val annRecallOracle = """
+      SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+             CAST(5 AS BIGINT) AS k, true AS recall_ok"""
+
   def all: Seq[QueryDef] = Seq(
 
     QueryDef("text_tokens", (s, dir) => {
@@ -119,14 +142,32 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }, Some(jaccardOracle)),
 
-    // SimHash pairs depend on Spark's xxhash64 — no SQL oracle; the
-    // driver records a rows-only check and ScalaTest asserts the planted
-    // near-dup pairs are recovered.
+    // SimHash bit patterns depend on Spark's xxhash64, so the PAIR LIST
+    // has no SQL oracle — but its RECOVERY of the exact near-dup truth
+    // is engine-independent: emit the truth-pair count (DuckDB-checkable
+    // exactly) plus a thresholded recall flag (measured recall at
+    // maxHamming=8 is 0.96-1.0 across SFs; 0.7 leaves safe margin).
     QueryDef("dedup_simhash", (s, dir) => {
+      import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
-        .orderBy("id_a", "id_b")
-    }, None),
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.8)
+        .select("id_a", "id_b")
+      val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+        .select("id_a", "id_b")
+      val nTruth = truth.count()
+      val nRecovered = truth.intersect(cands).count()
+      Seq((nTruth, nRecovered >= 0.7 * nTruth))
+        .toDF("n_true_pairs", "recall_ok")
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents)
+      SELECT count(*) AS n_true_pairs, true AS recall_ok
+      FROM docs a, docs b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""")),
 
     QueryDef("sim_topk", (s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -146,27 +187,18 @@ object TextQueries {
         FROM scored) WHERE rank <= 5
       ORDER BY query_id, rank""")),
 
-    // IVF top-k: seeded k-means coarse quantizer + nprobe cell probing —
-    // rows-only for the driver; recall vs brute force asserted in tests.
-    QueryDef("sim_topk_ivf", (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
-      val q = e.filter(col("id") < 20)
-      Similarity.ivfTopK(q, e, k = 5)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
-    }, None),
+    // ANN neighbor LISTS depend on seeded hyperplanes/centroids (no SQL
+    // oracle), but recall-vs-brute-force is engine-independent: emit the
+    // query count (DuckDB-checkable exactly) and a thresholded recall
+    // flag (measured: IVF 0.57-0.58, SRP-LSH 0.59-0.70 across SFs; 0.4
+    // leaves safe margin). The approximate op still runs in full.
+    QueryDef("sim_topk_ivf", (s, dir) =>
+      annRecallRow(s, dir)((q, e) => Similarity.ivfTopK(q, e, k = 5)),
+      Some(annRecallOracle)),
 
-    // SRP-LSH top-k: bucket membership depends on seeded hyperplanes —
-    // rows-only for the driver; recall vs brute force asserted in tests.
-    QueryDef("sim_topk_lsh", (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
-      val q = e.filter(col("id") < 20)
-      Similarity.srpLshTopK(q, e, k = 5)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
-    }, None),
+    QueryDef("sim_topk_lsh", (s, dir) =>
+      annRecallRow(s, dir)((q, e) => Similarity.srpLshTopK(q, e, k = 5)),
+      Some(annRecallOracle)),
 
     QueryDef("mm_binary_meta", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")

@@ -116,6 +116,32 @@ final case class WriterConfig(
     sortBy: Seq[String] = Seq.empty,
     options: Map[String, String] = Map.empty)
 
+/** Bounded retry with exponential backoff (x2 per attempt, capped) —
+  * the reference's streaming-table wait loop
+  * (sinks/utils/writer.py:46-128). The sleeper is injectable so specs
+  * prove the backoff schedule without real waits.
+  */
+object Backoff {
+  def retry[T](maxRetries: Int = 3, initialWaitMs: Long = 500,
+               maxWaitMs: Long = 10000, sleep: Long => Unit = Thread.sleep)
+              (attempt: () => Option[T]): Option[T] = {
+    var wait = initialWaitMs
+    var tries = 0
+    while (tries < maxRetries) {
+      attempt() match {
+        case some @ Some(_) => return some
+        case None =>
+          tries += 1
+          if (tries < maxRetries) {
+            sleep(wait)
+            wait = math.min(wait * 2, maxWaitMs)
+          }
+      }
+    }
+    None
+  }
+}
+
 object TableWriter {
 
   def write(df: DataFrame, table: String, cfg: WriterConfig): Unit = {
@@ -139,4 +165,40 @@ object TableWriter {
     */
   def stampProductId(spark: SparkSession, table: String, productId: String): Unit =
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('product_id' = '$productId')")
+
+  /** Streaming-safe property stamp: a just-started stream's target table
+    * may not exist until its first micro-batch commits, so wait for it
+    * with capped exponential backoff, then stamp product_id only when
+    * absent or different; gives up quietly after `maxRetries` like the
+    * reference (sinks/utils/writer.py:46-128 never fails the run over a
+    * property stamp). Returns true when the property is in place.
+    */
+  def stampProductIdWithRetry(spark: SparkSession, table: String, productId: String,
+                              maxRetries: Int = 3, initialWaitMs: Long = 500,
+                              maxWaitMs: Long = 10000,
+                              sleep: Long => Unit = Thread.sleep): Boolean =
+    Backoff.retry(maxRetries, initialWaitMs, maxWaitMs, sleep) { () =>
+      try {
+        val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        if (!props.get("product_id").contains(productId))
+          stampProductId(spark, table, productId)
+        Some(true)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(false)
+
+  /** Stats-table write with `mergeSchema=true` defaulted (unless the
+    * caller set it) so the stats schema can evolve across library
+    * versions without breaking the sink
+    * (reference: sinks/utils/writer.py:146-158 auto-mergeSchema).
+    */
+  def writeStatsPath(df: DataFrame, path: String, cfg: WriterConfig): Unit =
+    writePath(df, path, withMergeSchema(cfg))
+
+  def writeStats(df: DataFrame, table: String, cfg: WriterConfig): Unit =
+    write(df, table, withMergeSchema(cfg))
+
+  private def withMergeSchema(cfg: WriterConfig): WriterConfig =
+    if (cfg.options.contains("mergeSchema")) cfg
+    else cfg.copy(options = cfg.options + ("mergeSchema" -> "true"))
 }

@@ -71,6 +71,18 @@ object StreamingWriter {
           .getOrElse(s"$path${cfg.checkpointSuffix}"))
       .start()
 
+  /** Stamp product_id on a streaming target table once it exists —
+    * the table is created by the FIRST micro-batch commit, so this
+    * waits with capped exponential backoff
+    * (reference: sinks/utils/writer.py:46-128).
+    */
+  def stampWhenReady(spark: org.apache.spark.sql.SparkSession, table: String,
+                     productId: String, maxRetries: Int = 3,
+                     initialWaitMs: Long = 500, maxWaitMs: Long = 10000,
+                     sleep: Long => Unit = Thread.sleep): Boolean =
+    graft.sink.TableWriter.stampProductIdWithRetry(
+      spark, table, productId, maxRetries, initialWaitMs, maxWaitMs, sleep)
+
   /** Status helpers (reference: writer.py:1211-1313). */
   def isActive(q: StreamingQuery): Boolean = q.isActive
   def lastProgressJson(q: StreamingQuery): Option[String] =

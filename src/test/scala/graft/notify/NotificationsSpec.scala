@@ -54,6 +54,84 @@ class NotificationsSpec extends AnyFunSuite with Matchers {
     posted shouldBe """{"text": "Ti\"tle\nline1\nline2"}"""
     WebhookFormats.teams(Notification("T", "b")) should include (""""@type": "MessageCard"""")
   }
+
+  test("zoom payload doubles newlines and uses the fixed SE card") {
+    val json = WebhookFormats.zoom(Notification("Job failed", "p: x\nt: y"))
+    json should include (""""title": "SE Notification"""")
+    json should include (""""themeColor": "008000"""")
+    json should include ("""Job failed\n\np: x\n\nt: y""")
+  }
+
+  test("pagerduty pages only on failure kinds, with the dedup key") {
+    var posted = Seq.empty[String]
+    val pd = new PagerDutyNotifier("prod1", "tbl1", "rk-123", p => posted :+= p)
+    pd.send(Notification("started", "x", kind = "start"))
+    pd.send(Notification("done", "x", kind = "completion"))
+    pd.send(Notification("ignored rules", "x", kind = "ignore_rules"))
+    posted shouldBe empty // informational kinds never page (pagerduty.py:95-99)
+    pd.send(Notification("Spark expectations job failed", "error: boom", kind = "failure"))
+    pd.send(Notification("Error drop threshold breached", "r1 30%", kind = "threshold"))
+    posted should have size 2
+    val json = posted.head
+    json should include (""""routing_key": "rk-123"""")
+    json should include (""""dedup_key": "spark_expectations_prod1_tbl1_failure"""")
+    json should include (""""event_action": "trigger"""")
+    json should include (""""source": "Spark Expectations"""")
+    json should include (""""severity": "error"""")
+    json should include ("""Spark expectations job failed\nerror: boom""")
+  }
+
+  test("email renders a MIME multipart with headers and plain body") {
+    var sent = Seq.empty[EmailMessage]
+    val cfg = EmailConfig(from = "dq@example.com",
+      to = "a@example.com, b@example.com", subject = "DQ report")
+    val mail = new EmailNotifier(cfg, sent :+= _)
+    mail.send(Notification("Job completed", "input_count: 10\nerror_count: 1"))
+    sent should have size 1
+    val m = sent.head
+    m.from shouldBe "dq@example.com"
+    m.recipients shouldBe Seq("a@example.com", "b@example.com") // split like email.py:186
+    m.mime should include ("From: dq@example.com\r\n")
+    m.mime should include ("To: a@example.com, b@example.com\r\n")
+    m.mime should include ("Subject: DQ report\r\n")
+    m.mime should include ("MIME-Version: 1.0\r\n")
+    m.mime should include ("""Content-Type: multipart/mixed; boundary=""")
+    m.mime should include ("Content-Type: text/plain")
+    m.mime should include ("Job completed\ninput_count: 10\nerror_count: 1")
+  }
+
+  test("email basic template renders title + k:v rows as an HTML table") {
+    val cfg = EmailConfig(from = "f@x", to = "t@x", subject = "Subj",
+      templatedBasicBody = true)
+    val m = EmailNotifier.render(cfg,
+      Notification("Job <done>", "input_count: 10\nnot a row\nerror_count: 1"))
+    m.mime should include ("Content-Type: text/html")
+    m.mime should include ("<h2>Subj</h2>")
+    m.mime should include ("<h3>Job &lt;done&gt;</h3>")
+    m.mime should include ("<tr><td>input_count</td><td>10</td></tr>")
+    m.mime should include ("<tr><td>error_count</td><td>1</td></tr>")
+    (m.mime should not).include("not a row") // rows need a colon (email.py:141-144)
+  }
+
+  test("notifier fans a completion out to email + pagerduty + zoom together") {
+    val sink = new InMemoryNotifier
+    var mails = 0; var pages = 0; var zooms = 0
+    val plugins = Seq(
+      sink,
+      new EmailNotifier(EmailConfig("f@x", "t@x", "s"), _ => mails += 1),
+      new PagerDutyNotifier("p", "t", "rk", _ => pages += 1),
+      new WebhookNotifier("zoom", WebhookFormats.zoom, _ => zooms += 1))
+    val n = new Notifier(plugins)
+    val stats = graft.model.DqStats("p", "t", 10, 1, 9, 90.0, 90.0, 10.0,
+      Nil, Nil, Nil, Nil, Map.empty, Map.empty, Map.empty, Nil, Nil,
+      "run1", new java.sql.Timestamp(0L))
+    n.onCompletion(stats)
+    n.onFailure("p", "t", "boom")
+    mails shouldBe 2
+    zooms shouldBe 2
+    pages shouldBe 1 // completion is not a failure scenario
+    sink.sent should have size 2
+  }
 }
 
 class DqSettingsSpec extends graft.SparkSpec {

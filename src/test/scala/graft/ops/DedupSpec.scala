@@ -33,6 +33,35 @@ class DedupSpec extends SparkSpec {
     pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
   }
 
+  test("df-cap bounds candidates under a planted ubiquitous shingle") {
+    // 40 distinct docs that all share one 3-gram ("common filler words"):
+    // an uncapped inverted index makes all C(40,2)=780 pairs candidates
+    // off that single hot shingle; with the cap the only candidates are
+    // the planted near-dup pair (which shares many low-df shingles)
+    val fill = "common filler words"
+    val corpus = (0 until 40).map { i =>
+      val body =
+        if (i == 1) s"alpha$i beta0 gamma0 delta0 epsilon0 zeta0 eta0 theta0"
+        else s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+      (i.toLong, s"$body $fill")
+    }.toDF("doc_id", "text")
+    val ex = Dedup.shingleRows(corpus, "doc_id", "text", 3)
+    val uncapped = Dedup.ngramCandidates(ex, dfCap = 0).count()
+    val capped   = Dedup.ngramCandidates(ex, dfCap = 10).count()
+    uncapped shouldBe 780 // every pair collides on the hot shingle
+    capped should be < 10L // only docs sharing low-df shingles survive
+    // and the capped pipeline still scores the true near-dup pair with
+    // EXACT jaccard over the full shingle sets
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        k = 3, tau = 0.5, dfCap = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs.keySet shouldBe Set((0L, 1L))
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        k = 3, tau = 0.5, dfCap = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs((0L, 1L)) shouldBe exact((0L, 1L))
+  }
+
   test("minhashLshPairs agrees with exact ngram pairs on this corpus") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -66,6 +66,35 @@ class SimilaritySpec extends SparkSpec {
     full shouldBe exact
   }
 
+  test("nlist=256 cell assignment stays O(1) plan nodes and agrees with a naive argmax") {
+    // round 1 inlined nlist x dim literal expressions (plan-size blowup
+    // past nlist ~1k); the NearestCentroid expression carries the matrix
+    // as one reference object, so the plan has a single node at any nlist
+    val rnd = new scala.util.Random(13)
+    val cents: Array[Seq[Double]] =
+      Array.fill(256)(Seq.fill(16)(rnd.nextGaussian()))
+    val corpus = vecDf((0L until 50L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian()))))
+    val colExpr = Similarity.nearestCell(col("vec"), cents)
+    val planNodes = corpus.select(colExpr.as("cell")).queryExecution.analyzed
+      .expressions.head.collect { case e => e }.size
+    planNodes should be < 10 // one expression node + child, not 256*16 literals
+    val cells = corpus.select($"id", colExpr.as("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // naive driver-side argmax with the same tie semantics (>= keeps later)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    corpus.collect().foreach { r =>
+      val v = r.getSeq[Double](1)
+      val expected = cents.zipWithIndex
+        .map { case (c, i) => (cos(v, c), i) }
+        .reduceLeft((a, b) => if (b._1 >= a._1) b else a)._2
+      cells(r.getLong(0)) shouldBe expected
+    }
+  }
+
   test("embeddingNearDupPairs finds planted identical vectors") {
     val v = Seq.fill(64)(0.5)
     val corpus = vecDf(Seq((1L, v), (2L, v),

@@ -41,6 +41,39 @@ class TextAnalysisSpec extends SparkSpec {
     scores(0) should be > scores(2) // English text beats gibberish
   }
 
+  test("codegen forms equal the token-array folds on adversarial inputs") {
+    // the operators compute token stats WITHOUT materializing the token
+    // array (length arithmetic + regexp_count); prove equivalence to the
+    // literal split/filter/fold semantics the DuckDB oracle uses —
+    // including empty tokens (double/leading/trailing spaces), trailing
+    // newlines (Java's $ vs \z trap), and adjacent stopwords
+    val texts = Seq(
+      "the quick fox", "the the the", "a a", "a  a", " a", "a ",
+      "the\n", "the\nquick", "and", "an", "x", "", " ", "  ",
+      "der hund und die katze", "the. a, of", "inn in is", "to to to to")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val F = org.apache.spark.sql.functions
+    val toks = TextAnalysis.tokens($"text")
+    def hofHits(lang: String) =
+      F.size(F.filter(toks, t => t.isin(TextAnalysis.stopwords(lang): _*)))
+    val rows = df.select(
+      TextAnalysis.tokenCount($"text"),
+      F.size(toks),
+      TextAnalysis.stopwordHits($"text", "en"),
+      hofHits("en"),
+      TextAnalysis.stopwordHits($"text", "de"),
+      hofHits("de"),
+      TextAnalysis.avgTokenLen($"text"),
+      F.aggregate(F.transform(toks, t => F.length(t)), lit(0), (a, x) => a + x)
+        .cast("double") / F.size(toks)).collect()
+    rows.foreach { r =>
+      r.getInt(0) shouldBe r.getInt(1)
+      r.getInt(2) shouldBe r.getInt(3)
+      r.getInt(4) shouldBe r.getInt(5)
+      r.getDouble(6) shouldBe r.getDouble(7)
+    }
+  }
+
   test("fingerprint is whitespace/punctuation-invariant") {
     val out = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "different"))
       .toDF("doc_id", "text")

@@ -1,0 +1,202 @@
+package graft.orchestrator
+
+import graft.SparkSpec
+import graft.model.Rule
+
+/** Table-driven port of the highest-value cases from the reference's
+  * parametrized integration matrix
+  * (reference tests/integration/core/conftest.py:164-2963): each case
+  * pins the expected FINAL rows, input/error/output counts, per-stage
+  * statuses, and (where applicable) per-rule agg/query result maps —
+  * the exact surface where enforcement-fidelity bugs hide.
+  *
+  * Reference status semantics under test: a stage is Failed only when
+  * its fail-action enforcement aborts the run; ignore/drop rule
+  * failures leave the stage Passed (regulate_flow.py:150-156).
+  */
+class GoldenMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the canonical 3-row fixture (conftest.py:45-55 + col3 variants)
+  private def input = Seq((1, "a", 4), (2, "b", 5), (3, "c", 6))
+    .toDF("col1", "col2", "col3")
+
+  private val P = "product1"
+  private val T = "golden_tbl"
+
+  private def row(name: String, exp: String, action: String,
+                  srcV: Boolean = true, tgtV: Boolean = true) =
+    Rule(P, T, "row_dq", name, "col1", exp, action,
+      enableForSourceDqValidation = srcV, enableForTargetDqValidation = tgtV)
+  private def agg(name: String, exp: String, action: String,
+                  srcV: Boolean = true, tgtV: Boolean = false) =
+    Rule(P, T, "agg_dq", name, "col1", exp, action,
+      enableForSourceDqValidation = srcV, enableForTargetDqValidation = tgtV)
+  private def qry(name: String, exp: String, action: String,
+                  srcV: Boolean = true, tgtV: Boolean = false) =
+    Rule(P, T, "query_dq", name, "col1", exp, action,
+      enableForSourceDqValidation = srcV, enableForTargetDqValidation = tgtV)
+
+  /** One golden case: expected final col1 set (None = run aborts),
+    * counts, and the per-stage status sextet like the reference matrix.
+    */
+  private final case class Golden(
+      name: String,
+      rules: Seq[Rule],
+      finalCol1: Option[Set[Int]],
+      inputCount: Long, errorCount: Long, outputCount: Long,
+      statuses: Map[String, String],
+      check: DqResult => Unit = _ => ())
+
+  private def statusMap(row: String = "Skipped", srcAgg: String = "Skipped",
+                        finAgg: String = "Skipped", run: String = "Passed",
+                        srcQry: String = "Skipped", finQry: String = "Skipped") =
+    Map("row_dq" -> row, "source_agg_dq" -> srcAgg, "final_agg_dq" -> finAgg,
+      "run_status" -> run, "source_query_dq" -> srcQry, "final_query_dq" -> finQry)
+
+  private def ruleStatus(res: Seq[Map[String, String]]): Map[String, String] =
+    res.map(m => m("rule") -> m("status")).toMap
+
+  private val cases = Seq(
+    // conftest case 0: ignore keeps all rows, logs 1 error, stage Passed
+    Golden("row ignore: all rows survive, one error logged",
+      Seq(row("col1_threshold", "col1 > 1", "ignore")),
+      Some(Set(1, 2, 3)), 3, 1, 3, statusMap(row = "Passed")),
+
+    // conftest case 1: drop removes the failing row from final only
+    Golden("row drop: failing row removed from final",
+      Seq(row("col1_threshold", "col1 > 1", "drop")),
+      Some(Set(2, 3)), 3, 1, 2, statusMap(row = "Passed")),
+
+    // conftest case 2: fail aborts the run, stats still assembled
+    Golden("row fail: aborts with row_dq Failed",
+      Seq(row("col1_threshold", "col1 > 1", "fail")),
+      None, 3, 1, 0, statusMap(row = "Failed", run = "Failed")),
+
+    // conftest case 3: ignore + drop combine; error rows = any-failure rows
+    Golden("row ignore+drop: drop filters, ignore only logs",
+      Seq(row("col3_gt5_ig", "col3 > 5", "ignore"),
+        row("col1_ge2_dr", "col1 >= 2", "drop")),
+      Some(Set(2, 3)), 3, 2, 2, statusMap(row = "Passed")),
+
+    // conftest case 4: ignore + fail where the fail rule passes
+    Golden("row ignore+fail(passing): no abort",
+      Seq(row("col3_gt5_ig", "col3 > 5", "ignore"),
+        row("col1_gt0_fl", "col1 > 0", "fail")),
+      Some(Set(1, 2, 3)), 3, 2, 3, statusMap(row = "Passed")),
+
+    // conftest case 5: drop + fail where the fail rule fails -> abort
+    Golden("row drop+fail(failing): abort wins over drop",
+      Seq(row("col1_ge2_dr", "col1 >= 2", "drop"),
+        row("col3_gt5_fl", "col3 > 5", "fail")),
+      None, 3, 2, 0, statusMap(row = "Failed", run = "Failed")),
+
+    // conftest case 7: ignore + drop + fail(passing) all at once
+    Golden("row ignore+drop+fail(passing): drop filters, rest log",
+      Seq(row("col3_gt4_ig", "col3 > 4", "ignore"),
+        row("col1_ge2_dr", "col1 >= 2", "drop"),
+        row("col1_gt0_fl", "col1 > 0", "fail")),
+      Some(Set(2, 3)), 3, 1, 2, statusMap(row = "Passed")),
+
+    // conftest case 8: source agg ignore failing -> stage still Passed,
+    // result map carries the fail; output_count stays 0 (no row stage)
+    Golden("source agg ignore(failing): Passed stage, fail result",
+      Seq(agg("sum_col3_threshold", "sum(col3) > 20", "ignore")),
+      Some(Set(1, 2, 3)), 3, 0, 0, statusMap(srcAgg = "Passed"),
+      res => ruleStatus(res.sourceAggResults) shouldBe Map("sum_col3_threshold" -> "fail")),
+
+    // conftest case 9: source agg fail failing -> abort before row stage
+    Golden("source agg fail(failing): abort, input still counted",
+      Seq(agg("avg_col3_threshold", "avg(col3) > 25", "fail"),
+        row("col1_gt0", "col1 > 0", "drop")),
+      None, 3, 0, 0,
+      statusMap(srcAgg = "Failed", run = "Failed")),
+
+    // conftest case 10: row drop + final agg ignore failing on survivors
+    Golden("final agg ignore(failing) after drop",
+      Seq(row("col2_in", "col2 in ('a', 'c')", "drop",
+          srcV = false, tgtV = false),
+        agg("min_col1_gt10", "min(col1) > 10", "ignore",
+          srcV = false, tgtV = true)),
+      Some(Set(1, 3)), 3, 1, 2,
+      statusMap(row = "Passed", finAgg = "Passed"),
+      res => ruleStatus(res.targetAggResults) shouldBe Map("min_col1_gt10" -> "fail")),
+
+    // conftest cases 12-14 shape: row + source agg + final agg together
+    Golden("row + source agg + final agg all pass/report",
+      Seq(row("col1_gt1", "col1 > 1", "drop"),
+        agg("sum_col1_gt3", "sum(col1) > 3", "ignore", srcV = true, tgtV = true)),
+      Some(Set(2, 3)), 3, 1, 2,
+      statusMap(row = "Passed", srcAgg = "Passed", finAgg = "Passed"),
+      res => {
+        ruleStatus(res.sourceAggResults) shouldBe Map("sum_col1_gt3" -> "pass")
+        ruleStatus(res.targetAggResults) shouldBe Map("sum_col1_gt3" -> "pass") // 2+3 > 3
+      }),
+
+    // conftest case 17 shape: source query ignore failing
+    Golden("source query ignore(failing): Passed stage, fail result",
+      Seq(qry("min_col1_threshold",
+        s"(select min(col1) from ${T}_source) > 10", "ignore")),
+      Some(Set(1, 2, 3)), 3, 0, 0, statusMap(srcQry = "Passed"),
+      res => ruleStatus(res.sourceQueryResults) shouldBe Map("min_col1_threshold" -> "fail")),
+
+    // conftest case 18/21 shape: target query fail failing after row drop
+    Golden("target query fail(failing): abort after row stage",
+      Seq(row("col1_gt1", "col1 > 1", "drop"),
+        qry("max_col1_threshold",
+          s"(select max(col1) from ${T}_target) > 100", "fail",
+          srcV = false, tgtV = true)),
+      None, 3, 1, 2,
+      statusMap(row = "Passed", finQry = "Failed", run = "Failed")),
+
+    // conftest case 20 shape: row drop + source/target query mix
+    Golden("row drop + source query ignore + target query pass",
+      Seq(row("col3_mod_2", "(col3 % 2) = 0", "drop",
+          srcV = false, tgtV = false),
+        qry("min_col1_threshold",
+          s"(select min(col1) from ${T}_source) > 10", "ignore"),
+        qry("min_col3_threshold",
+          s"(select min(col3) from ${T}_target) > 0", "fail",
+          srcV = false, tgtV = true)),
+      Some(Set(1, 3)), 3, 1, 2,
+      statusMap(row = "Passed", srcQry = "Passed", finQry = "Passed"),
+      res => {
+        ruleStatus(res.sourceQueryResults) shouldBe Map("min_col1_threshold" -> "fail")
+        ruleStatus(res.targetQueryResults) shouldBe Map("min_col3_threshold" -> "pass")
+      }),
+
+    // conftest case 26 shape: parameterized query rule
+    Golden("parameterized query rule substitutes {env} table",
+      Seq(qry("param_count", "(select count(*) from {src_view}) = 3", "fail")),
+      Some(Set(1, 2, 3)), 3, 0, 0, statusMap(srcQry = "Passed"))
+  )
+
+  cases.foreach { g =>
+    test(g.name) {
+      val cfg = DqConfig(params = Map("src_view" -> s"${T}_source"))
+      val se = new SparkExpectations(P, T, g.rules, cfg)
+      g.finalCol1 match {
+        case Some(expected) =>
+          val res = se.run(input)
+          res.finalDf.select("col1").collect().map(_.getInt(0)).toSet shouldBe expected
+          // final frame keeps the input schema (expected_output DF shape)
+          res.finalDf.columns.toSeq shouldBe Seq("col1", "col2", "col3")
+          res.stats.inputCount shouldBe g.inputCount
+          res.stats.errorCount shouldBe g.errorCount
+          res.stats.outputCount shouldBe g.outputCount
+          g.statuses.foreach { case (k, v) =>
+            withClue(s"status $k:") { res.statuses(k) shouldBe v }
+          }
+          g.check(res)
+        case None =>
+          val ex = intercept[DqRunAbortedException] { se.run(input) }
+          ex.stats.inputCount shouldBe g.inputCount
+          ex.stats.errorCount shouldBe g.errorCount
+          ex.stats.outputCount shouldBe g.outputCount
+          g.statuses.foreach { case (k, v) =>
+            withClue(s"status $k:") { ex.stats.dqStatus(k) shouldBe v }
+          }
+      }
+    }
+  }
+}

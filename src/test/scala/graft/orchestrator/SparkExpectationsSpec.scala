@@ -25,7 +25,9 @@ class SparkExpectationsSpec extends SparkSpec {
     res.stats.outputPercentage shouldBe 100.0
     res.stats.errorPercentage shouldBe 33.33
     res.stats.successPercentage shouldBe 66.67
-    res.statuses("row_dq") shouldBe "Failed"
+    // Passed despite the error row: ignore-action failures don't fail the
+    // stage (reference conftest.py case 0 expects row_dq_status=Passed)
+    res.statuses("row_dq") shouldBe "Passed"
     res.statuses("run_status") shouldBe "Passed"
   }
 

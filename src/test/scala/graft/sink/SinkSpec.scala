@@ -63,6 +63,63 @@ class SinkSpec extends SparkSpec {
     back.columns should contain("part")
   }
 
+  test("Backoff.retry doubles waits, caps them, and stops on success") {
+    var sleeps = Seq.empty[Long]
+    var calls = 0
+    val out = Backoff.retry(maxRetries = 5, initialWaitMs = 500,
+      maxWaitMs = 1500, sleep = sleeps :+= _) { () =>
+      calls += 1
+      if (calls < 4) None else Some("ok")
+    }
+    out shouldBe Some("ok")
+    calls shouldBe 4
+    sleeps shouldBe Seq(500L, 1000L, 1500L) // x2 growth, capped at max
+  }
+
+  test("stampProductIdWithRetry waits for a late table, then stamps once") {
+    var sleeps = Seq.empty[Long]
+    val table = "graft_stamp_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // first attempt fails (table missing yet — the streaming-sink race);
+    // the injected sleeper "creates" the table, emulating the first
+    // micro-batch committing while we back off
+    val ok = TableWriter.stampProductIdWithRetry(spark, table, "prod9",
+      maxRetries = 3, initialWaitMs = 500, sleep = { ms =>
+        sleeps :+= ms
+        if (spark.catalog.tableExists(table) == false)
+          df.write.saveAsTable(table)
+      })
+    ok shouldBe true
+    sleeps shouldBe Seq(500L) // exactly one backoff before success
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props.get("product_id") shouldBe Some("prod9")
+    // idempotent: already-correct property is left alone, still true
+    TableWriter.stampProductIdWithRetry(spark, table, "prod9",
+      sleep = _ => fail("should not back off when the table exists")) shouldBe true
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("stampProductIdWithRetry gives up quietly when the table never appears") {
+    var sleeps = Seq.empty[Long]
+    val ok = TableWriter.stampProductIdWithRetry(spark, "graft_never_exists",
+      "p", maxRetries = 3, initialWaitMs = 500, sleep = sleeps :+= _)
+    ok shouldBe false
+    sleeps shouldBe Seq(500L, 1000L) // maxRetries-1 backoffs, no throw
+  }
+
+  test("writeStatsPath lets the stats schema evolve across appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString + "/stats"
+    val v1 = Seq(("p", 3L)).toDF("product_id", "input_count")
+    TableWriter.writeStatsPath(v1, dir, WriterConfig(mode = "overwrite"))
+    // a later library version adds a column — the append must succeed
+    val v2 = Seq(("p", 4L, "host1")).toDF("product_id", "input_count", "hostname")
+    TableWriter.writeStatsPath(v2, dir, WriterConfig(mode = "append"))
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    back.count() shouldBe 2
+    back.columns.sorted.toSeq shouldBe Seq("hostname", "input_count", "product_id")
+  }
+
   test("detailedStats full-outer joins source and target sides") {
     import graft.model.DetailedStat
     val ctx = RunContext.create("p", "t")
