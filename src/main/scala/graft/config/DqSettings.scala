@@ -83,6 +83,20 @@ object SecretsBackend {
     val name = "static"
     def get(key: String): Option[String] = values.get(key)
   }
+  /** Databricks-SHAPED backend (reference: secrets/__init__.py
+    * get_databricks_secret — dbutils.secrets.get(scope, key)): keys are
+    * "scope/key" and the scoped lookup function is injected, so the
+    * workspace-native secret store can be wired in without this library
+    * depending on any vendor SDK. Registered under the name "scoped".
+    */
+  final class ScopedBackend(lookup: (String, String) => Option[String])
+      extends SecretsBackend {
+    val name = "scoped"
+    def get(key: String): Option[String] = key.split("/", 2) match {
+      case Array(scope, k) => lookup(scope, k)
+      case _ => None
+    }
+  }
 
   private var backends: Map[String, SecretsBackend] =
     Map("env" -> new EnvBackend)

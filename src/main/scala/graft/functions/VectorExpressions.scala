@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Vector arithmetic as native codegen expressions.
+  *
+  * The round-1 forms (`aggregate(zip_with(a,b,*),0.0,+)` etc.) are
+  * higher-order functions — CodegenFallback, interpreted, with the
+  * 30-60x tax measured in Dedup — and they sat on the hottest path of
+  * every similarity operator (one cosine per scored candidate). Each
+  * expression here compiles to a static kernel call that whole-stage
+  * codegen inlines: a tight double loop over ArrayData, no boxing, no
+  * per-element closures.
+  *
+  * Arithmetic contract (oracle parity): every sum is a strict
+  * left-to-right fold, exactly the element order of the HOF forms and
+  * of the DuckDB `list_reduce` oracles, so results are bit-identical.
+  */
+object VectorKernel {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  /** SRP bucket id: bit i set iff dot(vec, planes(i)) > 0. */
+  def srpBucket(vec: ArrayData, planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(vec.numElements(), plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vec.getDouble(i) * plane(i); i += 1 }
+      if (s > 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** Left-fold dot product of two array<double> columns (DoubleType). */
+final case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernel.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity of two array<double> columns (DoubleType):
+  * dot/(sqrt(dot(a,a))*sqrt(dot(b,b))), all left folds.
+  */
+final case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernel.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(left = l, right = r)
+}
+
+/** SRP-LSH bucket of a vector against a fixed hyperplane matrix
+  * (IntegerType) — the matrix rides as one reference object instead of
+  * planes x dim literal nodes with an interpreted dot per plane.
+  */
+final case class SrpBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "srp_bucket"
+  override def nullSafeEval(input: Any): Any =
+    VectorKernel.srpBucket(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernel.srpBucket($v, $p)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}

@@ -42,15 +42,21 @@ object Dedup {
     * per doc (posexplode is a Generator), shingle assembly is lead()
     * windows (whole-stage codegen), and everything after the by-id
     * shuffle is parallel. Docs shorter than k tokens yield no rows.
+    *
+    * ONE Window operator: the k-1 leads assemble the shingle and the
+    * LAST lead's null-ness marks incomplete trailing shingles (the
+    * round-1 form added a second, unordered max(pos) window — a whole
+    * extra WindowExec pass — for the same check; concat_ws would
+    * silently skip the trailing nulls otherwise).
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
     val byId = Window.partitionBy(col("id")).orderBy(col("pos"))
-    toks.select(col("id"), col("pos"),
-        concat_ws(" ", (0 until k).map(j => lead(col("tok"), j).over(byId)): _*).as("s"),
-        max(col("pos")).over(Window.partitionBy(col("id"))).as("max_pos"))
-      .filter(col("pos") <= col("max_pos") - (k - 1))
+    toks.select(col("id"),
+        concat_ws(" ", col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(byId)): _*).as("s"),
+        lead(col("tok"), k - 1).over(byId).as("last_tok"))
+      .filter(col("last_tok").isNotNull)
       .select(col("id"), col("s"))
       .distinct()
   }
@@ -69,14 +75,17 @@ object Dedup {
     * reach high jaccard against a corpus-wide shingle anyway).
     * df is computed with a groupBy (map-side partial agg — skew-safe,
     * unlike a count-over-window which would funnel the hot key into one
-    * task); the filter is a left-semi join on the kept shingles.
+    * task); the filter is a left-ANTI join against the shingles OVER
+    * the cap — that set is tiny by construction (few shingles are
+    * ubiquitous), so AQE turns the anti-join into a broadcast probe,
+    * vs a semi-join whose keep-set is nearly the whole index.
     */
   private def dfCapped(ex: DataFrame, dfCap: Int): DataFrame =
     if (dfCap <= 0) ex
     else ex.join(
       ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
-        .filter(col("df_") <= dfCap).select(col("s")),
-      Seq("s"), "left_semi")
+        .filter(col("df_") > dfCap).select(col("s")),
+      Seq("s"), "left_anti")
 
   /** Exact |A∩B| for the candidate pairs only: attach A's full shingle
     * set, inner-join B's matching shingles, count per pair. Scale-safe
@@ -123,9 +132,21 @@ object Dedup {
     * — the cap bounds candidate volume but never distorts the scores of
     * pairs that do surface.
     */
+  /** The shingle index feeds 4+ subtrees of the pair plan (df counts,
+    * sizes, candidate self-join, exact verify); without materialization
+    * Spark recomputes the explode+window+distinct for each — persist it
+    * once, the way every production LSH pipeline materializes its
+    * signature/index table. A few bytes per shingle; spills to disk
+    * beyond memory. Released on `spark.catalog.clearCache()` or when
+    * the result is fully consumed and evicted.
+    */
+  private def persisted(ex: DataFrame, on: Boolean): DataFrame =
+    if (on) ex.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else ex
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, tau: Double = 0.8, dfCap: Int = 512): DataFrame = {
-    val ex    = shingleRows(df, idCol, textCol, k)
+                        k: Int = 3, tau: Double = 0.8, dfCap: Int = 512,
+                        persistIndex: Boolean = true): DataFrame = {
+    val ex    = persisted(shingleRows(df, idCol, textCol, k), persistIndex)
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = exactIntersections(ngramCandidates(ex, dfCap), ex)
     jaccardFromCounts(inter, sizes, tau)
@@ -153,9 +174,10 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, tau: Double = 0.8,
-                      numHashes: Int = 63, bandSize: Int = 3): DataFrame = {
+                      numHashes: Int = 63, bandSize: Int = 3,
+                      persistIndex: Boolean = true): DataFrame = {
     val numBands = numHashes / bandSize
-    val ex   = shingleRows(df, idCol, textCol, k)
+    val ex   = persisted(shingleRows(df, idCol, textCol, k), persistIndex)
     val sigs = minhashSignatures(ex, numHashes)
     val sizes = sigs.select(col("id"), col("n"))
     val bands = sigs.select(col("id"),

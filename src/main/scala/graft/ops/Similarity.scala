@@ -19,17 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** float[] → double[] (exact widening, makes the fold deterministic). */
-  def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
+  private def fromExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.GraftExpressionBridge.column(e)
+  private def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.GraftExpressionBridge.expression(c)
+
+  /** float[] → double[] (exact widening, makes the fold deterministic).
+    * A native element-wise Cast — codegen, no HOF.
+    */
+  def toDoubleVec(c: Column): Column = c.cast("array<double>")
 
   /** Sequential left-fold dot product — matches an oracle computing
-    * `fold(+, map(*, zip(a,b)))` element-by-element.
+    * `fold(+, map(*, zip(a,b)))` element-by-element. Codegen kernel
+    * (graft.functions.VecDot), bit-identical to the HOF fold it
+    * replaces but without the interpreted per-element closures.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    fromExpr(graft.functions.VecDot(toExpr(a), toExpr(b)))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    fromExpr(graft.functions.VecCosine(toExpr(a), toExpr(b)))
 
   /** Exact top-k neighbors for each query vector (brute force).
     * `queries`/`corpus`: (id, vec double[]). Self-pairs excluded.
@@ -47,19 +56,21 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Deterministic random hyperplanes (fixed seed) as literal columns. */
-  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Column] = {
+  /** Deterministic random hyperplanes (fixed seed) as a plane-major
+    * matrix — same RNG draw order as the round-1 literal-column form,
+    * so bucket assignments are unchanged.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    (0 until numPlanes).map { _ =>
-      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
-    }
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** SRP bucket id: one sign bit per hyperplane. */
-  def srpBucket(vec: Column, planes: Seq[Column]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, p) > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** SRP bucket id: one sign bit per hyperplane. One codegen kernel
+    * call per row (graft.functions.SrpBucket) instead of numPlanes
+    * interpreted HOF dots over literal arrays.
+    */
+  def srpBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    fromExpr(graft.functions.SrpBucket(toExpr(vec), planes))
 
   /** (table, bucket) membership rows for multi-table SRP-LSH: `numTables`
     * independent hash tables of `planesPerTable` sign bits each

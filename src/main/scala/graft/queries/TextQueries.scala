@@ -53,9 +53,16 @@ object TextQueries {
     val q = e.filter(col("id") < 20)
     val exact = Similarity.bruteForceTopK(q, e, k = 5).select("query_id", "neighbor_id")
     val approx = ann(q, e).select("query_id", "neighbor_id")
-    val total = exact.count()
-    val hits = exact.intersect(approx).count()
-    Seq((q.count(), 5L, hits >= 0.4 * total))
+    // ONE job: both result sets are unique on (query_id, neighbor_id), so
+    // a left join marks hits and a single aggregate yields total + hits
+    // + query count (vs three actions re-running brute force each time)
+    val c = exact
+      .join(approx.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("total"), count(col("hit")).as("hits"),
+        countDistinct(col("query_id")).as("nq"))
+      .head()
+    val (total, hits, nq) = (c.getLong(0), c.getLong(1), c.getLong(2))
+    Seq((nq, 5L, hits >= 0.4 * total))
       .toDF("n_queries", "k", "recall_ok")
   }
 
@@ -152,10 +159,25 @@ object TextQueries {
       val docs = Tables.load(s, dir, "documents")
       val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.8)
         .select("id_a", "id_b")
-      val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
-        .select("id_a", "id_b")
-      val nTruth = truth.count()
-      val nRecovered = truth.intersect(cands).count()
+      // simhashPairs(maxHamming=h) returns EXACTLY {pairs: hamming<=h}:
+      // pigeonhole banding guarantees every within-budget pair collides
+      // in >=1 chunk, and the verify filter is hamming<=h (proven by
+      // DedupSpec's all-pairs equivalence test). So recovery of the
+      // small truth set needs only the sketches joined to the truth
+      // pairs — not the full banding self-join, which at sf0.1 builds
+      // ~2M bucket-collision candidates just to be intersected with 256
+      // truth pairs.
+      val sk = Dedup.simhashSketches(docs, "doc_id", "text")
+      // ONE job for both counts — a second action would re-run the whole
+      // ngram truth pipeline (inner joins keep every truth pair: every
+      // doc with >= 1 token has a sketch)
+      val c = truth
+        .join(sk.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sk.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .agg(count(lit(1)).as("n_true"),
+          count_if(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 8).as("n_rec"))
+        .head()
+      val (nTruth, nRecovered) = (c.getLong(0), c.getLong(1))
       Seq((nTruth, nRecovered >= 0.7 * nTruth))
         .toDF("n_true_pairs", "recall_ok")
     }, Some("""

@@ -144,14 +144,33 @@ object Backoff {
 
 object TableWriter {
 
+  /** Formats that address the target table as a WRITER OPTION + save()
+    * instead of the catalog's saveAsTable — the reference's BigQuery
+    * branch (sinks/utils/writer.py:264-267:
+    * `.format("bigquery").option("table", t).save()`). The marker
+    * option lets tests (and other external-catalog connectors with the
+    * same shape) opt into the branch without being named here.
+    */
+  private val optionTableFormats = Set("bigquery")
+  val OptionTableSinkMarker = "graft.option_table_sink"
+
+  private def usesOptionTable(cfg: WriterConfig): Boolean =
+    optionTableFormats.contains(cfg.format.toLowerCase) ||
+      cfg.options.get(OptionTableSinkMarker).contains("true")
+
   def write(df: DataFrame, table: String, cfg: WriterConfig): Unit = {
-    var w = df.write.mode(cfg.mode).format(cfg.format).options(cfg.options)
+    var w = df.write.mode(cfg.mode).format(cfg.format)
+      .options(cfg.options - OptionTableSinkMarker)
     if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
-    cfg.bucketBy.foreach { case (n, cols) =>
-      w = w.bucketBy(n, cols.head, cols.tail: _*)
-      if (cfg.sortBy.nonEmpty) w = w.sortBy(cfg.sortBy.head, cfg.sortBy.tail: _*)
+    if (usesOptionTable(cfg)) {
+      w.option("table", table).save()
+    } else {
+      cfg.bucketBy.foreach { case (n, cols) =>
+        w = w.bucketBy(n, cols.head, cols.tail: _*)
+        if (cfg.sortBy.nonEmpty) w = w.sortBy(cfg.sortBy.head, cfg.sortBy.tail: _*)
+      }
+      w.saveAsTable(table)
     }
-    w.saveAsTable(table)
   }
 
   def writePath(df: DataFrame, path: String, cfg: WriterConfig): Unit = {

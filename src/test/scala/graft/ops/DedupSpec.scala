@@ -95,6 +95,25 @@ class DedupSpec extends SparkSpec {
     all(out.values) should be <= 24
   }
 
+  test("simhashPairs equals the all-pairs hamming filter (pigeonhole is lossless)") {
+    // justifies the dedup_simhash query's shortcut: banding + verify
+    // returns EXACTLY the pairs within the hamming budget
+    val corpus = (0 until 12).map(i =>
+      (i.toLong, s"tok${i % 3} alpha$i beta$i gamma${i % 2} delta$i common tail words here"))
+      .toDF("doc_id", "text")
+    for (h <- Seq(3, 8)) {
+      val banded = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = h)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sk = Dedup.simhashSketches(corpus, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val allPairs = (for {
+        a <- sk.keys; b <- sk.keys if a < b
+        if java.lang.Long.bitCount(sk(a) ^ sk(b)) <= h
+      } yield (a, b)).toSet
+      withClue(s"maxHamming=$h:") { banded shouldBe allPairs }
+    }
+  }
+
   test("shingleRows (lead-window form) matches the array form exactly") {
     val rows = Dedup.shingleRows(docs, "doc_id", "text", 3)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet

@@ -120,6 +120,31 @@ class SinkSpec extends SparkSpec {
     back.columns.sorted.toSeq shouldBe Seq("hostname", "input_count", "product_id")
   }
 
+  test("option-table formats write via option(table)+save, not saveAsTable") {
+    RecordingSink.last = None
+    TableWriter.write(df, "proj.dataset.tbl", WriterConfig(
+      format = classOf[RecordingSink].getName,
+      mode = "append",
+      options = Map(TableWriter.OptionTableSinkMarker -> "true", "x" -> "y")))
+    val (mode, params, rows) = RecordingSink.last.getOrElse(fail("sink not invoked"))
+    mode.toLowerCase should include ("append")
+    params("table") shouldBe "proj.dataset.tbl" // the BigQuery-branch shape
+    params("x") shouldBe "y"
+    params.contains(TableWriter.OptionTableSinkMarker) shouldBe false
+    rows shouldBe 3
+  }
+
+  test("scoped secrets backend resolves scope/key via the injected lookup") {
+    import graft.config.SecretsBackend
+    val b = new SecretsBackend.ScopedBackend((scope, key) =>
+      if (scope == "dq" && key == "smtp_password") Some("s3cret") else None)
+    b.get("dq/smtp_password") shouldBe Some("s3cret")
+    b.get("other/smtp_password") shouldBe None
+    b.get("no-slash") shouldBe None
+    SecretsBackend.register(b)
+    SecretsBackend("scoped").get("dq/smtp_password") shouldBe Some("s3cret")
+  }
+
   test("detailedStats full-outer joins source and target sides") {
     import graft.model.DetailedStat
     val ctx = RunContext.create("p", "t")
