@@ -1,0 +1,182 @@
+package graft.config
+
+import graft.notify._
+import graft.orchestrator.DqConfig
+import graft.sink.KafkaConfig
+
+/** Drop-in compatibility with the reference's `user_config` key surface
+  * (reference: config/user_config.py:1-116 — the `se_notifications_*` /
+  * `se.*` constant strings users pass in their conf dict): the SAME
+  * string keys, read from the same `Map[key -> value]` shape, are
+  * translated into this library's typed [[DqConfig]], [[Notifier]]
+  * fan-out, and [[KafkaConfig]]. A reference user can hand their
+  * existing conf map over unchanged.
+  *
+  * Transports (webhook POSTs, SMTP sessions) are injected so the
+  * hermetic build constructs and asserts the exact payloads without a
+  * socket; a deployment supplies real senders.
+  */
+object UserConfig {
+
+  // ---- the reference's key strings, verbatim ------------------------
+  val EnableEmail = "spark.expectations.notifications.email.enabled"
+  val EmailSmtpHost = "spark.expectations.notifications.email.smtp.host"
+  val EmailSmtpPort = "spark.expectations.notifications.email.smtp.port"
+  val EmailFrom = "spark.expectations.notifications.email.from"
+  val EmailTo = "spark.expectations.notifications.email.to.other.mail.com"
+  val EmailSubject = "spark.expectations.notifications.email.subject"
+  val EmailSmtpAuth = "spark.expectations.notifications.email.smtp.server.auth"
+  val EmailSmtpUser = "spark.expectations.notifications.smtp.user.name"
+  val EmailSmtpPassword = "spark.expectations.notifications.email.smtp.password"
+  val EmailTemplatedBasicBody = "spark.expectations.notifications.email.templated.basic.body.enable"
+
+  val EnableSlack = "spark.expectations.notifications.slack.enabled"
+  val SlackWebhookUrl = "spark.expectations.notifications.slack.webhook.url"
+  val SlackMinPriority = "spark.expectations.notifications.slack.min.priority"
+
+  val EnableTeams = "spark.expectations.notifications.teams.enabled"
+  val TeamsWebhookUrl = "spark.expectations.notifications.teams.webhook.url"
+
+  val EnableZoom = "spark.expectations.notifications.zoom.enabled"
+  val ZoomWebhookUrl = "spark.expectations.notifications.zoom.webhook.url"
+  val ZoomToken = "spark.expectations.notifications.zoom.token"
+
+  val EnablePagerduty = "spark.expectations.notifications.pagerduty.enabled"
+  val PagerdutyIntegrationKey = "spark.expectations.notifications.pagerduty.integration.key"
+  val PagerdutyWebhookUrl = "spark.expectations.notifications.pagerduty.webhook.url"
+
+  val NotifyOnStart = "spark.expectations.notifications.on.start"
+  val NotifyOnCompletion = "spark.expectations.notifications.on.completion"
+  val NotifyOnFail = "spark.expectations.notifications.on.fail"
+  val NotifyOnErrorDropThreshold = "spark.expectations.notifications.error.drop.threshold"
+
+  val EnableAggDqDetailedResult = "spark.expectations.agg.dq.detailed.stats"
+  val EnableQueryDqDetailedResult = "spark.expectations.query.dq.detailed.stats"
+  val JobMetadata = "spark.expectations.job.metadata"
+
+  val EnableErrorTable = "se.enable.error.table"
+  val DqRulesParams = "se.dq.rules.params"
+  val EnableStreaming = "se.streaming.enable"
+  val KafkaCustomConfigEnable = "se.streaming.stats.kafka.custom.config.enable"
+  val KafkaTopic = "se.streaming.stats.topic.name"
+  val KafkaBootstrapServers = "se.streaming.stats.kafka.bootstrap.server"
+  val SecretType = "se.streaming.secret.type"
+
+  // ---- transports ----------------------------------------------------
+  /** One outbound webhook POST (the reference's `requests.post(url,
+    * json=payload, headers=...)` shape — zoom adds a bearer header,
+    * zoom.py:25-33).
+    */
+  final case class WebhookRequest(url: String, payload: String,
+                                  headers: Map[String, String] = Map.empty)
+
+  /** Injected senders; defaults drop messages (hermetic build). */
+  final case class Transports(
+      webhook: WebhookRequest => Unit = _ => (),
+      email: EmailMessage => Unit = _ => ())
+
+  private def B(conf: Map[String, Any], k: String) = DqSettings.bool(conf, k)
+  private def S(conf: Map[String, Any], k: String, d: String = "") = DqSettings.str(conf, k, d)
+  private def I(conf: Map[String, Any], k: String, d: Int) = DqSettings.int(conf, k, d)
+
+  /** SMTP password resolution (reference: email.py `_get_smtp_password`
+    * — plain conf value, else the secrets backend named by
+    * `se.streaming.secret.type`).
+    */
+  private def smtpPassword(conf: Map[String, Any]): Option[String] = {
+    val direct = S(conf, EmailSmtpPassword)
+    if (direct.nonEmpty) Some(direct)
+    else conf.get(SecretType).map(_.toString)
+      .flatMap(t => scala.util.Try(SecretsBackend(t).get(EmailSmtpPassword)).toOption.flatten)
+  }
+
+  /** Builds the notification fan-out from reference-keyed conf. Returns
+    * None when nothing is enabled (no flags set at all).
+    */
+  def notifier(conf: Map[String, Any], productId: String, tableName: String,
+               transports: Transports = Transports()): Option[Notifier] = {
+    val plugins = Seq.newBuilder[NotificationPlugin]
+
+    if (B(conf, EnableEmail))
+      plugins += new EmailNotifier(
+        EmailConfig(
+          from = S(conf, EmailFrom),
+          to = S(conf, EmailTo),
+          subject = S(conf, EmailSubject, "spark expectations - data quality - notifications"),
+          smtpServer = S(conf, EmailSmtpHost, "localhost"),
+          smtpPort = I(conf, EmailSmtpPort, 25),
+          smtpAuth = B(conf, EmailSmtpAuth),
+          smtpUser = Some(S(conf, EmailSmtpUser)).filter(_.nonEmpty),
+          smtpPassword = smtpPassword(conf),
+          templatedBasicBody = B(conf, EmailTemplatedBasicBody)),
+        transports.email)
+
+    if (B(conf, EnableSlack))
+      plugins += new WebhookNotifier("slack", WebhookFormats.slack,
+        p => transports.webhook(WebhookRequest(S(conf, SlackWebhookUrl), p)))
+
+    if (B(conf, EnableTeams))
+      plugins += new WebhookNotifier("teams", WebhookFormats.teams,
+        p => transports.webhook(WebhookRequest(S(conf, TeamsWebhookUrl), p)))
+
+    if (B(conf, EnableZoom))
+      plugins += new WebhookNotifier("zoom", WebhookFormats.zoom,
+        p => transports.webhook(WebhookRequest(S(conf, ZoomWebhookUrl), p,
+          Map("Authorization" -> s"Bearer ${S(conf, ZoomToken)}",
+            "Content-Type" -> "application/json"))))
+
+    if (B(conf, EnablePagerduty))
+      plugins += new PagerDutyNotifier(productId, tableName,
+        S(conf, PagerdutyIntegrationKey),
+        p => transports.webhook(WebhookRequest(S(conf, PagerdutyWebhookUrl), p)))
+
+    val ps = plugins.result()
+    val anyFlag = Seq(NotifyOnStart, NotifyOnCompletion, NotifyOnFail).exists(conf.contains)
+    if (ps.isEmpty && !anyFlag) None
+    else Some(new Notifier(ps,
+      minPriority = S(conf, SlackMinPriority, "low"),
+      enableOnStart = B(conf, NotifyOnStart),
+      enableOnCompletion = B(conf, NotifyOnCompletion),
+      enableOnFailure = !conf.contains(NotifyOnFail) || B(conf, NotifyOnFail)))
+  }
+
+  /** `se.dq.rules.params` (Map or "k=v,k=v" string) → param map. */
+  def rulesParams(conf: Map[String, Any]): Map[String, String] = conf.get(DqRulesParams) match {
+    case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v.toString }
+    case Some(s: String) => s.split(",").map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k.trim -> v.trim }.toMap
+    case _ => Map.empty
+  }
+
+  /** Translates a reference-keyed conf map into this engine's
+    * [[DqConfig]], starting from `base` so callers keep their writer /
+    * path settings.
+    */
+  def dqConfig(conf: Map[String, Any], productId: String, tableName: String,
+               base: DqConfig = DqConfig(),
+               transports: Transports = Transports()): DqConfig = {
+    val withNotify = notifier(conf, productId, tableName, transports)
+      .map(n => base.copy(notifier = Some(n))).getOrElse(base)
+    val errorGated =
+      if (conf.contains(EnableErrorTable) && !B(conf, EnableErrorTable))
+        withNotify.copy(writeErrorTablePath = None)
+      else withNotify
+    errorGated.copy(
+      params = errorGated.params ++ rulesParams(conf),
+      enableDetailedStats = errorGated.enableDetailedStats ||
+        B(conf, EnableAggDqDetailedResult) || B(conf, EnableQueryDqDetailedResult),
+      enableQueryDqDetailedResult = errorGated.enableQueryDqDetailedResult ||
+        B(conf, EnableQueryDqDetailedResult))
+  }
+
+  /** Kafka stats-streaming settings, when the custom config is enabled
+    * (reference: sinks/utils/kafka_writer wiring via
+    * `se.streaming.stats.kafka.*`).
+    */
+  def kafkaConfig(conf: Map[String, Any]): Option[KafkaConfig] =
+    if (B(conf, KafkaCustomConfigEnable) || conf.contains(KafkaTopic))
+      Some(KafkaConfig(
+        bootstrapServers = S(conf, KafkaBootstrapServers),
+        topic = S(conf, KafkaTopic)))
+    else None
+}

@@ -1,0 +1,129 @@
+package graft.config
+
+import graft.SparkSpec
+import graft.config.UserConfig.{Transports, WebhookRequest}
+import graft.model.Rule
+import graft.notify.EmailMessage
+import graft.orchestrator.{DqConfig, SparkExpectations}
+
+/** The reference-user switch path: the SAME `user_config` key strings a
+  * spark-expectations user passes today (config/user_config.py) drive
+  * this engine end-to-end.
+  */
+class UserConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refConf: Map[String, Any] = Map(
+    UserConfig.EnableEmail -> true,
+    UserConfig.EmailSmtpHost -> "mail.example.test",
+    UserConfig.EmailSmtpPort -> 587,
+    UserConfig.EmailFrom -> "dq@example.test",
+    UserConfig.EmailTo -> "a@example.test, b@example.test",
+    UserConfig.EmailSubject -> "dq run",
+    UserConfig.EmailTemplatedBasicBody -> "true",
+    UserConfig.EnableSlack -> true,
+    UserConfig.SlackWebhookUrl -> "https://hooks.example.test/slack",
+    UserConfig.EnableZoom -> true,
+    UserConfig.ZoomWebhookUrl -> "https://zoom.example.test/hook",
+    UserConfig.ZoomToken -> "ztok",
+    UserConfig.EnablePagerduty -> true,
+    UserConfig.PagerdutyIntegrationKey -> "ik123",
+    UserConfig.PagerdutyWebhookUrl -> "https://pd.example.test/v2/enqueue",
+    UserConfig.NotifyOnStart -> true,
+    UserConfig.NotifyOnCompletion -> true,
+    UserConfig.NotifyOnFail -> "true",
+    UserConfig.EnableQueryDqDetailedResult -> true,
+    UserConfig.DqRulesParams -> Map("env" -> "prod"),
+    UserConfig.EnableErrorTable -> true)
+
+  test("reference user_config keys build the full notifier fan-out") {
+    var hooks = Vector.empty[WebhookRequest]
+    var mails = Vector.empty[EmailMessage]
+    val t = Transports(webhook = hooks :+= _, email = mails :+= _)
+
+    val cfg = UserConfig.dqConfig(refConf, "p1", "tbl", transports = t)
+    cfg.enableQueryDqDetailedResult shouldBe true
+    cfg.enableDetailedStats shouldBe true
+    cfg.params("env") shouldBe "prod"
+
+    val input = Seq((1, "a"), (2, "b")).toDF("col1", "col2")
+    val rules = Seq(Rule("p1", "tbl", "row_dq", "col1_gt1", "col1", "col1 > 1", "ignore"))
+    new SparkExpectations("p1", "tbl", rules, cfg).run(input).unpersist()
+
+    // start + completion + ignore-rule alert fan out to slack and zoom
+    val slack = hooks.filter(_.url.endsWith("/slack"))
+    slack.map(_.payload).exists(_.contains("started")) shouldBe true
+    slack.map(_.payload).exists(_.contains("completed")) shouldBe true
+    val zoom = hooks.filter(_.url.endsWith("/hook"))
+    zoom should not be empty
+    zoom.head.headers("Authorization") shouldBe "Bearer ztok"
+
+    // email rendered with the templated basic body, both recipients
+    mails should not be empty
+    mails.head.recipients shouldBe Seq("a@example.test", "b@example.test")
+    mails.head.mime should include ("Subject: dq run")
+    mails.head.mime should include ("<h2>dq run</h2>")
+
+    // pagerduty stays quiet on a passing run
+    hooks.exists(_.url.contains("pd.example.test")) shouldBe false
+  }
+
+  test("pagerduty pages with the integration key on job failure") {
+    var hooks = Vector.empty[WebhookRequest]
+    val conf = Map[String, Any](
+      UserConfig.EnablePagerduty -> true,
+      UserConfig.PagerdutyIntegrationKey -> "ik123",
+      UserConfig.PagerdutyWebhookUrl -> "https://pd.example.test/v2/enqueue",
+      UserConfig.NotifyOnFail -> true)
+    val cfg = UserConfig.dqConfig(conf, "p1", "tbl",
+      transports = Transports(webhook = hooks :+= _))
+    val rules = Seq(Rule("p1", "tbl", "row_dq", "never", "col1", "col1 > 99", "fail"))
+    intercept[graft.orchestrator.DqRunAbortedException] {
+      new SparkExpectations("p1", "tbl", rules, cfg)
+        .run(Seq((1, "a")).toDF("col1", "col2"))
+    }
+    val pd = hooks.filter(_.url.contains("pd.example.test"))
+    pd should have size 1
+    pd.head.payload should include (""""routing_key": "ik123"""")
+    pd.head.payload should include ("spark_expectations_p1_tbl_failure")
+  }
+
+  test("enable.error.table=false strips the error-table path") {
+    val base = DqConfig(writeErrorTablePath = Some("/tmp/err"))
+    val off = UserConfig.dqConfig(Map(UserConfig.EnableErrorTable -> false), "p", "t", base)
+    off.writeErrorTablePath shouldBe None
+    val on = UserConfig.dqConfig(Map(UserConfig.EnableErrorTable -> true), "p", "t", base)
+    on.writeErrorTablePath shouldBe Some("/tmp/err")
+  }
+
+  test("smtp password resolves through the secrets backend named by secret.type") {
+    SecretsBackend.register(new SecretsBackend.MapBackend(
+      Map(UserConfig.EmailSmtpPassword -> "fromvault")))
+    val conf = Map[String, Any](
+      UserConfig.EnableEmail -> true,
+      UserConfig.EmailFrom -> "x@t", UserConfig.EmailTo -> "y@t",
+      UserConfig.SecretType -> "static")
+    // render goes through EmailConfig; assert via the notifier wiring
+    var mails = Vector.empty[EmailMessage]
+    val n = UserConfig.notifier(conf, "p", "t",
+      Transports(email = mails :+= _)).get
+    n.onFailure("p", "t", "boom")
+    mails should have size 1 // password is transport-side; construction succeeded
+  }
+
+  test("rules params accept the k=v string form") {
+    UserConfig.rulesParams(Map(UserConfig.DqRulesParams -> "env=prod, region=us")) shouldBe
+      Map("env" -> "prod", "region" -> "us")
+  }
+
+  test("kafka stats config maps topic and bootstrap servers") {
+    val conf = Map[String, Any](
+      UserConfig.KafkaCustomConfigEnable -> true,
+      UserConfig.KafkaTopic -> "dq-stats",
+      UserConfig.KafkaBootstrapServers -> "broker:9092")
+    val k = UserConfig.kafkaConfig(conf).get
+    k.topic shouldBe "dq-stats"
+    k.bootstrapServers shouldBe "broker:9092"
+    UserConfig.kafkaConfig(Map.empty) shouldBe None
+  }
+}
