@@ -39,7 +39,13 @@ final case class DqConfig(
       * query-output table (reference: actions.py:302-424 +
       * writer.py:420-502), for rules with enable_querydq_custom_output.
       */
-    enableQueryDqDetailedResult: Boolean = false)
+    enableQueryDqDetailedResult: Boolean = false,
+    /** Name of the temp view registered over the post-row_dq frame for
+      * target-stage query_dq SQL, defaulting to the reference's
+      * `{table-last-segment}_view` (core/expectations.py:941). The
+      * engine's own `{base}_target` view is always registered too.
+      */
+    targetTableView: Option[String] = None)
 
 /** One captured sub-query result for the query-output table
   * (reference 9-column schema, docs/user_guide/data_quality_metrics
@@ -175,6 +181,13 @@ final class SparkExpectations(
     // rules run; only rule-sets without row rules need a dedicated count
     var inputCount = 0L
     if (!streaming) df.createOrReplaceTempView(ctx.sourceView)
+    // both the engine's `{base}_target` and the reference-named view, so
+    // rules written for the reference run unchanged
+    def registerTargetViews(finalDf: DataFrame): Unit = {
+      finalDf.createOrReplaceTempView(ctx.targetView)
+      finalDf.createOrReplaceTempView(
+        config.targetTableView.getOrElse(s"${ctx.viewBase}_view"))
+    }
 
     /** Reference stage-status semantics (utils/regulate_flow.py:150-156 +
       * conftest golden matrix): a stage reports Failed ONLY when its
@@ -307,13 +320,13 @@ final class SparkExpectations(
         // Passed even with error rows: ignore/drop failures don't fail
         // the stage (reference golden matrix, conftest.py case 0/1)
         statuses += "row_dq" -> StageStatus.Passed
-        if (!streaming) finalDf.createOrReplaceTempView(ctx.targetView)
+        if (!streaming) registerTargetViews(finalDf)
       } else if (!streaming) {
         // no row stage: input is still counted eagerly, but output stays 0
         // — the reference only sets output_count in _run_row_dq
         // (conftest.py agg-only cases expect output_count=0)
         inputCount = df.count()
-        finalDf.createOrReplaceTempView(ctx.targetView)
+        registerTargetViews(finalDf)
       }
 
       // stage 4/5: target-side agg/query on the surviving rows

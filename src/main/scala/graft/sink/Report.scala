@@ -131,6 +131,20 @@ object Report {
       FROM temp_dq_obs_report ORDER BY rule""")
   }
 
+  /** The composed three-section observability alert body — subject as
+    * h2, then header / scenario / data-rule summaries joined with <br>,
+    * the reference's section titles verbatim (alert.py:118-137). Hand
+    * the result to an EmailNotifier with contentType="html" for the
+    * reference's detailed email alert.
+    */
+  def alertEmailHtml(spark: SparkSession, report: DataFrame, subject: String): String = {
+    val sections = Seq(
+      ("Summary by product ID for the run_id ", headerSummary(spark, report)),
+      ("Summary by Scenario :", ruleSummary(spark, report)),
+      ("Summary by data_rule:", detailedReport(spark, report)))
+    s"<h2>$subject</h2>" + sections.map { case (t, df) => renderHtml(t, df) }.mkString("<br>")
+  }
+
   /** Minimal HTML rendering of a report section (reference renders via
     * Jinja templates; plain string templating here — not a Spark concern).
     */

@@ -171,6 +171,97 @@ class GoldenMatrixSpec extends SparkSpec {
       Some(Set(1, 2, 3)), 3, 0, 0, statusMap(srcQry = "Passed"))
   )
 
+  // ---- cases needing non-canonical inputs ---------------------------
+
+  test("null expectation result counts as a row failure (when() null-as-false)") {
+    // reference: F.expr(expectation) inside when() — a NULL verdict is
+    // not true, so the row lands in the error set exactly like false
+    val withNull = Seq((1, "a", Some(4)), (2, "b", None), (3, "c", Some(6)))
+      .toDF("col1", "col2", "col3")
+    val se = new SparkExpectations(P, T,
+      Seq(row("col3_gt4", "col3 > 4", "drop")), DqConfig())
+    val res = se.run(withNull)
+    res.finalDf.select("col1").collect().map(_.getInt(0)).toSet shouldBe Set(3)
+    res.stats.errorCount shouldBe 2 // row 1 fails (4 > 4 false), row 2 null
+    res.unpersist()
+  }
+
+  test("empty input: zero counts, zero percentages, no NaN, stages pass") {
+    val empty = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](), input.schema)
+    val se = new SparkExpectations(P, T, Seq(
+      row("col1_gt1", "col1 > 1", "drop"),
+      agg("sum_col1", "sum(col1) > 0", "ignore")), DqConfig())
+    val res = se.run(empty)
+    res.stats.inputCount shouldBe 0
+    res.stats.errorCount shouldBe 0
+    res.stats.outputCount shouldBe 0
+    // reference context.py:1689-1702: percentages are 0.0 at input_count=0
+    res.stats.successPercentage shouldBe 0.0
+    res.stats.outputPercentage shouldBe 0.0
+    res.stats.errorPercentage shouldBe 0.0
+    res.statuses("row_dq") shouldBe "Passed"
+    res.unpersist()
+  }
+
+  test("target-only agg fail(failing) aborts AFTER the row stage ran") {
+    val ex = intercept[DqRunAbortedException] {
+      new SparkExpectations(P, T, Seq(
+        row("col1_gt1", "col1 > 1", "drop"),
+        agg("max_col1_gt99", "max(col1) > 99", "fail", srcV = false, tgtV = true)),
+        DqConfig()).run(input)
+    }
+    ex.stats.inputCount shouldBe 3
+    ex.stats.errorCount shouldBe 1
+    ex.stats.outputCount shouldBe 2 // drop survivors counted before the abort
+    ex.stats.dqStatus("row_dq") shouldBe "Passed"
+    ex.stats.dqStatus("final_agg_dq") shouldBe "Failed"
+    ex.stats.dqStatus("run_status") shouldBe "Failed"
+  }
+
+  test("error-drop threshold breach lands in stats with the reference percentages") {
+    val se = new SparkExpectations(P, T, Seq(
+      Rule(P, T, "row_dq", "col1_gt2", "col1", "col1 > 2", "drop",
+        enableErrorDropAlert = true, errorDropThreshold = 10)), DqConfig())
+    val res = se.run(input)
+    res.stats.errorCount shouldBe 2 // rows 1,2 fail -> 66.67% > 10%
+    val th = res.stats.rowDqErrorThreshold
+    th should have size 1
+    th.head("rule") shouldBe "col1_gt2"
+    th.head("error_drop_percentage").toDouble shouldBe 66.67 +- 0.01
+    res.unpersist()
+  }
+
+  test("reference target_table_view naming: {table}_view default and custom override") {
+    // reference core/expectations.py:941 — target query_dq SQL written
+    // against `{target_table}_view` runs unchanged here
+    val res = new SparkExpectations(P, T, Seq(
+      row("col1_gt0", "col1 > 0", "drop"),
+      qry("ref_view_count", s"(select count(*) from ${T}_view) = 3", "fail",
+        srcV = false, tgtV = true)), DqConfig()).run(input)
+    ruleStatus(res.targetQueryResults) shouldBe Map("ref_view_count" -> "pass")
+    res.unpersist()
+
+    val custom = new SparkExpectations(P, T, Seq(
+      row("col1_gt0", "col1 > 0", "drop"),
+      qry("custom_view_count", "(select count(*) from my_custom_view) = 3", "fail",
+        srcV = false, tgtV = true)),
+      DqConfig(targetTableView = Some("my_custom_view"))).run(input)
+    ruleStatus(custom.targetQueryResults) shouldBe Map("custom_view_count" -> "pass")
+    custom.unpersist()
+  }
+
+  test("agg between-form expectations evaluate pass and fail in one stage") {
+    val res = new SparkExpectations(P, T, Seq(
+      agg("sum_in_range", "sum(col1) between 5 and 10", "ignore"),
+      agg("avg_out_of_range", "avg(col1) between 10 and 20", "ignore")),
+      DqConfig()).run(input)
+    ruleStatus(res.sourceAggResults) shouldBe Map(
+      "sum_in_range" -> "pass", "avg_out_of_range" -> "fail")
+    res.statuses("source_agg_dq") shouldBe "Passed" // ignore never fails the stage
+    res.unpersist()
+  }
+
   cases.foreach { g =>
     test(g.name) {
       val cfg = DqConfig(params = Map("src_view" -> s"${T}_source"))

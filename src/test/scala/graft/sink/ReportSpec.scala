@@ -40,6 +40,18 @@ class ReportSpec extends SparkSpec {
     Report.renderHtml("t", detailed) should include ("<table")
   }
 
+  test("alertEmailHtml composes subject + the three reference sections") {
+    val rep = Report.build(spark, ctx,
+      details = Seq(det("r1", "pass", 0), det("r2", "fail", 25)),
+      queryRows = Seq.empty, inputCount = 100)
+    val html = Report.alertEmailHtml(spark, rep, "dq report")
+    html should startWith ("<h2>dq report</h2>")
+    html should include ("Summary by product ID for the run_id ")
+    html should include ("Summary by Scenario :")
+    html should include ("Summary by data_rule:")
+    html.split("<br>") should have length 3
+  }
+
   test("empty inputs yield an empty report with the fixed schema") {
     val rep = Report.build(spark, ctx, Seq.empty, Seq.empty, 0)
     rep.count() shouldBe 0

@@ -134,6 +134,20 @@ class SinkSpec extends SparkSpec {
     rows shouldBe 3
   }
 
+  test("WrappedDataFrameWriter builds a WriterConfig with the reference's chain") {
+    val cfg = WrappedDataFrameWriter().mode("overwrite").format("delta")
+      .partitionBy("date", "region").option("compression", "gzip")
+      .options("path" -> "/tmp/out", "inferSchema" -> "true")
+      .bucketBy(4, "country", "city").sortBy("city")
+      .build()
+    cfg.mode shouldBe "overwrite"
+    cfg.format shouldBe "delta"
+    cfg.partitionBy shouldBe Seq("date", "region")
+    cfg.options shouldBe Map("compression" -> "gzip", "path" -> "/tmp/out", "inferSchema" -> "true")
+    cfg.bucketBy shouldBe Some((4, Seq("country", "city")))
+    cfg.sortBy shouldBe Seq("city")
+  }
+
   test("scoped secrets backend resolves scope/key via the injected lookup") {
     import graft.config.SecretsBackend
     val b = new SecretsBackend.ScopedBackend((scope, key) =>
