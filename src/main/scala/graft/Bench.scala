@@ -37,8 +37,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    // one UNTIMED warmup pass: JIT + codegen compilation dominate the
+    // cold first run (measured 6x on dedup_exact: 8.2 s cold vs 1.3 s
+    // warm), which is harness cost, not query cost
+    spark.catalog.clearCache()
+    fn(spark, sfDir).count()
     val times = (0 until Reps).map { _ =>
       spark.catalog.clearCache()
+      // collect the previous rep's tenured cache/shuffle garbage NOW so
+      // a full-GC pause doesn't land inside a later rep's timing
+      System.gc()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9

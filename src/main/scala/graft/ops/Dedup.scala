@@ -180,17 +180,88 @@ object Dedup {
     val ex   = persisted(shingleRows(df, idCol, textCol, k), persistIndex)
     val sigs = minhashSignatures(ex, numHashes)
     val sizes = sigs.select(col("id"), col("n"))
-    val bands = sigs.select(col("id"),
-      explode(array((0 until numBands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * bandSize + 1, bandSize)).as("bh"))): _*)).as("bd"))
-      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val bands = bandRows(sigs, numBands, bandSize)
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     jaccardFromCounts(exactIntersections(cands, ex), sizes, tau)
+  }
+
+  /** A persistable MinHash-LSH index over a corpus: the three tables a
+    * production deployment materializes ONCE (shingle inverted index,
+    * per-doc sizes, banded signature buckets) so that incoming batches
+    * dedup against the corpus without re-shingling it. At 100 TB these
+    * are parquet tables bucketed by their join keys (`s` for shingles,
+    * `(band, bh)` for bands); here they are DataFrames with exactly
+    * those keys.
+    */
+  final case class MinhashIndex(
+      shingles: DataFrame, // (id, s)
+      sizes: DataFrame, // (id, n)
+      bands: DataFrame, // (id, band, bh)
+      k: Int, numHashes: Int, bandSize: Int)
+
+  private def bandRows(sigs: DataFrame, numBands: Int, bandSize: Int): DataFrame =
+    sigs.select(col("id"),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * bandSize + 1, bandSize)).as("bh"))): _*)).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+
+  /** Build the index for [[minhashLshIncremental]]. Same parameters ⇒
+    * same banding as [[minhashLshPairs]].
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, numHashes: Int = 63, bandSize: Int = 3,
+                   persistIndex: Boolean = true): MinhashIndex = {
+    val ex = persisted(shingleRows(df, idCol, textCol, k), persistIndex)
+    val sigs = minhashSignatures(ex, numHashes)
+    MinhashIndex(ex, sigs.select(col("id"), col("n")),
+      bandRows(sigs, numHashes / bandSize, bandSize), k, numHashes, bandSize)
+  }
+
+  /** Incremental near-dup detection: pairs (id_new, id_corpus, jaccard)
+    * between a NEW batch and an indexed corpus, `jaccard >= tau`.
+    *
+    * The corpus side is never re-read as text: candidates come from a
+    * band-bucket equi-join of the batch's bands against the stored
+    * bands (shuffle keyed on (band, bh) — the key the stored table is
+    * bucketed by, so at scale only the small batch side moves), and
+    * exact verification joins the batch's shingles to the stored
+    * inverted index on `s`. Batch-internal pairs are NOT emitted — run
+    * [[minhashLshPairs]] on the batch for those.
+    *
+    * Output equals `minhashLshPairs(batch ∪ corpus)` restricted to
+    * cross pairs (up to LSH recall), proven by spec.
+    */
+  def minhashLshIncremental(newDf: DataFrame, idCol: String, textCol: String,
+                            index: MinhashIndex, tau: Double = 0.8,
+                            persistIndex: Boolean = true): DataFrame = {
+    val exN = persisted(shingleRows(newDf, idCol, textCol, index.k), persistIndex)
+    val sigsN = minhashSignatures(exN, index.numHashes)
+    val bandsN = bandRows(sigsN, index.numHashes / index.bandSize, index.bandSize)
+    val cands = bandsN.as("a")
+      .join(index.bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
+      .distinct()
+    // exact |A∩B| across the two shingle stores; key (id_corpus, s) is
+    // unique in the index so rows are bounded by Σ|shingles(new doc)|
+    val inter = cands
+      .join(exN.select(col("id").as("id_new"), col("s")), Seq("id_new"))
+      .join(index.shingles.select(col("id").as("id_corpus"), col("s")), Seq("id_corpus", "s"))
+      .groupBy(col("id_new"), col("id_corpus"))
+      .agg(count(lit(1)).as("ic"))
+    inter
+      .join(sigsN.select(col("id").as("id_new"), col("n").as("na")), Seq("id_new"))
+      .join(index.sizes.select(col("id").as("id_corpus"), col("n").as("nb")), Seq("id_corpus"))
+      .withColumn("jaccard",
+        col("ic").cast("double") / (col("na") + col("nb") - col("ic")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_new"), col("id_corpus"), col("jaccard"))
   }
 
   /** 63-bit SimHash sketches as a (id, sh long) frame: explode tokens,

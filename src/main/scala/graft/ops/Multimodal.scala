@@ -93,6 +93,66 @@ object Multimodal {
     case _ => None
   }
 
+  /** STUB resize: a real implementation hands each batch to an image
+    * codec (decode -> scale -> re-encode). The fake is deterministic —
+    * output = an 8-byte header (target w,h as big-endian int32 pair)
+    * followed by the payload truncated/zero-padded to w*h bytes — so
+    * schema, batching, and output sizing are verifiable end-to-end.
+    */
+  private def resizeBatchStub(batch: Seq[(Long, Array[Byte])], w: Int, h: Int): Seq[(Long, Array[Byte])] =
+    batch.map { case (id, bytes) =>
+      val out = new Array[Byte](8 + w * h)
+      out(0) = (w >> 24).toByte; out(1) = (w >> 16).toByte
+      out(2) = (w >> 8).toByte; out(3) = w.toByte
+      out(4) = (h >> 24).toByte; out(5) = (h >> 16).toByte
+      out(6) = (h >> 8).toByte; out(7) = h.toByte
+      System.arraycopy(bytes, 0, out, 8, math.min(bytes.length, w * h))
+      (id, out)
+    }
+
+  /** Partition-wise batched image resize to (w, h): (doc_id, payload) ->
+    * (doc_id, resized). Same mapInPandas-shaped stage as
+    * [[extractFeatures]]; the codec call is [[resizeBatchStub]].
+    */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+                   w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(resizeBatchStub(_, w, h)))
+      .toDF("doc_id", "resized")
+  }
+
+  /** STUB frame split: a real implementation demuxes the video container
+    * and decodes every `stride`-th frame. The fake treats the payload as
+    * a sequence of fixed-size `frameBytes` chunks and emits every
+    * `stride`-th chunk — deterministic, so the one-row-in/many-rows-out
+    * (flatMap) shape and frame indexing are verifiable.
+    */
+  private def frameBatchStub(batch: Seq[(Long, Array[Byte])], frameBytes: Int,
+                             stride: Int): Seq[(Long, Int, Array[Byte])] =
+    batch.flatMap { case (id, bytes) =>
+      val nFrames = bytes.length / frameBytes
+      (0 until nFrames by stride).map { f =>
+        (id, f, java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+      }
+    }
+
+  /** Partition-wise batched frame sampling: (doc_id, payload) ->
+    * (doc_id, frame_idx, frame) rows, every `stride`-th frame. The
+    * generator shape matters at scale: output rows >> input rows, and
+    * the iterator stays lazy — no partition-sized materialization.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   frameBytes: Int = 256, stride: Int = 2,
+                   batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(frameBatchStub(_, frameBytes, stride)))
+      .toDF("doc_id", "frame_idx", "frame")
+  }
+
   /** Typed media metadata over a binary column, batched partition-wise
     * like extractFeatures (the mapInPandas-shaped pipeline stage).
     */

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline queries: text analysis, dedup tiers, similarity
@@ -130,6 +131,51 @@ object TextQueries {
       SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
       FROM documents ORDER BY doc_id""")),
 
+    // an end-to-end training-data curation pipeline in ONE declarative
+    // plan: score -> quality-gate -> exact-dedup (keep lowest doc_id per
+    // fingerprint) -> per-language corpus stats. Integer-only outputs so
+    // the oracle is exact; the double quality gate is safe because the
+    // per-doc quality values are bit-identical across engines (proven by
+    // text_quality's hash match).
+    QueryDef("text_pipeline", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TA.qualityScore(col("text")).as("quality"),
+        TA.langId(col("text")).as("pred_lang"),
+        TA.fingerprint(col("text")).as("fp"))
+      val kept = scored.filter(col("quality") >= 0.5 && col("n_tokens") >= 10L)
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("pred_lang")
+    }, Some(s"""
+      WITH scored AS (
+        SELECT doc_id, len($sqlTokens) AS n_tokens,
+          least(CAST(1.0 AS DOUBLE), CAST(len($sqlTokens) AS DOUBLE) / 100.0) * 0.4
+            + least(CAST(1.0 AS DOUBLE), (CAST($enHits AS DOUBLE) / len($sqlTokens)) * 5.0) * 0.3
+            + CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3 AS quality,
+          $enHits AS s_en, $deHits AS s_de, $esHits AS s_es, $frHits AS s_fr,
+          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        FROM documents),
+      labeled AS (
+        SELECT doc_id, n_tokens, quality, fp,
+          CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+               WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+               WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM scored),
+      kept AS (SELECT * FROM labeled WHERE quality >= 0.5 AND n_tokens >= 10),
+      dedup AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept)
+      SELECT pred_lang, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        min(doc_id) AS first_doc
+      FROM dedup WHERE rn = 1 GROUP BY pred_lang ORDER BY pred_lang""")),
+
     QueryDef("dedup_exact", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Dedup.exactGroups(docs, "doc_id", "text").orderBy("fp")
@@ -148,6 +194,29 @@ object TextQueries {
       Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3, tau = 0.8)
         .orderBy("id_a", "id_b")
     }, Some(jaccardOracle)),
+
+    // the production shape: corpus indexed once, incoming batch deduped
+    // against the stored index without re-shingling the corpus. Corpus =
+    // even doc_ids, batch = odd; oracle is the exact cross-side jaccard.
+    QueryDef("dedup_incremental", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idx = Dedup.minhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 3)
+      Dedup.minhashLshIncremental(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", idx, tau = 0.8)
+        .orderBy("id_new", "id_corpus")
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents)
+      SELECT a.doc_id AS id_new, b.doc_id AS id_corpus,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM docs a, docs b
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      ORDER BY id_new, id_corpus""")),
 
     // SimHash bit patterns depend on Spark's xxhash64, so the PAIR LIST
     // has no SQL oracle — but its RECOVERY of the exact near-dup truth

@@ -95,6 +95,34 @@ class DedupSpec extends SparkSpec {
     all(out.values) should be <= 24
   }
 
+  test("minhashLshIncremental equals full LSH restricted to cross pairs") {
+    // corpus indexed once; a new batch carries a near-dup of corpus doc 1,
+    // an exact dup of corpus doc 4, and an unrelated doc
+    val corpus = docs
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+      (12L, "completely different content about spark engines and data quality checks"),
+      (13L, "nothing in common with anything else in this tiny corpus at all"))
+      .toDF("doc_id", "text")
+
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text", k = 3)
+    val inc = Dedup.minhashLshIncremental(batch, "doc_id", "text", idx, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // ground truth: full LSH over the union, restricted to batch x corpus
+    val union = corpus.union(batch)
+    val full = Dedup.minhashLshPairs(union, "doc_id", "text", k = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a > 10) != (b > 10) }
+      .map { case (a, b, j) => if (a > 10) (a, b, j) else (b, a, j) }.toSet
+    inc shouldBe full
+
+    inc.map(p => (p._1, p._2)) should contain allOf ((11L, 1L), (12L, 4L))
+    inc.exists(_._1 == 13L) shouldBe false
+    // batch-internal pairs are out of scope by contract
+    inc.forall(p => p._1 > 10 && p._2 <= 10) shouldBe true
+  }
+
   test("simhashPairs equals the all-pairs hamming filter (pigeonhole is lossless)") {
     // justifies the dedup_simhash query's shortcut: banding + verify
     // returns EXACTLY the pairs within the hamming budget

@@ -56,6 +56,30 @@ class MultimodalSpec extends SparkSpec {
     out.getAs[Int]("height") shouldBe 480
   }
 
+  test("resizeImages emits the header + w*h-sized payload per doc") {
+    val withBin = Multimodal.withBinaryPayload(docs, "text")
+    val out = Multimodal.resizeImages(withBin, "doc_id", "payload", w = 4, h = 2)
+      .orderBy("doc_id").collect()
+    out should have length 2
+    val r = out(0).getAs[Array[Byte]]("resized")
+    r.length shouldBe 8 + 4 * 2
+    // big-endian header carries the target dims
+    ((r(0) & 0xFF) << 24 | (r(1) & 0xFF) << 16 | (r(2) & 0xFF) << 8 | (r(3) & 0xFF)) shouldBe 4
+    ((r(4) & 0xFF) << 24 | (r(5) & 0xFF) << 16 | (r(6) & 0xFF) << 8 | (r(7) & 0xFF)) shouldBe 2
+    r(8) shouldBe 'a'.toByte // payload copied after the header
+    r(11).toInt shouldBe 0 // short payload zero-padded
+  }
+
+  test("sampleFrames explodes every stride-th fixed-size chunk with its index") {
+    // 10-byte payload, 3-byte frames -> frames 0,1,2; stride 2 keeps 0,2
+    val vids = Seq((7L, Array.range(0, 10).map(_.toByte))).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(vids, "doc_id", "payload",
+      frameBytes = 3, stride = 2).orderBy("frame_idx").collect()
+    frames.map(_.getInt(1)).toSeq shouldBe Seq(0, 2)
+    frames(0).getAs[Array[Byte]]("frame") shouldBe Array[Byte](0, 1, 2)
+    frames(1).getAs[Array[Byte]]("frame") shouldBe Array[Byte](6, 7, 8)
+  }
+
   test("batching never drops rows across partition boundaries") {
     val big = spark.range(0, 1000).select($"id".as("doc_id"),
       concat(lit("doc"), $"id").as("text")).repartition(7)
