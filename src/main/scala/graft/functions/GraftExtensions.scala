@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the native kernels as SQL functions, so the similarity /
+  * shingle expressions are first-class in `spark.sql(...)` exactly like
+  * built-ins:
+  *
+  * {{{
+  * spark.sql("SELECT vec_cosine(a.vec, b.vec) FROM ...")
+  * spark.sql("SELECT explode(distinct_shingles(text, 3)) FROM docs")
+  * }}}
+  *
+  * Wire-up: `SparkSession.builder.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  * standard injection point, no session-state hacks. Note the conf
+  * form is STATIC: it only takes effect when the SparkContext is
+  * created; to extend a session over an existing context (tests,
+  * shells), use `withExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - left-fold dot product of two array<double>"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two array<double>"),
+      (args: Seq[Expression]) => VecCosine(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("distinct_shingles"),
+      info("distinct_shingles",
+        "distinct_shingles(text, k) - distinct k-token shingles of a document"),
+      (args: Seq[Expression]) =>
+        DistinctShingles(args(0), intArg(args(1), "shingle size k"))))
+  }
+}

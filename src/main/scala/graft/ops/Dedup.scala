@@ -38,18 +38,31 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct k-shingle ROWS (id, s) — the scale form: `split` runs once
-    * per doc (posexplode is a Generator), shingle assembly is lead()
-    * windows (whole-stage codegen), and everything after the by-id
-    * shuffle is parallel. Docs shorter than k tokens yield no rows.
+  /** Distinct k-shingle ROWS (id, s) — the scale form: ONE native
+    * codegen expression (graft.functions.DistinctShingles) emits each
+    * document's deduped shingle array in a single linear pass, and a
+    * codegen Generate explodes it. scan → project → explode: NO window
+    * shuffle, NO distinct shuffle (dedup happens inside the kernel,
+    * per doc), perfectly parallel over input splits. Docs shorter than
+    * k tokens yield no rows; null text yields no rows.
     *
-    * ONE Window operator: the k-1 leads assemble the shingle and the
-    * LAST lead's null-ness marks incomplete trailing shingles (the
-    * round-1 form added a second, unordered max(pos) window — a whole
-    * extra WindowExec pass — for the same check; concat_ws would
-    * silently skip the trailing nulls otherwise).
+    * (History: round 1 used explode→lead-window→distinct — 3 shuffles
+    * over the ~200x-exploded token rows; round 2 collapsed it to one
+    * WindowExec; this form removes the shuffles entirely. The window
+    * form is kept below for the equivalence spec.)
     */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(org.apache.spark.sql.classic.GraftExpressionBridge.column(
+        graft.functions.DistinctShingles(
+          org.apache.spark.sql.classic.GraftExpressionBridge.expression(col(textCol)), k)))
+        .as("s"))
+
+  /** The lead-window formulation of [[shingleRows]] — an independent
+    * implementation kept for the three-way equivalence spec (kernel ==
+    * window == HOF array form).
+    */
+  def shingleRowsWindow(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
     val byId = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -134,19 +147,31 @@ object Dedup {
     */
   /** The shingle index feeds 4+ subtrees of the pair plan (df counts,
     * sizes, candidate self-join, exact verify); without materialization
-    * Spark recomputes the explode+window+distinct for each — persist it
-    * once, the way every production LSH pipeline materializes its
-    * signature/index table. A few bytes per shingle; spills to disk
+    * Spark re-runs the scan+kernel+explode for each consumer — persist
+    * it once, the way every production LSH pipeline materializes its
+    * signature/index table (measured at sf0.1: dedup_simhash 16-18 s
+    * unpersisted vs 10-12 s persisted even with the cheap kernel form).
+    * A few bytes per shingle; spills to disk
     * beyond memory. Released on `spark.catalog.clearCache()` or when
     * the result is fully consumed and evicted.
     */
   private def persisted(ex: DataFrame, on: Boolean): DataFrame =
     if (on) ex.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else ex
 
+  /** 64-bit shingle fingerprints (id, s: long), Broder-style: the ops
+    * below join/aggregate on the fingerprint, so every shuffle keys on
+    * 8-byte longs instead of 20-40-byte strings (~4x shuffle volume,
+    * long-keyed hash joins). Jaccard over fingerprints is exact up to
+    * fingerprint collisions (P ~ n^2/2^65 ~ 3e-8 at a million distinct
+    * shingles; one collision inflates one intersection count by 1).
+    */
+  def shingleFpRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingleRows(df, idCol, textCol, k).select(col("id"), xxhash64(col("s")).as("s"))
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, tau: Double = 0.8, dfCap: Int = 512,
                         persistIndex: Boolean = true): DataFrame = {
-    val ex    = persisted(shingleRows(df, idCol, textCol, k), persistIndex)
+    val ex    = persisted(shingleFpRows(df, idCol, textCol, k), persistIndex)
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = exactIntersections(ngramCandidates(ex, dfCap), ex)
     jaccardFromCounts(inter, sizes, tau)
@@ -177,7 +202,7 @@ object Dedup {
                       numHashes: Int = 63, bandSize: Int = 3,
                       persistIndex: Boolean = true): DataFrame = {
     val numBands = numHashes / bandSize
-    val ex   = persisted(shingleRows(df, idCol, textCol, k), persistIndex)
+    val ex   = persisted(shingleFpRows(df, idCol, textCol, k), persistIndex)
     val sigs = minhashSignatures(ex, numHashes)
     val sizes = sigs.select(col("id"), col("n"))
     val bands = bandRows(sigs, numBands, bandSize)
@@ -198,7 +223,7 @@ object Dedup {
     * those keys.
     */
   final case class MinhashIndex(
-      shingles: DataFrame, // (id, s)
+      shingles: DataFrame, // (id, s: 64-bit shingle fingerprint)
       sizes: DataFrame, // (id, n)
       bands: DataFrame, // (id, band, bh)
       k: Int, numHashes: Int, bandSize: Int)
@@ -216,7 +241,7 @@ object Dedup {
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, numHashes: Int = 63, bandSize: Int = 3,
                    persistIndex: Boolean = true): MinhashIndex = {
-    val ex = persisted(shingleRows(df, idCol, textCol, k), persistIndex)
+    val ex = persisted(shingleFpRows(df, idCol, textCol, k), persistIndex)
     val sigs = minhashSignatures(ex, numHashes)
     MinhashIndex(ex, sigs.select(col("id"), col("n")),
       bandRows(sigs, numHashes / bandSize, bandSize), k, numHashes, bandSize)
@@ -239,7 +264,7 @@ object Dedup {
   def minhashLshIncremental(newDf: DataFrame, idCol: String, textCol: String,
                             index: MinhashIndex, tau: Double = 0.8,
                             persistIndex: Boolean = true): DataFrame = {
-    val exN = persisted(shingleRows(newDf, idCol, textCol, index.k), persistIndex)
+    val exN = persisted(shingleFpRows(newDf, idCol, textCol, index.k), persistIndex)
     val sigsN = minhashSignatures(exN, index.numHashes)
     val bandsN = bandRows(sigsN, index.numHashes / index.bandSize, index.bandSize)
     val cands = bandsN.as("a")

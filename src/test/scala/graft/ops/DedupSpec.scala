@@ -142,14 +142,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("shingleRows (lead-window form) matches the array form exactly") {
-    val rows = Dedup.shingleRows(docs, "doc_id", "text", 3)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    val arr = docs.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    rows shouldBe arr
-    // short docs yield no rows
+  test("shingleRows: kernel, window, and HOF array forms agree exactly") {
     import docs.sparkSession.implicits._
+    // include consecutive-space (empty-token) and repeated-shingle docs:
+    // the three implementations must agree on tokenizer edge cases too
+    val tricky = docs.union(Seq(
+      (7L, "a b  c d e"), (8L, "x y x y x y x y")).toDF("doc_id", "text"))
+    val kernel = Dedup.shingleRows(tricky, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val window = Dedup.shingleRowsWindow(tricky, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val arr = tricky.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    kernel shouldBe window
+    kernel shouldBe arr
+    // short docs yield no rows
     Dedup.shingleRows(Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 3)
       .count() shouldBe 0
   }
