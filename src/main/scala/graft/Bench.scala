@@ -22,7 +22,7 @@ object Bench {
   private val Reps = 3
 
   def main(args: Array[String]): Unit =
-    if (args.length >= 2 && args(0) == "--child") child(args(1), args(2))
+    if (args.length >= 3 && args(0) == "--child") child(args(1), args(2))
     else orchestrate()
 
   /** Child mode: run ONE query `Reps` times in this fresh JVM and print
@@ -79,7 +79,11 @@ object Bench {
     val cmd = Seq(javaBin) ++ jvmFlags ++
       Seq("-cp", cp, "graft.Bench", "--child", name, sfDir)
     val out = new StringBuilder
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    // merge stderr into stdout: the child is a full Spark app that logs
+    // to stderr; an un-drained stderr pipe fills (~64 KB) and deadlocks
+    // the child mid-write. The marker-prefix parse below tolerates the
+    // interleaved log lines.
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
     var line = reader.readLine()

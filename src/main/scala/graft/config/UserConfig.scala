@@ -79,15 +79,28 @@ object UserConfig {
   private def S(conf: Map[String, Any], k: String, d: String = "") = DqSettings.str(conf, k, d)
   private def I(conf: Map[String, Any], k: String, d: Int) = DqSettings.int(conf, k, d)
 
+  /** Reference constant for the workspace secret scope
+    * (user_config.py dbx_secret_scope) — consumed by scope-addressed
+    * backends like [[SecretsBackend.ScopedBackend]].
+    */
+  val SecretScope = "se.streaming.dbx.secret.scope"
+
   /** SMTP password resolution (reference: email.py `_get_smtp_password`
     * — plain conf value, else the secrets backend named by
-    * `se.streaming.secret.type`).
+    * `se.streaming.secret.type`). When a secret scope is configured,
+    * the lookup key is "scope/key" so scope-addressed backends
+    * (ScopedBackend) resolve; scope-less backends get the bare key.
     */
   private def smtpPassword(conf: Map[String, Any]): Option[String] = {
     val direct = S(conf, EmailSmtpPassword)
     if (direct.nonEmpty) Some(direct)
-    else conf.get(SecretType).map(_.toString)
-      .flatMap(t => scala.util.Try(SecretsBackend(t).get(EmailSmtpPassword)).toOption.flatten)
+    else conf.get(SecretType).map(_.toString).flatMap { t =>
+      val key = conf.get(SecretScope).map(_.toString) match {
+        case Some(scope) if scope.nonEmpty => s"$scope/$EmailSmtpPassword"
+        case _ => EmailSmtpPassword
+      }
+      scala.util.Try(SecretsBackend(t).get(key)).toOption.flatten
+    }
   }
 
   /** Builds the notification fan-out from reference-keyed conf. Returns
@@ -111,9 +124,14 @@ object UserConfig {
           templatedBasicBody = B(conf, EmailTemplatedBasicBody)),
         transports.email)
 
-    if (B(conf, EnableSlack))
-      plugins += new WebhookNotifier("slack", WebhookFormats.slack,
+    if (B(conf, EnableSlack)) {
+      val slack = new WebhookNotifier("slack", WebhookFormats.slack,
         p => transports.webhook(WebhookRequest(S(conf, SlackWebhookUrl), p)))
+      // the min.priority key is slack-SCOPED (reference:
+      // se_notifications_min_priority_slack): filter only this channel,
+      // never the other enabled transports
+      plugins += new PriorityFilteredPlugin(slack, S(conf, SlackMinPriority, "low"))
+    }
 
     if (B(conf, EnableTeams))
       plugins += new WebhookNotifier("teams", WebhookFormats.teams,
@@ -134,7 +152,6 @@ object UserConfig {
     val anyFlag = Seq(NotifyOnStart, NotifyOnCompletion, NotifyOnFail).exists(conf.contains)
     if (ps.isEmpty && !anyFlag) None
     else Some(new Notifier(ps,
-      minPriority = S(conf, SlackMinPriority, "low"),
       enableOnStart = B(conf, NotifyOnStart),
       enableOnCompletion = B(conf, NotifyOnCompletion),
       enableOnFailure = !conf.contains(NotifyOnFail) || B(conf, NotifyOnFail)))
@@ -174,7 +191,10 @@ object UserConfig {
     * `se.streaming.stats.kafka.*`).
     */
   def kafkaConfig(conf: Map[String, Any]): Option[KafkaConfig] =
-    if (B(conf, KafkaCustomConfigEnable) || conf.contains(KafkaTopic))
+    // an EXPLICIT enable=false wins over a lingering topic key — the
+    // reference gates all custom kafka settings behind the enable flag
+    if (conf.contains(KafkaCustomConfigEnable) && !B(conf, KafkaCustomConfigEnable)) None
+    else if (B(conf, KafkaCustomConfigEnable) || conf.contains(KafkaTopic))
       Some(KafkaConfig(
         bootstrapServers = S(conf, KafkaBootstrapServers),
         topic = S(conf, KafkaTopic)))

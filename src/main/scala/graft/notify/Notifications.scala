@@ -28,6 +28,19 @@ final class InMemoryNotifier extends NotificationPlugin {
   def clear(): Unit = synchronized { buf.clear() }
 }
 
+/** Per-channel priority gate: forwards only notifications at or above
+  * `minPriority` to the wrapped plugin (reference:
+  * se_notifications_min_priority_slack is slack-scoped — one noisy
+  * channel is quieted without silencing the rest of the fan-out).
+  */
+final class PriorityFilteredPlugin(inner: NotificationPlugin, minPriority: String)
+    extends NotificationPlugin {
+  private val rank = Map("low" -> 0, "medium" -> 1, "high" -> 2)
+  val name: String = inner.name
+  def send(n: Notification): Unit =
+    if (rank.getOrElse(n.priority, 1) >= rank.getOrElse(minPriority, 0)) inner.send(n)
+}
+
 /** Renders webhook JSON payloads in the shapes the reference posts
   * (slack.py: `{"text": ...}`; teams.py: message card). Transport is a
   * function so the zero-egress build never opens a socket.

@@ -82,10 +82,18 @@ object Dedup {
   /** Drop shingles whose document frequency exceeds `dfCap` from an
     * inverted index. A shingle with df=m produces m² hits in a
     * candidate self-join — one ubiquitous "stop shingle" at web scale
-    * is a quadratic hot-key blowup. Near-dup pairs above any useful tau
-    * share many LOW-df shingles, so capping the index costs recall only
-    * for pairs whose every shared shingle is ubiquitous (which cannot
-    * reach high jaccard against a corpus-wide shingle anyway).
+    * is a quadratic hot-key blowup.
+    *
+    * Recall contract: a pair is lost only when EVERY shared shingle has
+    * df > dfCap. For organically similar documents that never happens
+    * (they share many low-df shingles). The one real loss case is a
+    * cluster duplicated more than dfCap times with small mutations
+    * (mass-replicated boilerplate): all of its shingles exceed the cap
+    * together. Standard pipeline ordering handles this: run
+    * [[exactGroups]] first and near-dup the surviving uniques (the
+    * text_pipeline query shows the composition) — after exact
+    * collapse, df counts measure distinct near-variants, which a
+    * 512-default cap comfortably covers.
     * df is computed with a groupBy (map-side partial agg — skew-safe,
     * unlike a count-over-window which would funnel the hot key into one
     * task); the filter is a left-ANTI join against the shingles OVER
@@ -226,7 +234,14 @@ object Dedup {
       shingles: DataFrame, // (id, s: 64-bit shingle fingerprint)
       sizes: DataFrame, // (id, n)
       bands: DataFrame, // (id, band, bh)
-      k: Int, numHashes: Int, bandSize: Int)
+      k: Int, numHashes: Int, bandSize: Int) {
+    /** Releases the persisted shingle frame (no-op when built with
+      * persistIndex=false) — long-lived applications indexing batch
+      * after batch need this handle; `spark.catalog.clearCache()` would
+      * evict unrelated caches too.
+      */
+    def unpersist(): Unit = { shingles.unpersist(); () }
+  }
 
   private def bandRows(sigs: DataFrame, numBands: Int, bandSize: Int): DataFrame =
     sigs.select(col("id"),

@@ -111,6 +111,40 @@ class UserConfigSpec extends SparkSpec {
     mails should have size 1 // password is transport-side; construction succeeded
   }
 
+  test("smtp password composes with the scope-addressed backend via dbx.secret.scope") {
+    SecretsBackend.register(new SecretsBackend.ScopedBackend((scope, key) =>
+      if (scope == "dqscope" && key == UserConfig.EmailSmtpPassword) Some("scoped-pw")
+      else None))
+    val conf = Map[String, Any](
+      UserConfig.EnableEmail -> true,
+      UserConfig.EmailFrom -> "x@t", UserConfig.EmailTo -> "y@t",
+      UserConfig.SecretType -> "scoped",
+      UserConfig.SecretScope -> "dqscope")
+    var mails = Vector.empty[EmailMessage]
+    UserConfig.notifier(conf, "p", "t", Transports(email = mails :+= _))
+      .get.onFailure("p", "t", "boom")
+    mails should have size 1 // ScopedBackend resolved "dqscope/<key>"
+  }
+
+  test("slack min.priority quiets ONLY slack, not the other channels") {
+    var hooks = Vector.empty[WebhookRequest]
+    var mails = Vector.empty[EmailMessage]
+    val conf = Map[String, Any](
+      UserConfig.EnableEmail -> true,
+      UserConfig.EmailFrom -> "x@t", UserConfig.EmailTo -> "y@t",
+      UserConfig.EnableSlack -> true,
+      UserConfig.SlackWebhookUrl -> "https://hooks.example.test/slack",
+      UserConfig.SlackMinPriority -> "high",
+      UserConfig.NotifyOnStart -> true, UserConfig.NotifyOnCompletion -> true)
+    val n = UserConfig.notifier(conf, "p", "t",
+      Transports(webhook = hooks :+= _, email = mails :+= _)).get
+    n.onStart("p", "t") // medium priority — below slack's threshold
+    mails should have size 1 // email still fires
+    hooks shouldBe empty // slack filtered
+    n.onFailure("p", "t", "boom") // high priority — passes the gate
+    hooks.count(_.url.endsWith("/slack")) shouldBe 1
+  }
+
   test("rules params accept the k=v string form") {
     UserConfig.rulesParams(Map(UserConfig.DqRulesParams -> "env=prod, region=us")) shouldBe
       Map("env" -> "prod", "region" -> "us")
@@ -125,5 +159,9 @@ class UserConfigSpec extends SparkSpec {
     k.topic shouldBe "dq-stats"
     k.bootstrapServers shouldBe "broker:9092"
     UserConfig.kafkaConfig(Map.empty) shouldBe None
+    // an explicit enable=false wins over a lingering topic key
+    UserConfig.kafkaConfig(Map(
+      UserConfig.KafkaCustomConfigEnable -> false,
+      UserConfig.KafkaTopic -> "stale-topic")) shouldBe None
   }
 }

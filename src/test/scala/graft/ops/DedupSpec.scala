@@ -121,6 +121,7 @@ class DedupSpec extends SparkSpec {
     inc.exists(_._1 == 13L) shouldBe false
     // batch-internal pairs are out of scope by contract
     inc.forall(p => p._1 > 10 && p._2 <= 10) shouldBe true
+    idx.unpersist() // the long-lived-app release handle
   }
 
   test("bucketed bands table joins a batch without shuffling the corpus side") {
