@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's single stdout JSON line. sbt's default
+// LoggedOutput strategy prefixes forked stdout with "[info] " and appends
+// a "[success] Total time" line after it — both break a line-anchored
+// JSON parse (BENCH_r01/r02 recorded parsed:null). StdoutOutput passes
+// the child's stdout through verbatim; showSuccess drops the trailer.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

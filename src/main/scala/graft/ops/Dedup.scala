@@ -145,14 +145,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Tier 2: n-gram Jaccard near-dup pairs above `tau`.
-    *
-    * Candidates come from the df-capped inverted index (no arrays
-    * shuffled, no all-pairs, no hot-key quadratic join); verification is
-    * EXACT jaccard over the FULL shingle sets via [[exactIntersections]]
-    * — the cap bounds candidate volume but never distorts the scores of
-    * pairs that do surface.
-    */
   /** The shingle index feeds 4+ subtrees of the pair plan (df counts,
     * sizes, candidate self-join, exact verify); without materialization
     * Spark re-runs the scan+kernel+explode for each consumer — persist
@@ -176,12 +168,58 @@ object Dedup {
   def shingleFpRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     shingleRows(df, idCol, textCol, k).select(col("id"), xxhash64(col("s")).as("s"))
 
+  /** Tier 2: n-gram Jaccard near-dup pairs above `tau`.
+    *
+    * Candidate generation and intersection counting are FUSED: the
+    * df-capped index self-join emits one row per (pair, shared kept
+    * shingle), so `groupBy(pair).count()` IS the kept-shingle
+    * intersection — no distinct-pair materialization and no re-attach
+    * of full shingle sets. (Round 2 built the distinct candidate list
+    * and then verified via [[exactIntersections]]; at sf0.1 that is a
+    * 1.1M-pair list exploded to a 72M-row join — measured 9-11 s vs
+    * ~3 s for the fused form, and the gap grows with corpus size since
+    * join volume is Σ|shingles(A)| over candidates.)
+    *
+    * Scores stay EXACT under the cap: shingles with df > dfCap are
+    * excluded from the self-join (hot-key bound) but their contribution
+    * to surfaced pairs is restored by a supplement join — candidate
+    * pairs joined against the tiny over-cap slice of the index on both
+    * sides. |supplement| = Σ over-cap shingles per candidate doc, and
+    * the over-cap set is small by construction (few shingles are
+    * ubiquitous), so the quadratic hot key never materializes while
+    * ic = |A∩B| remains the full-set intersection. The cap only bounds
+    * RECALL (pairs sharing exclusively over-cap shingles never surface
+    * — see [[dfCapped]]'s contract), never a surfaced pair's score.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, tau: Double = 0.8, dfCap: Int = 512,
                         persistIndex: Boolean = true): DataFrame = {
     val ex    = persisted(shingleFpRows(df, idCol, textCol, k), persistIndex)
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = exactIntersections(ngramCandidates(ex, dfCap), ex)
+    val kept  = dfCapped(ex, dfCap)
+    val cKept = kept.as("a").join(kept.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c_kept"))
+    val inter =
+      if (dfCap <= 0) cKept.select(col("id_a"), col("id_b"), col("c_kept").as("ic"))
+      else {
+        // the over-cap slice: same rows dfCapped dropped (left_semi vs
+        // its left_anti); distinct over-cap shingles are few, so this
+        // frame is short and its joins below are broadcast-sized
+        val over = ex.join(
+          ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+            .filter(col("df_") > dfCap).select(col("s")),
+          Seq("s"), "left_semi")
+        val cOver = cKept.select(col("id_a"), col("id_b"))
+          .join(over.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+          .join(over.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("c_over"))
+        cKept.join(cOver, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"),
+            (col("c_kept") + coalesce(col("c_over"), lit(0L))).as("ic"))
+      }
     jaccardFromCounts(inter, sizes, tau)
   }
 

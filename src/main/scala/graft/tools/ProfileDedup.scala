@@ -37,8 +37,10 @@ object ProfileDedup {
     t("df agg over index")(
       ex.groupBy(col("s")).agg(count(lit(1)).as("df_")).filter(col("df_") > 512).count())
     t("sizes agg")(ex.groupBy(col("id")).agg(count(lit(1))).count())
-    val cands = Dedup.ngramCandidates(ex, 512)
-    t("candidates (cap + self-join + distinct)")(cands.count())
+    t("fused pair counts (cap + self-join + pair agg)")(
+      ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id"), col("b.id")).count().count())
     t("full ngramJaccardPairs")(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).count())
     t("full again (warm)")(
