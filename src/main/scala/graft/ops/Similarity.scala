@@ -187,6 +187,20 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Exact embedding-cosine pairs above `tau` — the brute-force baseline
+    * of the embedding-space dedup tier (all-pairs by definition; the
+    * corpus-scale path is the SRP-bucketed [[embeddingNearDupPairs]],
+    * which scores only same-bucket candidates). One codegen cosine per
+    * pair, pair order canonicalized id_a < id_b.
+    */
+  def exactCosinePairs(vecs: DataFrame, tau: Double): DataFrame =
+    vecs.select(col("id").as("id_a"), col("vec").as("va"))
+      .crossJoin(vecs.select(col("id").as("id_b"), col("vec").as("vb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+
   /** Embedding-cosine near-duplicate pairs above `tau` — the fifth dedup
     * tier (embedding-space). Brute force within multi-table SRP buckets;
     * at tau ≥ 0.95 (θ ≤ 18°) eight 6-bit tables miss a true pair with

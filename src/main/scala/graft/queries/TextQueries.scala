@@ -303,6 +303,62 @@ object TextQueries {
         octet_length(encode(text)) AS byte_len, sha256(text) AS sha
       FROM documents ORDER BY doc_id""")),
 
+    // exact embedding-cosine near-dup pairs: the brute-force baseline
+    // tier, fully oracle-checkable (bit-exact left-fold cosine). The
+    // scale path (SRP-bucketed embeddingNearDupPairs) is spec-verified
+    // for recall; this query pins the arithmetic both share.
+    QueryDef("emb_neardup", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+      Similarity.exactCosinePairs(e, tau = 0.45).orderBy("id_a", "id_b")
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ${dotSql("a.v", "b.v")} / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) AS cosine
+      FROM e a, e b
+      WHERE a.vec_id < b.vec_id
+        AND ${dotSql("a.v", "b.v")} / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) >= 0.45
+      ORDER BY id_a, id_b""")),
+
+    // resize plumbing end-to-end: the stub codec writes an 8-byte (w,h)
+    // big-endian header + the payload truncated/zero-padded to w*h, so
+    // output length, decoded header, and body prefix are all exact.
+    QueryDef("mm_resize", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val withBin = Multimodal.withBinaryPayload(docs, "text")
+      val rs = Multimodal.resizeImages(withBin, "doc_id", "payload", w = 16, h = 8)
+      rs.join(withBin.select(col("doc_id"), col("payload"), col("byte_len")), Seq("doc_id"))
+        .select(col("doc_id"),
+          length(col("resized")).cast("long").as("resized_len"),
+          conv(hex(substring(col("resized"), 1, 4)), 16, 10).cast("long").as("w"),
+          conv(hex(substring(col("resized"), 5, 4)), 16, 10).cast("long").as("h"),
+          (col("resized").substr(lit(9), least(lit(128), col("byte_len"))) ===
+            col("payload").substr(lit(1), least(lit(128), col("byte_len")))).as("body_ok"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, CAST(136 AS BIGINT) AS resized_len,
+        CAST(16 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h, true AS body_ok
+      FROM documents ORDER BY doc_id""")),
+
+    // frame-sample plumbing: payload split into 64-byte frames, every
+    // 2nd frame emitted (flatMap generator — rows out >> rows in). Count
+    // and first-frame digest are exact; docs shorter than one frame
+    // yield no rows. (Corpus is ASCII, so DuckDB's char-based substr
+    // equals the byte slice Spark hashes.)
+    QueryDef("mm_frames", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val withBin = Multimodal.withBinaryPayload(docs, "text")
+      val fr = Multimodal.sampleFrames(withBin, "doc_id", "payload", frameBytes = 64, stride = 2)
+      fr.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          max(when(col("frame_idx") === 0, md5(col("frame")))).as("first_frame_md5"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST((octet_length(encode(text)) // 64 + 1) // 2 AS BIGINT) AS n_frames,
+        md5(substr(text, 1, 64)) AS first_frame_md5
+      FROM documents WHERE octet_length(encode(text)) >= 64 ORDER BY doc_id""")),
+
     QueryDef("mm_features", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val withBin = Multimodal.withBinaryPayload(docs, "text")

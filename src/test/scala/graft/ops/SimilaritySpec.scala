@@ -103,4 +103,29 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs shouldBe Set((1L, 2L))
   }
+
+  test("SRP near-dup pairs are a subset of exact pairs with identical cosines") {
+    // exactCosinePairs is the all-pairs ground truth; the SRP-bucketed
+    // tier may MISS pairs (bucket non-collision) but must never emit a
+    // pair the exact tier doesn't, and scores must be bit-identical
+    // (both run the same VecCosine kernel)
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(16)(rnd.nextGaussian())
+    def jitter(eps: Double) = base.zipWithIndex.map { case (x, i) =>
+      x + eps * (if (i % 2 == 0) 1 else -1)
+    }
+    val corpus = vecDf(
+      Seq((1L, base), (2L, jitter(0.01)), (3L, jitter(0.02))) ++
+        (4L until 30L).map(i => (i, Seq.fill(16)(rnd.nextGaussian()))))
+    val exact = Similarity.exactCosinePairs(corpus, tau = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val srp = Similarity.embeddingNearDupPairs(corpus, tau = 0.9,
+        numTables = 8, planesPerTable = 6, dim = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    srp.keySet.subsetOf(exact.keySet) shouldBe true
+    srp.foreach { case (k, c) => c shouldBe exact(k) }
+    // the planted cluster is near-identical (cos > 0.999) — every SRP
+    // table buckets them together, so recovery is certain, not chancy
+    srp.keySet should contain allOf ((1L, 2L), (1L, 3L), (2L, 3L))
+  }
 }
