@@ -37,45 +37,27 @@ object DetailedAggEvaluator {
       case _                      => None
     }
 
-  private def toD(a: Any): Option[Double] = a match {
-    case null                 => None
-    case n: java.lang.Number  => Some(n.doubleValue())
-    case d: java.math.BigDecimal => Some(d.doubleValue())
-    case s: String            => scala.util.Try(s.trim.toDouble).toOption
-    case other                => scala.util.Try(other.toString.toDouble).toOption
-  }
-
-  private def compare(actual: Any, cmp: String, bounds: Seq[Double]): Boolean =
-    toD(actual) match {
-      case None => false
-      case Some(a) => cmp match {
-        case "between" => a >= bounds(0) && a <= bounds(1)
-        case ">"  => a > bounds(0)
-        case ">=" => a >= bounds(0)
-        case "<"  => a < bounds(0)
-        case "<=" => a <= bounds(0)
-        case "=" | "==" => a == bounds(0)
-        case "!=" | "<>" => a != bounds(0)
-        case _ => false
-      }
-    }
-
-  /** One `df.agg(...)` per distinct rule (the aggregate expressions can be
-    * batched into a single job when several rules share a stage).
+  /** One batched aggregation job for ALL rules: for each rule, two
+    * columns — the aggregate's actual value (stringified for the detail
+    * row) and the FULL expectation evaluated as a Spark boolean
+    * expression. Comparing in Spark rather than coercing driver-side
+    * keeps non-numeric aggregates exact: `min(str) < 'B'`,
+    * `max(dt) >= current_date()` (the reference's
+    * test_agg_rule_for_non_int_column matrix) compare as their native
+    * types; a driver-side toDouble would mark every such rule "fail".
     */
   def run(df: DataFrame, rules: Seq[Rule]): Seq[Detail] = {
     val parsed = rules.map(r => r -> parse(r.expectation))
     val evaluable = parsed.collect { case (r, Some(p)) => (r, p) }
     if (evaluable.isEmpty) return Seq.empty
-    // batch every rule's aggregate into ONE global aggregation job
-    val aggCols = evaluable.zipWithIndex.map { case ((_, (agg, _, _)), i) =>
-      expr(agg).cast("string").alias(s"a_$i")
+    val cols = evaluable.zipWithIndex.flatMap { case ((r, (agg, _, _)), i) =>
+      Seq(expr(agg).cast("string").alias(s"a_$i"),
+        expr(r.expectation).alias(s"ok_$i"))
     }
-    val row = df.select(aggCols: _*).head()
+    val row = df.select(cols: _*).head()
     evaluable.zipWithIndex.map { case ((r, (_, cmp, boundStrs)), i) =>
-      val actual = row.get(i)
-      val bounds = boundStrs.map(b => scala.util.Try(b.trim.toDouble).getOrElse(Double.NaN))
-      val ok     = compare(actual, cmp, bounds)
+      val actual = row.get(2 * i)
+      val ok     = !row.isNullAt(2 * i + 1) && row.getBoolean(2 * i + 1)
       Detail(r, actual, s"$cmp ${boundStrs.mkString(" and ")}",
         if (ok) "pass" else "fail")
     }

@@ -89,7 +89,13 @@ final case class DqResult(
       * field (not a post-construction var) so `copy()`/serialization
       * can't silently reset it to a no-op and leak the persisted frame.
       */
-    cleanup: () => Unit = () => ()) {
+    cleanup: () => Unit = () => (),
+    /** non-blocking validation findings from the run's pre-flight rule
+      * check (reference: _check_invalid_rules logs-and-continues,
+      * core/expectations.py:416-441 + the
+      * invalid_rules_do_not_raise_exception test).
+      */
+    validationWarnings: Seq[graft.rules.RuleValidator.Violation] = Seq.empty) {
   /** The `<stats>_detailed` table: source/target sides full-outer joined
     * on the reference's 6 keys (sinks/utils/writer.py:504-622).
     */
@@ -175,6 +181,18 @@ final class SparkExpectations(
       val t0 = System.nanoTime()
       try body finally { timings += stage -> (System.nanoTime() - t0) / 1e9 }
     }
+
+    // pre-flight rule validation is NON-BLOCKING, like the reference's
+    // _check_invalid_rules (core/expectations.py:416-441): violations
+    // are logged and surfaced on the result; the run continues, and a
+    // genuinely unevaluable expression still fails at its own stage.
+    val validationWarnings =
+      scala.util.Try(graft.rules.RuleValidator.validate(spark, rules))
+        .getOrElse(Seq.empty)
+    if (validationWarnings.nonEmpty)
+      System.err.println(s"[graft] ${validationWarnings.size} rule(s) failed " +
+        "validation (non-blocking): " +
+        validationWarnings.map(v => s"${v.rule.rule}: ${v.problem}").mkString("; "))
 
     config.notifier.foreach(_.onStart(productId, targetTable))
     // input count comes from the row-stage's single aggregate when row
@@ -388,7 +406,7 @@ final class SparkExpectations(
 
     DqResult(finalDf, errorDf, stats, sourceAgg, sourceQuery,
       targetAgg, targetQuery, rowSummaries, statuses, sourceDetails,
-      targetDetails, queryOutputs, pipelineCleanup)
+      targetDetails, queryOutputs, pipelineCleanup, validationWarnings)
   }
 }
 

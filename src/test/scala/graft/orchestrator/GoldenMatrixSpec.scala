@@ -262,6 +262,52 @@ class GoldenMatrixSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("agg rules compare in their native types (reference non-int-column matrix)") {
+    // reference test_agg_rule_for_non_int_column: min/max over DATE and
+    // STRING columns with <, >=, > comparators must evaluate as their
+    // native types in BOTH the pass/fail result and the detailed stats
+    // (a driver-side numeric coercion would mark every one "fail")
+    import org.apache.spark.sql.functions.{col, to_date}
+    val d = Seq(("A", "2030-01-01"), ("D", "2022-01-01")).toDF("str", "dts")
+      .select(col("str"), to_date(col("dts")).as("dt"))
+    val res = new SparkExpectations(P, T, Seq(
+      agg("r1_min_dt", "min(dt) < current_date()", "fail"),
+      agg("r2_max_dt", "max(dt) >= current_date()", "fail"),
+      agg("r3_min_str", "min(str) < 'B'", "fail"),
+      agg("r4_max_str", "max(str) > 'B'", "fail"),
+      agg("r5_max_str_fails", "max(str) > 'Z'", "ignore")),
+      DqConfig(enableDetailedStats = true)).run(d)
+    ruleStatus(res.sourceAggResults) shouldBe Map(
+      "r1_min_dt" -> "pass", "r2_max_dt" -> "pass",
+      "r3_min_str" -> "pass", "r4_max_str" -> "pass",
+      "r5_max_str_fails" -> "fail")
+    val detailed = res.sourceDetailedStats.map(s => s.rule -> s.status).toMap
+    detailed shouldBe Map(
+      "r1_min_dt" -> "pass", "r2_max_dt" -> "pass",
+      "r3_min_str" -> "pass", "r4_max_str" -> "pass",
+      "r5_max_str_fails" -> "fail")
+    // actual values surface as the native rendering, not a coerced double
+    res.sourceDetailedStats.find(_.rule == "r3_min_str").get.actualValue shouldBe "A"
+    res.sourceDetailedStats.find(_.rule == "r1_min_dt").get.actualValue shouldBe "2022-01-01"
+    res.unpersist()
+  }
+
+  test("invalid rules are logged, surfaced, and do not abort the run") {
+    // reference test_with_expectations_invalid_rules_do_not_raise_exception
+    // + _check_invalid_rules (core/expectations.py:416-441): validation is
+    // non-blocking — warnings surface, valid rules still enforce
+    val res = new SparkExpectations(P, T, Seq(
+      row("col1_gt1", "col1 > 1", "drop"),
+      row("bad_action", "col1 > 0", "warn"),            // invalid action
+      agg("bad_agg_no_aggregate", "col1 > 0", "ignore")), // no aggregate fn
+      DqConfig()).run(input)
+    res.finalDf.select("col1").collect().map(_.getInt(0)).toSet shouldBe Set(2, 3)
+    res.validationWarnings.map(_.rule.rule).toSet shouldBe
+      Set("bad_action", "bad_agg_no_aggregate")
+    res.statuses("run_status") shouldBe "Passed"
+    res.unpersist()
+  }
+
   cases.foreach { g =>
     test(g.name) {
       val cfg = DqConfig(params = Map("src_view" -> s"${T}_source"))
