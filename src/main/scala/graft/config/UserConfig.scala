@@ -183,7 +183,9 @@ object UserConfig {
       enableDetailedStats = errorGated.enableDetailedStats ||
         B(conf, EnableAggDqDetailedResult) || B(conf, EnableQueryDqDetailedResult),
       enableQueryDqDetailedResult = errorGated.enableQueryDqDetailedResult ||
-        B(conf, EnableQueryDqDetailedResult))
+        B(conf, EnableQueryDqDetailedResult),
+      jobMetadata = conf.get(JobMetadata).map(_.toString)
+        .orElse(errorGated.jobMetadata))
   }
 
   /** Kafka stats-streaming settings, when the custom config is enabled

@@ -75,7 +75,11 @@ final case class DqStats(
     targetAggDqResults: Seq[Map[String, String]],
     targetQueryDqResults: Seq[Map[String, String]],
     runId: String,
-    runDate: java.sql.Timestamp
+    runDate: java.sql.Timestamp,
+    /** free-form job metadata (reference: se_job_metadata on the stats
+      * write, sinks/utils/writer.py:951).
+      */
+    jobMetadata: Option[String] = None
 )
 
 /** One row per rule per run for the `<stats>_detailed` table

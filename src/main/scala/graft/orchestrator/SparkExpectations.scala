@@ -45,7 +45,12 @@ final case class DqConfig(
       * `{table-last-segment}_view` (core/expectations.py:941). The
       * engine's own `{base}_target` view is always registered too.
       */
-    targetTableView: Option[String] = None)
+    targetTableView: Option[String] = None,
+    /** free-form job metadata stamped on the stats row and detailed
+      * stats (reference: se_job_metadata / dq_job_metadata_info columns,
+      * sinks/utils/writer.py:619,951).
+      */
+    jobMetadata: Option[String] = None)
 
 /** One captured sub-query result for the query-output table
   * (reference 9-column schema, docs/user_guide/data_quality_metrics
@@ -100,7 +105,8 @@ final case class DqResult(
     * on the reference's 6 keys (sinks/utils/writer.py:504-622).
     */
   def detailedStatsDf(spark: SparkSession): DataFrame =
-    graft.sink.StatsBuilder.detailedStats(spark, sourceDetailedStats, targetDetailedStats)
+    graft.sink.StatsBuilder.detailedStats(spark, sourceDetailedStats,
+      targetDetailedStats, stats.jobMetadata)
 
   /** Release the pipeline's persisted intermediate once finalDf/errorDf
     * have been consumed (writes done, counts taken). Safe anytime —
@@ -374,7 +380,7 @@ final class SparkExpectations(
         // stats must still be assembled on failure
         val stats = StatsBuilder.build(ctx, inputCount, errorCount, outputCount,
           grouped, sourceAgg, sourceQuery, rowSummaries, targetAgg, targetQuery,
-          statuses, timings)
+          statuses, timings, config.jobMetadata)
         config.notifier.foreach(_.onFailure(productId, targetTable, e.getMessage))
         throw new DqRunAbortedException(e, stats)
       // the reference's send_notification_decorator notifies on ANY
@@ -387,7 +393,7 @@ final class SparkExpectations(
 
     val stats = StatsBuilder.build(ctx, inputCount, errorCount, outputCount,
       grouped, sourceAgg, sourceQuery, rowSummaries, targetAgg, targetQuery,
-      statuses, timings)
+      statuses, timings, config.jobMetadata)
     config.notifier.foreach(_.onCompletion(stats))
 
     if (config.enableDetailedStats) {

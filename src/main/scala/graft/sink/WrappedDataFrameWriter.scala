@@ -38,13 +38,21 @@ final class WrappedDataFrameWriter private (
   }
   def sortBy(columns: String*): WrappedDataFrameWriter = { _sortBy ++= columns; this }
 
-  def build(): WriterConfig = WriterConfig(
-    format = _format,
-    mode = _mode,
-    options = _options,
-    partitionBy = _partitionBy,
-    bucketBy = _bucketBy,
-    sortBy = _sortBy)
+  def build(): WriterConfig = {
+    // reference parity (test_delta_bucketby_exception): delta rejects
+    // bucketed writes, and the builder fails fast at build() rather
+    // than letting the sink throw mid-run
+    if (_format.equalsIgnoreCase("delta") && _bucketBy.nonEmpty)
+      throw new IllegalArgumentException(
+        "Bucketing is not supported for delta tables yet")
+    WriterConfig(
+      format = _format,
+      mode = _mode,
+      options = _options,
+      partitionBy = _partitionBy,
+      bucketBy = _bucketBy,
+      sortBy = _sortBy)
+  }
 }
 
 object WrappedDataFrameWriter {

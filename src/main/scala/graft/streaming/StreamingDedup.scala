@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming near-dup detection: continuous ingestion deduped against a
+  * persisted corpus index, the production shape for training-data
+  * pipelines — documents arrive as a stream, and each micro-batch is
+  * checked against the corpus WITHOUT re-reading or re-shingling it.
+  *
+  * Built on `foreachBatch` + [[Dedup.minhashLshIncremental]]: the
+  * corpus-side index tables ([[Dedup.MinhashIndex]]) stay fixed (at
+  * 100 TB: parquet/bucketed by their join keys `s` and `(band, bh)`, so
+  * only the micro-batch side shuffles), while each batch is shingled,
+  * banded, and verified with exact Jaccard inside one micro-batch
+  * transaction. Batch-internal duplicates are intentionally not emitted
+  * (run [[Dedup.minhashLshPairs]] on the batch in `onBatch` if needed);
+  * checkpointing gives exactly-once batch ids for downstream sinks.
+  */
+object StreamingDedup {
+
+  /** Start the stream: for every micro-batch, `onBatch` receives the
+    * (id_new, id_corpus, jaccard) matches of that batch against the
+    * index plus the batch id — write them to a table, drop matched ids,
+    * or alert. The caller owns the sink decision, like the reference's
+    * foreachBatch-style stats streaming.
+    */
+  def start(stream: DataFrame, idCol: String, textCol: String,
+            index: Dedup.MinhashIndex, tau: Double = 0.8,
+            checkpoint: Option[String] = None,
+            queryName: String = "graft_streaming_dedup")
+           (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    var w = stream.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // per-batch frames are micro-batch-sized: skip index persistence
+        // (the corpus-side tables are already materialized in `index`)
+        onBatch(
+          Dedup.minhashLshIncremental(batch, idCol, textCol, index, tau,
+            persistIndex = false),
+          batchId)
+      }
+    checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
+    w.start()
+  }
+}

@@ -28,6 +28,50 @@ final case class StreamingConfig(
     checkpointSuffix: String = "_checkpoint",
     options: Map[String, String] = Map.empty)
 
+/** Fluent, DataFrame-less streaming-writer builder matching the
+  * reference's `WrappedDataFrameStreamWriter`
+  * (core/expectations.py:1136-1215) so streaming writer setup ports
+  * verbatim; `build()` returns this engine's [[StreamingConfig]].
+  * `partitionBy` calls append (reference chains accumulate), and the
+  * trigger accepts the reference's `processingTime=`/`once`/
+  * `availableNow`/`continuous=` spellings via
+  * [[StreamingWriter.parseTrigger]] at start time.
+  */
+final class WrappedDataFrameStreamWriter private (
+    private var _outputMode: String = "append",
+    private var _format: String = "parquet",
+    private var _queryName: Option[String] = None,
+    private var _trigger: Option[String] = None,
+    private var _partitionBy: Vector[String] = Vector.empty,
+    private var _options: Map[String, String] = Map.empty) {
+
+  def outputMode(mode: String): WrappedDataFrameStreamWriter = { _outputMode = mode; this }
+  def format(source: String): WrappedDataFrameStreamWriter = { _format = source; this }
+  def queryName(name: String): WrappedDataFrameStreamWriter = { _queryName = Some(name); this }
+  def trigger(spec: String): WrappedDataFrameStreamWriter = { _trigger = Some(spec); this }
+  def partitionBy(columns: String*): WrappedDataFrameStreamWriter = {
+    _partitionBy ++= columns; this
+  }
+  def option(key: String, value: String): WrappedDataFrameStreamWriter = {
+    _options += key -> value; this
+  }
+  def options(opts: (String, String)*): WrappedDataFrameStreamWriter = {
+    _options ++= opts; this
+  }
+
+  def build(): StreamingConfig = StreamingConfig(
+    format = _format,
+    outputMode = _outputMode,
+    queryName = _queryName,
+    partitionBy = _partitionBy,
+    trigger = _trigger,
+    options = _options)
+}
+
+object WrappedDataFrameStreamWriter {
+  def apply(): WrappedDataFrameStreamWriter = new WrappedDataFrameStreamWriter()
+}
+
 object StreamingWriter {
 
   def parseTrigger(spec: String): Trigger = {

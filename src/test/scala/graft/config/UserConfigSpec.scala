@@ -96,6 +96,15 @@ class UserConfigSpec extends SparkSpec {
     on.writeErrorTablePath shouldBe Some("/tmp/err")
   }
 
+  test("job metadata key flows from user_config into DqConfig") {
+    val meta = """{"team":"dq"}"""
+    UserConfig.dqConfig(Map(UserConfig.JobMetadata -> meta), "p", "t")
+      .jobMetadata shouldBe Some(meta)
+    // absent key keeps the base's value
+    val base = DqConfig(jobMetadata = Some("kept"))
+    UserConfig.dqConfig(Map.empty, "p", "t", base).jobMetadata shouldBe Some("kept")
+  }
+
   test("smtp password resolves through the secrets backend named by secret.type") {
     SecretsBackend.register(new SecretsBackend.MapBackend(
       Map(UserConfig.EmailSmtpPassword -> "fromvault")))

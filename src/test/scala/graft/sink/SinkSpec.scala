@@ -135,17 +135,26 @@ class SinkSpec extends SparkSpec {
   }
 
   test("WrappedDataFrameWriter builds a WriterConfig with the reference's chain") {
-    val cfg = WrappedDataFrameWriter().mode("overwrite").format("delta")
+    val cfg = WrappedDataFrameWriter().mode("overwrite").format("parquet")
       .partitionBy("date", "region").option("compression", "gzip")
       .options("path" -> "/tmp/out", "inferSchema" -> "true")
       .bucketBy(4, "country", "city").sortBy("city")
       .build()
     cfg.mode shouldBe "overwrite"
-    cfg.format shouldBe "delta"
+    cfg.format shouldBe "parquet"
     cfg.partitionBy shouldBe Seq("date", "region")
     cfg.options shouldBe Map("compression" -> "gzip", "path" -> "/tmp/out", "inferSchema" -> "true")
     cfg.bucketBy shouldBe Some((4, Seq("country", "city")))
     cfg.sortBy shouldBe Seq("city")
+  }
+
+  test("WrappedDataFrameWriter rejects bucketBy with delta at build()") {
+    // reference test_delta_bucketby_exception: fail fast in the builder
+    val ex = intercept[IllegalArgumentException] {
+      WrappedDataFrameWriter().mode("append").format("delta")
+        .bucketBy(10, "a", "b").build()
+    }
+    ex.getMessage should include ("Bucketing is not supported for delta tables")
   }
 
   test("scoped secrets backend resolves scope/key via the injected lookup") {
@@ -174,5 +183,62 @@ class SinkSpec extends SparkSpec {
     r1.getAs[String]("targetStatus") shouldBe "pass"
     val r2 = out.filter($"rule" === "r2").head()
     r2.getAs[String]("targetStatus") shouldBe null
+  }
+
+  test("toReferenceDataFrame emits the reference stats-table schema") {
+    import graft.model.{RuleType, RunContext, Rule}
+    val ctx = RunContext.create("p1", "db.tbl")
+    val rules: Map[RuleType, Seq[Rule]] = Map(
+      RuleType.RowDq -> Seq(
+        Rule("p1", "db.tbl", "row_dq", "r1", "c", "c > 0", "drop"),
+        Rule("p1", "db.tbl", "row_dq", "r2", "c", "c < 9", "ignore")),
+      RuleType.AggDq -> Seq(
+        Rule("p1", "db.tbl", "agg_dq", "a1", "c", "sum(c) > 0", "ignore")))
+    val stats = StatsBuilder.build(ctx, 100, 10, 90, rules,
+      Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
+      Map("run_status" -> "Passed"), Map("row_dq" -> 1.5),
+      jobMetadata = Some("""{"team":"dq"}"""))
+    val df = StatsBuilder.toReferenceDataFrame(spark, stats, dqEnv = "dev")
+    df.columns.toSeq shouldBe Seq(
+      "product_id", "table_name", "input_count", "error_count", "output_count",
+      "output_percentage", "success_percentage", "error_percentage",
+      "source_agg_dq_results", "final_agg_dq_results",
+      "source_query_dq_results", "final_query_dq_results",
+      "row_dq_res_summary", "row_dq_error_threshold",
+      "dq_status", "dq_run_time", "dq_rules",
+      "meta_dq_run_id", "meta_dq_run_date", "meta_dq_run_datetime",
+      "dq_env", "se_job_metadata")
+    val r = df.head()
+    r.getAs[String]("product_id") shouldBe "p1"
+    r.getAs[Long]("input_count") shouldBe 100L
+    r.getAs[Float]("output_percentage") shouldBe 90.0f
+    r.getAs[Map[String, Map[String, Int]]]("dq_rules")("rules") shouldBe
+      Map("num_row_dq_rules" -> 2, "num_dq_rules" -> 3)
+    r.getAs[String]("dq_env") shouldBe "dev"
+    r.getAs[String]("se_job_metadata") shouldBe """{"team":"dq"}"""
+    r.getAs[String]("meta_dq_run_id") shouldBe stats.runId
+  }
+
+  test("job metadata stamps the stats row and every detailed row") {
+    // reference: se_job_metadata on the stats write (writer.py:951) and
+    // dq_job_metadata_info on detailed rows (writer.py:619)
+    import graft.model.{DetailedStat, RuleType, RunContext}
+    val ctx = RunContext.create("p", "t")
+    val meta = """{"team":"dq","pipeline":"nightly"}"""
+    val stats = StatsBuilder.build(ctx, 10, 1, 9,
+      Map.empty[RuleType, Seq[graft.model.Rule]].withDefaultValue(Seq.empty),
+      Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
+      Map.empty, Map.empty, jobMetadata = Some(meta))
+    stats.jobMetadata shouldBe Some(meta)
+    val statsRow = StatsBuilder.toDataFrame(spark, stats).head()
+    statsRow.getAs[String]("jobMetadata") shouldBe meta
+
+    val ds = DetailedStat(ctx.runId, "p", "t", "agg_dq", "r1", "c", "e",
+      "tag", "d", "pass", "5", ">0", "", "", 0L)
+    val det = StatsBuilder.detailedStats(spark, Seq(ds), Seq.empty, Some(meta))
+    det.head().getAs[String]("jobMetadataInfo") shouldBe meta
+    // absent metadata -> null column, not a missing column
+    StatsBuilder.detailedStats(spark, Seq(ds), Seq.empty)
+      .head().getAs[String]("jobMetadataInfo") shouldBe null
   }
 }

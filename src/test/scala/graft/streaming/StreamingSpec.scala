@@ -105,4 +105,69 @@ class StreamingSpec extends SparkSpec {
     val out = spark.read.parquet(s"$dir/out")
     out.select("id").collect().map(_.getInt(0)).sorted shouldBe Array(1, 3)
   }
+
+  test("streaming dedup against a persisted index equals the batch incremental run") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (4L, "completely different content about spark engines and data quality checks"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog and runs far away tonight"))
+    val b2 = Seq(
+      (12L, "completely different content about spark engines and data quality checks"),
+      (13L, "nothing in common with anything else in this tiny corpus at all"))
+
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text", k = 3, persistIndex = false)
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.start(stream, "doc_id", "text", idx, tau = 0.5) {
+      (matches, _) =>
+        collected ++= matches.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // ground truth: the batch-mode incremental run over all arrived docs
+    val expected = Dedup.minhashLshIncremental(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", idx, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    collected.toSet shouldBe expected
+    collected.map(p => (p._1, p._2)) should contain allOf ((11L, 1L), (12L, 4L))
+  }
+
+  test("WrappedDataFrameStreamWriter builds a StreamingConfig with the reference's chain") {
+    // reference test_stream_writer_* matrix: every chained setter lands
+    // in the built config, and partitionBy calls ACCUMULATE
+    val cfg = WrappedDataFrameStreamWriter()
+      .outputMode("append")
+      .format("parquet")
+      .queryName("test_query")
+      .trigger("processingTime=10 seconds")
+      .option("checkpointLocation", "/path/to/checkpoint")
+      .options("maxFilesPerTrigger" -> "100")
+      .partitionBy("date")
+      .partitionBy("region", "country")
+      .build()
+    cfg.outputMode shouldBe "append"
+    cfg.format shouldBe "parquet"
+    cfg.queryName shouldBe Some("test_query")
+    cfg.trigger shouldBe Some("processingTime=10 seconds")
+    cfg.partitionBy shouldBe Seq("date", "region", "country")
+    cfg.options shouldBe Map(
+      "checkpointLocation" -> "/path/to/checkpoint",
+      "maxFilesPerTrigger" -> "100")
+    // defaults-only build mirrors test_stream_writer_build_some_values
+    val minimal = WrappedDataFrameStreamWriter().outputMode("complete").build()
+    minimal.outputMode shouldBe "complete"
+    minimal.queryName shouldBe None
+    minimal.trigger shouldBe None
+    minimal.partitionBy shouldBe empty
+  }
 }
