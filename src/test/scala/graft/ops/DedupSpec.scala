@@ -124,6 +124,34 @@ class DedupSpec extends SparkSpec {
     idx.unpersist() // the long-lived-app release handle
   }
 
+  test("save/load round-trips the index through bucketed tables with identical results") {
+    // the production lifecycle: index once -> persist bucketed ->
+    // reload in a later job/stream -> dedup incoming batches against
+    // it, with results identical to the in-memory index
+    val corpus = docs
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+      (13L, "nothing in common with anything else in this tiny corpus at all"))
+      .toDF("doc_id", "text")
+    val names = Seq("_shingles", "_bands", "_sizes", "_meta").map("dedup_idx" + _)
+    try {
+      val idx = Dedup.minhashIndex(corpus, "doc_id", "text", k = 3, persistIndex = false)
+      Dedup.saveMinhashIndex(idx, "dedup_idx", buckets = 4)
+      val loaded = Dedup.loadMinhashIndex(spark, "dedup_idx")
+      loaded.k shouldBe 3
+      loaded.numHashes shouldBe idx.numHashes
+      loaded.bandSize shouldBe idx.bandSize
+
+      def pairs(i: Dedup.MinhashIndex) =
+        Dedup.minhashLshIncremental(batch, "doc_id", "text", i, tau = 0.5,
+            persistIndex = false)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fromLoaded = pairs(loaded)
+      fromLoaded shouldBe pairs(idx)
+      fromLoaded.map(p => (p._1, p._2)) should contain ((11L, 1L))
+    } finally names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bucketed bands table joins a batch without shuffling the corpus side") {
     // the 100 TB claim made checkable: store the index's bands table
     // bucketed by its join keys, and the band-bucket join shuffles ONLY
