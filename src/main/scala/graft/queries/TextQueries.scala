@@ -49,8 +49,12 @@ object TextQueries {
       (ann: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
         org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // the vector frame feeds brute force + the ANN op (and, for IVF,
+    // every Lloyd training pass) — persist the one small projection
+    // instead of re-scanning parquet per consumer
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = e.filter(col("id") < 20)
     val exact = Similarity.bruteForceTopK(q, e, k = 5).select("query_id", "neighbor_id")
     val approx = ann(q, e).select("query_id", "neighbor_id")
@@ -62,6 +66,7 @@ object TextQueries {
       .agg(count(lit(1)).as("total"), count(col("hit")).as("hits"),
         countDistinct(col("query_id")).as("nq"))
       .head()
+    e.unpersist()
     val (total, hits, nq) = (c.getLong(0), c.getLong(1), c.getLong(2))
     Seq((nq, 5L, hits >= 0.4 * total))
       .toDF("n_queries", "k", "recall_ok")
