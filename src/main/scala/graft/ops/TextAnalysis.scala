@@ -94,6 +94,22 @@ object TextAnalysis {
       .otherwise(lit("fr"))
   }
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punctuation
+    * split, lookaround-free so Java regex and RE2 engines agree): a
+    * letter run, a digit run, or a run of anything else non-space. The
+    * public pattern constant lets oracles re-express it verbatim.
+    */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+  /** Token count under [[BpeTokenPattern]] — one codegen `regexp_count`
+    * per row, no array materialization. Differs from [[tokenCount]]
+    * exactly where BPE-style tokenizers differ from whitespace splits:
+    * "abc123 def!" is 2 whitespace tokens but 4 BPE-ish tokens
+    * (abc / 123 / def / !).
+    */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern))
+
   /** Normalization fingerprint: md5 over the text with whitespace
     * stripped — the classic key-collision dedup fingerprint.
     */

@@ -88,6 +88,19 @@ object TextQueries {
       SELECT doc_id, len($sqlTokens) AS n_tokens, length(text) AS text_len
       FROM documents ORDER BY doc_id""")),
 
+    // cross-engine regex parity: Spark's regexp_count and DuckDB's
+    // regexp_extract_all tokenize every document with the SAME
+    // BPE-ish pattern (letter runs / digit runs / symbol runs)
+    QueryDef("text_tokens_bpe", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TA.tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id,
+        len(regexp_extract_all(text, '${TA.BpeTokenPattern}')) AS n_bpe_tokens
+      FROM documents ORDER BY doc_id""")),
+
     QueryDef("text_quality", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       docs.select(col("doc_id"),

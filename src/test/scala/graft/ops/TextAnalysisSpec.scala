@@ -74,6 +74,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tokenCountBpe splits letter/digit/symbol runs where whitespace can't") {
+    val out = Seq(
+      (1L, "abc123 def!"),      // abc|123|def|! = 4 (2 whitespace tokens)
+      (2L, "plain words only"), // = whitespace count on pure letters
+      (3L, "v2.0-rc1"),         // v|2|.|0|-|rc|1 = 7
+      (4L, "!!!"))              // one symbol run
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokenCountBpe($"text").as("n"),
+        TextAnalysis.tokenCount($"text").as("ws"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    out(1L) shouldBe ((4, 2))
+    out(2L) shouldBe ((3, 3))
+    out(3L) shouldBe ((7, 1))
+    out(4L) shouldBe ((1, 1))
+  }
+
   test("fingerprint is whitespace/punctuation-invariant") {
     val out = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "different"))
       .toDF("doc_id", "text")
