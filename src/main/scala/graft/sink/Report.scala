@@ -43,9 +43,29 @@ object Report {
         date_format(lit(ctx.runDate), "yyyy-MM-dd HH:mm:ss").as("dq_time"))
   }
 
+  /** The reference's `<compare>_<suffix>` alias pairing
+    * (writer.py:455-500): within one rule's captured sub-query outputs,
+    * an alias `source_X` pairs with `target_X` (self left-outer join on
+    * the suffix; a source alias without a target partner keeps a null
+    * target side, non-`source_`-prefixed aliases don't emit rows).
+    * Pairing happens per capture side (dqType), like the reference's
+    * separate source/target frames.
+    */
+  def pairQueryOutputs(outputs: Seq[graft.orchestrator.QueryOutput])
+      : Seq[(String, String, String, String)] =
+    outputs.groupBy(o => (o.rule, o.columnName, o.dqType)).toSeq
+      .sortBy(_._1).flatMap { case ((rule, column, _), group) =>
+        val byAlias = group.map(o => o.alias -> o.output).toMap
+        group.filter(_.alias.startsWith("source_")).map { src =>
+          val suffix = src.alias.stripPrefix("source_")
+          (rule, column, src.output, byAlias.get(s"target_$suffix").orNull)
+        }
+      }
+
   /** Rows from query-DQ custom outputs: source vs target sub-query counts
     * (the reference pairs `<compare>_<alias>` rows via a self left-outer
-    * join, writer.py:420-502; here the pairing arrives structurally).
+    * join, writer.py:420-502; [[pairQueryOutputs]] performs that pairing
+    * over captured [[graft.orchestrator.QueryOutput]]s).
     */
   def fromQueryOutputs(spark: SparkSession, ctx: RunContext,
                        rows: Seq[(String, String, String, String)] /* (rule, column, srcOut, tgtOut) */)

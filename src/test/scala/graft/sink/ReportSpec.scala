@@ -57,4 +57,26 @@ class ReportSpec extends SparkSpec {
     rep.count() shouldBe 0
     rep.columns should contain allOf ("run_id", "success_percentage", "dq_time")
   }
+
+  test("pairQueryOutputs joins source_/target_ aliases like the reference self-join") {
+    import graft.orchestrator.QueryOutput
+    def qo(rule: String, alias: String, out: String, side: String = "source_dq") =
+      QueryOutput(ctx.runId, "p", "t", rule, "c", alias, side, out, ctx.runDate)
+    val paired = Report.pairQueryOutputs(Seq(
+      qo("r1", "source_count", "10"),
+      qo("r1", "target_count", "9"),
+      qo("r1", "source_sum", "55"),        // no target partner -> null
+      qo("r1", "expected", "3"),           // unprefixed alias -> no row
+      qo("r2", "source_count", "7"),
+      qo("r2", "target_count", "7")))
+    paired should contain theSameElementsAs Seq(
+      ("r1", "c", "10", "9"),
+      ("r1", "c", "55", null),
+      ("r2", "c", "7", "7"))
+    // rows from different capture sides never cross-pair
+    val sides = Report.pairQueryOutputs(Seq(
+      qo("r3", "source_count", "1", side = "source_dq"),
+      qo("r3", "target_count", "2", side = "target_dq")))
+    sides shouldBe Seq(("r3", "c", "1", null))
+  }
 }
