@@ -168,7 +168,26 @@ class GoldenMatrixSpec extends SparkSpec {
     // conftest case 26 shape: parameterized query rule
     Golden("parameterized query rule substitutes {env} table",
       Seq(qry("param_count", "(select count(*) from {src_view}) = 3", "fail")),
-      Some(Set(1, 2, 3)), 3, 0, 0, statusMap(srcQry = "Passed"))
+      Some(Set(1, 2, 3)), 3, 0, 0, statusMap(srcQry = "Passed")),
+
+    // is_active=false rules are skipped entirely (reference reader
+    // filters on is_active, utils/reader.py): the would-drop-everything
+    // rule must not run, and its stage stays Skipped
+    Golden("inactive rule is skipped: no drop, stage Skipped",
+      Seq(row("col1_gt99_off", "col1 > 99", "drop").copy(isActive = false)),
+      Some(Set(1, 2, 3)), 3, 0, 0, statusMap()),
+
+    // source query fail(failing) aborts BEFORE the row stage (mirror of
+    // the source-agg abort case at the query stage)
+    Golden("source query fail(failing): abort before row stage",
+      Seq(qry("count_gt99", s"(select count(*) from ${T}_source) > 99", "fail"),
+        row("col1_gt0", "col1 > 0", "drop")),
+      None, 3, 0, 0, statusMap(srcQry = "Failed", run = "Failed")),
+
+    // every row fails a drop rule: final is empty, run still Passed
+    Golden("drop removes ALL rows: empty final, Passed run",
+      Seq(row("col1_gt99", "col1 > 99", "drop")),
+      Some(Set.empty), 3, 3, 0, statusMap(row = "Passed"))
   )
 
   // ---- cases needing non-canonical inputs ---------------------------
