@@ -404,18 +404,36 @@ object Dedup {
     * least one chunk, so the candidate join runs on chunk equality, then
     * exact popcount verifies. More tolerance ⇒ more, narrower chunks ⇒
     * more candidates — the standard simhash recall/cost dial.
+    *
+    * `bucketCap` bounds the hot-bucket quadratic exactly like the
+    * shingle df-cap: a (chunk, value) bucket holding m sketches emits
+    * m² join rows, and at web scale one degenerate bucket (e.g. the
+    * all-zeros chunk of short/templated docs) is a scale-killer.
+    * Buckets with more than `bucketCap` members are dropped from the
+    * candidate join. Recall contract mirrors [[dfCapped]]: a pair is
+    * lost only if EVERY chunk it agrees on is over the cap — true for
+    * mass-replicated identical content, which the standard pipeline
+    * removes with [[exactGroups]] FIRST; the verify popcount is exact
+    * for every surfaced pair regardless.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, bucketCap: Int = 4096): DataFrame = {
     val numChunks = maxHamming + 1
     val width = (63 + numChunks - 1) / numChunks
     val sk = simhashSketches(df, idCol, textCol)
-    val chunks = sk.select(col("id"), col("sh"),
+    val allChunks = sk.select(col("id"), col("sh"),
       explode(array((0 until numChunks).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sh"), c * width)
             .bitwiseAND(lit((1L << width) - 1L)).as("ck"))): _*)).as("cd"))
       .select(col("id"), col("sh"), col("cd.chunk").as("chunk"), col("cd.ck").as("ck"))
+    val chunks =
+      if (bucketCap <= 0) allChunks
+      else allChunks.join(
+        allChunks.groupBy(col("chunk"), col("ck"))
+          .agg(count(lit(1)).as("m_")).filter(col("m_") > bucketCap)
+          .select(col("chunk"), col("ck")),
+        Seq("chunk", "ck"), "left_anti")
     val cands = chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
           col("a.id") < col("b.id"))

@@ -124,6 +124,30 @@ class DedupSpec extends SparkSpec {
     idx.unpersist() // the long-lived-app release handle
   }
 
+  test("simhash bucketCap bounds a planted hot bucket without touching organic pairs") {
+    // 30 docs sharing NO tokens pairwise except one planted near-dup
+    // pair; plus the same corpus with 25 identical "boilerplate" docs
+    // whose sketches all collide in every chunk (the hot bucket)
+    val organic = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "the quick brown fox jumps over the lazy cat and runs far away today")) ++
+      (10L until 30L).map(i => (i, s"unique$i words$i only$i here$i now$i then$i when$i how$i"))
+    val boiler = (100L until 125L).map(i => (i, "identical boilerplate content repeated verbatim across the corpus"))
+    val corpus = (organic ++ boiler).toDF("doc_id", "text")
+
+    val uncapped = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 8,
+        bucketCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap below the boilerplate cluster size: its 25x25 bucket is dropped
+    val capped = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 8,
+        bucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped should contain ((1L, 2L))
+    capped should contain ((1L, 2L))              // organic pair survives
+    capped.count(p => p._1 >= 100L) shouldBe 0    // hot cluster suppressed
+    uncapped.count(p => p._1 >= 100L) shouldBe 25 * 24 / 2
+  }
+
   test("save/load round-trips the index through bucketed tables with identical results") {
     // the production lifecycle: index once -> persist bucketed ->
     // reload in a later job/stream -> dedup incoming batches against
