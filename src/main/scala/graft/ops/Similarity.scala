@@ -205,11 +205,27 @@ object Similarity {
     * tier (embedding-space). Brute force within multi-table SRP buckets;
     * at tau ≥ 0.95 (θ ≤ 18°) eight 6-bit tables miss a true pair with
     * p ≈ (1-(1-18/180)^6)^8 ≈ 2%.
+    *
+    * Scale dials: a bucket with m members emits m² candidate rows, and
+    * expected bucket size is n / 2^planesPerTable — so `planesPerTable`
+    * must GROW with the corpus (≈ log2(n / target-bucket-size); the
+    * recall lost per table is bought back with more tables).
+    * `bucketCap` is the backstop for degenerate clustering: buckets
+    * over the cap are dropped from the join (a pair is lost only if
+    * every table buckets it over-cap — mass-identical embeddings, which
+    * exact dedup upstream removes); surfaced pairs keep exact cosines.
     */
   def embeddingNearDupPairs(vecs: DataFrame, tau: Double,
                             numTables: Int = 8, planesPerTable: Int = 6,
-                            dim: Int = 64): DataFrame = {
-    val v = tableBuckets(vecs, "id", numTables, planesPerTable, dim)
+                            dim: Int = 64, bucketCap: Int = 65536): DataFrame = {
+    val all = tableBuckets(vecs, "id", numTables, planesPerTable, dim)
+    val v =
+      if (bucketCap <= 0) all
+      else all.join(
+        all.groupBy(col("tbl"), col("bucket"))
+          .agg(count(lit(1)).as("m_")).filter(col("m_") > bucketCap)
+          .select(col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"), "left_anti")
     v.as("a").join(v.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

@@ -104,6 +104,25 @@ class SimilaritySpec extends SparkSpec {
     pairs shouldBe Set((1L, 2L))
   }
 
+  test("embedding near-dup bucketCap suppresses a planted mass cluster, keeps organic pairs") {
+    val rnd = new scala.util.Random(11)
+    val organic = Seq.fill(16)(rnd.nextGaussian())
+    val organicNear = organic.zipWithIndex.map { case (x, i) =>
+      x + 0.01 * (if (i % 2 == 0) 1 else -1) }
+    val mass = Seq.fill(16)(0.7) // 30 identical vectors: every table's hot bucket
+    val corpus = vecDf(
+      Seq((1L, organic), (2L, organicNear)) ++ (100L until 130L).map(i => (i, mass)))
+    val capped = Similarity.embeddingNearDupPairs(corpus, tau = 0.9,
+        numTables = 8, planesPerTable = 6, dim = 16, bucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped should contain ((1L, 2L))
+    capped.count(_._1 >= 100L) shouldBe 0
+    val uncapped = Similarity.embeddingNearDupPairs(corpus, tau = 0.9,
+        numTables = 8, planesPerTable = 6, dim = 16, bucketCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped.count(_._1 >= 100L) shouldBe 30 * 29 / 2
+  }
+
   test("SRP near-dup pairs are a subset of exact pairs with identical cosines") {
     // exactCosinePairs is the all-pairs ground truth; the SRP-bucketed
     // tier may MISS pairs (bucket non-collision) but must never emit a
