@@ -117,6 +117,35 @@ object MaskedRowDqEvaluator {
     def outputRows: Long = inputRows - dropFailedRows
   }
 
+  /** The aggregate expressions behind every pipeline count — shared by
+    * the dedicated fused-aggregate job (`pipelineCounts`) and the
+    * zero-extra-job `Dataset.observe` path (CountsMode.OnWrite), which
+    * attaches them to the final frame so the sink write itself yields
+    * the counts.
+    */
+  def pipelineAggExprs(rules: Seq[Rule]): Seq[Column] =
+    Seq(
+      count(lit(1)).as("_n"),
+      sum(when(anyFailed(rules), 1L).otherwise(0L)).as("_err"),
+      sum(when(hasFailedAction(rules, "drop"), 1L).otherwise(0L)).as("_drop")) ++
+      rules.zipWithIndex.map { case (_, i) =>
+        val (c, b) = bitOf(i)
+        sum(shiftright(col(c), b).bitwiseAND(lit(1L))).as(s"_c_$i")
+      }
+
+  /** Decode `pipelineAggExprs` results from a named metrics map (the
+    * shape `Observation.get` returns; sums over zero rows are null).
+    */
+  def countsFromMetrics(rules: Seq[Rule], metrics: Map[String, Any]): PipelineCounts = {
+    def l(name: String): Long = metrics.get(name) match {
+      case Some(v: Long)   => v
+      case Some(v: Number) => v.longValue()
+      case _               => 0L
+    }
+    PipelineCounts(l("_n"), l("_err"), l("_drop"),
+      rules.zipWithIndex.map { case (r, i) => r.rule -> l(s"_c_$i") }.toMap)
+  }
+
   /** input/error/dropped/per-rule counts in ONE global aggregate — the
     * reference issues separate count() jobs for input, errors, and
     * output (core/expectations.py:960,660; writer.py:1061); over the
@@ -127,14 +156,7 @@ object MaskedRowDqEvaluator {
       val n = masked.count()
       return PipelineCounts(n, 0L, 0L, Map.empty)
     }
-    val aggs = Seq(
-      count(lit(1)).as("_n"),
-      sum(when(anyFailed(rules), 1L).otherwise(0L)).as("_err"),
-      sum(when(hasFailedAction(rules, "drop"), 1L).otherwise(0L)).as("_drop")) ++
-      rules.zipWithIndex.map { case (r, i) =>
-        val (c, b) = bitOf(i)
-        sum(shiftright(col(c), b).bitwiseAND(lit(1L))).as(s"_c_$i")
-      }
+    val aggs = pipelineAggExprs(rules)
     val row = masked.agg(aggs.head, aggs.tail: _*).head()
     def l(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
     PipelineCounts(l(0), l(1), l(2),

@@ -50,7 +50,30 @@ final case class DqConfig(
       * stats (reference: se_job_metadata / dq_job_metadata_info columns,
       * sinks/utils/writer.py:619,951).
       */
-    jobMetadata: Option[String] = None)
+    jobMetadata: Option[String] = None,
+    /** how pipeline counts (input/error/output/per-rule) are produced —
+      * see [[CountsMode]]. Defaults to the dedicated fused aggregate.
+      */
+    countsMode: CountsMode = CountsMode.FusedAggregate)
+
+/** Strategy for producing the run's counts and per-rule summaries. */
+sealed trait CountsMode
+object CountsMode {
+  /** One dedicated aggregate job over the masked frame (still far
+    * cheaper than the reference's ≥3 separate count jobs).
+    */
+  case object FusedAggregate extends CountsMode
+  /** Zero extra jobs: the same aggregate expressions ride the final
+    * frame as `Dataset.observe` metrics, so the target-table write (or
+    * any first action on the final frame) yields every count as a side
+    * effect of work the run does anyway. Requires a batch run with a
+    * configured `writeTargetTablePath` and NO fail-action row rules —
+    * a fail gate needs counts BEFORE the write, so such runs fall back
+    * to [[FusedAggregate]] automatically. Threshold/ignore notifications
+    * consequently fire after the write instead of before it.
+    */
+  case object OnWrite extends CountsMode
+}
 
 /** One captured sub-query result for the query-output table
   * (reference 9-column schema, docs/user_guide/data_quality_metrics
@@ -266,6 +289,24 @@ final class SparkExpectations(
     var errorCount = 0L
     var outputCount = 0L
     var finalDf = df
+    // CountsMode.OnWrite: the observation riding the final frame, plus
+    // the rules to decode it with; harvested after the target write (or
+    // best-effort on the abort path)
+    var pendingCounts: Option[org.apache.spark.sql.Observation] = None
+    val rowRulesAll = grouped(RuleType.RowDq)
+    def harvest(metrics: Map[String, Any]): Unit = {
+      val pc = MaskedRowDqEvaluator.countsFromMetrics(rowRulesAll, metrics)
+      inputCount = pc.inputRows
+      errorCount = pc.errorRows
+      outputCount = pc.outputRows
+      rowSummaries = ErrorWriter.summariesFromCounts(pc, rowRulesAll)
+      config.notifier.foreach { n =>
+        n.onThresholdBreach(productId, targetTable,
+          rowSummaries.filter(_.thresholdBreached(inputCount)), inputCount)
+        n.onIgnoreRuleFailures(rowRulesAll,
+          rowSummaries.filter(_.failedRowCount > 0).map(_.rule).toSet)
+      }
+    }
 
     try {
       // stage 1: source agg_dq (batch only — reference skips on streaming)
@@ -291,7 +332,7 @@ final class SparkExpectations(
       // meta maps are rebuilt only for the error subset.
       val rowRules = grouped(RuleType.RowDq)
       if (settings.rowDq) timed("row_dq") {
-        val masked = MaskedRowDqEvaluator.run(df, rowRules)
+        var masked = MaskedRowDqEvaluator.run(df, rowRules)
         val persisted =
           if (!streaming && config.persistRowDq) {
             masked.persist(StorageLevel.MEMORY_AND_DISK)
@@ -300,7 +341,15 @@ final class SparkExpectations(
           } else masked
         val maskCols = MaskedRowDqEvaluator.maskColNames(rowRules.size)
 
-        if (!streaming) {
+        // OnWrite counting needs the target write as its carrier action
+        // and cannot run a fail gate before that write — fall back to
+        // the fused aggregate when either precondition is missing
+        val observeCounts = !streaming &&
+          config.countsMode == CountsMode.OnWrite &&
+          config.writeTargetTablePath.isDefined &&
+          rowRules.forall(_.actionIfFailed != "fail")
+
+        if (!streaming && !observeCounts) {
           // ONE aggregate yields input/error/output counts + per-rule
           // summaries (and materializes the cache for consumers below)
           val (pc, summaries) = ErrorWriter.pipelineSummaries(persisted, rowRules)
@@ -329,6 +378,18 @@ final class SparkExpectations(
                 failFailed.map(_.rule).mkString(", "),
               failFailed.map(_.rule))
           }
+        } else if (observeCounts) {
+          // zero extra jobs: the same count aggregates ride the final
+          // frame as observe metrics (collected by whichever downstream
+          // action runs first — target agg/query stage or the write);
+          // error rows are still extracted from the persisted frame
+          val obs = org.apache.spark.sql.Observation(s"graft_counts_${ctx.runId}")
+          val aggs = MaskedRowDqEvaluator.pipelineAggExprs(rowRules)
+          masked = persisted.observe(obs, aggs.head, aggs.tail: _*)
+          pendingCounts = Some(obs)
+          errorDf = ErrorWriter.errorRowsMasked(persisted, rowRules, ctx)
+          config.writeErrorTablePath.foreach(p =>
+            TableWriter.writePath(errorDf, p, config.errorWriter))
         }
 
         val kept = masked.filter(
@@ -369,9 +430,26 @@ final class SparkExpectations(
 
       config.writeTargetTablePath.foreach(p =>
         TableWriter.writePath(finalDf, p, config.targetWriter))
+
+      // OnWrite counts: the write (or an earlier target-stage action)
+      // has flowed every row through the observe node — collect now
+      pendingCounts.foreach(obs => harvest(obs.get))
     } catch {
       case e: DqRuleFailedException =>
         statuses += "run_status" -> StageStatus.Failed
+        // OnWrite abort (target agg/query fail gate): that stage's own
+        // action normally flowed through the observe node, so its
+        // metrics arrive without any new job — but the observation
+        // listener posts asynchronously, and a query_dq rule touching
+        // only the source view never flows through at all, so wait
+        // bounded and fall through to the lazy count on timeout
+        pendingCounts.foreach { obs =>
+          try {
+            scala.concurrent.Await.ready(obs.future,
+              scala.concurrent.duration.Duration(5, "seconds"))
+            harvest(obs.get)
+          } catch { case _: java.util.concurrent.TimeoutException => () }
+        }
         // a source agg/query rule with action 'fail' aborts before the
         // row-stage's fused aggregate has counted the input; count it
         // here (lazily, abort path only) so stats-on-abort match the

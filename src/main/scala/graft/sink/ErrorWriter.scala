@@ -46,15 +46,22 @@ object ErrorWriter {
   def pipelineSummaries(masked: DataFrame, rules: Seq[Rule])
       : (graft.eval.MaskedRowDqEvaluator.PipelineCounts, Seq[RuleFailureSummary]) = {
     val pc = graft.eval.MaskedRowDqEvaluator.pipelineCounts(masked, rules)
-    (pc, rules.map { r =>
+    (pc, summariesFromCounts(pc, rules))
+  }
+
+  /** Zero-filled per-rule summaries from already-computed counts (shared
+    * by the fused-aggregate and observe-on-write counting paths).
+    */
+  def summariesFromCounts(pc: graft.eval.MaskedRowDqEvaluator.PipelineCounts,
+                          rules: Seq[Rule]): Seq[RuleFailureSummary] =
+    rules.map { r =>
       RuleFailureSummary(
         rule = r.rule, ruleType = r.ruleType, actionIfFailed = r.actionIfFailed,
         tag = r.tag, description = r.description, columnName = r.columnName,
         failedRowCount = pc.perRule.getOrElse(r.rule, 0L),
         errorDropThreshold = r.errorDropThreshold,
         enableErrorDropAlert = r.enableErrorDropAlert)
-    })
-  }
+    }
 
   /** Error count + per-rule summaries (see pipelineSummaries). */
   def summarizeMasked(masked: DataFrame, rules: Seq[Rule])
