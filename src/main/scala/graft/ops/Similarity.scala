@@ -169,15 +169,72 @@ object Similarity {
 
   /** Approximate top-k via IVF: corpus rows keyed by cell, queries
     * exploded over their nprobe probe cells, equi-join on cell.
+    * Trains on the fly; the index-once/probe-many deployment path is
+    * [[buildIvfIndex]] + [[ivfTopKIndexed]], which this delegates to.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val cents = ivfCentroids(corpus, nlist, iters)
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      nearestCell(col("vec"), cents).as("cell"))
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
+    ivfTopKIndexed(queries, buildIvfIndex(corpus, nlist, iters), k, nprobe)
+
+  /** A trained IVF index: the centroid matrix (small, driver-held — it
+    * rides into executors inside the NearestCentroid / ProbeCentroids
+    * codegen expressions) plus the cell-assigned corpus. Like
+    * [[graft.ops.Dedup.MinhashIndex]], this is the index-once shape:
+    * persist with [[saveIvfIndex]] (corpus bucketed by `cell`), reload
+    * with [[loadIvfIndex]], and every later query batch probes without
+    * re-training or re-assigning the corpus.
+    */
+  final case class IvfIndex(
+      centroids: Array[Seq[Double]],
+      corpus: DataFrame, // (neighbor_id, cv, cell)
+      nlist: Int)
+
+  /** Train centroids and assign every corpus row to its cell. */
+  def buildIvfIndex(corpus: DataFrame, nlist: Int = 16, iters: Int = 3,
+                    seed: Long = 42L): IvfIndex = {
+    val cents = ivfCentroids(corpus, nlist, iters, seed)
+    IvfIndex(cents,
+      corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        nearestCell(col("vec"), cents).as("cell")),
+      nlist)
+  }
+
+  /** Persist an [[IvfIndex]] as catalog tables: `<prefix>_corpus`
+    * BUCKETED BY `cell` (the probe join's key — bucket pruning keeps
+    * the corpus scan in place, only the query side shuffles; at 100 TB
+    * `buckets` scales with the corpus) and a tiny `<prefix>_centroids`
+    * (one row per cell) that reloads into the driver-held matrix.
+    */
+  def saveIvfIndex(index: IvfIndex, prefix: String, buckets: Int = 16): Unit = {
+    val spark = index.corpus.sparkSession
+    import spark.implicits._
+    index.corpus.write.mode("overwrite")
+      .bucketBy(buckets, "cell").saveAsTable(s"${prefix}_corpus")
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
+  }
+
+  /** Load an [[IvfIndex]] persisted by [[saveIvfIndex]]. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   prefix: String): IvfIndex = {
+    import spark.implicits._
+    val cents = spark.table(s"${prefix}_centroids")
+      .orderBy("cell").as[(Int, Seq[Double])].collect().map(_._2)
+    IvfIndex(cents, spark.table(s"${prefix}_corpus"), cents.length)
+  }
+
+  /** Probe a prebuilt/loaded index: queries explode over their `nprobe`
+    * nearest cells and equi-join the cell-keyed corpus. No broadcast
+    * hint — a small query batch broadcasts via AQE anyway, and a LARGE
+    * batch must not be forced onto the driver; against a bucketed
+    * corpus table the sort-merge fallback shuffles only the query side.
+    */
+  def ivfTopKIndexed(queries: DataFrame, index: IvfIndex, k: Int,
+                     nprobe: Int = 4): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-        explode(probeCells(col("vec"), cents, nprobe)).as("cell"))
-    val scored = broadcast(q).join(c, Seq("cell"))
+      explode(probeCells(col("vec"), index.centroids, nprobe)).as("cell"))
+    val scored = q.join(index.corpus, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))

@@ -95,6 +95,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF index save/load round-trips with identical top-k results") {
+    // index-once lifecycle: train+assign -> persist bucketed by cell ->
+    // reload in a later job -> probe batches with no re-training
+    val rnd = new scala.util.Random(23)
+    val corpus = vecDf((0L until 150L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian()))))
+    val queries = corpus.filter($"id" < 6)
+    val names = Seq("_corpus", "_centroids").map("ivf_idx" + _)
+    try {
+      val idx = Similarity.buildIvfIndex(corpus, nlist = 8, iters = 2)
+      Similarity.saveIvfIndex(idx, "ivf_idx", buckets = 4)
+      val loaded = Similarity.loadIvfIndex(spark, "ivf_idx")
+      loaded.nlist shouldBe 8
+      loaded.centroids.map(_.toList).toList shouldBe idx.centroids.map(_.toList).toList
+
+      def topk(i: Similarity.IvfIndex) =
+        Similarity.ivfTopKIndexed(queries, i, k = 4, nprobe = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      topk(loaded) shouldBe topk(idx)
+      topk(loaded) shouldBe
+        Similarity.ivfTopK(queries, corpus, k = 4, nlist = 8, nprobe = 3, iters = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    } finally names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("bucketed IVF corpus table joins a query batch without shuffling the corpus side") {
+    // the 100 TB probe shape made checkable: with the corpus stored
+    // bucketed by cell, the probe join's only cell exchange is the
+    // (small) query side re-bucketing to the stored layout
+    val conf = spark.conf
+    val oldBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rnd = new scala.util.Random(29)
+      val corpus = vecDf((0L until 100L).map(i =>
+        (i, Seq.fill(16)(rnd.nextGaussian()))))
+      spark.sql("DROP TABLE IF EXISTS ivf_bucketed_corpus")
+      val idx = Similarity.buildIvfIndex(corpus, nlist = 4, iters = 1)
+      Similarity.saveIvfIndex(idx, "ivf_bucketed", buckets = 4)
+      val loaded = Similarity.loadIvfIndex(spark, "ivf_bucketed")
+
+      val joined = Similarity.ivfTopKIndexed(
+        corpus.filter($"id" < 3), loaded, k = 3, nprobe = 2)
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include ("Bucketed: true")
+      plan.split("Exchange hashpartitioning\\(cell").length - 1 shouldBe 1
+      joined.count() should be > 0L
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      Seq("ivf_bucketed_corpus", "ivf_bucketed_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("embeddingNearDupPairs finds planted identical vectors") {
     val v = Seq.fill(64)(0.5)
     val corpus = vecDf(Seq((1L, v), (2L, v),
