@@ -333,6 +333,16 @@ final class SparkExpectations(
       val rowRules = grouped(RuleType.RowDq)
       if (settings.rowDq) timed("row_dq") {
         var masked = MaskedRowDqEvaluator.run(df, rowRules)
+        // streaming runs report batch counts as 0 (reference semantics),
+        // but the SAME count aggregates ride every micro-batch as named
+        // observed metrics — graft.streaming.StreamingDqMetricsListener
+        // decodes them per batch, giving streaming DQ the stats the
+        // reference only has in batch mode, at no extra pass
+        if (streaming) {
+          val aggs = MaskedRowDqEvaluator.pipelineAggExprs(rowRules)
+          masked = masked.observe(SparkExpectations.StreamingObservationName,
+            aggs.head, aggs.tail: _*)
+        }
         val persisted =
           if (!streaming && config.persistRowDq) {
             masked.persist(StorageLevel.MEMORY_AND_DISK)
@@ -501,6 +511,11 @@ final class DqRunAbortedException(cause: DqRuleFailedException, val stats: DqSta
   extends RuntimeException(cause.getMessage, cause)
 
 object SparkExpectations {
+  /** Name of the observed-metrics block attached to streaming row_dq
+    * frames (decoded by graft.streaming.StreamingDqMetricsListener).
+    */
+  val StreamingObservationName = "graft_dq_metrics"
+
   /** Build from a rules DataFrame (any source), reference-style. */
   def fromRulesDf(spark: SparkSession, rulesDf: DataFrame, productId: String,
                   targetTable: String, config: DqConfig = DqConfig()): SparkExpectations = {

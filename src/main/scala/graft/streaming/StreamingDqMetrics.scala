@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.eval.MaskedRowDqEvaluator
+import graft.eval.MaskedRowDqEvaluator.PipelineCounts
+import graft.model.Rule
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Per-micro-batch DQ counts for streaming runs.
+  *
+  * The streaming orchestrator path keeps the reference's contract
+  * (stats report 0 on streams, drop-only enforcement,
+  * core/expectations.py:523-546,960) but attaches the batch pipeline's
+  * count aggregates to every micro-batch as named observed metrics
+  * (`SparkExpectations.StreamingObservationName`). Register this
+  * listener with `spark.streams.addListener` and every processed batch
+  * delivers input/error/dropped/per-rule counts — computed inside the
+  * micro-batch's own pass, no second job, no state on the driver path.
+  *
+  * Rule-failure alerting on streams falls out for free: pass an
+  * `onBatch` callback and fan out to a notifier when a batch's counts
+  * breach a threshold.
+  */
+final class StreamingDqMetricsListener(
+    rules: Seq[Rule],
+    observationName: String =
+      graft.orchestrator.SparkExpectations.StreamingObservationName,
+    /** restrict to one named query when several streams share the
+      * session (matches `StreamingConfig.queryName`); None = any.
+      */
+    queryName: Option[String] = None,
+    onBatch: (Long, PipelineCounts) => Unit = (_, _) => ())
+  extends StreamingQueryListener {
+
+  private val lock = new Object
+  private var batches = Vector.empty[(Long, PipelineCounts)]
+
+  /** (batchId, counts) in arrival order. */
+  def perBatch: Seq[(Long, PipelineCounts)] = lock.synchronized(batches)
+
+  /** Counts accumulated across all observed batches. */
+  def total: PipelineCounts = lock.synchronized {
+    batches.map(_._2).foldLeft(PipelineCounts(0L, 0L, 0L, Map.empty)) { (a, b) =>
+      PipelineCounts(
+        a.inputRows + b.inputRows,
+        a.errorRows + b.errorRows,
+        a.dropFailedRows + b.dropFailedRows,
+        (a.perRule.keySet ++ b.perRule.keySet).map(k =>
+          k -> (a.perRule.getOrElse(k, 0L) + b.perRule.getOrElse(k, 0L))).toMap)
+    }
+  }
+
+  override def onQueryStarted(
+      event: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(
+      event: StreamingQueryListener.QueryProgressEvent): Unit =
+    if (queryName.forall(n => Option(event.progress.name).contains(n))) {
+      val row = event.progress.observedMetrics.get(observationName)
+      if (row != null) {
+        val metrics = row.schema.fieldNames.zip(row.toSeq).toMap[String, Any]
+        val pc = MaskedRowDqEvaluator.countsFromMetrics(rules, metrics)
+        lock.synchronized { batches :+= (event.progress.batchId, pc) }
+        onBatch(event.progress.batchId, pc)
+      }
+    }
+
+  override def onQueryTerminated(
+      event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+}

@@ -106,6 +106,54 @@ class StreamingSpec extends SparkSpec {
     out.select("id").collect().map(_.getInt(0)).sorted shouldBe Array(1, 3)
   }
 
+  test("streaming row_dq reports per-batch counts via observed metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.orchestrator.SparkExpectations
+    val mem = MemoryStream[(Int, Int)]
+    val streamDf = mem.toDF().toDF("id", "value")
+    val rules = Seq(
+      Rule("p", "t", "row_dq", "cap", "value", "value <= 10", "drop"),
+      Rule("p", "t", "row_dq", "pos", "id", "id > 1", "ignore"))
+    val res = new SparkExpectations("p", "t", rules).run(streamDf)
+    res.stats.inputCount shouldBe 0 // stats stay 0 on streams (reference)
+
+    val listener = new StreamingDqMetricsListener(rules)
+    spark.streams.addListener(listener)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_obs").toString
+    val q = StreamingWriter.startToPath(res.finalDf, s"$dir/out",
+      StreamingConfig(checkpointRoot = Some(s"$dir/cp")))
+    try {
+      mem.addData((1, 5), (2, 50), (3, 7))
+      q.processAllAvailable()
+      mem.addData((4, 100), (5, 1))
+      q.processAllAvailable()
+      // progress events post asynchronously — wait for both batches
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (listener.perBatch.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+
+      listener.perBatch.size shouldBe 2
+      // batch 1: (1,5) fails pos; (2,50) fails cap->drop; (3,7) clean
+      listener.perBatch.head._2.inputRows shouldBe 3
+      listener.perBatch.head._2.errorRows shouldBe 2
+      listener.perBatch.head._2.dropFailedRows shouldBe 1
+      // batch 2: (4,100) fails cap->drop; (5,1) clean
+      val t = listener.total
+      t.inputRows shouldBe 5
+      t.errorRows shouldBe 3
+      t.dropFailedRows shouldBe 2
+      t.outputRows shouldBe 3
+      t.perRule shouldBe Map("cap" -> 2L, "pos" -> 1L)
+      // the sink saw exactly the kept rows
+      spark.read.parquet(s"$dir/out").select("id")
+        .collect().map(_.getInt(0)).sorted shouldBe Array(1, 3, 5)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("streaming dedup against a persisted index equals the batch incremental run") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
