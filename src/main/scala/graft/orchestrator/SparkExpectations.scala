@@ -215,8 +215,12 @@ final class SparkExpectations(
     // _check_invalid_rules (core/expectations.py:416-441): violations
     // are logged and surfaced on the result; the run continues, and a
     // genuinely unevaluable expression still fails at its own stage.
+    // validate AFTER param substitution, like the reference's reader
+    // (a {param} the caller actually supplied must not read as a
+    // missing composite key; one they forgot genuinely is a violation)
     val validationWarnings =
-      scala.util.Try(graft.rules.RuleValidator.validate(spark, rules))
+      scala.util.Try(graft.rules.RuleValidator.validate(spark,
+        rules.map(RulesReader.substituteParams(_, config.params))))
         .getOrElse(Seq.empty)
     if (validationWarnings.nonEmpty)
       System.err.println(s"[graft] ${validationWarnings.size} rule(s) failed " +
@@ -342,6 +346,19 @@ final class SparkExpectations(
           val aggs = MaskedRowDqEvaluator.pipelineAggExprs(rowRules)
           masked = masked.observe(SparkExpectations.StreamingObservationName,
             aggs.head, aggs.tail: _*)
+          // agg_dq on streams: the reference skips these entirely (a
+          // stream can't run a global aggregate), but per-micro-batch
+          // they are just more observed metrics — source-side rules
+          // evaluate over the batch's pre-drop rows here; target-side
+          // rules attach to the kept frame below
+          val srcAgg = grouped(RuleType.AggDq).filter(_.enableForSourceDqValidation)
+          if (srcAgg.nonEmpty) {
+            val cols = srcAgg.map(r =>
+              when(expr(r.expectation), lit("pass")).otherwise(lit("fail")).as(r.rule))
+            masked = masked.observe(
+              SparkExpectations.StreamingSourceAggObservationName,
+              cols.head, cols.tail: _*)
+          }
         }
         val persisted =
           if (!streaming && config.persistRowDq) {
@@ -402,8 +419,20 @@ final class SparkExpectations(
             TableWriter.writePath(errorDf, p, config.errorWriter))
         }
 
-        val kept = masked.filter(
+        var kept = masked.filter(
           !MaskedRowDqEvaluator.hasFailedAction(rowRules, "drop"))
+        if (streaming) {
+          // target-side agg_dq per micro-batch: over the batch's rows
+          // that survived the drop filter
+          val tgtAgg = grouped(RuleType.AggDq).filter(_.enableForTargetDqValidation)
+          if (tgtAgg.nonEmpty) {
+            val cols = tgtAgg.map(r =>
+              when(expr(r.expectation), lit("pass")).otherwise(lit("fail")).as(r.rule))
+            kept = kept.observe(
+              SparkExpectations.StreamingTargetAggObservationName,
+              cols.head, cols.tail: _*)
+          }
+        }
         finalDf =
           if (config.cleanFinalDf) kept.drop(maskCols: _*)
           else kept
@@ -515,6 +544,11 @@ object SparkExpectations {
     * frames (decoded by graft.streaming.StreamingDqMetricsListener).
     */
   val StreamingObservationName = "graft_dq_metrics"
+  /** Per-micro-batch agg_dq status blocks (source-side: the batch's
+    * pre-drop rows; target-side: its post-drop survivors).
+    */
+  val StreamingSourceAggObservationName = "graft_agg_dq_source"
+  val StreamingTargetAggObservationName = "graft_agg_dq_target"
 
   /** Build from a rules DataFrame (any source), reference-style. */
   def fromRulesDf(spark: SparkSession, rulesDf: DataFrame, productId: String,

@@ -89,6 +89,24 @@ object RuleValidator {
         }
       case "query_dq" =>
         val split = CompositeQuerySplitter.split(r.expectation, r.queryDqDelimiter)
+        // placeholders still present after alias substitution mean the
+        // composite is missing that key (reference:
+        // test_composite_missing_key_returns_invalid) — params were
+        // substituted before validation, like the reference's reader
+        val leftover = "\\{([A-Za-z0-9_]+)\\}".r
+          .findAllMatchIn(split.baseExpectation).map(_.group(1)).toSeq.distinct
+        if (leftover.nonEmpty)
+          v += Violation(r,
+            s"composite query_dq references missing key(s): ${leftover.mkString(", ")}")
+        // each sub-query must be a real SELECT ... FROM statement
+        // (reference: test_composite_subquery_not_select_from)
+        split.subQueries.foreach { case (alias, sql) =>
+          val lower = sql.trim.toLowerCase
+          if (!lower.matches("(?s)^(select|with)\\b.*") ||
+              !lower.matches("(?s).*\\bfrom\\b.*"))
+            v += Violation(r,
+              s"composite sub-query '$alias' must be a SELECT ... FROM statement")
+        }
         val parts = split.baseExpectation +: split.subQueries.values.toSeq
         parts.foreach { p =>
           val sql = if (isSelect(p)) p else s"SELECT ($p) AS output"

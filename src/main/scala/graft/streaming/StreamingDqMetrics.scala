@@ -33,9 +33,19 @@ final class StreamingDqMetricsListener(
 
   private val lock = new Object
   private var batches = Vector.empty[(Long, PipelineCounts)]
+  private var aggBatches = Vector.empty[(Long, String, Map[String, String])]
 
   /** (batchId, counts) in arrival order. */
   def perBatch: Seq[(Long, PipelineCounts)] = lock.synchronized(batches)
+
+  /** Per-micro-batch agg_dq outcomes: (batchId, side, rule → status)
+    * where side is "source_dq" (pre-drop rows) or "target_dq" (post-drop
+    * survivors). The reference cannot evaluate agg_dq on streams at all;
+    * here each batch's global aggregates are observed metrics of that
+    * batch's own pass.
+    */
+  def aggPerBatch: Seq[(Long, String, Map[String, String])] =
+    lock.synchronized(aggBatches)
 
   /** Counts accumulated across all observed batches. */
   def total: PipelineCounts = lock.synchronized {
@@ -55,15 +65,50 @@ final class StreamingDqMetricsListener(
   override def onQueryProgress(
       event: StreamingQueryListener.QueryProgressEvent): Unit =
     if (queryName.forall(n => Option(event.progress.name).contains(n))) {
-      val row = event.progress.observedMetrics.get(observationName)
+      val om = event.progress.observedMetrics
+      val row = om.get(observationName)
       if (row != null) {
         val metrics = row.schema.fieldNames.zip(row.toSeq).toMap[String, Any]
         val pc = MaskedRowDqEvaluator.countsFromMetrics(rules, metrics)
-        lock.synchronized { batches :+= (event.progress.batchId, pc) }
+        // callback BEFORE publishing to perBatch: a caller polling
+        // perBatch must be able to assume the batch's alerting ran
         onBatch(event.progress.batchId, pc)
+        lock.synchronized { batches :+= (event.progress.batchId, pc) }
+      }
+      import graft.orchestrator.SparkExpectations.{
+        StreamingSourceAggObservationName, StreamingTargetAggObservationName}
+      Seq(StreamingSourceAggObservationName -> "source_dq",
+          StreamingTargetAggObservationName -> "target_dq").foreach {
+        case (block, side) =>
+          val r = om.get(block)
+          if (r != null) {
+            val statuses = r.schema.fieldNames.zip(r.toSeq)
+              .map { case (k, v) => k -> String.valueOf(v) }.toMap
+            lock.synchronized {
+              aggBatches :+= ((event.progress.batchId, side, statuses))
+            }
+          }
       }
     }
 
   override def onQueryTerminated(
       event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+}
+
+object StreamingDqMetricsListener {
+  /** Listener that fans each micro-batch's threshold breaches and
+    * ignore-rule failures out to `notifier` — streaming runs get the
+    * same alerting the batch pipeline fires, evaluated per batch.
+    */
+  def withNotifier(rules: Seq[Rule], notifier: graft.notify.Notifier,
+                   productId: String, table: String,
+                   queryName: Option[String] = None): StreamingDqMetricsListener =
+    new StreamingDqMetricsListener(rules, queryName = queryName,
+      onBatch = (_, pc) => {
+        val summaries = graft.sink.ErrorWriter.summariesFromCounts(pc, rules)
+        notifier.onThresholdBreach(productId, table,
+          summaries.filter(_.thresholdBreached(pc.inputRows)), pc.inputRows)
+        notifier.onIgnoreRuleFailures(rules,
+          summaries.filter(_.failedRowCount > 0).map(_.rule).toSet)
+      })
 }

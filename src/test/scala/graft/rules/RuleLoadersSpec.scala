@@ -148,6 +148,24 @@ class RuleValidatorSpec extends SparkSpec {
       Seq(r("row_dq", "col1 > 1", action = "explode"))) should not be empty
   }
 
+  test("composite query_dq with a missing alias key is flagged") {
+    // reference: test_composite_missing_key_returns_invalid — the base
+    // references {src} but only {tgt} is supplied
+    val v = RuleValidator.validate(spark, Seq(
+      r("query_dq", "({src}) = ({tgt})@tgt@select count(*) from t2")))
+    v.map(_.problem).exists(_.contains("missing key(s): src")) shouldBe true
+  }
+
+  test("composite sub-query that is not SELECT...FROM is flagged") {
+    // reference: test_composite_subquery_not_select_from
+    val v = RuleValidator.validate(spark, Seq(
+      r("query_dq", "({a}) > 0@a@count(*)")))
+    v.map(_.problem).exists(_.contains("must be a SELECT ... FROM")) shouldBe true
+    // a legitimate composite stays clean
+    RuleValidator.validate(spark, Seq(
+      r("query_dq", "({a}) > 0@a@select count(*) from t1"))) shouldBe empty
+  }
+
   test("probe catches missing columns against the real schema") {
     import spark.implicits._
     val df = Seq((1, 2)).toDF("a", "b")

@@ -154,6 +154,83 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming threshold breaches page the notifier per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.orchestrator.SparkExpectations
+    import graft.notify.{InMemoryNotifier, Notifier}
+    val mem = MemoryStream[(Int, Int)]
+    val streamDf = mem.toDF().toDF("id", "value")
+    val rules = Seq(
+      Rule("p", "t", "row_dq", "cap", "value", "value <= 10", "drop",
+        enableErrorDropAlert = true, errorDropThreshold = 25))
+    val res = new SparkExpectations("p", "t", rules).run(streamDf)
+
+    val inMem = new InMemoryNotifier
+    val listener = StreamingDqMetricsListener.withNotifier(
+      rules, new Notifier(Seq(inMem)), "p", "t")
+    spark.streams.addListener(listener)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_thr").toString
+    val q = StreamingWriter.startToPath(res.finalDf, s"$dir/out",
+      StreamingConfig(checkpointRoot = Some(s"$dir/cp")))
+    try {
+      mem.addData((1, 50), (2, 5)) // 50% failed > 25% threshold -> page
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (listener.perBatch.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      inMem.sent.map(_.kind) should contain ("threshold")
+      inMem.sent.filter(_.kind == "threshold").head.body should include ("cap")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
+  test("streaming agg_dq evaluates per micro-batch as observed metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.orchestrator.SparkExpectations
+    val mem = MemoryStream[(Int, Int)]
+    val streamDf = mem.toDF().toDF("id", "value")
+    val rules = Seq(
+      Rule("p", "t", "row_dq", "cap", "value", "value <= 10", "drop"),
+      // source-side: over each batch's pre-drop rows
+      Rule("p", "t", "agg_dq", "batch_sum", "value", "sum(value) <= 60",
+        enableForSourceDqValidation = true, enableForTargetDqValidation = false),
+      // target-side: over the batch's post-drop survivors
+      Rule("p", "t", "agg_dq", "kept_max", "value", "max(value) <= 10",
+        enableForSourceDqValidation = false, enableForTargetDqValidation = true))
+    val res = new SparkExpectations("p", "t", rules).run(streamDf)
+
+    val listener = new StreamingDqMetricsListener(rules.filter(_.ruleType == "row_dq"))
+    spark.streams.addListener(listener)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_agg").toString
+    val q = StreamingWriter.startToPath(res.finalDf, s"$dir/out",
+      StreamingConfig(checkpointRoot = Some(s"$dir/cp")))
+    try {
+      mem.addData((1, 12), (2, 50)) // batch sum 62 > 60 -> source fail; 12,50 dropped
+      q.processAllAvailable()
+      mem.addData((3, 1), (4, 2)) // batch sum 3 -> pass; survivors max 2 -> pass
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (listener.aggPerBatch.size < 4 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+
+      val bySide = listener.aggPerBatch.groupBy(_._2)
+      val src = bySide("source_dq").sortBy(_._1).map(_._3)
+      src.head shouldBe Map("batch_sum" -> "fail")
+      src(1) shouldBe Map("batch_sum" -> "pass")
+      val tgt = bySide("target_dq").sortBy(_._1).map(_._3)
+      // batch 1 survivors: none (12 and 50 both dropped) -> max is null -> fail
+      tgt.head shouldBe Map("kept_max" -> "fail")
+      tgt(1) shouldBe Map("kept_max" -> "pass")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("streaming dedup against a persisted index equals the batch incremental run") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
