@@ -189,14 +189,18 @@ object Similarity {
       corpus: DataFrame, // (neighbor_id, cv, cell)
       nlist: Int)
 
-  /** Train centroids and assign every corpus row to its cell. */
+  /** Train centroids and assign every corpus row to its cell. `nlist`
+    * records the ACTUAL centroid count — a corpus smaller than the
+    * requested nlist yields fewer centroids, and the save/load
+    * round-trip must be identity.
+    */
   def buildIvfIndex(corpus: DataFrame, nlist: Int = 16, iters: Int = 3,
                     seed: Long = 42L): IvfIndex = {
     val cents = ivfCentroids(corpus, nlist, iters, seed)
     IvfIndex(cents,
       corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
         nearestCell(col("vec"), cents).as("cell")),
-      nlist)
+      cents.length)
   }
 
   /** Persist an [[IvfIndex]] as catalog tables: `<prefix>_corpus`

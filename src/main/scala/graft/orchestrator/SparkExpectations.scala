@@ -297,9 +297,11 @@ final class SparkExpectations(
     // the rules to decode it with; harvested after the target write (or
     // best-effort on the abort path)
     var pendingCounts: Option[org.apache.spark.sql.Observation] = None
+    // the persisted masked frame backing an OnWrite observation — the
+    // abort path's exact-count fallback when the observation never fired
+    var pendingMasked: Option[DataFrame] = None
     val rowRulesAll = grouped(RuleType.RowDq)
-    def harvest(metrics: Map[String, Any]): Unit = {
-      val pc = MaskedRowDqEvaluator.countsFromMetrics(rowRulesAll, metrics)
+    def harvestCounts(pc: MaskedRowDqEvaluator.PipelineCounts): Unit = {
       inputCount = pc.inputRows
       errorCount = pc.errorRows
       outputCount = pc.outputRows
@@ -309,6 +311,27 @@ final class SparkExpectations(
           rowSummaries.filter(_.thresholdBreached(inputCount)), inputCount)
         n.onIgnoreRuleFailures(rowRulesAll,
           rowSummaries.filter(_.failedRowCount > 0).map(_.rule).toSet)
+      }
+    }
+    def harvest(metrics: Map[String, Any]): Unit =
+      harvestCounts(MaskedRowDqEvaluator.countsFromMetrics(rowRulesAll, metrics))
+    /** agg_dq expectations as per-micro-batch observed metrics. Rules
+      * CollectMetrics can't host (DISTINCT aggregates, subqueries,
+      * non-deterministic fns throw at analysis) are skipped one by one —
+      * for those the reference's skipped-on-streaming contract stands
+      * instead of the whole run crashing.
+      */
+    def attachStreamingAggObserve(frame: DataFrame, name: String,
+                                  aggRules: Seq[Rule]): DataFrame = {
+      if (aggRules.isEmpty) return frame
+      def cols(rs: Seq[Rule]) = rs.map(r =>
+        when(expr(r.expectation), lit("pass")).otherwise(lit("fail")).as(r.rule))
+      val all = cols(aggRules)
+      scala.util.Try(frame.observe(name, all.head, all.tail: _*)).getOrElse {
+        val keep = aggRules.filter(r => scala.util.Try(
+          frame.observe(s"${name}_probe_${r.rule}", cols(Seq(r)).head)).isSuccess)
+        val kc = cols(keep)
+        if (kc.isEmpty) frame else frame.observe(name, kc.head, kc.tail: _*)
       }
     }
 
@@ -351,20 +374,19 @@ final class SparkExpectations(
           // they are just more observed metrics — source-side rules
           // evaluate over the batch's pre-drop rows here; target-side
           // rules attach to the kept frame below
-          val srcAgg = grouped(RuleType.AggDq).filter(_.enableForSourceDqValidation)
-          if (srcAgg.nonEmpty) {
-            val cols = srcAgg.map(r =>
-              when(expr(r.expectation), lit("pass")).otherwise(lit("fail")).as(r.rule))
-            masked = masked.observe(
-              SparkExpectations.StreamingSourceAggObservationName,
-              cols.head, cols.tail: _*)
-          }
+          masked = attachStreamingAggObserve(masked,
+            SparkExpectations.StreamingSourceAggObservationName,
+            grouped(RuleType.AggDq).filter(_.enableForSourceDqValidation))
         }
         val persisted =
           if (!streaming && config.persistRowDq) {
-            masked.persist(StorageLevel.MEMORY_AND_DISK)
-            pipelineCleanup = () => { masked.unpersist(); () }
-            masked
+            // close over a stable val: `masked` is reassigned below in
+            // OnWrite mode, and unpersisting the observe-wrapped frame
+            // would miss the cache entry and leak it
+            val handle = masked
+            handle.persist(StorageLevel.MEMORY_AND_DISK)
+            pipelineCleanup = () => { handle.unpersist(); () }
+            handle
           } else masked
         val maskCols = MaskedRowDqEvaluator.maskColNames(rowRules.size)
 
@@ -414,6 +436,7 @@ final class SparkExpectations(
           val aggs = MaskedRowDqEvaluator.pipelineAggExprs(rowRules)
           masked = persisted.observe(obs, aggs.head, aggs.tail: _*)
           pendingCounts = Some(obs)
+          pendingMasked = Some(persisted)
           errorDf = ErrorWriter.errorRowsMasked(persisted, rowRules, ctx)
           config.writeErrorTablePath.foreach(p =>
             TableWriter.writePath(errorDf, p, config.errorWriter))
@@ -421,18 +444,12 @@ final class SparkExpectations(
 
         var kept = masked.filter(
           !MaskedRowDqEvaluator.hasFailedAction(rowRules, "drop"))
-        if (streaming) {
+        if (streaming)
           // target-side agg_dq per micro-batch: over the batch's rows
           // that survived the drop filter
-          val tgtAgg = grouped(RuleType.AggDq).filter(_.enableForTargetDqValidation)
-          if (tgtAgg.nonEmpty) {
-            val cols = tgtAgg.map(r =>
-              when(expr(r.expectation), lit("pass")).otherwise(lit("fail")).as(r.rule))
-            kept = kept.observe(
-              SparkExpectations.StreamingTargetAggObservationName,
-              cols.head, cols.tail: _*)
-          }
-        }
+          kept = attachStreamingAggObserve(kept,
+            SparkExpectations.StreamingTargetAggObservationName,
+            grouped(RuleType.AggDq).filter(_.enableForTargetDqValidation))
         finalDf =
           if (config.cleanFinalDf) kept.drop(maskCols: _*)
           else kept
@@ -451,6 +468,16 @@ final class SparkExpectations(
         // (conftest.py agg-only cases expect output_count=0)
         inputCount = df.count()
         registerTargetViews(finalDf)
+      } else {
+        // streaming with no row stage: agg_dq metrics still ride each
+        // micro-batch (pre- and post-drop rows are the same frame)
+        val aggR = grouped(RuleType.AggDq)
+        finalDf = attachStreamingAggObserve(
+          attachStreamingAggObserve(df,
+            SparkExpectations.StreamingSourceAggObservationName,
+            aggR.filter(_.enableForSourceDqValidation)),
+          SparkExpectations.StreamingTargetAggObservationName,
+          aggR.filter(_.enableForTargetDqValidation))
       }
 
       // stage 4/5: target-side agg/query on the surviving rows
@@ -483,11 +510,23 @@ final class SparkExpectations(
         // only the source view never flows through at all, so wait
         // bounded and fall through to the lazy count on timeout
         pendingCounts.foreach { obs =>
-          try {
-            scala.concurrent.Await.ready(obs.future,
-              scala.concurrent.duration.Duration(5, "seconds"))
-            harvest(obs.get)
-          } catch { case _: java.util.concurrent.TimeoutException => () }
+          val harvested =
+            try {
+              scala.concurrent.Await.ready(obs.future,
+                scala.concurrent.duration.Duration(5, "seconds"))
+              harvest(obs.get); true
+            } catch {
+              case _: java.util.concurrent.TimeoutException => false
+              case _: InterruptedException =>
+                Thread.currentThread().interrupt(); false
+            }
+          // the observation never fired (e.g. the aborting query_dq rule
+          // touched only the source view) — fall back to the fused
+          // aggregate over the still-persisted masked frame so abort
+          // stats and notifications match FusedAggregate mode exactly
+          if (!harvested) pendingMasked.foreach { m =>
+            harvestCounts(MaskedRowDqEvaluator.pipelineCounts(m, rowRulesAll))
+          }
         }
         // a source agg/query rule with action 'fail' aborts before the
         // row-stage's fused aggregate has counted the input; count it

@@ -93,7 +93,9 @@ object RuleValidator {
         // composite is missing that key (reference:
         // test_composite_missing_key_returns_invalid) — params were
         // substituted before validation, like the reference's reader
-        val leftover = "\\{([A-Za-z0-9_]+)\\}".r
+        // identifier-shaped placeholders only — `{2}` inside an rlike
+        // pattern is a regex quantifier, not a composite key
+        val leftover = "\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
           .findAllMatchIn(split.baseExpectation).map(_.group(1)).toSeq.distinct
         if (leftover.nonEmpty)
           v += Violation(r,

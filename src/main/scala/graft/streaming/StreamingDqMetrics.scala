@@ -31,6 +31,12 @@ final class StreamingDqMetricsListener(
     onBatch: (Long, PipelineCounts) => Unit = (_, _) => ())
   extends StreamingQueryListener {
 
+  // the orchestrator builds the _c_<i> metrics from ACTIVE row_dq rules
+  // only — decode against the same subset so callers can pass their
+  // full rule list without positionally misassigning per-rule counts
+  private val rowRules = rules.filter(r =>
+    r.ruleType == graft.model.RuleType.RowDq.name && r.isActive)
+
   private val lock = new Object
   private var batches = Vector.empty[(Long, PipelineCounts)]
   private var aggBatches = Vector.empty[(Long, String, Map[String, String])]
@@ -69,7 +75,7 @@ final class StreamingDqMetricsListener(
       val row = om.get(observationName)
       if (row != null) {
         val metrics = row.schema.fieldNames.zip(row.toSeq).toMap[String, Any]
-        val pc = MaskedRowDqEvaluator.countsFromMetrics(rules, metrics)
+        val pc = MaskedRowDqEvaluator.countsFromMetrics(rowRules, metrics)
         // callback BEFORE publishing to perBatch: a caller polling
         // perBatch must be able to assume the batch's alerting ran
         onBatch(event.progress.batchId, pc)

@@ -120,6 +120,20 @@ class SimilaritySpec extends SparkSpec {
     } finally names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("IVF index on a corpus smaller than nlist round-trips consistently") {
+    val rnd = new scala.util.Random(31)
+    val tiny = vecDf((0L until 6L).map(i => (i, Seq.fill(8)(rnd.nextGaussian()))))
+    val names = Seq("_corpus", "_centroids").map("ivf_tiny" + _)
+    try {
+      val idx = Similarity.buildIvfIndex(tiny, nlist = 16, iters = 1)
+      idx.nlist shouldBe idx.centroids.length // actual count, not the request
+      Similarity.saveIvfIndex(idx, "ivf_tiny", buckets = 2)
+      val loaded = Similarity.loadIvfIndex(spark, "ivf_tiny")
+      loaded.nlist shouldBe idx.nlist
+      loaded.centroids.length shouldBe idx.centroids.length
+    } finally names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bucketed IVF corpus table joins a query batch without shuffling the corpus side") {
     // the 100 TB probe shape made checkable: with the corpus stored
     // bucketed by cell, the probe join's only cell exchange is the

@@ -156,6 +156,12 @@ class RuleValidatorSpec extends SparkSpec {
     v.map(_.problem).exists(_.contains("missing key(s): src")) shouldBe true
   }
 
+  test("regex quantifier braces are not composite keys") {
+    // `{2}` in an rlike pattern must not read as a missing alias
+    RuleValidator.validate(spark, Seq(
+      r("query_dq", "(select count(*) from t where x rlike 'a{2}') = 0"))) shouldBe empty
+  }
+
   test("composite sub-query that is not SELECT...FROM is flagged") {
     // reference: test_composite_subquery_not_select_from
     val v = RuleValidator.validate(spark, Seq(

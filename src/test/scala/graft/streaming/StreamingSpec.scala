@@ -203,7 +203,9 @@ class StreamingSpec extends SparkSpec {
         enableForSourceDqValidation = false, enableForTargetDqValidation = true))
     val res = new SparkExpectations("p", "t", rules).run(streamDf)
 
-    val listener = new StreamingDqMetricsListener(rules.filter(_.ruleType == "row_dq"))
+    // the FULL rule list (agg rules included): the listener must filter
+    // to active row_dq rules itself or per-rule counts misassign
+    val listener = new StreamingDqMetricsListener(rules)
     spark.streams.addListener(listener)
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_agg").toString
     val q = StreamingWriter.startToPath(res.finalDf, s"$dir/out",
@@ -225,6 +227,44 @@ class StreamingSpec extends SparkSpec {
       // batch 1 survivors: none (12 and 50 both dropped) -> max is null -> fail
       tgt.head shouldBe Map("kept_max" -> "fail")
       tgt(1) shouldBe Map("kept_max" -> "pass")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
+  test("streaming agg_dq metrics attach even without row rules; unhostable rules are skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.orchestrator.SparkExpectations
+    val mem = MemoryStream[(Int, Int)]
+    val streamDf = mem.toDF().toDF("id", "value")
+    val rules = Seq(
+      // no row_dq rules at all — the agg metrics must still attach
+      Rule("p", "t", "agg_dq", "batch_n", "id", "count(id) >= 2",
+        enableForSourceDqValidation = true, enableForTargetDqValidation = false),
+      // DISTINCT aggregates can't live in CollectMetrics — this rule
+      // must be skipped (reference contract: skipped on streaming), not
+      // crash the run
+      Rule("p", "t", "agg_dq", "distinct_ids", "id", "count(distinct id) > 0",
+        enableForSourceDqValidation = true, enableForTargetDqValidation = false))
+    val res = new SparkExpectations("p", "t", rules).run(streamDf)
+    res.finalDf.isStreaming shouldBe true
+
+    val listener = new StreamingDqMetricsListener(rules)
+    spark.streams.addListener(listener)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_agg_only").toString
+    val q = StreamingWriter.startToPath(res.finalDf, s"$dir/out",
+      StreamingConfig(checkpointRoot = Some(s"$dir/cp")))
+    try {
+      mem.addData((1, 5), (2, 6))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (listener.aggPerBatch.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val src = listener.aggPerBatch.filter(_._2 == "source_dq").map(_._3)
+      src should have size 1
+      src.head shouldBe Map("batch_n" -> "pass") // distinct rule skipped
     } finally {
       q.stop()
       spark.streams.removeListener(listener)
