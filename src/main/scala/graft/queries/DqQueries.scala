@@ -194,6 +194,26 @@ object DqQueries {
         (SELECT count(*) FROM t WHERE $anyRowFail) AS error_count,
         (SELECT count(*) FROM t WHERE l_quantity <= 45 AND pkc = 1) AS output_count""")),
 
+    // -- CountsMode.OnWrite: the SAME stats through zero count jobs ----------
+    // (Dataset.observe metrics riding the target write; DuckDB checks the
+    // observe path produces byte-identical counts to the fused aggregate)
+    QueryDef("dq_stats_observe", (s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val out = java.nio.file.Files.createTempDirectory("graft_obs_stats").toString
+      val se = new SparkExpectations(P, T, rowRules ++ aggRules,
+        DqConfig(countsMode = CountsMode.OnWrite,
+          writeTargetTablePath = Some(s"$out/target")))
+      val res = se.run(li)
+      Seq((res.stats.inputCount, res.stats.errorCount, res.stats.outputCount))
+        .toDF("input_count", "error_count", "output_count")
+    }, Some(s"""
+      $pkCte
+      SELECT
+        (SELECT count(*) FROM lineitem) AS input_count,
+        (SELECT count(*) FROM t WHERE $anyRowFail) AS error_count,
+        (SELECT count(*) FROM t WHERE l_quantity <= 45 AND pkc = 1) AS output_count""")),
+
     // -- operator #11: agg-rule evaluation (one global aggregate) -----------
     QueryDef("dq_agg_check", (s, dir) => {
       import s.implicits._
