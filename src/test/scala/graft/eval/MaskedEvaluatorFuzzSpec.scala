@@ -52,6 +52,24 @@ class MaskedEvaluatorFuzzSpec extends SparkSpec {
         res.stats.outputCount shouldBe expectedOutput
         res.finalDf.count() shouldBe expectedOutput
         res.unpersist()
+
+        // every third trial: the observe-on-write path must produce the
+        // SAME stats as the fused aggregate (all actions are drop/ignore
+        // here, so OnWrite never falls back)
+        if (trial % 3 == 0) {
+          import graft.orchestrator.CountsMode
+          val out = java.nio.file.Files.createTempDirectory("graft_fuzz_obs").toString
+          val obsRes = new SparkExpectations("p", "t", rules, DqConfig(
+            countsMode = CountsMode.OnWrite,
+            writeTargetTablePath = Some(s"$out/target"))).run(df)
+          obsRes.stats.inputCount shouldBe n
+          obsRes.stats.errorCount shouldBe expectedError
+          obsRes.stats.outputCount shouldBe expectedOutput
+          obsRes.rowSummaries.map(s => s.rule -> s.failedRowCount).toMap shouldBe
+            res.rowSummaries.map(s => s.rule -> s.failedRowCount).toMap
+          spark.read.parquet(s"$out/target").count() shouldBe expectedOutput
+          obsRes.unpersist()
+        }
       }
     }
   }
