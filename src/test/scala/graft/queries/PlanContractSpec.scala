@@ -46,4 +46,38 @@ class PlanContractSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     p should not include "Exchange"
   }
+
+  test("row-rule evaluation is one shuffle-free codegen projection") {
+    import graft.eval.MaskedRowDqEvaluator
+    import graft.model.Rule
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val rules = Seq(
+      Rule("p", "t", "row_dq", "r1", "c", "l_quantity <= 45", "drop"),
+      Rule("p", "t", "row_dq", "r2", "c", "l_discount BETWEEN 0 AND 0.05"),
+      Rule("p", "t", "row_dq", "r3", "c", "l_extendedprice > 1000"))
+    val plan = MaskedRowDqEvaluator.run(li, rules)
+      .queryExecution.executedPlan.toString
+    // N rules = ONE projection over the scan: no shuffle, no fallback
+    // (the `*(1)` star marks the whole-stage-codegen stage in toString)
+    plan should not include "Exchange"
+    plan should include ("*(1) Project")
+    plan should not include "CodegenFallback"
+  }
+
+  test("OnWrite final frame carries its counts as CollectMetrics, no extra shuffle") {
+    import graft.model.Rule
+    import graft.orchestrator.{CountsMode, DqConfig, SparkExpectations}
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_plan_obs").toString
+    val res = new SparkExpectations("p", "t",
+      Seq(Rule("p", "t", "row_dq", "r1", "c", "l_quantity <= 45", "drop")),
+      DqConfig(countsMode = CountsMode.OnWrite,
+        writeTargetTablePath = Some(s"$out/target"))).run(li)
+    val plan = res.finalDf.queryExecution.optimizedPlan.toString
+    // the zero-job counting claim, structurally: the metrics node rides
+    // the final frame's own plan and adds no exchange of its own
+    plan should include ("CollectMetrics")
+    res.finalDf.queryExecution.executedPlan.toString should not include "Exchange"
+    res.unpersist()
+  }
 }
