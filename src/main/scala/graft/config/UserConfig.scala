@@ -176,7 +176,7 @@ object UserConfig {
       .map(n => base.copy(notifier = Some(n))).getOrElse(base)
     val errorGated =
       if (conf.contains(EnableErrorTable) && !B(conf, EnableErrorTable))
-        withNotify.copy(writeErrorTablePath = None)
+        withNotify.copy(writeErrorTablePath = None, writeErrorTable = false)
       else withNotify
     errorGated.copy(
       params = errorGated.params ++ rulesParams(conf),

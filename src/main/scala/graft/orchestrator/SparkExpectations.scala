@@ -19,6 +19,15 @@ final case class DqConfig(
     cleanFinalDf: Boolean = true,
     writeErrorTablePath: Option[String] = None,
     writeTargetTablePath: Option[String] = None,
+    /** write the final frame to the catalog table `targetTable` itself —
+      * the reference's `write_to_table=True` (expectations.py:893).
+      */
+    writeToTable: Boolean = false,
+    /** write error rows to [[errorTableName]], defaulting to the
+      * reference's `{targetTable}_error` (utils/reader.py:295).
+      */
+    writeErrorTable: Boolean = false,
+    errorTableName: Option[String] = None,
     errorWriter: WriterConfig = WriterConfig(mode = "overwrite"),
     targetWriter: WriterConfig = WriterConfig(mode = "overwrite"),
     /** notification fan-out around the run (reference: the
@@ -315,6 +324,13 @@ final class SparkExpectations(
     }
     def harvest(metrics: Map[String, Any]): Unit =
       harvestCounts(MaskedRowDqEvaluator.countsFromMetrics(rowRulesAll, metrics))
+    def writeErrors(e: DataFrame): Unit = {
+      config.writeErrorTablePath.foreach(p =>
+        TableWriter.writePath(e, p, config.errorWriter))
+      if (config.writeErrorTable)
+        TableWriter.write(e, config.errorTableName.getOrElse(
+          SparkExpectations.defaultErrorTable(targetTable)), config.errorWriter)
+    }
     /** agg_dq expectations as per-micro-batch observed metrics. Rules
       * CollectMetrics can't host (DISTINCT aggregates, subqueries,
       * non-deterministic fns throw at analysis) are skipped one by one —
@@ -395,7 +411,7 @@ final class SparkExpectations(
         // the fused aggregate when either precondition is missing
         val observeCounts = !streaming &&
           config.countsMode == CountsMode.OnWrite &&
-          config.writeTargetTablePath.isDefined &&
+          (config.writeTargetTablePath.isDefined || config.writeToTable) &&
           rowRules.forall(_.actionIfFailed != "fail")
 
         if (!streaming && !observeCounts) {
@@ -407,8 +423,7 @@ final class SparkExpectations(
           outputCount = pc.outputRows
           rowSummaries = summaries
           errorDf = ErrorWriter.errorRowsMasked(persisted, rowRules, ctx)
-          config.writeErrorTablePath.foreach(p =>
-            TableWriter.writePath(errorDf, p, config.errorWriter))
+          writeErrors(errorDf)
           config.notifier.foreach { n =>
             n.onThresholdBreach(productId, targetTable,
               rowSummaries.filter(_.thresholdBreached(inputCount)), inputCount)
@@ -438,8 +453,7 @@ final class SparkExpectations(
           pendingCounts = Some(obs)
           pendingMasked = Some(persisted)
           errorDf = ErrorWriter.errorRowsMasked(persisted, rowRules, ctx)
-          config.writeErrorTablePath.foreach(p =>
-            TableWriter.writePath(errorDf, p, config.errorWriter))
+          writeErrors(errorDf)
         }
 
         var kept = masked.filter(
@@ -496,6 +510,8 @@ final class SparkExpectations(
 
       config.writeTargetTablePath.foreach(p =>
         TableWriter.writePath(finalDf, p, config.targetWriter))
+      if (config.writeToTable)
+        TableWriter.write(finalDf, targetTable, config.targetWriter)
 
       // OnWrite counts: the write (or an earlier target-stage action)
       // has flowed every row through the observe node — collect now
@@ -579,6 +595,11 @@ final class DqRunAbortedException(cause: DqRuleFailedException, val stats: DqSta
   extends RuntimeException(cause.getMessage, cause)
 
 object SparkExpectations {
+  /** The reference's default error-table naming: `{target}_error`
+    * (utils/reader.py:295, test_default_error_table_naming).
+    */
+  def defaultErrorTable(targetTable: String): String = s"${targetTable}_error"
+
   /** Name of the observed-metrics block attached to streaming row_dq
     * frames (decoded by graft.streaming.StreamingDqMetricsListener).
     */

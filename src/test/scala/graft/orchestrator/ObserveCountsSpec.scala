@@ -121,6 +121,22 @@ class ObserveCountsSpec extends SparkSpec {
     ex.stats.outputCount shouldBe 3
   }
 
+  test("writeToTable targets the catalog; error table defaults to {target}_error") {
+    val tables = Seq("obs_cat_tbl", "obs_cat_tbl_error")
+    try {
+      val se = new SparkExpectations("p1", "obs_cat_tbl", rules, DqConfig(
+        writeToTable = true, writeErrorTable = true,
+        countsMode = CountsMode.OnWrite))
+      val res = se.run(input)
+      res.stats.outputCount shouldBe 3
+      spark.table("obs_cat_tbl").count() shouldBe 3
+      // the reference's default naming (reader.py:295): {target}_error
+      spark.table("obs_cat_tbl_error").count() shouldBe 3
+      spark.table("obs_cat_tbl_error").columns should contain ("meta_row_dq_results")
+      res.unpersist()
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("OnWrite without a target write path falls back to the fused aggregate") {
     val se = new SparkExpectations(P, T, rules,
       DqConfig(countsMode = CountsMode.OnWrite))
