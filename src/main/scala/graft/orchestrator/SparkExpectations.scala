@@ -28,6 +28,16 @@ final case class DqConfig(
       */
     writeErrorTable: Boolean = false,
     errorTableName: Option[String] = None,
+    /** auto-persist run statistics to this catalog table on success AND
+      * rule-failure abort (the reference's collect_statistics decorator,
+      * sinks/utils/collect_statistics.py:21-50). When detailed stats /
+      * query outputs are enabled, successful runs also write
+      * `{statsTable}_detailed` and `{statsTable}_querydq_output`
+      * (writer.py:504-622,420-502). Writes use mergeSchema so the stats
+      * schema can evolve.
+      */
+    statsTable: Option[String] = None,
+    statsWriter: WriterConfig = WriterConfig(mode = "append"),
     errorWriter: WriterConfig = WriterConfig(mode = "overwrite"),
     targetWriter: WriterConfig = WriterConfig(mode = "overwrite"),
     /** notification fan-out around the run (reference: the
@@ -549,10 +559,13 @@ final class SparkExpectations(
         // here (lazily, abort path only) so stats-on-abort match the
         // reference's eager-count behavior (expectations.py:960)
         if (!streaming && inputCount == 0L) inputCount = df.count()
-        // stats must still be assembled on failure
+        // stats must still be assembled AND persisted on failure
+        // (collect_statistics.py:21-50 wraps success and failure alike)
         val stats = StatsBuilder.build(ctx, inputCount, errorCount, outputCount,
           grouped, sourceAgg, sourceQuery, rowSummaries, targetAgg, targetQuery,
           statuses, timings, config.jobMetadata)
+        config.statsTable.foreach(t => TableWriter.writeStats(
+          StatsBuilder.toDataFrame(spark, stats), t, config.statsWriter))
         config.notifier.foreach(_.onFailure(productId, targetTable, e.getMessage))
         throw new DqRunAbortedException(e, stats)
       // the reference's send_notification_decorator notifies on ANY
@@ -580,6 +593,21 @@ final class SparkExpectations(
           expectedOutcome = "pass",
           failedRowCount = s.failedRowCount)
       })
+    }
+
+    // auto-persisted stats tables (success path; the abort path wrote
+    // its stats row inside the catch)
+    config.statsTable.foreach { t =>
+      TableWriter.writeStats(StatsBuilder.toDataFrame(spark, stats), t,
+        config.statsWriter)
+      if (config.enableDetailedStats)
+        TableWriter.writeStats(
+          StatsBuilder.detailedStats(spark, sourceDetails, targetDetails,
+            config.jobMetadata),
+          s"${t}_detailed", config.statsWriter)
+      if (config.enableQueryDqDetailedResult && queryOutputs.nonEmpty)
+        TableWriter.writeStats(spark.createDataFrame(queryOutputs),
+          s"${t}_querydq_output", config.statsWriter)
     }
 
     DqResult(finalDf, errorDf, stats, sourceAgg, sourceQuery,

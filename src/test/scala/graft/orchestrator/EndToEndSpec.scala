@@ -90,6 +90,42 @@ class EndToEndSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("statsTable auto-persists the stats row, detailed table, and query outputs") {
+    import graft.syntax._
+    val tables = Seq("e2e_stats", "e2e_stats_detailed", "e2e_stats_querydq_output")
+    try {
+      val input = Seq((1, "a"), (2, "b"), (3, "c")).toDF("col1", "col2")
+      val rules = Seq(
+        Rule("p1", "e2e_st", "row_dq", "pos", "col1", "col1 > 1", "ignore"),
+        Rule("p1", "e2e_st", "agg_dq", "n", "col1", "count(col1) = 3",
+          enableForSourceDqValidation = true),
+        Rule("p1", "e2e_st", "query_dq", "cmp", "col1",
+          "({src}) = 3@src@select count(*) from e2e_st_source",
+          enableQuerydqCustomOutput = true))
+      val res = input.withExpectations("p1", "e2e_st", rules, DqConfig(
+        statsTable = Some("e2e_stats"),
+        enableDetailedStats = true,
+        enableQueryDqDetailedResult = true))
+      spark.table("e2e_stats").count() shouldBe 1
+      spark.table("e2e_stats").select("productId").head().getString(0) shouldBe "p1"
+      spark.table("e2e_stats_detailed").count() should be >= 2L
+      // captured on BOTH stages (source_dq + target_dq), reference-style
+      spark.table("e2e_stats_querydq_output").count() shouldBe 2
+      spark.table("e2e_stats_querydq_output").select("dqType")
+        .collect().map(_.getString(0)).sorted shouldBe Array("source_dq", "target_dq")
+      res.unpersist()
+
+      // abort path still appends a stats row (collect_statistics contract)
+      val failRules = Seq(Rule("p1", "e2e_st", "row_dq", "never", "col1",
+        "col1 > 99", "fail"))
+      intercept[DqRunAbortedException] {
+        input.withExpectations("p1", "e2e_st", failRules,
+          DqConfig(statsTable = Some("e2e_stats")))
+      }
+      spark.table("e2e_stats").count() shouldBe 2
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("failing run still writes stats and pages on the failure") {
     import graft.syntax._
     val input = Seq((1, "a"), (2, "b")).toDF("col1", "col2")
