@@ -236,11 +236,18 @@ final class SparkExpectations(
     // genuinely unevaluable expression still fails at its own stage.
     // validate AFTER param substitution, like the reference's reader
     // (a {param} the caller actually supplied must not read as a
-    // missing composite key; one they forgot genuinely is a violation)
-    val validationWarnings =
-      scala.util.Try(graft.rules.RuleValidator.validate(spark,
-        rules.map(RulesReader.substituteParams(_, config.params))))
-        .getOrElse(Seq.empty)
+    // missing composite key; one they forgot genuinely is a violation),
+    // then live-probe the statically-clean row/agg rules against the
+    // actual input schema — the reference's
+    // `df.selectExpr(expectation).limit(1)` check
+    // (validate_rules.py:331), done here by analysis only (no job)
+    val validationWarnings = scala.util.Try {
+      val substituted = rules.map(RulesReader.substituteParams(_, config.params))
+      val static = graft.rules.RuleValidator.validate(spark, substituted)
+      val flagged = static.map(_.rule.rule).toSet
+      static ++ graft.rules.RuleValidator.probe(df,
+        substituted.filter(r => r.isActive && !flagged.contains(r.rule)))
+    }.getOrElse(Seq.empty)
     if (validationWarnings.nonEmpty)
       System.err.println(s"[graft] ${validationWarnings.size} rule(s) failed " +
         "validation (non-blocking): " +

@@ -327,6 +327,24 @@ class GoldenMatrixSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("pre-flight probe flags rules referencing missing columns without aborting") {
+    // reference: validate_rules.py:331 probes df.selectExpr(e).limit(1);
+    // here the probe is analysis-only and the finding is non-blocking
+    val res = new SparkExpectations(P, T, Seq(
+      row("col1_gt1", "col1 > 1", "drop"),
+      // never evaluated by any stage, but the probe still catches it
+      agg("ghost_col", "sum(no_such_col) > 0", "ignore")
+        .copy(enableForSourceDqValidation = false,
+          enableForTargetDqValidation = false)),
+      DqConfig()).run(input)
+    res.finalDf.select("col1").collect().map(_.getInt(0)).toSet shouldBe Set(2, 3)
+    res.validationWarnings.map(_.rule.rule) should contain ("ghost_col")
+    res.validationWarnings.find(_.rule.rule == "ghost_col").get
+      .problem should include ("probe failed")
+    res.statuses("run_status") shouldBe "Passed"
+    res.unpersist()
+  }
+
   cases.foreach { g =>
     test(g.name) {
       val cfg = DqConfig(params = Map("src_view" -> s"${T}_source"))
