@@ -117,4 +117,45 @@ object StreamingDqMetricsListener {
         notifier.onIgnoreRuleFailures(rules,
           summaries.filter(_.failedRowCount > 0).map(_.rule).toSet)
       })
+
+  /** A micro-batch's counts as a reference-shaped stats record: run
+    * context stamped at batch time, row summaries from the observed
+    * counts, `{"batch_id":N}` in the job metadata. Agg/query stages
+    * report Skipped — their per-batch outcomes live on `aggPerBatch`.
+    */
+  def batchStats(rules: Seq[Rule], productId: String, table: String,
+                 batchId: Long, pc: PipelineCounts): graft.model.DqStats = {
+    import graft.model.RuleType
+    val active = rules.filter(_.isActive)
+    val grouped = RuleType.all.map(t =>
+      t -> active.filter(_.ruleType == t.name)).toMap
+    graft.sink.StatsBuilder.build(
+      graft.model.RunContext.create(productId, table),
+      pc.inputRows, pc.errorRows, pc.outputRows, grouped,
+      Seq.empty, Seq.empty,
+      graft.sink.ErrorWriter.summariesFromCounts(pc,
+        grouped(RuleType.RowDq)),
+      Seq.empty, Seq.empty,
+      Map("run_status" -> "Passed",
+        "source_agg_dq" -> "Skipped", "source_query_dq" -> "Skipped",
+        "row_dq" -> "Passed",
+        "final_agg_dq" -> "Skipped", "final_query_dq" -> "Skipped"),
+      Map.empty, Some(s"""{"batch_id":$batchId}"""))
+  }
+
+  /** Listener that appends one stats row per processed micro-batch to
+    * `statsTable` — continuous DQ observability the reference's
+    * streaming mode (zero counts, no stats) does not have.
+    */
+  def withStatsTable(rules: Seq[Rule],
+                     spark: org.apache.spark.sql.SparkSession,
+                     statsTable: String, productId: String, table: String,
+                     writer: graft.sink.WriterConfig =
+                       graft.sink.WriterConfig(mode = "append"),
+                     queryName: Option[String] = None): StreamingDqMetricsListener =
+    new StreamingDqMetricsListener(rules, queryName = queryName,
+      onBatch = (batchId, pc) => graft.sink.TableWriter.writeStats(
+        graft.sink.StatsBuilder.toDataFrame(spark,
+          batchStats(rules, productId, table, batchId, pc)),
+        statsTable, writer))
 }

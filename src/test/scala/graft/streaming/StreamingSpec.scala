@@ -233,6 +233,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming stats table gets one reference-shaped row per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.orchestrator.SparkExpectations
+    val mem = MemoryStream[(Int, Int)]
+    val rules = Seq(Rule("p", "t", "row_dq", "cap", "value", "value <= 10", "drop"))
+    val res = new SparkExpectations("p", "t", rules).run(
+      mem.toDF().toDF("id", "value"))
+    val listener = StreamingDqMetricsListener.withStatsTable(
+      rules, spark, "stream_stats", "p", "t")
+    spark.streams.addListener(listener)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_stats").toString
+    val q = StreamingWriter.startToPath(res.finalDf, s"$dir/out",
+      StreamingConfig(checkpointRoot = Some(s"$dir/cp")))
+    try {
+      mem.addData((1, 5), (2, 50))
+      q.processAllAvailable()
+      mem.addData((3, 7))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (listener.perBatch.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val stats = spark.table("stream_stats")
+      stats.count() shouldBe 2
+      stats.select("inputCount").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+      stats.select("jobMetadata").collect().map(_.getString(0)).sorted shouldBe
+        Array("""{"batch_id":0}""", """{"batch_id":1}""")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+      spark.sql("DROP TABLE IF EXISTS stream_stats")
+    }
+  }
+
   test("streaming agg_dq metrics attach even without row rules; unhostable rules are skipped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
