@@ -78,8 +78,25 @@ object StatsBuilder {
     * (reference: sinks/plugins/kafka_writer.py:59-61
     * `to_json(struct(*)) AS value`).
     */
-  def toKafkaPayload(statsDf: DataFrame): DataFrame =
-    statsDf.selectExpr("to_json(struct(*)) AS value")
+  /** One JSON value per stats row. A job-metadata column holding a JSON
+    * string is first parsed into a struct so the payload nests it as an
+    * object instead of a double-escaped string (reference:
+    * sinks/plugins/kafka_writer.py:47-57); non-JSON metadata passes
+    * through unchanged.
+    */
+  def toKafkaPayload(statsDf: DataFrame): DataFrame = {
+    val metaCols =
+      Seq("se_job_metadata", "jobMetadata").filter(statsDf.columns.contains)
+    val converted = metaCols.foldLeft(statsDf) { (df, c) =>
+      scala.util.Try {
+        val sample = df.select(c).head()
+        val s = if (sample.isNullAt(0)) null else sample.getString(0)
+        if (s == null || s.trim.isEmpty || !s.trim.startsWith("{")) df
+        else df.withColumn(c, from_json(col(c), schema_of_json(lit(s))))
+      }.getOrElse(df)
+    }
+    converted.selectExpr("to_json(struct(*)) AS value")
+  }
 
   /** The stats row in the REFERENCE's stats-table schema
     * (sinks/utils/writer.py:887-956: snake_case names, float

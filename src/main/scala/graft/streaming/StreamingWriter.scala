@@ -127,10 +127,16 @@ object StreamingWriter {
     graft.sink.TableWriter.stampProductIdWithRetry(
       spark, table, productId, maxRetries, initialWaitMs, maxWaitMs, sleep)
 
-  /** Status helpers (reference: writer.py:1211-1313). */
+  /** Status helpers (reference: writer.py:1211-1313, incl. the
+    * input/processed rows-per-second getters).
+    */
   def isActive(q: StreamingQuery): Boolean = q.isActive
   def lastProgressJson(q: StreamingQuery): Option[String] =
     Option(q.lastProgress).map(_.json)
+  def inputRowsPerSecond(q: StreamingQuery): Option[Double] =
+    Option(q.lastProgress).map(_.inputRowsPerSecond).filterNot(_.isNaN)
+  def processedRowsPerSecond(q: StreamingQuery): Option[Double] =
+    Option(q.lastProgress).map(_.processedRowsPerSecond).filterNot(_.isNaN)
   def stopQuery(q: StreamingQuery): Unit = if (q.isActive) q.stop()
   def awaitAvailableNow(q: StreamingQuery): Unit = q.awaitTermination()
 }

@@ -54,6 +54,19 @@ class SinkSpec extends SparkSpec {
     json should include (""""input_count":3""")
   }
 
+  test("kafka payload nests JSON job metadata as an object, not an escaped string") {
+    // reference: kafka_writer.py:47-57 se_job_metadata struct conversion
+    val statsDf = Seq(("p", """{"team":"core","batch_id":3}"""))
+      .toDF("product_id", "se_job_metadata")
+    val json = StatsBuilder.toKafkaPayload(statsDf).head().getString(0)
+    json should include (""""se_job_metadata":{"batch_id":3,"team":"core"}""")
+    json should not include "\\\"team\\\""
+    // non-JSON metadata passes through as a plain string
+    val plain = Seq(("p", "ad-hoc run")).toDF("product_id", "se_job_metadata")
+    StatsBuilder.toKafkaPayload(plain).head().getString(0) should
+      include (""""se_job_metadata":"ad-hoc run"""")
+  }
+
   test("TableWriter.writePath round-trips with partitioning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tw").toString + "/out"
     TableWriter.writePath(df.withColumn("part", $"col1" % 2), dir,

@@ -148,6 +148,10 @@ class StreamingSpec extends SparkSpec {
       // the sink saw exactly the kept rows
       spark.read.parquet(s"$dir/out").select("id")
         .collect().map(_.getInt(0)).sorted shouldBe Array(1, 3, 5)
+      // status helpers (reference writer.py:1211-1313 getters)
+      StreamingWriter.lastProgressJson(q) shouldBe defined
+      noException should be thrownBy StreamingWriter.processedRowsPerSecond(q)
+      noException should be thrownBy StreamingWriter.inputRowsPerSecond(q)
     } finally {
       q.stop()
       spark.streams.removeListener(listener)
