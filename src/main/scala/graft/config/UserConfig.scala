@@ -175,8 +175,11 @@ object UserConfig {
     val withNotify = notifier(conf, productId, tableName, transports)
       .map(n => base.copy(notifier = Some(n))).getOrElse(base)
     val errorGated =
-      if (conf.contains(EnableErrorTable) && !B(conf, EnableErrorTable))
-        withNotify.copy(writeErrorTablePath = None, writeErrorTable = false)
+      if (conf.contains(EnableErrorTable))
+        // explicit true OPTS IN to the catalog error table (reference
+        // default naming {target}_error); false strips every error sink
+        if (B(conf, EnableErrorTable)) withNotify.copy(writeErrorTable = true)
+        else withNotify.copy(writeErrorTablePath = None, writeErrorTable = false)
       else withNotify
     errorGated.copy(
       params = errorGated.params ++ rulesParams(conf),

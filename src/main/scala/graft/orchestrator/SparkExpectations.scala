@@ -525,10 +525,14 @@ final class SparkExpectations(
         enforceCollected(targetQuery, "final_query_dq", "target query_dq")
       }
 
-      config.writeTargetTablePath.foreach(p =>
-        TableWriter.writePath(finalDf, p, config.targetWriter))
-      if (config.writeToTable)
-        TableWriter.write(finalDf, targetTable, config.targetWriter)
+      // batch-only sinks: a streaming final frame is written via
+      // StreamingWriter by the caller (df.write crashes on streams)
+      if (!streaming) {
+        config.writeTargetTablePath.foreach(p =>
+          TableWriter.writePath(finalDf, p, config.targetWriter))
+        if (config.writeToTable)
+          TableWriter.write(finalDf, targetTable, config.targetWriter)
+      }
 
       // OnWrite counts: the write (or an earlier target-stage action)
       // has flowed every row through the observe node — collect now
@@ -571,8 +575,15 @@ final class SparkExpectations(
         val stats = StatsBuilder.build(ctx, inputCount, errorCount, outputCount,
           grouped, sourceAgg, sourceQuery, rowSummaries, targetAgg, targetQuery,
           statuses, timings, config.jobMetadata)
-        config.statsTable.foreach(t => TableWriter.writeStats(
-          StatsBuilder.toDataFrame(spark, stats), t, config.statsWriter))
+        // the failure notification and the DqRunAbortedException must
+        // survive a broken stats sink — log the write failure instead of
+        // letting it replace the real abort cause
+        config.statsTable.foreach(t =>
+          try TableWriter.writeStats(
+            StatsBuilder.toDataFrame(spark, stats), t, config.statsWriter)
+          catch { case scala.util.control.NonFatal(w) =>
+            System.err.println(s"[graft] stats write to '$t' failed on abort path: $w")
+          })
         config.notifier.foreach(_.onFailure(productId, targetTable, e.getMessage))
         throw new DqRunAbortedException(e, stats)
       // the reference's send_notification_decorator notifies on ANY
@@ -603,8 +614,10 @@ final class SparkExpectations(
     }
 
     // auto-persisted stats tables (success path; the abort path wrote
-    // its stats row inside the catch)
-    config.statsTable.foreach { t =>
+    // its stats row inside the catch). A failing stats sink after an
+    // otherwise-green run must still alert — the reference's
+    // send_notification_decorator notifies on ANY error
+    try config.statsTable.foreach { t =>
       TableWriter.writeStats(StatsBuilder.toDataFrame(spark, stats), t,
         config.statsWriter)
       if (config.enableDetailedStats)
@@ -615,6 +628,10 @@ final class SparkExpectations(
       if (config.enableQueryDqDetailedResult && queryOutputs.nonEmpty)
         TableWriter.writeStats(spark.createDataFrame(queryOutputs),
           s"${t}_querydq_output", config.statsWriter)
+    } catch {
+      case scala.util.control.NonFatal(w) =>
+        config.notifier.foreach(_.onFailure(productId, targetTable, w.toString))
+        throw w
     }
 
     DqResult(finalDf, errorDf, stats, sourceAgg, sourceQuery,

@@ -77,6 +77,27 @@ object DqQueries {
     "NOT(l_discount BETWEEN 0 AND 0.05) OR NOT(l_returnflag IN ('A','N','R')) " +
     "OR pkc <> 1 OR NOT(l_extendedprice > 1000) OR NOT(l_quantity <= 45)"
 
+  /** Shared by dq_stats and dq_stats_observe — the full pipeline under
+    * `config`, projected to the three counts; one body, one oracle, so
+    * the two counting strategies can never silently diverge.
+    */
+  private def statsCountsFn(config: DqConfig)
+      : (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val res = new SparkExpectations(P, T, rowRules ++ aggRules, config).run(li)
+      Seq((res.stats.inputCount, res.stats.errorCount, res.stats.outputCount))
+        .toDF("input_count", "error_count", "output_count")
+    }
+
+  private val statsOracle = s"""
+      $pkCte
+      SELECT
+        (SELECT count(*) FROM lineitem) AS input_count,
+        (SELECT count(*) FROM t WHERE $anyRowFail) AS error_count,
+        (SELECT count(*) FROM t WHERE l_quantity <= 45 AND pkc = 1) AS output_count"""
+
   def all: Seq[QueryDef] = Seq(
 
     // -- operator #9/#10: single-projection row-rule evaluation (status
@@ -180,39 +201,16 @@ object DqQueries {
       FROM f ORDER BY rule""")),
 
     // -- operators #23/#32: full-pipeline stats counts ----------------------
-    QueryDef("dq_stats", (s, dir) => {
-      import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-      val se = new SparkExpectations(P, T, rowRules ++ aggRules)
-      val res = se.run(li)
-      Seq((res.stats.inputCount, res.stats.errorCount, res.stats.outputCount))
-        .toDF("input_count", "error_count", "output_count")
-    }, Some(s"""
-      $pkCte
-      SELECT
-        (SELECT count(*) FROM lineitem) AS input_count,
-        (SELECT count(*) FROM t WHERE $anyRowFail) AS error_count,
-        (SELECT count(*) FROM t WHERE l_quantity <= 45 AND pkc = 1) AS output_count""")),
+    QueryDef("dq_stats", statsCountsFn(DqConfig()), Some(statsOracle)),
 
     // -- CountsMode.OnWrite: the SAME stats through zero count jobs ----------
     // (Dataset.observe metrics riding the target write; DuckDB checks the
     // observe path produces byte-identical counts to the fused aggregate)
     QueryDef("dq_stats_observe", (s, dir) => {
-      import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
       val out = java.nio.file.Files.createTempDirectory("graft_obs_stats").toString
-      val se = new SparkExpectations(P, T, rowRules ++ aggRules,
-        DqConfig(countsMode = CountsMode.OnWrite,
-          writeTargetTablePath = Some(s"$out/target")))
-      val res = se.run(li)
-      Seq((res.stats.inputCount, res.stats.errorCount, res.stats.outputCount))
-        .toDF("input_count", "error_count", "output_count")
-    }, Some(s"""
-      $pkCte
-      SELECT
-        (SELECT count(*) FROM lineitem) AS input_count,
-        (SELECT count(*) FROM t WHERE $anyRowFail) AS error_count,
-        (SELECT count(*) FROM t WHERE l_quantity <= 45 AND pkc = 1) AS output_count""")),
+      statsCountsFn(DqConfig(countsMode = CountsMode.OnWrite,
+        writeTargetTablePath = Some(s"$out/target")))(s, dir)
+    }, Some(statsOracle)),
 
     // -- operator #11: agg-rule evaluation (one global aggregate) -----------
     QueryDef("dq_agg_check", (s, dir) => {

@@ -74,27 +74,31 @@ object StatsBuilder {
       .withColumn("output_percentage", round(col("outputPercentage"), 2))
   }
 
-  /** Kafka-shaped payload: the whole stats row as one JSON value column
-    * (reference: sinks/plugins/kafka_writer.py:59-61
-    * `to_json(struct(*)) AS value`).
-    */
-  /** One JSON value per stats row. A job-metadata column holding a JSON
-    * string is first parsed into a struct so the payload nests it as an
-    * object instead of a double-escaped string (reference:
-    * sinks/plugins/kafka_writer.py:47-57); non-JSON metadata passes
-    * through unchanged.
+  /** One JSON value per stats row (reference:
+    * sinks/plugins/kafka_writer.py:59-61 `to_json(struct(*)) AS value`).
+    * A job-metadata STRING column holding JSON is first parsed into a
+    * struct so the payload nests it as an object instead of a
+    * double-escaped string (kafka_writer.py:47-57); schema comes from
+    * the first row, exactly like the reference's `first()` sample, and
+    * non-JSON metadata passes through unchanged. Streaming frames skip
+    * the conversion (sampling a stream is not possible pre-start).
     */
   def toKafkaPayload(statsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StringType
     val metaCols =
-      Seq("se_job_metadata", "jobMetadata").filter(statsDf.columns.contains)
-    val converted = metaCols.foldLeft(statsDf) { (df, c) =>
-      scala.util.Try {
-        val sample = df.select(c).head()
-        val s = if (sample.isNullAt(0)) null else sample.getString(0)
-        if (s == null || s.trim.isEmpty || !s.trim.startsWith("{")) df
-        else df.withColumn(c, from_json(col(c), schema_of_json(lit(s))))
-      }.getOrElse(df)
-    }
+      Seq("se_job_metadata", "jobMetadata").filter(c =>
+        statsDf.columns.contains(c) &&
+          statsDf.schema(c).dataType == StringType)
+    val converted =
+      if (statsDf.isStreaming) statsDf
+      else metaCols.foldLeft(statsDf) { (df, c) =>
+        scala.util.Try {
+          val sample = df.select(c).head()
+          val s = if (sample.isNullAt(0)) null else sample.getString(0)
+          if (s == null || s.trim.isEmpty || !s.trim.startsWith("{")) df
+          else df.withColumn(c, from_json(col(c), schema_of_json(lit(s))))
+        }.getOrElse(df)
+      }
     converted.selectExpr("to_json(struct(*)) AS value")
   }
 

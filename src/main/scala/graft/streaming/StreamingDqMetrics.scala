@@ -154,8 +154,16 @@ object StreamingDqMetricsListener {
                        graft.sink.WriterConfig(mode = "append"),
                      queryName: Option[String] = None): StreamingDqMetricsListener =
     new StreamingDqMetricsListener(rules, queryName = queryName,
-      onBatch = (batchId, pc) => graft.sink.TableWriter.writeStats(
-        graft.sink.StatsBuilder.toDataFrame(spark,
-          batchStats(rules, productId, table, batchId, pc)),
-        statsTable, writer))
+      onBatch = (batchId, pc) =>
+        // a transient sink failure must not lose the batch from
+        // perBatch/aggPerBatch (an onBatch throw would skip the
+        // publishes in onQueryProgress) — log and move on
+        try graft.sink.TableWriter.writeStats(
+          graft.sink.StatsBuilder.toDataFrame(spark,
+            batchStats(rules, productId, table, batchId, pc)),
+          statsTable, writer)
+        catch { case scala.util.control.NonFatal(w) =>
+          System.err.println(
+            s"[graft] streaming stats write to '$statsTable' failed for batch $batchId: $w")
+        })
 }

@@ -89,11 +89,24 @@ class UserConfigSpec extends SparkSpec {
   }
 
   test("enable.error.table=false strips the error-table path") {
-    val base = DqConfig(writeErrorTablePath = Some("/tmp/err"))
+    val base = DqConfig(writeErrorTablePath = Some("/tmp/err"),
+      writeErrorTable = true)
     val off = UserConfig.dqConfig(Map(UserConfig.EnableErrorTable -> false), "p", "t", base)
     off.writeErrorTablePath shouldBe None
+    off.writeErrorTable shouldBe false
     val on = UserConfig.dqConfig(Map(UserConfig.EnableErrorTable -> true), "p", "t", base)
     on.writeErrorTablePath shouldBe Some("/tmp/err")
+    on.writeErrorTable shouldBe true
+  }
+
+  test("enable.error.table=true opts in to the {target}_error catalog write") {
+    // the reference defaults enable_error_table to true and writes
+    // {target}_error (reader.py:295) — an explicit true must enable the
+    // catalog error write even when the base config didn't
+    UserConfig.dqConfig(Map(UserConfig.EnableErrorTable -> true), "p", "t")
+      .writeErrorTable shouldBe true
+    // absent key keeps the base's setting
+    UserConfig.dqConfig(Map.empty, "p", "t").writeErrorTable shouldBe false
   }
 
   test("job metadata key flows from user_config into DqConfig") {
