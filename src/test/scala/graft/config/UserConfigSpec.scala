@@ -48,7 +48,11 @@ class UserConfigSpec extends SparkSpec {
 
     val input = Seq((1, "a"), (2, "b")).toDF("col1", "col2")
     val rules = Seq(Rule("p1", "tbl", "row_dq", "col1_gt1", "col1", "col1 > 1", "ignore"))
-    new SparkExpectations("p1", "tbl", rules, cfg).run(input).unpersist()
+    try {
+      new SparkExpectations("p1", "tbl", rules, cfg).run(input).unpersist()
+      // enable.error.table=true wrote the {target}_error catalog table
+      spark.table("tbl_error").count() shouldBe 1
+    } finally spark.sql("DROP TABLE IF EXISTS tbl_error")
 
     // start + completion + ignore-rule alert fan out to slack and zoom
     val slack = hooks.filter(_.url.endsWith("/slack"))
