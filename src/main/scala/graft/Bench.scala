@@ -12,10 +12,11 @@ import scala.util.Try
   * full machine) and aggregates their stdout. Falls back to in-process
   * median-of-n if forking is unavailable.
   *
-  * Output format (driver contract, one stdout JSON line) is unchanged:
+  * Output format (driver contract, the LAST stdout line, kept compact —
+  * see [[contractLines]] for why):
   * {"metric":"total","value":S,"unit":"sec","queries":{name:median,...},
-  *  "failed":[...],"sf":dir} — plus a "queries_min" object so regression
-  * grading can use best-case numbers too.
+  *  "failed":[...],"sf":dir} — a separate earlier "queries_min" line
+  * carries best-case numbers for regression grading.
   */
 object Bench {
 
@@ -130,13 +131,30 @@ object Bench {
       name -> times
     }
 
-    val qs = results.collect { case (k, Some(t)) => s"\"" + k + "\":" + median(t) }
-      .mkString("{", ",", "}")
-    val qsMin = results.collect { case (k, Some(t)) => s"\"" + k + "\":" + t.min }
-      .mkString("{", ",", "}")
+    println(contractLines(results, sfDir))
+  }
+
+  /** The driver keeps only the LAST 2000 characters of stdout and parses
+    * the final line as JSON, so the contract line must stay well under
+    * that window (r01-r03 shipped a ~4.6 KB line and graded
+    * `parsed: null` three rounds running). Medians are rounded to 3
+    * decimals (~1 ms — below run-to-run noise) and the `queries_min`
+    * detail moves to its own EARLIER line so only the compact contract
+    * line has to fit. BenchContractSpec pins the < 1500-char budget.
+    */
+  private[graft] def contractLines(
+      results: Seq[(String, Option[Seq[Double]])], sfDir: String): String = {
+    // Locale.ROOT: the default-locale f"" interpolator would emit "0,123"
+    // under comma-decimal locales — invalid JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    def jmap(f: Seq[Double] => Double): String =
+      results.collect { case (k, Some(t)) => "\"" + k + "\":" + fmt(f(t)) }
+        .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Some(t)) => median(t) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir","reps":$Reps,"isolation":"jvm-per-query"}""")
+    val minLine = s"""{"detail":"queries_min","queries_min":${jmap(_.min)}}"""
+    val contract = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(median)},"failed":$failed,"sf":"$sfDir","reps":$Reps,"isolation":"jvm-per-query"}"""
+    minLine + "\n" + contract
   }
 }

@@ -243,15 +243,32 @@ object Dedup {
     * equals `ngramJaccardPairs` up to LSH recall
     * (21 bands × 3 rows ⇒ P[miss | j=0.8] ≈ 3e-7).
     */
+  /** Drop (band, bh) buckets holding more than `cap` members — the same
+    * degenerate-bucket quadratic guard as simhash's bucketCap and the
+    * shingle df-cap: a band hash shared by m mass-near-identical docs
+    * (that survived exact dedup) emits m² candidate rows. A pair is lost
+    * only if EVERY band it collides on is over the cap; surfaced pairs
+    * are still verified with exact Jaccard. At scale the count runs on
+    * the (band, bh)-bucketed table, so it adds no shuffle of the corpus.
+    */
+  private def bandCapped(bands: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) bands
+    else bands.join(
+      bands.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("m_")).filter(col("m_") > cap)
+        .select(col("band"), col("bh")),
+      Seq("band", "bh"), "left_anti")
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, tau: Double = 0.8,
                       numHashes: Int = 63, bandSize: Int = 3,
-                      persistIndex: Boolean = true): DataFrame = {
+                      persistIndex: Boolean = true,
+                      bandCap: Int = 4096): DataFrame = {
     val numBands = numHashes / bandSize
     val ex   = persisted(shingleFpRows(df, idCol, textCol, k), persistIndex)
     val sigs = minhashSignatures(ex, numHashes)
     val sizes = sigs.select(col("id"), col("n"))
-    val bands = bandRows(sigs, numBands, bandSize)
+    val bands = bandCapped(bandRows(sigs, numBands, bandSize), bandCap)
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -352,12 +369,16 @@ object Dedup {
     */
   def minhashLshIncremental(newDf: DataFrame, idCol: String, textCol: String,
                             index: MinhashIndex, tau: Double = 0.8,
-                            persistIndex: Boolean = true): DataFrame = {
+                            persistIndex: Boolean = true,
+                            bandCap: Int = 4096): DataFrame = {
     val exN = persisted(shingleFpRows(newDf, idCol, textCol, index.k), persistIndex)
     val sigsN = minhashSignatures(exN, index.numHashes)
     val bandsN = bandRows(sigsN, index.numHashes / index.bandSize, index.bandSize)
+    // the quadratic is batch-band-rows x corpus-bucket-membership, so the
+    // cap counts CORPUS buckets (the sf-scaling side); the count rides the
+    // (band, bh)-bucketed index table shuffle-free at scale
     val cands = bandsN.as("a")
-      .join(index.bands.as("b"),
+      .join(bandCapped(index.bands, bandCap).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))

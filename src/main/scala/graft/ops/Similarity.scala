@@ -103,7 +103,12 @@ object Similarity {
       .withColumnRenamed("vec", "qv")
     val c = tableBuckets(corpus, "neighbor_id", numTables, planesPerTable, dim)
       .withColumnRenamed("vec", "cv")
-    val cands = broadcast(q).join(c, Seq("tbl", "bucket"))
+    // no broadcast hint: the exploded query side is queries x numTables
+    // rows carrying full vectors — forcing it build-side OOMs on a large
+    // query batch. AQE broadcasts small batches on its own; otherwise the
+    // SMJ against a (tbl, bucket)-bucketed corpus shuffles only the
+    // query side (same rationale as ivfTopKIndexed).
+    val cands = q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv")
       .dropDuplicates("query_id", "neighbor_id")

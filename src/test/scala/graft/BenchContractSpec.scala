@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the driver-facing bench stdout contract. The driver captures
+  * only the LAST 2000 characters of stdout and runs `json.loads` on the
+  * final line; rounds 1-3 shipped a ~4.6 KB contract line that was
+  * front-truncated by that window and graded `parsed: null`. These
+  * tests simulate the driver exactly: take the 2000-char tail, split
+  * lines, parse the last one.
+  */
+class BenchContractSpec extends AnyFunSuite with Matchers {
+
+  // every real query name, with realistic full-precision timings — the
+  // worst case the formatter must fit in the window
+  private def realisticResults: Seq[(String, Option[Seq[Double]])] =
+    SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map { case (k, i) =>
+      k -> Some(Seq(0.123456789 + i, 1.987654321 + i, 0.567890123 + i))
+    }
+
+  private def lastLineOfTail(stdout: String): String = {
+    val tail = stdout.takeRight(2000)
+    tail.linesIterator.toSeq.last
+  }
+
+  test("contract line stays under 1500 chars for all declared queries") {
+    val out = Bench.contractLines(realisticResults, "/root/testdata/sf0.1")
+    val contract = out.linesIterator.toSeq.last
+    withClue(s"line length ${contract.length} for ${SparkEntry.queries.size} queries: ") {
+      contract.length should be < 1500
+    }
+  }
+
+  test("driver-style 2000-char tail parse recovers the full contract") {
+    // simulate sbt/log noise before the JSON lines, as in a real run
+    val noise = ("[info] running graft.Bench\n" * 40)
+    val out = noise + Bench.contractLines(realisticResults, "/root/testdata/sf0.1")
+    val line = lastLineOfTail(out)
+    line should startWith("{\"metric\":\"total\"")
+    line should endWith("}")
+    // minimal structural JSON check without a JSON library on the test
+    // classpath: the contract keys all present, braces balanced
+    Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
+      "\"queries\":{", "\"failed\":[", "\"sf\":").foreach(k => line should include(k))
+    line.count(_ == '{') shouldBe line.count(_ == '}')
+    line.count(_ == '[') shouldBe line.count(_ == ']')
+    // every query name present in the tail-visible contract line
+    SparkEntry.queries.keys.foreach(k => line should include("\"" + k + "\":"))
+  }
+
+  test("values are 3-decimal and queries_min lives on an earlier line") {
+    val out = Bench.contractLines(realisticResults, "/root/testdata/sf0.1")
+    val lines = out.linesIterator.toSeq
+    lines.size shouldBe 2
+    lines.head should include("\"queries_min\":{")
+    lines.last should not include "queries_min"
+    // 3-decimal formatting: no value longer than d+.ddd
+    val valuePat = """:(\d+\.\d+)""".r
+    valuePat.findAllMatchIn(lines.last).foreach { m =>
+      m.group(1).split("\\.")(1).length shouldBe 3
+    }
+  }
+
+  test("failed queries are listed, not silently dropped") {
+    val results = realisticResults.updated(0, realisticResults.head._1 -> None)
+    val contract = Bench.contractLines(results, "sfdir").linesIterator.toSeq.last
+    contract should include(s""""failed":["${realisticResults.head._1}"]""")
+    contract should not include (s""""${realisticResults.head._1}":0""")
+  }
+}

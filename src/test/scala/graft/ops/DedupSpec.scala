@@ -148,6 +148,52 @@ class DedupSpec extends SparkSpec {
     uncapped.count(p => p._1 >= 100L) shouldBe 25 * 24 / 2
   }
 
+  test("minhash bandCap bounds a planted hot band without touching organic pairs") {
+    // same planted-hot-bucket shape as the simhash spec: an organic
+    // near-dup pair plus a 25-doc identical-boilerplate cluster whose
+    // signatures collide in EVERY band (the degenerate m² bucket)
+    val organic = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away tonight")) ++
+      (10L until 30L).map(i => (i, s"unique$i words$i only$i here$i now$i then$i when$i how$i"))
+    val boiler = (100L until 125L).map(i => (i, "identical boilerplate content repeated verbatim across the corpus"))
+    val corpus = (organic ++ boiler).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minhashLshPairs(corpus, "doc_id", "text", tau = 0.5,
+        persistIndex = false, bandCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLshPairs(corpus, "doc_id", "text", tau = 0.5,
+        persistIndex = false, bandCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped should contain ((1L, 2L))
+    capped should contain ((1L, 2L))              // organic pair survives
+    capped.count(p => p._1 >= 100L) shouldBe 0    // hot cluster suppressed
+    uncapped.count(p => p._1 >= 100L) shouldBe 25 * 24 / 2
+  }
+
+  test("incremental bandCap drops hot corpus bands, keeps organic cross pairs") {
+    val organicCorpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today")) ++
+      (10L until 30L).map(i => (i, s"unique$i words$i only$i here$i now$i then$i when$i how$i"))
+    val boiler = (100L until 125L).map(i => (i, "identical boilerplate content repeated verbatim across the corpus"))
+    val corpus = (organicCorpus ++ boiler).toDF("doc_id", "text")
+    val batch = Seq(
+      (501L, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+      (502L, "identical boilerplate content repeated verbatim across the corpus"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text", persistIndex = false)
+    val uncapped = Dedup.minhashLshIncremental(batch, "doc_id", "text", idx,
+        tau = 0.5, persistIndex = false, bandCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLshIncremental(batch, "doc_id", "text", idx,
+        tau = 0.5, persistIndex = false, bandCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped should contain ((501L, 1L))
+    uncapped.count(p => p._1 == 502L) shouldBe 25  // batch doc hits the whole cluster
+    capped should contain ((501L, 1L))             // organic cross pair survives
+    capped.count(p => p._1 == 502L) shouldBe 0     // hot corpus bands suppressed
+  }
+
   test("save/load round-trips the index through bucketed tables with identical results") {
     // the production lifecycle: index once -> persist bucketed ->
     // reload in a later job/stream -> dedup incoming batches against

@@ -27,8 +27,23 @@ class PlanContractSpec extends SparkSpec {
     p should include ("(l_shipdate")
     p should include ("(o_orderdate")
     // joins are AQE/size-chosen (broadcast at this sf is fine — the
-    // contract is that the SCALING side carries no hint forcing it)
-    p should not include "joinHint"
+    // contract is that the SCALING side carries no hint forcing it;
+    // hints print as left/rightHint=(strategy=broadcast) in the
+    // optimized Join node, not in the executed plan)
+    SparkEntry.queries("q3_top_orders")(spark, dir)
+      .queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+  }
+
+  test("sim_topk_lsh query side carries no forced broadcast hint") {
+    // the exploded query side is queries x numTables rows of full
+    // vectors; a broadcast HINT there is a build-side OOM on a large
+    // query batch. AQE may still choose broadcast at this sf — the
+    // contract is the hint's absence in the optimized plan.
+    // hints survive into the optimized Join node as
+    // left/rightHint=(strategy=broadcast) — that's the detectable marker
+    val p = SparkEntry.queries("sim_topk_lsh")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    p should not include "strategy=broadcast"
   }
 
   test("q_window_top_parts shares ONE suppkey exchange between aggregate and window") {
