@@ -180,7 +180,14 @@ object UserConfig {
         // default naming {target}_error); false strips every error sink
         if (B(conf, EnableErrorTable)) withNotify.copy(writeErrorTable = true)
         else withNotify.copy(writeErrorTablePath = None, writeErrorTable = false)
-      else withNotify
+      else
+        // the reference defaults se_enable_error_table to TRUE
+        // (context.py:55, expectations.py:275-277): a conf map WITHOUT
+        // the key still writes {target}_error, so this compat layer
+        // matches that — only an explicit false opts out. Direct
+        // DqConfig users (not going through a user_config map) keep the
+        // typed default (false).
+        withNotify.copy(writeErrorTable = true)
     errorGated.copy(
       params = errorGated.params ++ rulesParams(conf),
       enableDetailedStats = errorGated.enableDetailedStats ||

@@ -341,6 +341,27 @@ final class SparkExpectations(
     }
     def harvest(metrics: Map[String, Any]): Unit =
       harvestCounts(MaskedRowDqEvaluator.countsFromMetrics(rowRulesAll, metrics))
+    // Bounded observation harvest, shared by the success and abort
+    // paths: the observation listener posts asynchronously, and a writer
+    // path that fails to propagate observed metrics (an exotic V2 sink,
+    // or a rule that never flowed through the node) must degrade to the
+    // exact fused aggregate over the still-persisted frame — never hang
+    // on an unbounded obs.get.
+    def harvestObserved(obs: org.apache.spark.sql.Observation): Unit = {
+      val harvested =
+        try {
+          scala.concurrent.Await.ready(obs.future,
+            scala.concurrent.duration.Duration(5, "seconds"))
+          harvest(obs.get); true
+        } catch {
+          case _: java.util.concurrent.TimeoutException => false
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt(); false
+        }
+      if (!harvested) pendingMasked.foreach { m =>
+        harvestCounts(MaskedRowDqEvaluator.pipelineCounts(m, rowRulesAll))
+      }
+    }
     def writeErrors(e: DataFrame): Unit = {
       config.writeErrorTablePath.foreach(p =>
         TableWriter.writePath(e, p, config.errorWriter))
@@ -535,8 +556,10 @@ final class SparkExpectations(
       }
 
       // OnWrite counts: the write (or an earlier target-stage action)
-      // has flowed every row through the observe node — collect now
-      pendingCounts.foreach(obs => harvest(obs.get))
+      // has flowed every row through the observe node — collect now,
+      // bounded (a sink that never propagates metrics degrades to the
+      // fused-aggregate fallback instead of hanging)
+      pendingCounts.foreach(harvestObserved)
     } catch {
       case e: DqRuleFailedException =>
         statuses += "run_status" -> StageStatus.Failed
@@ -546,25 +569,7 @@ final class SparkExpectations(
         // listener posts asynchronously, and a query_dq rule touching
         // only the source view never flows through at all, so wait
         // bounded and fall through to the lazy count on timeout
-        pendingCounts.foreach { obs =>
-          val harvested =
-            try {
-              scala.concurrent.Await.ready(obs.future,
-                scala.concurrent.duration.Duration(5, "seconds"))
-              harvest(obs.get); true
-            } catch {
-              case _: java.util.concurrent.TimeoutException => false
-              case _: InterruptedException =>
-                Thread.currentThread().interrupt(); false
-            }
-          // the observation never fired (e.g. the aborting query_dq rule
-          // touched only the source view) — fall back to the fused
-          // aggregate over the still-persisted masked frame so abort
-          // stats and notifications match FusedAggregate mode exactly
-          if (!harvested) pendingMasked.foreach { m =>
-            harvestCounts(MaskedRowDqEvaluator.pipelineCounts(m, rowRulesAll))
-          }
-        }
+        pendingCounts.foreach(harvestObserved)
         // a source agg/query rule with action 'fail' aborts before the
         // row-stage's fused aggregate has counted the input; count it
         // here (lazily, abort path only) so stats-on-abort match the

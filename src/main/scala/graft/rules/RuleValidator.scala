@@ -94,9 +94,12 @@ object RuleValidator {
         // test_composite_missing_key_returns_invalid) — params were
         // substituted before validation, like the reference's reader
         // identifier-shaped placeholders only — `{2}` inside an rlike
-        // pattern is a regex quantifier, not a composite key
-        val leftover = "\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
-          .findAllMatchIn(split.baseExpectation).map(_.group(1)).toSeq.distinct
+        // pattern is a regex quantifier, not a composite key. Scan the
+        // sub-queries too: a leftover {key} inside a sub-query's SQL
+        // would otherwise surface only as a runtime parse error
+        val leftover = (split.baseExpectation +: split.subQueries.values.toSeq)
+          .flatMap("\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+            .findAllMatchIn(_).map(_.group(1))).distinct
         if (leftover.nonEmpty)
           v += Violation(r,
             s"composite query_dq references missing key(s): ${leftover.mkString(", ")}")

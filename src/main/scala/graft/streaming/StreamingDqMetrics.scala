@@ -143,9 +143,34 @@ object StreamingDqMetricsListener {
       Map.empty, Some(s"""{"batch_id":$batchId}"""))
   }
 
+  /** Dedicated writer thread for [[withStatsTable]]: onQueryProgress
+    * runs on the streaming listener BUS thread, and a blocking Spark
+    * table write there backs up the bus — Spark drops progress events
+    * when the bus queue fills, silently losing per-batch stats rows for
+    * EVERY listener in the session. Writes are handed off here instead
+    * (serialized, which an append-mode stats table wants anyway).
+    */
+  private lazy val statsExecutor =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-streaming-stats-writer")
+      t.setDaemon(true); t
+    })
+
+  /** Block until every stats write submitted so far has completed —
+    * call before reading the stats table (tests) or at shutdown.
+    * Returns false on timeout.
+    */
+  def awaitStatsWrites(timeoutSeconds: Int = 60): Boolean =
+    try {
+      statsExecutor.submit(new Runnable { def run(): Unit = () })
+        .get(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
+      true
+    } catch { case _: java.util.concurrent.TimeoutException => false }
+
   /** Listener that appends one stats row per processed micro-batch to
     * `statsTable` — continuous DQ observability the reference's
-    * streaming mode (zero counts, no stats) does not have.
+    * streaming mode (zero counts, no stats) does not have. The write
+    * runs on [[statsExecutor]], not the listener bus thread.
     */
   def withStatsTable(rules: Seq[Rule],
                      spark: org.apache.spark.sql.SparkSession,
@@ -154,16 +179,22 @@ object StreamingDqMetricsListener {
                        graft.sink.WriterConfig(mode = "append"),
                      queryName: Option[String] = None): StreamingDqMetricsListener =
     new StreamingDqMetricsListener(rules, queryName = queryName,
-      onBatch = (batchId, pc) =>
-        // a transient sink failure must not lose the batch from
-        // perBatch/aggPerBatch (an onBatch throw would skip the
-        // publishes in onQueryProgress) — log and move on
-        try graft.sink.TableWriter.writeStats(
-          graft.sink.StatsBuilder.toDataFrame(spark,
-            batchStats(rules, productId, table, batchId, pc)),
-          statsTable, writer)
-        catch { case scala.util.control.NonFatal(w) =>
-          System.err.println(
-            s"[graft] streaming stats write to '$statsTable' failed for batch $batchId: $w")
+      onBatch = (batchId, pc) => {
+        // stamp the stats row NOW (batch arrival order) so queued writes
+        // carry the right context even if the writer thread lags
+        val stats = batchStats(rules, productId, table, batchId, pc)
+        statsExecutor.submit(new Runnable {
+          def run(): Unit =
+            // a transient sink failure must not lose the batch from
+            // perBatch/aggPerBatch — log and move on
+            try graft.sink.TableWriter.writeStats(
+              graft.sink.StatsBuilder.toDataFrame(spark, stats),
+              statsTable, writer)
+            catch { case scala.util.control.NonFatal(w) =>
+              System.err.println(
+                s"[graft] streaming stats write to '$statsTable' failed for batch $batchId: $w")
+            }
         })
+        ()
+      })
 }

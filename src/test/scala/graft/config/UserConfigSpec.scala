@@ -109,8 +109,12 @@ class UserConfigSpec extends SparkSpec {
     // catalog error write even when the base config didn't
     UserConfig.dqConfig(Map(UserConfig.EnableErrorTable -> true), "p", "t")
       .writeErrorTable shouldBe true
-    // absent key keeps the base's setting
-    UserConfig.dqConfig(Map.empty, "p", "t").writeErrorTable shouldBe false
+    // absent key matches the reference default (context.py:55 defaults
+    // se_enable_error_table to True): the error table still writes
+    UserConfig.dqConfig(Map.empty, "p", "t").writeErrorTable shouldBe true
+    // only an explicit false opts out
+    UserConfig.dqConfig(Map(UserConfig.EnableErrorTable -> false), "p", "t")
+      .writeErrorTable shouldBe false
   }
 
   test("job metadata key flows from user_config into DqConfig") {

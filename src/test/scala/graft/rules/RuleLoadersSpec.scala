@@ -156,6 +156,15 @@ class RuleValidatorSpec extends SparkSpec {
     v.map(_.problem).exists(_.contains("missing key(s): src")) shouldBe true
   }
 
+  test("leftover placeholder inside a sub-query's SQL is flagged too") {
+    // the base is clean but a sub-query still carries an unsubstituted
+    // {table} — without the sub-query scan this only surfaced later as
+    // a runtime parse/analysis error
+    val v = RuleValidator.validate(spark, Seq(
+      r("query_dq", "({a}) > 0@a@select count(*) from {table}")))
+    v.map(_.problem).exists(_.contains("missing key(s): table")) shouldBe true
+  }
+
   test("regex quantifier braces are not composite keys") {
     // `{2}` in an rlike pattern must not read as a missing alias
     RuleValidator.validate(spark, Seq(

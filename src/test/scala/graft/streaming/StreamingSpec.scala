@@ -259,6 +259,9 @@ class StreamingSpec extends SparkSpec {
       val deadline = System.nanoTime() + 30e9.toLong
       while (listener.perBatch.size < 2 && System.nanoTime() < deadline)
         Thread.sleep(100)
+      // writes run on the dedicated stats-writer thread, off the
+      // listener bus — drain before reading the table
+      StreamingDqMetricsListener.awaitStatsWrites() shouldBe true
       val stats = spark.table("stream_stats")
       stats.count() shouldBe 2
       stats.select("inputCount").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
