@@ -70,10 +70,37 @@ object UserConfig {
   final case class WebhookRequest(url: String, payload: String,
                                   headers: Map[String, String] = Map.empty)
 
-  /** Injected senders; defaults drop messages (hermetic build). */
+  /** Injected senders. The DEFAULTS are the live wire transports — a
+    * deployment enables email/Slack from config alone, reference parity
+    * with email.py:150-197 / slack.py:20-50 — while tests inject capture
+    * functions as before. The email default is a sentinel: the real SMTP
+    * sender needs the host/port/auth from the [[EmailConfig]] that
+    * [[notifier]] builds, so it is derived there when not injected.
+    */
   final case class Transports(
-      webhook: WebhookRequest => Unit = _ => (),
-      email: EmailMessage => Unit = _ => ())
+      webhook: WebhookRequest => Unit = Transports.LiveWebhook,
+      email: EmailMessage => Unit = Transports.DeriveLiveEmail)
+
+  object Transports {
+    private[config] val LiveWebhook: WebhookRequest => Unit =
+      r => graft.notify.WireTransports.httpPost(r.url, r.payload, r.headers)
+    /** Reference-identity marker meaning "not injected — build an
+      * [[graft.notify.SmtpTransport]] from the conf-derived EmailConfig".
+      * Never invoked directly.
+      */
+    private[config] val DeriveLiveEmail: EmailMessage => Unit = _ =>
+      throw new IllegalStateException(
+        "DeriveLiveEmail is a selection marker; notifier() replaces it")
+  }
+
+  /** The sender [[notifier]] actually wires for `cfg`: the injected one,
+    * or a live SMTP transport when the caller left the default marker.
+    */
+  private[config] def emailSender(cfg: EmailConfig,
+                                  transports: Transports): EmailMessage => Unit =
+    if (transports.email eq Transports.DeriveLiveEmail)
+      graft.notify.SmtpTransport.fromConfig(cfg)
+    else transports.email
 
   private def B(conf: Map[String, Any], k: String) = DqSettings.bool(conf, k)
   private def S(conf: Map[String, Any], k: String, d: String = "") = DqSettings.str(conf, k, d)
@@ -110,19 +137,19 @@ object UserConfig {
                transports: Transports = Transports()): Option[Notifier] = {
     val plugins = Seq.newBuilder[NotificationPlugin]
 
-    if (B(conf, EnableEmail))
-      plugins += new EmailNotifier(
-        EmailConfig(
-          from = S(conf, EmailFrom),
-          to = S(conf, EmailTo),
-          subject = S(conf, EmailSubject, "spark expectations - data quality - notifications"),
-          smtpServer = S(conf, EmailSmtpHost, "localhost"),
-          smtpPort = I(conf, EmailSmtpPort, 25),
-          smtpAuth = B(conf, EmailSmtpAuth),
-          smtpUser = Some(S(conf, EmailSmtpUser)).filter(_.nonEmpty),
-          smtpPassword = smtpPassword(conf),
-          templatedBasicBody = B(conf, EmailTemplatedBasicBody)),
-        transports.email)
+    if (B(conf, EnableEmail)) {
+      val emailCfg = EmailConfig(
+        from = S(conf, EmailFrom),
+        to = S(conf, EmailTo),
+        subject = S(conf, EmailSubject, "spark expectations - data quality - notifications"),
+        smtpServer = S(conf, EmailSmtpHost, "localhost"),
+        smtpPort = I(conf, EmailSmtpPort, 25),
+        smtpAuth = B(conf, EmailSmtpAuth),
+        smtpUser = Some(S(conf, EmailSmtpUser)).filter(_.nonEmpty),
+        smtpPassword = smtpPassword(conf),
+        templatedBasicBody = B(conf, EmailTemplatedBasicBody))
+      plugins += new EmailNotifier(emailCfg, emailSender(emailCfg, transports))
+    }
 
     if (B(conf, EnableSlack)) {
       val slack = new WebhookNotifier("slack", WebhookFormats.slack,
@@ -148,7 +175,11 @@ object UserConfig {
         S(conf, PagerdutyIntegrationKey),
         p => transports.webhook(WebhookRequest(S(conf, PagerdutyWebhookUrl), p)))
 
-    val ps = plugins.result()
+    // pluggy-parity (reference notifications/__init__.py: entry-point
+    // plugins join the hook broadcast automatically): ServiceLoader-
+    // discovered NotificationPlugins ride every fan-out — classpath
+    // presence IS the registration
+    val ps = plugins.result() ++ graft.plugins.PluginDiscovery.notificationPlugins()
     val anyFlag = Seq(NotifyOnStart, NotifyOnCompletion, NotifyOnFail).exists(conf.contains)
     if (ps.isEmpty && !anyFlag) None
     else Some(new Notifier(ps,

@@ -27,7 +27,13 @@ final case class EmailConfig(
     /** render the basic "title + k: v rows" body as an HTML table, like
       * the reference's templated basic email (email.py:127-149).
       */
-    templatedBasicBody: Boolean = false) {
+    templatedBasicBody: Boolean = false,
+    /** custom body renderer — the reference's user-supplied Jinja
+      * template hook (email.py:84-126). When set it wins over
+      * templatedBasicBody and the raw body; the content type is
+      * `contentType` (set "html" for HTML templates).
+      */
+    bodyRenderer: Option[Notification => String] = None) {
   def recipients: Seq[String] = to.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 }
 
@@ -69,9 +75,12 @@ object EmailNotifier {
 
   def render(cfg: EmailConfig, n: Notification): EmailMessage = {
     val raw = s"${n.title}\n${n.body}"
-    val (content, contentType) =
-      if (cfg.templatedBasicBody) (basicHtmlBody(cfg.subject, raw), "html")
-      else (raw, if (cfg.contentType == "html") "html" else "plain")
+    val (content, contentType) = cfg.bodyRenderer match {
+      case Some(render) =>
+        (render(n), if (cfg.contentType == "html") "html" else "plain")
+      case None if cfg.templatedBasicBody => (basicHtmlBody(cfg.subject, raw), "html")
+      case None => (raw, if (cfg.contentType == "html") "html" else "plain")
+    }
     val mime =
       s"""From: ${cfg.from}\r
          |To: ${cfg.to}\r

@@ -48,6 +48,12 @@ class UserConfigSpec extends SparkSpec {
 
     val input = Seq((1, "a"), (2, "b")).toDF("col1", "col2")
     val rules = Seq(Rule("p1", "tbl", "row_dq", "col1_gt1", "col1", "col1 > 1", "ignore"))
+    // a crashed earlier run can leave an orphan warehouse location that
+    // has no catalog entry — clear both before writing
+    spark.sql("DROP TABLE IF EXISTS tbl_error")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "tbl_error"))
     try {
       new SparkExpectations("p1", "tbl", rules, cfg).run(input).unpersist()
       // enable.error.table=true wrote the {target}_error catalog table
@@ -78,7 +84,10 @@ class UserConfigSpec extends SparkSpec {
       UserConfig.EnablePagerduty -> true,
       UserConfig.PagerdutyIntegrationKey -> "ik123",
       UserConfig.PagerdutyWebhookUrl -> "https://pd.example.test/v2/enqueue",
-      UserConfig.NotifyOnFail -> true)
+      UserConfig.NotifyOnFail -> true,
+      // this test exercises paging, not sinks — without the opt-out the
+      // reference-matching default would write a tbl_error catalog table
+      UserConfig.EnableErrorTable -> false)
     val cfg = UserConfig.dqConfig(conf, "p1", "tbl",
       transports = Transports(webhook = hooks :+= _))
     val rules = Seq(Rule("p1", "tbl", "row_dq", "never", "col1", "col1 > 99", "fail"))
@@ -115,6 +124,22 @@ class UserConfigSpec extends SparkSpec {
     // only an explicit false opts out
     UserConfig.dqConfig(Map(UserConfig.EnableErrorTable -> false), "p", "t")
       .writeErrorTable shouldBe false
+  }
+
+  test("default Transports select the live senders; injected fakes win") {
+    import graft.notify.{EmailConfig, EmailMessage, SmtpTransport}
+    // conf-alone deployment parity: no injected transports ⇒ a live SMTP
+    // sender built from the conf-derived EmailConfig...
+    val cfg = EmailConfig("a@x.com", "b@y.com", "s", smtpServer = "mail.example")
+    UserConfig.emailSender(cfg, Transports()) shouldBe a[SmtpTransport]
+    // ...and the live HTTP POST for webhooks (the shared function marker)
+    Transports().webhook should be theSameInstanceAs Transports().webhook
+    // injected sender wins over the live default
+    var hit = false
+    val injected: EmailMessage => Unit = _ => hit = true
+    UserConfig.emailSender(cfg, Transports(email = injected))
+      .apply(EmailMessage("f", Seq("t"), "m"))
+    hit shouldBe true
   }
 
   test("job metadata key flows from user_config into DqConfig") {
