@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass dataset profiling for sketch-backed DQ at scale (SURVEY
+  * §7.5: `approx_count_distinct`-backed profile rules layered on the
+  * rule-compiler architecture).
+  *
+  * Every metric for every profiled column computes inside ONE global
+  * Aggregate — a single partial+final job with no shuffle of the data
+  * itself — where the naive per-column approach runs a job (and for
+  * exact distincts a full shuffle) per column. The cardinality metrics
+  * are sketches on purpose: at 100 TB, `approx_count_distinct` (HLL++,
+  * mergeable partials) and `percentile_approx` are the only viable
+  * forms, and their error bounds (~2.3% default rsd) are pinned by
+  * spec against exact counts.
+  *
+  * Output is long-form `(column_name, metric, value: double)` — the
+  * shape a profile store persists per partition/day, which makes drift
+  * checking a self-join (`drift`) and threshold rules a tiny collected
+  * scan (`check`).
+  */
+object Profile {
+
+  /** Exact metrics every column gets (DuckDB-oracle-comparable). */
+  private def exactMetrics(c: String): Seq[(String, Column)] = Seq(
+    "count" -> count(col(c)).cast("double"),
+    "null_count" -> sum(when(col(c).isNull, 1).otherwise(0)).cast("double"),
+    "min" -> min(col(c)).cast("double"),
+    "max" -> max(col(c)).cast("double"),
+    // decimal-exact sum/mean: double-sum order sensitivity would break
+    // hash-compare parity between engines (and between partitionings)
+    "sum" -> sum(col(c).cast("decimal(38,2)")).cast("double"),
+    "mean" -> (sum(col(c).cast("decimal(38,2)")) /
+      count(col(c))).cast("double"))
+
+  /** Sketch metrics (approximate — spec-bounded, not oracle-hashed). */
+  private def sketchMetrics(c: String): Seq[(String, Column)] = Seq(
+    "approx_distinct" -> approx_count_distinct(col(c)).cast("double"),
+    "p50" -> percentile_approx(col(c), lit(0.5), lit(10000)).cast("double"),
+    "p95" -> percentile_approx(col(c), lit(0.95), lit(10000)).cast("double"),
+    "stddev" -> stddev_samp(col(c)))
+
+  /** Profile `cols` (numeric) in one aggregate pass. `withSketches=false`
+    * restricts to the exact metrics (the oracle-checked subset).
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+              withSketches: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val metrics: Seq[(String, String, Column)] = cols.flatMap { c =>
+      val ms = if (withSketches) exactMetrics(c) ++ sketchMetrics(c)
+               else exactMetrics(c)
+      ms.map { case (m, e) => (c, m, e.as(s"${c}__$m")) }
+    }
+    // ONE agg row -> long form. The explode is over a literal-shaped
+    // array of (column, metric, value) structs built from that row; no
+    // second pass over the data.
+    val aggRow = df.agg(metrics.head._3, metrics.tail.map(_._3): _*)
+    val entries = metrics.map { case (c, m, _) =>
+      struct(lit(c).as("column_name"), lit(m).as("metric"),
+        col(s"${c}__$m").cast("double").as("value"))
+    }
+    aggRow.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name"), col("e.metric"), col("e.value"))
+  }
+
+  /** A threshold rule over a profile row: `metric(column) op threshold`.
+    * op ∈ > >= < <= == != ; evaluated on the (tiny) collected profile.
+    */
+  final case class ProfileRule(rule: String, columnName: String,
+                               metric: String, op: String, threshold: Double)
+
+  final case class ProfileRuleResult(rule: String, columnName: String,
+                                     metric: String, actual: Option[Double],
+                                     threshold: Double, passed: Boolean)
+
+  /** Evaluate threshold rules against a profile frame. A rule whose
+    * (column, metric) is absent from the profile FAILS (actual=None) —
+    * a misspelled metric must not pass silently.
+    */
+  def check(profileDf: DataFrame, rules: Seq[ProfileRule]): Seq[ProfileRuleResult] = {
+    val prof = profileDf.collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    rules.map { r =>
+      val actual = prof.get((r.columnName, r.metric)).flatten
+      val ok = actual.exists { a =>
+        r.op match {
+          case ">" => a > r.threshold
+          case ">=" => a >= r.threshold
+          case "<" => a < r.threshold
+          case "<=" => a <= r.threshold
+          case "==" => a == r.threshold
+          case "!=" => a != r.threshold
+          case other => throw new IllegalArgumentException(s"unknown op '$other'")
+        }
+      }
+      ProfileRuleResult(r.rule, r.columnName, r.metric, actual, r.threshold, ok)
+    }
+  }
+
+  /** Drift between a baseline profile and a current one: rows where the
+    * relative change exceeds `tolerance` (or a metric exists on one side
+    * only). The join is on (column_name, metric) — profile frames are a
+    * handful of rows regardless of data size, so this is trivially
+    * cheap; the VALUE of drift checking at 100 TB is that the profiles
+    * themselves were one-pass sketches.
+    */
+  def drift(baseline: DataFrame, current: DataFrame,
+            tolerance: Double = 0.1): DataFrame = {
+    val b = baseline.select(col("column_name"), col("metric"),
+      col("value").as("baseline_value"))
+    val c = current.select(col("column_name"), col("metric"),
+      col("value").as("current_value"))
+    b.join(c, Seq("column_name", "metric"), "full_outer")
+      .withColumn("rel_change",
+        when(col("baseline_value").isNull || col("current_value").isNull, lit(null))
+          .when(col("baseline_value") === 0.0,
+            when(col("current_value") === 0.0, 0.0).otherwise(Double.PositiveInfinity))
+          .otherwise(abs(col("current_value") - col("baseline_value")) /
+            abs(col("baseline_value"))))
+      .filter(col("rel_change").isNull || col("rel_change") > tolerance)
+  }
+}

@@ -155,6 +155,32 @@ object EngineExtQueries {
         CASE WHEN count(*) FILTER (WHERE NOT l_quantity <= 45) > 0 THEN 'FAIL' ELSE 'PASS' END AS overall_status,
         CASE WHEN count(*) FILTER (WHERE NOT l_quantity <= 45) > 0
              THEN 'Pass:0 / Fail:1' ELSE 'Pass:1 / Fail:0' END AS status_summary
-      FROM lineitem"""))
+      FROM lineitem""")),
+
+    // -- SURVEY §7.5: one-pass profile, hash-exact metric subset -----------
+    // mean (decimal division) and the sketch metrics (approx_distinct,
+    // percentile_approx, stddev) are spec-bounded instead of oracle-
+    // hashed: the sketches differ across engines by design, and decimal
+    // division rounding differs between Spark and DuckDB. The five
+    // metrics here are exact-arithmetic in both engines.
+    QueryDef("profile_stats", (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      graft.ops.Profile.profile(li,
+          Seq("l_quantity", "l_extendedprice", "l_discount"), withSketches = false)
+        .filter(col("metric") =!= "mean")
+        .orderBy("column_name", "metric")
+    }, Some {
+      val metricSql = Map(
+        "count" -> ((c: String) => s"CAST(count($c) AS DOUBLE)"),
+        "null_count" -> ((c: String) => s"CAST(count(*) - count($c) AS DOUBLE)"),
+        "min" -> ((c: String) => s"CAST(min($c) AS DOUBLE)"),
+        "max" -> ((c: String) => s"CAST(max($c) AS DOUBLE)"),
+        "sum" -> ((c: String) => s"CAST(sum(CAST($c AS DECIMAL(38,2))) AS DOUBLE)"))
+      val selects = for {
+        c <- Seq("l_quantity", "l_extendedprice", "l_discount")
+        (m, f) <- metricSql
+      } yield s"SELECT '$c' AS column_name, '$m' AS metric, ${f(c)} AS value FROM lineitem"
+      selects.mkString("", " UNION ALL ", " ORDER BY column_name, metric")
+    })
   )
 }

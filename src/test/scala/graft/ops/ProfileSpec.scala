@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val li = spark.read.parquet(s"$dir/lineitem.parquet")
+
+  test("profile computes every metric for every column in ONE aggregate job") {
+    val p = Profile.profile(li, Seq("l_quantity", "l_discount"))
+    // 6 exact + 4 sketch metrics x 2 columns
+    p.count() shouldBe 20
+    // structurally one pass: a single Aggregate pair, no join/union
+    val plan = p.queryExecution.optimizedPlan.toString
+    plan.split("Aggregate").length - 1 should be <= 2 // partial handled physically
+    plan should not include "Union"
+    plan should not include "Join"
+  }
+
+  test("exact metrics agree with direct aggregation") {
+    val p = Profile.profile(li, Seq("l_quantity"), withSketches = false)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val d = li.agg(count("l_quantity"), min("l_quantity"), max("l_quantity"),
+      sum($"l_quantity".cast("decimal(38,2)")).cast("double")).head()
+    p("count") shouldBe d.getLong(0).toDouble
+    p("null_count") shouldBe 0.0
+    p("min") shouldBe d.getDouble(1)
+    p("max") shouldBe d.getDouble(2)
+    p("sum") shouldBe d.getDouble(3)
+    // Spark's decimal division rounds the quotient to scale 6
+    p("mean") shouldBe (d.getDouble(3) / d.getLong(0)) +- 1e-6
+  }
+
+  test("sketch metrics land within documented bounds of exact values") {
+    val p = Profile.profile(li, Seq("l_orderkey", "l_quantity"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exactDistinct = li.select(countDistinct("l_orderkey")).head().getLong(0).toDouble
+    // HLL++ default rsd is 5%; allow 3 sigma
+    p(("l_orderkey", "approx_distinct")) shouldBe exactDistinct +- exactDistinct * 0.15
+    // percentile_approx with accuracy 10000 on ~60k rows is near-exact
+    val exactP50 = li.stat.approxQuantile("l_quantity", Array(0.5), 0.001)(0)
+    p(("l_quantity", "p50")) shouldBe exactP50 +- 2.0
+    p(("l_quantity", "p95")) should be > p(("l_quantity", "p50"))
+  }
+
+  test("null_count counts nulls; check() fails on missing metrics and breaches") {
+    val df = Seq(Some(1.0), None, Some(3.0), None).toDF("v")
+    val p = Profile.profile(df, Seq("v"), withSketches = false)
+    p.filter($"metric" === "null_count").head().getDouble(2) shouldBe 2.0
+
+    val res = Profile.check(p, Seq(
+      Profile.ProfileRule("nulls_low", "v", "null_count", "<=", 1.0),  // breached
+      Profile.ProfileRule("count_ok", "v", "count", ">=", 2.0),       // passes
+      Profile.ProfileRule("typo", "v", "approx_distinct", ">", 0.0))) // absent
+    res.map(r => r.rule -> r.passed).toMap shouldBe
+      Map("nulls_low" -> false, "count_ok" -> true, "typo" -> false)
+    res.find(_.rule == "typo").get.actual shouldBe None
+  }
+
+  test("drift flags relative changes over tolerance and one-sided metrics") {
+    val base = Seq(("v", "mean", 100.0), ("v", "count", 1000.0),
+      ("v", "p95", 5.0)).toDF("column_name", "metric", "value")
+    val cur = Seq(("v", "mean", 125.0), ("v", "count", 1001.0),
+      ("w", "count", 7.0)).toDF("column_name", "metric", "value")
+    val d = Profile.drift(base, cur, tolerance = 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    d should contain (("v", "mean"))      // +25% > 10%
+    d should not contain (("v", "count")) // +0.1%
+    d should contain (("v", "p95"))       // vanished from current
+    d should contain (("w", "count"))     // new in current
+  }
+}
+
+class SketchAggregatesSpec extends SparkSpec {
+  import graft.functions.SketchAggregates
+  import spark.implicits._
+
+  test("minhash_signature aggregate is bit-identical to the 63-min-agg form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ex = Dedup.shingleFpRows(docs.limit(200), "doc_id", "text", 3)
+    val viaAgg = ex.groupBy($"id")
+      .agg(SketchAggregates.minhashSignature($"s", 63).as("sig"))
+    val viaCols = Dedup.minhashSignatures(ex, 63).select($"id", $"sig")
+    viaAgg.join(viaCols.withColumnRenamed("sig", "sig2"), "id")
+      .filter(!($"sig" === $"sig2")).count() shouldBe 0L
+    viaAgg.count() shouldBe viaCols.count()
+  }
+
+  test("signature width is O(1) in plan size and merges across partitions") {
+    val ex = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("id", "s")
+      .repartition(4) // forces partial buffers + merge
+    val wide = ex.groupBy($"id")
+      .agg(SketchAggregates.minhashSignature($"s", 512).as("sig"))
+    wide.head().getSeq[Long](1).size shouldBe 512
+    // one aggregate expression regardless of numHashes
+    wide.queryExecution.optimizedPlan.toString
+      .split("minhash_signature").length - 1 should be <= 2
+  }
+
+  test("nulls are skipped; empty groups yield the identity signature") {
+    val ex = Seq((1L, Some(10L)), (1L, None), (2L, None)).toDF("id", "s")
+    val sigs = ex.groupBy($"id")
+      .agg(SketchAggregates.minhashSignature($"s", 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // group 2 saw only nulls: all minima stay at Long.MaxValue
+    sigs(2L).forall(_ == Long.MaxValue) shouldBe true
+    sigs(1L).exists(_ != Long.MaxValue) shouldBe true
+  }
+}
