@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    DqQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++ EngineExtQueries.all
+    DqQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
+      EngineExtQueries.all ++ PipelineExtQueries.all
 
   /** Flagship: the full five-stage DQ pipeline on sf0.001 lineitem —
     * row rules (incl. a window uniqueness rule), agg rules, drop

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Train/eval decontamination: flag training documents that contain a
+  * benchmark (eval-set) document's content, by n-gram CONTAINMENT —
+  * `|sh(train) ∩ sh(bench)| / |sh(bench)|` — not symmetric Jaccard: a
+  * long web page that embeds a whole benchmark item verbatim has low
+  * Jaccard (the page's size dominates the union) but containment ~1.0,
+  * and it's exactly the row a pretraining pipeline must drop.
+  *
+  * Same scale skeleton as [[Dedup.ngramJaccardPairs]] (shared 64-bit
+  * shingle fingerprints, df-capped candidate join fused with
+  * intersection counting, exact-score supplement for over-cap shingles),
+  * but the candidate join is train-index × bench-index instead of a
+  * self-join: at 100 TB the train side is the huge one and shuffles once
+  * on the 8-byte fingerprint; the bench index (benchmarks are small —
+  * thousands of documents) broadcasts under AQE.
+  */
+object Decontaminate {
+
+  /** (train_id, bench_id, containment) for every pair at or above `tau`.
+    *
+    * The df cap bounds the train side's hot shingles: a boilerplate
+    * shingle in m train docs × b bench docs would emit m·b candidate
+    * rows. Capped shingles are excluded from candidate generation but
+    * restored to surfaced pairs' scores by the supplement join, so
+    * containment is EXACT for every emitted pair; a pair is lost only if
+    * every shared shingle is over-cap (see [[Dedup]]'s recall contract —
+    * run exact dedup first and boilerplate df collapses).
+    */
+  def containmentPairs(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      tau: Double = 0.5,
+      dfCap: Int = 512): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau out of (0,1]")
+    val tEx = Dedup.shingleFpRows(train, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bEx = Dedup.shingleFpRows(bench, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bSizes = bEx.groupBy(col("id")).agg(count(lit(1)).as("nb"))
+
+    // train-side df only: the train corpus is the sf-scaling side; bench
+    // df is bounded by the (small) benchmark count already
+    val overCap = tEx.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+      .filter(col("df_") > dfCap).select(col("s"))
+    val tKept = if (dfCap <= 0) tEx else tEx.join(overCap, Seq("s"), "left_anti")
+
+    // fused candidates + kept-shingle intersection counts
+    val cKept = tKept.select(col("id").as("train_id"), col("s"))
+      .join(bEx.select(col("id").as("bench_id"), col("s")), Seq("s"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("c_kept"))
+
+    val inter =
+      if (dfCap <= 0) cKept.withColumnRenamed("c_kept", "ic")
+      else {
+        val tOver = tEx.join(overCap, Seq("s"), "left_semi")
+        val cOver = cKept.select(col("train_id"), col("bench_id"))
+          .join(tOver.select(col("id").as("train_id"), col("s")), Seq("train_id"))
+          .join(bEx.select(col("id").as("bench_id"), col("s")), Seq("bench_id", "s"))
+          .groupBy(col("train_id"), col("bench_id"))
+          .agg(count(lit(1)).as("c_over"))
+        cKept.join(cOver, Seq("train_id", "bench_id"), "left")
+          .select(col("train_id"), col("bench_id"),
+            (col("c_kept") + coalesce(col("c_over"), lit(0L))).as("ic"))
+      }
+
+    inter.join(bSizes.select(col("id").as("bench_id"), col("nb")), Seq("bench_id"))
+      .withColumn("containment", col("ic").cast("double") / col("nb"))
+      .filter(col("containment") >= tau)
+      .select(col("train_id"), col("bench_id"), col("containment"))
+  }
+
+  /** The clean training set: drop every train document contaminated at
+    * or above `tau` against any benchmark document.
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      tau: Double = 0.5,
+      dfCap: Int = 512): DataFrame = {
+    val bad = containmentPairs(train, bench, idCol, textCol, k, tau, dfCap)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+}

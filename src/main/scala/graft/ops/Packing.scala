@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Sequence packing for LLM training pipelines: concatenate documents in
+  * a deterministic order and chunk the token stream into fixed-budget
+  * training sequences. This is the "concat-then-chunk" packing used by
+  * large pretraining runs (documents straddle sequence boundaries; no
+  * token is padded or dropped), as opposed to first-fit bin packing,
+  * whose stateful scan doesn't parallelize.
+  *
+  * The token offsets are a running sum over a window ordered within
+  * `partCol` — ONE shuffle on the partition column, linear within
+  * partitions. At 100 TB the partition column is the shard key (here the
+  * language): each shard packs independently, which is also what a
+  * multi-host tokenizer job wants, and no global sort ever happens.
+  */
+object Packing {
+
+  /** Assign each document its packed token span and the training
+    * sequences it lands in.
+    *
+    * Output: all input columns plus
+    *   - `start_off`/`end_off`: the document's [start, end) token span in
+    *     its partition's concatenated stream,
+    *   - `first_seq`/`last_seq`: the first/last sequence index (0-based,
+    *     `budget` tokens each) the document occupies,
+    *   - `n_seqs`: how many sequences it straddles.
+    *
+    * Documents with zero/null token counts are dropped (they occupy no
+    * span; keeping them would need a degenerate empty-interval
+    * convention).
+    */
+  def packByOrder(
+      docs: DataFrame,
+      tokensCol: String,
+      orderCol: String,
+      partCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .filter(col(tokensCol).isNotNull && col(tokensCol) > 0)
+      .withColumn("end_off", sum(col(tokensCol)).over(w))
+      .withColumn("start_off", col("end_off") - col(tokensCol))
+      .withColumn("first_seq", expr(s"start_off div ${budget}L"))
+      .withColumn("last_seq", expr(s"(end_off - 1L) div ${budget}L"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
+  /** Per-partition packing summary: sequence count and fill ratio of the
+    * final (partial) sequence. `n_sequences = ceil(total_tokens/budget)`;
+    * everything before the last sequence is exactly full by
+    * construction.
+    */
+  def packSummary(packed: DataFrame, partCol: String, budget: Int): DataFrame =
+    packed.groupBy(col(partCol))
+      .agg(max(col("end_off")).as("total_tokens"), count(lit(1)).as("n_docs"))
+      .withColumn("n_sequences", expr(s"(total_tokens + ${budget - 1}L) div ${budget}L"))
+      .withColumn("last_fill",
+        (col("total_tokens") - (col("n_sequences") - 1) * budget).cast("double") / budget)
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "en", 100L), (2L, "en", 200L), (3L, "en", 700L), (4L, "en", 30L),
+    (5L, "de", 256L), (6L, "de", 1L),
+    (7L, "en", 0L), (8L, "de", -5L)) // degenerate: no tokens
+    .toDF("doc_id", "lang", "n_tokens")
+
+  private def packed = Packing.packByOrder(docs,
+    tokensCol = "n_tokens", orderCol = "doc_id", partCol = "lang", budget = 256)
+
+  test("token spans tile each partition's stream exactly: contiguous, gap-free") {
+    val rows = packed.select("lang", "doc_id", "n_tokens", "start_off", "end_off")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.length shouldBe 6 // zero/negative-token docs dropped
+    rows.groupBy(_._1).foreach { case (_, part) =>
+      val sorted = part.sortBy(_._2)
+      sorted.head._4 shouldBe 0L // first doc starts at offset 0
+      sorted.sliding(2).foreach {
+        case Array(a, b) => b._4 shouldBe a._5 // next start == prev end
+        case _           =>
+      }
+      sorted.foreach(r => (r._5 - r._4) shouldBe r._3) // span == n_tokens
+    }
+  }
+
+  test("sequence indices: straddling and exact-fit boundaries") {
+    val m = packed.select("doc_id", "first_seq", "last_seq", "n_seqs")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    m(1L) shouldBe ((0L, 0L, 1L))   // [0,100) in seq 0
+    m(2L) shouldBe ((0L, 1L, 2L))   // [100,300) straddles 0→1
+    m(3L) shouldBe ((1L, 3L, 3L))   // [300,1000) spans seqs 1..3
+    m(4L) shouldBe ((3L, 4L, 2L))   // [1000,1030)
+    m(5L) shouldBe ((0L, 0L, 1L))   // exact fit: [0,256) stays in seq 0
+    m(6L) shouldBe ((1L, 1L, 1L))   // next doc opens seq 1
+  }
+
+  test("packSummary: ceil sequence count and last-sequence fill") {
+    val s = Packing.packSummary(packed, "lang", budget = 256)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    s("en") shouldBe ((1030L, 4L, 5L, (1030.0 - 4 * 256) / 256))
+    s("de") shouldBe ((257L, 2L, 2L, 1.0 / 256))
+  }
+
+  test("partitions pack independently (offsets restart per partition)") {
+    val starts = packed.groupBy("lang").agg(min("start_off").as("s"))
+      .collect().map(_.getLong(1))
+    all(starts) shouldBe 0L
+  }
+
+  test("plan shape: one window exchange on the partition column, no join") {
+    val plan = packed.queryExecution.executedPlan.toString
+    plan should not include "Join"
+    "Exchange".r.findAllMatchIn(plan).size shouldBe 1
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (0L until 10000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+
+  /** The documented portable formula, computed independently in Scala. */
+  private def bucket(id: Long): Long = ((id % 1048573L) * 2654435761L) % 1000000L
+
+  test("hashBucket matches the documented modular formula") {
+    val got = ids.select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    got.foreach { case (id, b) => b shouldBe bucket(id) }
+  }
+
+  test("hashSample: deterministic membership, ~frac of rows kept") {
+    val kept = Sampling.hashSample(ids, "id", 0.3).select("id")
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe (0L until 10000L).filter(bucket(_) < 300000L).toSet
+    kept.size.toDouble / 10000 shouldBe 0.3 +- 0.05
+    val again = Sampling.hashSample(ids, "id", 0.3).count()
+    again shouldBe kept.size.toLong
+  }
+
+  test("stratifiedSample applies per-stratum thresholds with a default") {
+    val kept = Sampling.stratifiedSample(ids, "source", "id",
+        fractions = Map("src0" -> 0.5, "src1" -> 0.1), default = 0.0)
+      .select("id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    kept.foreach { case (id, src) =>
+      val thr = src match { case "src0" => 500000L; case "src1" => 100000L; case _ => 0L }
+      assert(bucket(id) < thr, s"id $id in $src over threshold")
+    }
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    bySrc.keySet shouldBe Set("src0", "src1") // default 0 drops src2/src3 entirely
+    bySrc("src0").toDouble / 2500 shouldBe 0.5 +- 0.06
+    bySrc("src1").toDouble / 2500 shouldBe 0.1 +- 0.04
+  }
+
+  test("stratifiedFixedN returns exactly n per stratum, smallest hash first") {
+    val out = Sampling.stratifiedFixedN(ids, "source", "id", 7)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      rows.length shouldBe 7
+      val want = (0L until 10000L).filter(i => s"src${i % 4}" == src)
+        .sortBy(i => (bucket(i), i)).take(7).toSet
+      rows.map(_._2).toSet shouldBe want
+    }
+    // smaller stratum than n: returns all of it
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "source")
+    Sampling.stratifiedFixedN(tiny, "source", "id", 5).count() shouldBe 3
+  }
+
+  test("sampling ops add no shuffle (fixedN adds exactly the window's one)") {
+    val p1 = Sampling.hashSample(ids, "id", 0.3).queryExecution.executedPlan.toString
+    "Exchange".r.findAllMatchIn(p1).size shouldBe 0
+    val p2 = Sampling.stratifiedFixedN(ids, "source", "id", 5)
+      .queryExecution.executedPlan.toString
+    "Exchange".r.findAllMatchIn(p2).size shouldBe 1
+  }
+
+  test("mixFractions hits the target mix without upsampling") {
+    val current = Map("web" -> 8000L, "code" -> 1000L, "books" -> 1000L)
+    val target = Map("web" -> 0.5, "code" -> 0.25, "books" -> 0.25)
+    val f = Sampling.mixFractions(current, target)
+    f.values.foreach { v => v should be >= 0.0; v should be <= 1.0 }
+    // most-constraining strata (code, books at 4x under-representation)
+    // are kept in full; web downsamples to balance
+    f("code") shouldBe 1.0
+    f("books") shouldBe 1.0
+    val mixed = current.map { case (k, v) => k -> v * f(k) }
+    val tot = mixed.values.sum
+    target.foreach { case (k, share) =>
+      mixed(k) / tot shouldBe share +- 1e-9
+    }
+  }
+
+  test("mixFractions: already-balanced corpus is kept whole") {
+    val current = Map("a" -> 500L, "b" -> 500L)
+    val f = Sampling.mixFractions(current, Map("a" -> 1.0, "b" -> 1.0))
+    f shouldBe Map("a" -> 1.0, "b" -> 1.0)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  // left: probes; right: quotes — multiple keys, ties, and a key with no
+  // right rows at all
+  private val probes = Seq(
+    (100L, 1L, ts(50)), (101L, 1L, ts(10)), (102L, 1L, ts(5)),
+    (103L, 2L, ts(30)), (104L, 3L, ts(99)))
+    .toDF("event_id", "user_id", "ts")
+  private val quotes = Seq(
+    (1L, 1L, ts(10), 1.0), (2L, 1L, ts(10), 2.0), (3L, 1L, ts(40), 3.0),
+    (4L, 2L, ts(31), 4.0))
+    .toDF("event_id", "user_id", "ts", "value")
+
+  private def asof() = Temporal.asofJoinBackward(
+    probes, quotes, keys = Seq("user_id"), tsCol = "ts",
+    payload = Seq("event_id", "value"), rightTieBreak = "event_id")
+    .select("event_id", "asof_event_id", "asof_value")
+    .collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+
+  test("asof picks the latest right row at or before each left ts") {
+    val m = asof()
+    m(100L) shouldBe Some((3L, 3.0)) // ts 40 beats ts 10
+    m(103L) shouldBe None            // user 2's only quote is LATER (31 > 30)
+    m(104L) shouldBe None            // user 3 has no quotes
+  }
+
+  test("asof is inclusive and breaks timestamp ties by the larger tiebreak") {
+    val m = asof()
+    m(101L) shouldBe Some((2L, 2.0)) // equal ts visible; id 2 wins the tie
+    m(102L) shouldBe None            // strictly before every quote
+  }
+
+  test("asof matches a naive per-row argmax on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = (0 until 300).map(i => (i.toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(1000))))
+    val r = (0 until 300).map(i => ((i + 1000).toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(1000)), rnd.nextDouble()))
+    val got = Temporal.asofJoinBackward(
+        l.toDF("event_id", "user_id", "ts"), r.toDF("event_id", "user_id", "ts", "value"),
+        keys = Seq("user_id"), tsCol = "ts", payload = Seq("event_id"), rightTieBreak = "event_id")
+      .select("event_id", "asof_event_id")
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    val byUser = r.groupBy(_._2)
+    l.foreach { case (id, u, t) =>
+      val want = byUser.getOrElse(u, Seq.empty)
+        .filter(q => !q._3.after(t))
+        .sortBy(q => (q._3.getTime, q._1)).lastOption.map(_._1).getOrElse(-1L)
+      withClue(s"probe $id") { got(id) shouldBe want }
+    }
+  }
+
+  test("asof plan is join-free: one exchange, no Join node") {
+    val plan = Temporal.asofJoinBackward(
+        probes, quotes, keys = Seq("user_id"), tsCol = "ts",
+        payload = Seq("value"), rightTieBreak = "event_id")
+      .queryExecution.executedPlan.toString
+    plan should not include "Join"
+    // union + window: the only exchange is the window's key partitioning
+    "Exchange".r.findAllMatchIn(plan).size shouldBe 1
+  }
+
+  test("rangeJoinCount matches a naive filter-count on random data") {
+    val rnd = new scala.util.Random(11)
+    val l = (0 until 200).map(i => (i.toLong, (rnd.nextInt(4) + 1).toLong, ts(rnd.nextInt(500))))
+    val r = (0 until 400).map(i => ((i + 1000).toLong, (rnd.nextInt(4) + 1).toLong, ts(rnd.nextInt(500))))
+    val (lo, hi) = (-60000000L, 30000000L) // [-60 s, +30 s)
+    val got = Temporal.rangeJoinCount(
+        l.toDF("event_id", "user_id", "ts"), r.toDF("event_id", "user_id", "ts"),
+        keys = Seq("user_id"), tsCol = "ts", lowerUs = lo, upperUs = hi, rightIdCol = "event_id")
+      .select("event_id", "n_in_range", "first_in_range")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+    got.size shouldBe l.size // left-outer: every probe appears exactly once
+    val byUser = r.groupBy(_._2)
+    l.foreach { case (id, u, t) =>
+      val us = t.getTime * 1000L
+      val hits = byUser.getOrElse(u, Seq.empty)
+        .filter { q => val qus = q._3.getTime * 1000L; qus >= us + lo && qus < us + hi }
+      withClue(s"probe $id") {
+        got(id) shouldBe ((hits.size.toLong, hits.map(_._1).minOption.getOrElse(-1L)))
+      }
+    }
+  }
+
+  test("rangeJoinCount window bounds are inclusive-lower, exclusive-upper") {
+    val l = Seq((1L, 1L, ts(100))).toDF("event_id", "user_id", "ts")
+    val r = Seq((10L, 1L, ts(90)), (11L, 1L, ts(100)), (12L, 1L, ts(99)))
+      .toDF("event_id", "user_id", "ts")
+    val out = Temporal.rangeJoinCount(l, r, Seq("user_id"), "ts",
+        lowerUs = -10000000L, upperUs = 0L, rightIdCol = "event_id")
+      .select("n_in_range", "first_in_range").head()
+    // ts 90 (= lower bound) and 99 count; ts 100 (= upper bound) does not
+    out.getLong(0) shouldBe 2L
+    out.getLong(1) shouldBe 10L
+  }
+}
