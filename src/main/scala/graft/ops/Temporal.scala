@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 
 /** Temporal joins over event streams: as-of (point-in-time) and bounded
   * range joins. Spark has no native ASOF JOIN (DuckDB/Pandas do), and the
@@ -30,9 +30,15 @@ object Temporal {
     * (inclusive, like DuckDB `ASOF JOIN ... ON l.ts >= r.ts`). Left rows
     * with no prior right row keep null payloads (left-outer semantics).
     *
+    * `forward = true` flips the direction: the EARLIEST right row with
+    * `right.ts >= left.ts` (pandas `merge_asof(direction='forward')`).
+    * `toleranceUs` bounds the match gap (pandas `tolerance`): a match
+    * farther than that many microseconds is nulled out, not dropped —
+    * the left row survives either way.
+    *
     * Ties on the right timestamp resolve to the largest `rightTieBreak`
-    * value, making the result deterministic even with colliding
-    * timestamps.
+    * value (in both directions), making the result deterministic even
+    * with colliding timestamps.
     *
     * Plan shape: unionByName → one Exchange on `keys` → one Sort →
     * running `last(ignoreNulls)` window → filter. No join node at all.
@@ -40,44 +46,79 @@ object Temporal {
     * @param payload right-side columns to carry; emitted as
     *                `asof_<name>`.
     */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      payload: Seq[String],
+      rightTieBreak: String,
+      forward: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(payload.nonEmpty, "asof join needs at least one payload column")
+    require(toleranceUs.forall(_ >= 0), "tolerance must be non-negative")
+    val leftCols = left.columns.toSeq
+    // the matched right ts rides along as a synthetic payload column so
+    // the tolerance gap is computable without re-joining (unless the
+    // caller already asked for it)
+    val tsRequested = payload.contains(tsCol)
+    val allPayload = if (tsRequested) payload else payload :+ tsCol
+    // left rows sort AFTER right rows at an equal timestamp (`__side`
+    // 1 > 0, ascending in both directions), so an exactly-simultaneous
+    // right row is visible to the left row — the inclusive contract.
+    val leftTagged = left.select(
+      leftCols.map(col) ++
+        Seq(lit(1).as("__side"), lit(Long.MaxValue).as("__tie")) ++
+        allPayload.map(p => lit(null).cast(right.schema(p).dataType).as(s"asof_$p")): _*)
+    val rightTagged = right.select(
+      keys.map(col) ++ Seq(col(tsCol)) ++
+        leftCols.filterNot(keys.contains).filterNot(_ == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(lit(0).as("__side"), col(rightTieBreak).cast("long").as("__tie")) ++
+        allPayload.map(p => col(p).as(s"asof_$p")): _*)
+    // within an equal-ts group, `__side asc` already places every right
+    // row before the left rows, so the tiebreak only orders simultaneous
+    // RIGHT rows: ascending in both directions — the largest tiebreak is
+    // traversed last and is what `last(...)` latches
+    val ordering =
+      if (forward) Seq(col(tsCol).desc, col("__side").asc, col("__tie").asc)
+      else Seq(col(tsCol).asc, col("__side").asc, col("__tie").asc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = leftTagged.unionByName(rightTagged)
+      .select((leftCols.map(col) :+ col("__side")) ++
+        allPayload.map(p => last(col(s"asof_$p"), ignoreNulls = true).over(w).as(s"asof_$p")): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+    val bounded = toleranceUs match {
+      case None => matched
+      case Some(tol) =>
+        val inTol = abs(unix_micros(col(s"asof_$tsCol")) - unix_micros(col(tsCol))) <= lit(tol)
+        matched.select(
+          leftCols.map(col) ++
+            allPayload.map(p => when(inTol, col(s"asof_$p")).otherwise(lit(null)).as(s"asof_$p")): _*)
+    }
+    if (tsRequested) bounded else bounded.drop(s"asof_$tsCol")
+  }
+
+  /** Backward as-of join — see [[asofJoin]]. */
   def asofJoinBackward(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       tsCol: String,
       payload: Seq[String],
-      rightTieBreak: String): DataFrame = {
-    require(payload.nonEmpty, "asof join needs at least one payload column")
-    val leftCols = left.columns.toSeq
-    // left rows sort AFTER right rows at an equal timestamp (side 1 > 0),
-    // so an exactly-simultaneous right row is visible to the left row —
-    // the inclusive <= contract. The tiebreak orders simultaneous right
-    // rows; left rows take MaxValue so they follow all of them.
-    val leftTagged = left.select(
-      leftCols.map(col) ++
-        Seq(lit(1).as("__side"), lit(Long.MaxValue).as("__tie")) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"asof_$p")): _*)
-    val rightTagged = right.select(
-      keys.map(col) ++ Seq(col(tsCol)) ++
-        leftCols.filterNot(keys.contains).filterNot(_ == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(lit(0).as("__side"), col(rightTieBreak).cast("long").as("__tie")) ++
-        payload.map(p => col(p).as(s"asof_$p")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    leftTagged.unionByName(rightTagged)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        payload.map(p => last(col(s"asof_$p"), ignoreNulls = true).over(w).as(s"asof_$p")): _*)
-      .filter(col("__side") === 1)
-      .drop("__side")
-  }
+      rightTieBreak: String): DataFrame =
+    asofJoin(left, right, keys, tsCol, payload, rightTieBreak)
 
   /** Bounded range join, aggregated: for each left row, count (and
     * optionally min-tag) the right rows with equal `keys` and
     * `right.ts ∈ [left.ts + lowerUs, left.ts + upperUs)` (microsecond
     * offsets, lower < upper). Left-outer: unmatched left rows keep
-    * count 0.
+    * count 0. Left rows must be unique as full tuples (carry a row id):
+    * the bucket-probe duplicates are collapsed by grouping on all left
+    * columns, which would also merge genuinely identical left rows.
     *
     * Bucket width = window span, so every left row probes exactly the
     * 2 buckets its window can straddle — an equi-join Catalyst shuffles

@@ -67,6 +67,64 @@ class TemporalSpec extends SparkSpec {
     "Exchange".r.findAllMatchIn(plan).size shouldBe 1
   }
 
+  test("forward asof picks the earliest right row at or after each left ts") {
+    val got = Temporal.asofJoin(
+        probes, quotes, keys = Seq("user_id"), tsCol = "ts",
+        payload = Seq("event_id"), rightTieBreak = "event_id", forward = true)
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    got(100L) shouldBe -1L // user 1 has nothing at/after ts 50
+    got(101L) shouldBe 2L  // equal ts inclusive; tie → larger id
+    got(102L) shouldBe 2L  // next upcoming is the ts-10 pair
+    got(103L) shouldBe 4L  // quote at 31 is ahead of probe at 30
+  }
+
+  test("forward asof matches a naive argmin on random data") {
+    val rnd = new scala.util.Random(13)
+    val l = (0 until 200).map(i => (i.toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(1000))))
+    val r = (0 until 200).map(i => ((i + 1000).toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(1000)), rnd.nextDouble()))
+    val got = Temporal.asofJoin(
+        l.toDF("event_id", "user_id", "ts"), r.toDF("event_id", "user_id", "ts", "value"),
+        keys = Seq("user_id"), tsCol = "ts", payload = Seq("event_id"),
+        rightTieBreak = "event_id", forward = true)
+      .select("event_id", "asof_event_id")
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    val byUser = r.groupBy(_._2)
+    l.foreach { case (id, u, t) =>
+      // earliest ts at/after the probe; ties broken toward the LARGER id
+      val want = byUser.getOrElse(u, Seq.empty)
+        .filter(q => !q._3.before(t))
+        .sortBy(q => (q._3.getTime, -q._1)).headOption.map(_._1).getOrElse(-1L)
+      withClue(s"probe $id") { got(id) shouldBe want }
+    }
+  }
+
+  test("asof tolerance nulls too-distant matches but keeps the left row") {
+    val got = Temporal.asofJoin(
+        probes, quotes, keys = Seq("user_id"), tsCol = "ts",
+        payload = Seq("event_id"), rightTieBreak = "event_id",
+        toleranceUs = Some(5L * 1000000))
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    got.size shouldBe 5      // every probe survives
+    got(100L) shouldBe -1L   // match at ts 40 is 10 s away — over the 5 s budget
+    got(101L) shouldBe 2L    // gap 0
+  }
+
+  test("asof with ts itself in the payload keeps the requested asof_ts") {
+    val out = Temporal.asofJoin(
+      probes, quotes, keys = Seq("user_id"), tsCol = "ts",
+      payload = Seq("event_id", "ts"), rightTieBreak = "event_id",
+      toleranceUs = Some(100L * 1000000))
+    out.columns should contain allOf ("asof_event_id", "asof_ts")
+    val m = out.select("event_id", "asof_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    m(100L) shouldBe Some(ts(40))
+    m(104L) shouldBe None
+  }
+
   test("rangeJoinCount matches a naive filter-count on random data") {
     val rnd = new scala.util.Random(11)
     val l = (0 until 200).map(i => (i.toLong, (rnd.nextInt(4) + 1).toLong, ts(rnd.nextInt(500))))
