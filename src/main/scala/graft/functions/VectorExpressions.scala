@@ -41,6 +41,46 @@ object VectorKernel {
     ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
+  def maxAbs(a: ArrayData): Double = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { val v = math.abs(a.getDouble(i)); if (v > m) m = v; i += 1 }
+    m
+  }
+
+  /** Symmetric int8 quantization: round-half-up of v/scale (floor(x+0.5)
+    * — no banker's-rounding ambiguity across engines). Caller guarantees
+    * scale > 0 and |v|/scale <= 127.
+    */
+  def quantI8(a: ArrayData, scale: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getDouble(i) / scale + 0.5).toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Cosine over int8-quantized vectors. Cosine is scale-invariant, so
+    * the per-vector scales cancel and scoring runs on the raw bytes —
+    * exact integer accumulation (max |sum| = dim * 127² — long is far
+    * more than safe), one double division at the end.
+    */
+  def cosineI8(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var ab = 0L; var aa = 0L; var bb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toLong; val y = b.getByte(i).toLong
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble))
+  }
+
   /** SRP bucket id: bit i set iff dot(vec, planes(i)) > 0. */
   def srpBucket(vec: ArrayData, planes: Array[Array[Double]]): Int = {
     var bucket = 0
@@ -83,6 +123,47 @@ final case class VecCosine(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernel.cosine($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(left = l, right = r)
+}
+
+/** Max |element| of an array<double> column (DoubleType) — the int8
+  * quantization scale finder, codegen like the other kernels (the HOF
+  * form `array_max(transform(abs))` is CodegenFallback).
+  */
+final case class VecMaxAbs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_max_abs"
+  override def nullSafeEval(input: Any): Any =
+    VectorKernel.maxAbs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernel.maxAbs($v)")
+  override protected def withNewChildInternal(newChild: Expression): VecMaxAbs =
+    copy(child = newChild)
+}
+
+/** array<double> × scale → array<tinyint> symmetric int8 quantization. */
+final case class VecQuantI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "vec_quant_i8"
+  override def nullSafeEval(a: Any, s: Any): Any =
+    VectorKernel.quantI8(a.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s) => s"graft.functions.VectorKernel.quantI8($a, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecQuantI8 =
+    copy(left = l, right = r)
+}
+
+/** Cosine over two array<tinyint> quantized vectors (DoubleType). */
+final case class VecCosineI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine_i8"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.cosineI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernel.cosineI8($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosineI8 =
     copy(left = l, right = r)
 }
 

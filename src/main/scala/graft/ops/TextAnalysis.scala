@@ -115,4 +115,62 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  // --- PII redaction ------------------------------------------------------
+
+  /** PII patterns shared verbatim with oracles. Deliberately
+    * lookaround-free and anchored by literal character classes so Java
+    * regex (Spark) and RE2 (DuckDB) agree on every match — the same
+    * dialect-parity contract as [[BpeTokenPattern]].
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+
+  def countEmails(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def countPhones(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  /** Redact emails then phone numbers to fixed tokens — the standard
+    * pre-training scrub pass. Order matters (it is part of the oracle
+    * contract): an email is never re-scanned for phone shapes.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  // --- intra-document repetition (Gopher-style quality signals) -----------
+
+  /** Per-document repetition metrics: distinct-token ratio, top-token
+    * fraction, and duplicate-k-gram fraction — the Gopher/MassiveText
+    * repetition filters. Unlike the scalar ops above these need per-doc
+    * frequency tables, so this is a DataFrame op: explode → two
+    * map-side-combining groupBys (shuffle keys (id, tok) then id) plus
+    * the shingle kernel for distinct k-grams. Linear at any corpus
+    * size; no per-row HOF frequency maps (interpreted + quadratic).
+    *
+    * Output per doc: n_tokens, n_distinct, top_c (top token's count),
+    * distinct_ratio, top_token_frac, dup_kgram_frac
+    * (`1 - distinct_kgrams / (n_tokens - k + 1)`, 0.0 when the doc is
+    * shorter than k tokens).
+    */
+  def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val tokAgg = toks.groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    val distinctShingles = Dedup.shingleRows(df, idCol, textCol, k)
+      .groupBy(col("id")).agg(count(lit(1)).as("nds"))
+    tokAgg.join(distinctShingles, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("n_distinct"), col("top_c"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_token_frac"),
+        when(col("n_tokens") >= k,
+          lit(1.0) - coalesce(col("nds"), lit(0L)).cast("double") /
+            (col("n_tokens") - k + 1))
+          .otherwise(lit(0.0)).as(s"dup_${k}gram_frac"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Decontaminate, Packing, Sampling, Temporal, TextAnalysis => TA}
+import graft.ops.{Decontaminate, Packing, Sampling, Similarity, Temporal, TextAnalysis => TA}
 import org.apache.spark.sql.functions._
 
 /** Round-4 training-pipeline extensions, oracle-checked: temporal joins
@@ -116,6 +116,82 @@ object PipelineExtQueries {
           row_number() OVER (PARTITION BY source ORDER BY $hashSql, doc_id) AS rn
         FROM documents) WHERE rn <= 5
       ORDER BY doc_id""")),
+
+    // -- Gopher-style repetition metrics ---------------------------------
+    QueryDef("text_repetition", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TA.repetitionMetrics(docs, "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      counts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+              FROM counts GROUP BY 1),
+      sh AS (SELECT doc_id, len(list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS nds
+             FROM documents)
+      SELECT a.doc_id, n_tokens, n_distinct, top_c,
+        CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+        CAST(top_c AS DOUBLE) / n_tokens AS top_token_frac,
+        CASE WHEN n_tokens >= 3
+             THEN CAST(1 AS DOUBLE) - CAST(coalesce(nds, 0) AS DOUBLE) / (n_tokens - 2)
+             ELSE CAST(0 AS DOUBLE) END AS dup_3gram_frac
+      FROM agg a LEFT JOIN sh USING (doc_id) ORDER BY doc_id""")),
+
+    // -- PII redaction (emails/phones planted deterministically: the -----
+    // corpus itself is PII-free, so each doc gets a synthetic contact
+    // line derived from its id; both engines then scrub with the SAME
+    // dialect-portable patterns and the redacted text is hash-compared
+    QueryDef("text_redact", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("ptext"))
+      planted.select(col("doc_id"),
+          TA.countEmails(col("ptext")).cast("long").as("n_emails"),
+          TA.countPhones(col("ptext")).cast("long").as("n_phones"),
+          md5(TA.redactPii(col("ptext"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH planted AS (
+        SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+          || '@example.com or call 555-'
+          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ptext
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(ptext, '${TA.EmailPattern}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(ptext, '${TA.PhonePattern}')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(ptext, '${TA.EmailPattern}', '<EMAIL>', 'g'),
+          '${TA.PhonePattern}', '<PHONE>', 'g')) AS redacted_md5
+      FROM planted ORDER BY doc_id""")),
+
+    // -- int8-quantized exact scan: recall vs the double brute force -----
+    // neighbor lists depend on quantization rounding (no SQL oracle),
+    // but the query count is exact and recall@5 of the compressed scan
+    // is bounded (measured 0.95-1.0 across SFs; 0.7 leaves safe margin)
+    QueryDef("sim_topk_q8", (s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = e.filter(col("id") < 20)
+      val exact = Similarity.bruteForceTopK(q, e, k = 5).select("query_id", "neighbor_id")
+      val approx = Similarity.quantizedTopK(q, e, k = 5).select("query_id", "neighbor_id")
+      val c = exact
+        .join(approx.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("total"), count(col("hit")).as("hits"),
+          countDistinct(col("query_id")).as("nq"))
+        .head()
+      e.unpersist()
+      Seq((c.getLong(2), 5L, c.getLong(1) >= 0.7 * c.getLong(0)))
+        .toDF("n_queries", "k", "recall_ok")
+    }, Some("""
+      SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+             CAST(5 AS BIGINT) AS k, true AS recall_ok""")),
 
     // -- train/eval contamination pairs by n-gram containment ------------
     // bench = every 10th doc standing in for an eval set; scores are

@@ -97,4 +97,49 @@ class TextAnalysisSpec extends SparkSpec {
     out(0) shouldBe out(1)
     out(0) should not be out(2)
   }
+
+  test("redactPii scrubs planted emails and phones, counts match") {
+    val out = Seq(
+      (1L, "write to alice.smith@corp.example.org or bob@x.io today"),
+      (2L, "call 555-0134 or 555-9999 now"),
+      (3L, "mixed: c@d.com and 123-4567 here"),
+      (4L, "nothing sensitive in this one"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        TextAnalysis.countEmails($"text").as("e"),
+        TextAnalysis.countPhones($"text").as("p"),
+        TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((2, 0, "write to <EMAIL> or <EMAIL> today"))
+    out(2L) shouldBe ((0, 2, "call <PHONE> or <PHONE> now"))
+    out(3L) shouldBe ((1, 1, "mixed: <EMAIL> and <PHONE> here"))
+    out(4L) shouldBe ((0, 0, "nothing sensitive in this one"))
+  }
+
+  test("repetitionMetrics matches naive frequency arithmetic") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),   // heavy 3-gram repetition
+      (2L, "w x y z q r s t"),     // all distinct
+      (3L, "a a a a"),             // one token repeated
+      (4L, "a b"))                 // shorter than k
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    docs.collect().foreach { row =>
+      val (id, text) = (row.getLong(0), row.getString(1))
+      val toks = text.split(" ")
+      val counts = toks.groupBy(identity).view.mapValues(_.length)
+      val n = toks.length.toLong
+      val nd = counts.size.toLong
+      val top = counts.values.max.toLong
+      val shTotal = math.max(0, toks.length - 2)
+      val shDistinct = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet.size
+      val dup = if (n >= 3) 1.0 - shDistinct.toDouble / shTotal else 0.0
+      got(id) shouldBe ((n, nd, top, nd.toDouble / n, top.toDouble / n, dup))
+    }
+    // the repeated doc is flagged, the distinct doc is clean
+    got(1L)._6 should be > 0.5
+    got(2L)._6 shouldBe 0.0
+  }
 }
