@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.{Decontaminate, Packing, Sampling, Similarity, Temporal, TextAnalysis => TA}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 training-pipeline extensions, oracle-checked: temporal joins
@@ -15,6 +16,12 @@ import org.apache.spark.sql.functions._
 object PipelineExtQueries {
 
   private val hashSql = "((doc_id % 1048573) * 2654435761) % 1000000"
+
+  // DuckDB fragments shared with TextQueries' oracles (same tokenizer /
+  // stopword-count contract)
+  private val sqlTokens = "string_split(text, ' ')"
+  private val enHits =
+    s"len(list_filter($sqlTokens, t -> t IN (${TA.stopwords("en").map(w => s"'$w'").mkString(",")})))"
 
   def all: Seq[QueryDef] = Seq(
 
@@ -216,6 +223,65 @@ object PipelineExtQueries {
         CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) AS containment
       FROM t, b
       WHERE CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.5
-      ORDER BY train_id, bench_id"""))
+      ORDER BY train_id, bench_id""")),
+
+    // -- the whole curation pipeline as ONE declarative plan -------------
+    // quality-gate → exact-dedup → decontaminate vs the eval split →
+    // pack into 256-token sequences per language → per-language summary.
+    // Every stage is the oracle-checked operator above; this pins their
+    // COMPOSITION (column contracts, join semantics, order sensitivity)
+    // end-to-end with exact integer outputs.
+    QueryDef("curation_pipeline", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val scored = train.select(col("doc_id"), col("lang"), col("text"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TA.qualityScore(col("text")).as("quality"),
+        TA.fingerprint(col("text")).as("fp"))
+      val kept = scored.filter(col("quality") >= 0.5 && col("n_tokens") >= 10L)
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val deduped = kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val clean = Decontaminate.decontaminate(
+        deduped.select(col("doc_id"), col("lang"), col("n_tokens"), col("text")),
+        bench, "doc_id", "text", k = 3, tau = 0.5)
+      val packed = Packing.packByOrder(
+        clean.select(col("doc_id"), col("lang"), col("n_tokens")),
+        tokensCol = "n_tokens", orderCol = "doc_id", partCol = "lang", budget = 256)
+      Packing.packSummary(packed, "lang", budget = 256).orderBy("lang")
+    }, Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang, text, len($sqlTokens) AS n_tokens,
+          least(CAST(1.0 AS DOUBLE), CAST(len($sqlTokens) AS DOUBLE) / 100.0) * 0.4
+            + least(CAST(1.0 AS DOUBLE), (CAST($enHits AS DOUBLE) / len($sqlTokens)) * 5.0) * 0.3
+            + CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3 AS quality,
+          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        FROM documents WHERE doc_id % 10 <> 0),
+      kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 10),
+      dedup AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept)
+        WHERE rn = 1),
+      tsh AS (SELECT doc_id, lang, n_tokens, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM dedup),
+      bsh AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents WHERE doc_id % 10 = 0),
+      clean AS (SELECT t.doc_id, t.lang, t.n_tokens FROM tsh t
+        WHERE NOT EXISTS (SELECT 1 FROM bsh b WHERE len(b.sh) > 0
+          AND CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.5)),
+      packed AS (SELECT doc_id, lang, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+        FROM clean WHERE n_tokens > 0),
+      summary AS (SELECT lang, CAST(max(end_off) AS BIGINT) AS total_tokens,
+          count(*) AS n_docs FROM packed GROUP BY lang)
+      SELECT lang, total_tokens, n_docs,
+        (total_tokens + 255) // 256 AS n_sequences,
+        CAST(total_tokens - ((total_tokens + 255) // 256 - 1) * 256 AS DOUBLE) / 256 AS last_fill
+      FROM summary ORDER BY lang"""))
   )
 }
