@@ -467,4 +467,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
   }
+
+  /** Connected components over a near-duplicate PAIR list: every vertex
+    * gets the minimum doc id reachable through dup edges — the canonical
+    * representative of its duplicate cluster. Pairwise output alone is
+    * not a keep-list: with pairs (A,B) and (B,C), dropping "the right
+    * side of each pair" loses that A/B/C are ONE group (and double-drops
+    * or orphans depending on pair order); the transitive closure is what
+    * a dedup pipeline actually keys its keep decision on.
+    *
+    * Algorithm: min-label propagation. Labels start as the vertex's own
+    * id; each round a vertex takes the min of its label and its
+    * neighbors' labels, until no label changes. Converges in O(cluster
+    * diameter) rounds — near-dup clusters are stars/short chains — with
+    * `maxIter` bounding pathological chains. Per round: ONE shuffle
+    * (labels joined to the symmetric edge list, min-agg by vertex); the
+    * per-round frame is truncated with an eager `localCheckpoint` so the
+    * plan stays O(1) deep and the convergence probe reads materialized
+    * blocks instead of replaying all previous rounds. The vertex set
+    * holds only docs that HAVE a near-dup — orders of magnitude smaller
+    * than the corpus — so at 100 TB this runs over the persisted pair
+    * table, never touching document text.
+    *
+    * Returns (doc_id, cluster_id); docs with no dup edges are absent
+    * (they are their own singletons). If `maxIter` is hit before
+    * convergence the current (partially propagated) labels are returned;
+    * 20 rounds covers any chain of ~1M docs under doubling propagation
+    * of the min through a path graph's worst case of maxIter hops.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cid")).localCheckpoint(true)
+    var converged = labels.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nmin = edges
+        .join(labels.select(col("id").as("dst"), col("cid")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("cid")).as("nmin"))
+      // every vertex has >= 1 neighbor (edge list is symmetric), but the
+      // left join + coalesce keeps the step total rather than dropping a
+      // vertex if a future caller feeds a pre-filtered edge frame
+      val next = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cid"), coalesce(col("nmin"), col("cid"))).as("cid"),
+          (coalesce(col("nmin"), col("cid")) < col("cid")).as("chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.select(col("id"), col("cid"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cid").as("cluster_id"))
+  }
+
+  /** Keep-list filter over a cluster assignment: drops every row whose
+    * id is a NON-canonical member of a duplicate cluster; canonical
+    * members (id == cluster_id) and docs absent from `clusters`
+    * (singletons) pass through. The drop-list holds only dup-involved
+    * ids — tiny next to the corpus — so AQE broadcasts the anti-join's
+    * build side; the corpus never shuffles.
+    */
+  def dropDuplicateMembers(df: DataFrame, idCol: String,
+                           clusters: DataFrame): DataFrame = {
+    val dupIds = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    df.join(dupIds, df(idCol) === dupIds("doc_id"), "left_anti")
+  }
 }

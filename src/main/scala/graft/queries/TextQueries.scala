@@ -213,6 +213,35 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }, Some(jaccardOracle)),
 
+    // the closure step a real dedup needs after ANY pairwise tier: pair
+    // chains (A,B),(B,C) are ONE duplicate group, keyed by its min doc
+    // id. Oracle: DuckDB recursive-CTE transitive closure over the same
+    // exact-jaccard pair list.
+    QueryDef("dedup_clusters", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.8)
+      Dedup.connectedComponents(pairs).orderBy("doc_id")
+    }, Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM docs a, docs b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+      SELECT id AS doc_id, min(r) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id""")),
+
     // the production shape: corpus indexed once, incoming batch deduped
     // against the stored index without re-shingling the corpus. Corpus =
     // even doc_ids, batch = odd; oracle is the exact cross-side jaccard.

@@ -302,4 +302,46 @@ class DedupSpec extends SparkSpec {
     out(0).getSeq[String](1).toList shouldBe List("a b c", "b c d")
     out(1).getSeq[String](1).toList shouldBe Nil
   }
+
+  test("connectedComponents closes pair chains into min-id clusters") {
+    // chain 1-2-3 (no direct 1-3 edge), star 10-{11,12}, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+  }
+
+  test("connectedComponents handles a long path and reversed edge order") {
+    // worst case for min propagation: a path with the min at one end,
+    // edges given high-to-low so naive single-direction passes fail
+    val n = 12
+    val pairs = (1 until n).map(i => (i.toLong + 1, i.toLong)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    cc.count() shouldBe n
+    cc.agg(countDistinct(col("cluster_id"))).head.getLong(0) shouldBe 1
+    cc.agg(max(col("cluster_id"))).head.getLong(0) shouldBe 1L
+  }
+
+  test("connectedComponents: empty pairs give empty labels; maxIter caps rounds") {
+    Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .count() shouldBe 0
+    // maxIter=1 on the path can't finish propagating the min to the far end
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val partial = Dedup.connectedComponents(pairs, maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    partial(2L) shouldBe 1L // direct neighbor converged
+    partial(5L) shouldBe 4L // far end saw only ONE round of propagation
+  }
+
+  test("dropDuplicateMembers keeps canonical ids and singletons") {
+    val corpus = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.connectedComponents(pairs)
+    val kept = Dedup.dropDuplicateMembers(corpus, "doc_id", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2,3 fold into 1; 6 folds into 5; 4,7,8 are singletons
+    kept shouldBe Set(1L, 4L, 5L, 7L, 8L)
+  }
 }
