@@ -45,5 +45,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "distinct_shingles(text, k) - distinct k-token shingles of a document"),
       (args: Seq[Expression]) =>
         DistinctShingles(args(0), intArg(args(1), "shingle size k"))))
+
+    ext.injectFunction((FunctionIdentifier("vec_max_abs"),
+      info("vec_max_abs", "vec_max_abs(a) - max |element| of an array<double>"),
+      (args: Seq[Expression]) => VecMaxAbs(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("vec_quant_i8"),
+      info("vec_quant_i8",
+        "vec_quant_i8(a, scale) - symmetric int8 quantization of an array<double>"),
+      (args: Seq[Expression]) => VecQuantI8(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("vec_cosine_i8"),
+      info("vec_cosine_i8",
+        "vec_cosine_i8(a, b) - cosine similarity of two int8-quantized array<tinyint>"),
+      (args: Seq[Expression]) => VecCosineI8(args(0), args(1))))
+
+    // an AGGREGATE registers through the same seam: the analyzer wraps a
+    // bare AggregateFunction in an AggregateExpression
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(x, n) - array<long> of n per-hash minima over 64-bit inputs"),
+      (args: Seq[Expression]) =>
+        MinHashSignatureAgg(args(0), intArg(args(1), "signature width n"))))
   }
 }

@@ -48,6 +48,40 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("quantization kernels and the minhash aggregate are SQL-callable") {
+    withExtendedSession { s2 =>
+      val m = s2.sql(
+        "SELECT vec_max_abs(array(1.0d, -3.5d, 2.0d)) AS m").head().getDouble(0)
+      m shouldBe 3.5
+
+      val q = s2.sql(
+        "SELECT vec_quant_i8(array(1.0d, -0.5d), 0.5d) AS q").head().getSeq[Byte](0)
+      q shouldBe Seq[Byte](2, -1)
+
+      // quantize -> int8 cosine round-trips close to the double cosine
+      val c = s2.sql(
+        """SELECT vec_cosine_i8(vec_quant_i8(array(0.6d, 0.8d), 0.01d),
+          |                     vec_quant_i8(array(0.6d, 0.8d), 0.02d)) AS c"""
+          .stripMargin).head().getDouble(0)
+      c shouldBe 1.0 +- 1e-3
+
+      // aggregate over a grouped table, exactly like a built-in agg; must
+      // be BIT-IDENTICAL to the composed min(xxhash64(lit(i), x)) form
+      s2.range(0, 100).selectExpr("id % 2 AS g", "id AS x")
+        .createOrReplaceTempView("mh_in")
+      val sig = s2.sql(
+        "SELECT g, minhash_signature(x, 4) AS sig FROM mh_in GROUP BY g ORDER BY g")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      val expected = s2.sql(
+        """SELECT g,
+          |  array(min(xxhash64(0, x)), min(xxhash64(1, x)),
+          |        min(xxhash64(2, x)), min(xxhash64(3, x))) AS sig
+          |FROM mh_in GROUP BY g ORDER BY g""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      sig shouldBe expected
+    }
+  }
+
   test("non-literal shingle size is rejected with a clear error") {
     withExtendedSession { s2 =>
       val ex = intercept[Exception] {
