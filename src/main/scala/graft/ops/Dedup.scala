@@ -521,11 +521,17 @@ object Dedup {
     var level = 0
     while (remaining > 0 && level < maxLevels) {
       val scoped = if (remaining <= singleTaskEdges) edges.coalesce(1) else edges
-      // tuple encoders resolve fields by NAME (_1/_2), not position
+      // tuple encoders resolve fields by NAME (_1/_2), not position.
+      // A node whose edges straddle partitions appears in SEVERAL
+      // partitions' mappings with different local roots — reduce to ONE
+      // row per node (min root: any local root is inside the node's
+      // component) so the relabel join can't multiply rows and the
+      // composed labels stay unique per node.
       val mapping = scoped.select(col("src").as("_1"), col("dst").as("_2"))
         .as(pairEnc)
         .mapPartitions(localUnionFind)(pairEnc)
         .toDF("node", "root")
+        .groupBy(col("node")).agg(min(col("root")).as("root"))
         .localCheckpoint(true)
       mappings ::= mapping
       edges = edges

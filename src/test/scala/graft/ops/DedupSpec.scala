@@ -342,9 +342,47 @@ class DedupSpec extends SparkSpec {
     val n = 12
     val pairs = (1 until n).map(i => (i.toLong + 1, i.toLong))
       .toDF("id_a", "id_b").repartition(7)
-    val cc = Dedup.connectedComponents(pairs, singleTaskEdges = 3)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    cc shouldBe (1L to n.toLong).map(_ -> 1L).toMap
+    val rows = Dedup.connectedComponents(pairs, singleTaskEdges = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // one row per node — a straddling node must not label twice
+    rows.length shouldBe n
+    rows.toMap shouldBe (1L to n.toLong).map(_ -> 1L).toMap
+  }
+
+  test("connectedComponents matches a driver union-find on random graphs") {
+    // seeded random graphs across densities, checked against an
+    // independent in-driver union-find; singleTaskEdges=0 on odd trials
+    // forces the pure multi-level contraction path
+    val rnd = new scala.util.Random(20250813L)
+    for (trial <- 0 until 8) {
+      val n = 5 + rnd.nextInt(40)
+      val m = rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent(x) != x) x = parent(x)
+          x
+        }
+        edges.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        parent.keys.map(k => k -> find(k)).toMap
+      }
+      val threshold = if (trial % 2 == 1) 0L else 4000000L
+      val rows = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b").repartition(5),
+          singleTaskEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      withClue(s"trial $trial (n=$n, m=${edges.size}, threshold=$threshold): ") {
+        rows.length shouldBe expected.size // no duplicate labels per node
+        rows.toMap shouldBe expected
+      }
+    }
   }
 
   test("dropDuplicateMembers keeps canonical ids and singletons") {
