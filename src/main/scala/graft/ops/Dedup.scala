@@ -520,7 +520,8 @@ object Dedup {
     var mappings = List.empty[DataFrame] // deepest level first
     var level = 0
     while (remaining > 0 && level < maxLevels) {
-      val scoped = if (remaining <= singleTaskEdges) edges.coalesce(1) else edges
+      val endgame = remaining <= singleTaskEdges
+      val scoped = if (endgame) edges.coalesce(1) else edges
       // tuple encoders resolve fields by NAME (_1/_2), not position.
       // A node whose edges straddle partitions appears in SEVERAL
       // partitions' mappings with different local roots — reduce to ONE
@@ -534,14 +535,21 @@ object Dedup {
         .groupBy(col("node")).agg(min(col("root")).as("root"))
         .localCheckpoint(true)
       mappings ::= mapping
-      edges = edges
-        .join(mapping.select(col("node").as("src"), col("root").as("r1")), Seq("src"))
-        .join(mapping.select(col("node").as("dst"), col("root").as("r2")), Seq("dst"))
-        .select(col("r1").as("src"), col("r2").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .localCheckpoint(true)
-      remaining = edges.count()
+      if (endgame) {
+        // ONE partition saw every edge, so every relabeled edge is a
+        // self-loop: the contracted list is provably empty — skip the
+        // relabel join, its checkpoint, and the count
+        remaining = 0
+      } else {
+        edges = edges
+          .join(mapping.select(col("node").as("src"), col("root").as("r1")), Seq("src"))
+          .join(mapping.select(col("node").as("dst"), col("root").as("r2")), Seq("dst"))
+          .select(col("r1").as("src"), col("r2").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .localCheckpoint(true)
+        remaining = edges.count()
+      }
       level += 1
     }
     mappings.reverse match {

@@ -349,6 +349,22 @@ class DedupSpec extends SparkSpec {
     rows.toMap shouldBe (1L to n.toLong).map(_ -> 1L).toMap
   }
 
+  // independent in-driver union-find, the reference for CC specs
+  private def driverComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) x = parent(x)
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
   test("connectedComponents matches a driver union-find on random graphs") {
     // seeded random graphs across densities, checked against an
     // independent in-driver union-find; singleTaskEdges=0 on odd trials
@@ -359,20 +375,7 @@ class DedupSpec extends SparkSpec {
       val m = rnd.nextInt(3 * n)
       val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
-      val expected = {
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x0: Long): Long = {
-          var x = x0
-          while (parent(x) != x) x = parent(x)
-          x
-        }
-        edges.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-        }
-        parent.keys.map(k => k -> find(k)).toMap
-      }
+      val expected = driverComponents(edges)
       val threshold = if (trial % 2 == 1) 0L else 4000000L
       val rows = Dedup.connectedComponents(
           edges.toDF("id_a", "id_b").repartition(5),
@@ -383,6 +386,26 @@ class DedupSpec extends SparkSpec {
         rows.toMap shouldBe expected
       }
     }
+  }
+
+  test("connectedComponents handles a 10k-edge clustered graph via contraction") {
+    // 1000 star clusters of 10 nodes, every 10th chained to the next —
+    // the shape of real near-dup output at scale (many small clusters, a
+    // few long chains); threshold forces at least one contraction level
+    // before the single-task endgame
+    val stars = (0 until 1000).flatMap { c =>
+      val base = c * 10L
+      (1 until 10).map(i => (base, base + i))
+    }
+    val chains = (0 until 999 by 10).map(c => (c * 10L + 9, (c + 1) * 10L))
+    val edges = stars ++ chains
+    val expected = driverComponents(edges)
+    val rows = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b").repartition(16),
+        singleTaskEdges = 2000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    rows.length shouldBe expected.size
+    rows.toMap shouldBe expected
   }
 
   test("dropDuplicateMembers keeps canonical ids and singletons") {
