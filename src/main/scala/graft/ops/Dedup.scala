@@ -596,6 +596,26 @@ object Dedup {
     parent.keySet().asScala.iterator.map(n => (n, find(n)))
   }
 
+  /** Fold a new batch of near-dup pairs into a persisted
+    * (doc_id, cluster_id) assignment — the cluster-side companion of
+    * [[minhashLshIncremental]]: continuous ingestion finds batch-vs-index
+    * pairs, and this closes them into the standing cluster table without
+    * ever re-pairing history. Each existing assignment IS a closed edge
+    * (member — canonical), so `updateComponents(connectedComponents(P1),
+    * P2) == connectedComponents(P1 ∪ P2)` (spec-pinned on random
+    * splits): clusters merged by a bridging batch re-key to the min id
+    * across both generations. Cost scales with |assignment| + |batch
+    * pairs|, not with pair history.
+    */
+  def updateComponents(existing: DataFrame, newPairs: DataFrame,
+                       aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    connectedComponents(
+      existing
+        .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+        .unionByName(
+          newPairs.select(col(aCol).cast("long").as("id_a"),
+            col(bCol).cast("long").as("id_b"))))
+
   /** Keep-list filter over a cluster assignment: drops every row whose
     * id is a NON-canonical member of a duplicate cluster; canonical
     * members (id == cluster_id) and docs absent from `clusters`

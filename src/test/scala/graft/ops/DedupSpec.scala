@@ -408,6 +408,33 @@ class DedupSpec extends SparkSpec {
     rows.toMap shouldBe expected
   }
 
+  test("updateComponents(cc(P1), P2) == cc(P1 ∪ P2) on random splits") {
+    // the incremental contract: folding a batch into a standing
+    // assignment equals re-clustering all pairs ever seen — including
+    // batches that BRIDGE two existing clusters (re-key to the min id)
+    val rnd = new scala.util.Random(424242L)
+    for (trial <- 0 until 4) {
+      val n = 10 + rnd.nextInt(30)
+      val all = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (p1, p2) = all.splitAt(all.size / 2)
+      val standing = Dedup.connectedComponents(p1.toDF("id_a", "id_b"))
+      val updated = Dedup.updateComponents(standing, p2.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val full = driverComponents(all)
+      withClue(s"trial $trial (n=$n, |P1|=${p1.size}, |P2|=${p2.size}): ") {
+        updated.length shouldBe full.size
+        updated.toMap shouldBe full
+      }
+    }
+    // explicit bridge: {1,2} and {10,11} standing, batch pair (2,10)
+    val standing = Dedup.connectedComponents(
+      Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b"))
+    val merged = Dedup.updateComponents(standing, Seq((2L, 10L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    merged shouldBe Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L)
+  }
+
   test("dropDuplicateMembers keeps canonical ids and singletons") {
     val corpus = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
