@@ -45,4 +45,50 @@ object StreamingDedup {
     checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
     w.start()
   }
+
+  /** Running (doc_id, cluster_id) duplicate-cluster assignment maintained
+    * across micro-batches. `assignment` is always the latest, eagerly
+    * materialized frame — safe to read from any thread while the stream
+    * runs.
+    */
+  final class ClusterState private[streaming] (initial: DataFrame) {
+    @volatile private var current: DataFrame = initial
+    def assignment: DataFrame = current
+    private[streaming] def set(next: DataFrame): Unit = current = next
+  }
+
+  /** [[start]] plus live cluster maintenance: each micro-batch's matches
+    * are folded into a running assignment with
+    * [[Dedup.updateComponents]], so duplicate CLUSTERS stay transitive
+    * across batches (batch-1 and batch-2 docs matching the same corpus
+    * doc land in one cluster — pairwise match lists alone lose that).
+    * Per-batch cost is ∝ |assignment| + |batch matches|, never the match
+    * history; the assignment is truncated with an eager
+    * `localCheckpoint` each batch so its plan never deepens.
+    *
+    * The state is driver-memory (match the contract by seeding `initial`
+    * from a persisted assignment table on restart; write `assignment`
+    * back out in `onBatch` for durability — the caller owns the sink,
+    * as in [[start]]).
+    */
+  def startWithClusters(stream: DataFrame, idCol: String, textCol: String,
+                        index: Dedup.MinhashIndex, tau: Double = 0.8,
+                        initial: Option[DataFrame] = None,
+                        checkpoint: Option[String] = None,
+                        queryName: String = "graft_streaming_dedup_clusters")
+                       (onBatch: (DataFrame, DataFrame, Long) => Unit)
+      : (StreamingQuery, ClusterState) = {
+    import org.apache.spark.sql.functions._
+    val empty = stream.sparkSession.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id"))
+    val state = new ClusterState(initial.getOrElse(empty))
+    val q = start(stream, idCol, textCol, index, tau, checkpoint, queryName) {
+      (matches, batchId) =>
+        val updated = Dedup.updateComponents(state.assignment, matches,
+          aCol = "id_new", bCol = "id_corpus").localCheckpoint(true)
+        state.set(updated)
+        onBatch(matches, updated, batchId)
+    }
+    (q, state)
+  }
 }

@@ -348,6 +348,53 @@ class StreamingSpec extends SparkSpec {
     collected.map(p => (p._1, p._2)) should contain allOf ((11L, 1L), (12L, 4L))
   }
 
+  test("streaming cluster state equals the batch closure over all match pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (4L, "completely different content about spark engines and data quality checks"))
+      .toDF("doc_id", "text")
+    // 11 and 12 arrive in DIFFERENT batches but both match corpus doc 1:
+    // transitivity across batches is exactly what pairwise lists lose
+    val b1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog and runs far away tonight"))
+    val b2 = Seq(
+      (12L, "the quick brown fox jumps over the lazy dog and runs far away forever"),
+      (13L, "nothing in common with anything else in this tiny corpus at all"))
+
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text", k = 3, persistIndex = false)
+    val allPairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    var perBatchAssignments = List.empty[Map[Long, Long]]
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val (q, state) = StreamingDedup.startWithClusters(
+      stream, "doc_id", "text", idx, tau = 0.5) { (matches, assignment, _) =>
+        allPairs ++= matches.collect().map(r => (r.getLong(0), r.getLong(1)))
+        perBatchAssignments ::= assignment.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val finalAssignment = state.assignment.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // equals batch-mode connected components over every pair ever matched
+    val expected = Dedup.connectedComponents(
+        allPairs.toSeq.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finalAssignment shouldBe expected
+    // cross-batch transitivity: 11 (batch 1) and 12 (batch 2) share the
+    // cluster keyed by corpus doc 1; unmatched 13 is absent
+    finalAssignment shouldBe Map(1L -> 1L, 11L -> 1L, 12L -> 1L)
+    // the per-batch snapshots grew monotonically to the final state
+    perBatchAssignments.head shouldBe finalAssignment
+    perBatchAssignments.last shouldBe Map(1L -> 1L, 11L -> 1L)
+  }
+
   test("WrappedDataFrameStreamWriter builds a StreamingConfig with the reference's chain") {
     // reference test_stream_writer_* matrix: every chained setter lands
     // in the built config, and partitionBy calls ACCUMULATE
