@@ -146,15 +146,20 @@ object Bench {
       results: Seq[(String, Option[Seq[Double]])], sfDir: String): String = {
     // Locale.ROOT: the default-locale f"" interpolator would emit "0,123"
     // under comma-decimal locales — invalid JSON
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    def jmap(f: Seq[Double] => Double): String =
-      results.collect { case (k, Some(t)) => "\"" + k + "\":" + fmt(f(t)) }
+    def fmt(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", v)
+    def jmap(f: Seq[Double] => Double, dec: Int): String =
+      results.collect { case (k, Some(t)) => "\"" + k + "\":" + fmt(f(t), dec) }
         .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Some(t)) => median(t) }.sum
-    val minLine = s"""{"detail":"queries_min","queries_min":${jmap(_.min)}}"""
-    val contract = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(median)},"failed":$failed,"sf":"$sfDir","reps":$Reps,"isolation":"jvm-per-query"}"""
+    // per-query medians on the CONTRACT line are 2-decimal (10 ms — an
+    // order of magnitude below rep noise); the 3-decimal medians + mins
+    // and the run metadata live on the earlier detail line, so each
+    // additional query costs the contract line only ~name+8 chars
+    val minLine = s"""{"detail":"queries_min","reps":$Reps,"isolation":"jvm-per-query","queries_median":${jmap(median, 3)},"queries_min":${jmap(_.min, 3)}}"""
+    val contract = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${jmap(median, 2)},"failed":$failed,"sf":"$sfDir"}"""
     minLine + "\n" + contract
   }
 }

@@ -56,17 +56,32 @@ object Similarity {
         col("qscale"))
   }
 
-  /** Top-k over int8-quantized vectors. Cosine is scale-invariant, so
-    * scoring runs directly on the byte arrays (exact integer
-    * accumulation; no dequantization pass, no double vectors in the
-    * scan). Same shape as [[bruteForceTopK]] otherwise; ranking
-    * deviates from the exact scan only where quantization reorders
-    * near-equal cosines, which the `sim_topk_q8` recall row bounds.
+  /** Int8 quantization of one vector column (per-vector symmetric
+    * scale). Cosine is scale-invariant, so downstream scoring needs
+    * only the byte array — the scale never leaves the expression.
+    * Shared by [[quantizeInt8]], [[buildIvfIndex]] (corpus side) and
+    * [[ivfTopKIndexedQ8]] (query side); codegen's common-subexpression
+    * elimination folds the doubled VecMaxAbs.
+    */
+  def quantizeCol(vec: Column): Column = {
+    val maxAbs = fromExpr(graft.functions.VecMaxAbs(toExpr(vec)))
+    val qscale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    fromExpr(graft.functions.VecQuantI8(toExpr(vec), toExpr(qscale)))
+  }
+
+  /** Exact-scan top-k over int8-quantized vectors — the q8 arithmetic
+    * BASELINE (all-pairs by definition, like [[bruteForceTopK]]): it
+    * exists to pin the int8 kernels against the exact double scan in
+    * the `sim_topk_q8` recall row. No broadcast hint — AQE broadcasts
+    * a small query batch by itself, and a large batch must not be
+    * forced build-side. The production scale tier is
+    * [[ivfTopKIndexedQ8]]: the same kernels riding IVF candidate
+    * pruning over a quantized, cell-bucketed index.
     */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = quantizeInt8(queries).select(col("id").as("query_id"), col("qvec").as("qa"))
     val c = quantizeInt8(corpus).select(col("id").as("neighbor_id"), col("qvec").as("qb"))
-    val scored = broadcast(q).crossJoin(c)
+    val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         fromExpr(graft.functions.VecCosineI8(toExpr(col("qa")), toExpr(col("qb")))))
@@ -228,20 +243,23 @@ object Similarity {
     */
   final case class IvfIndex(
       centroids: Array[Seq[Double]],
-      corpus: DataFrame, // (neighbor_id, cv, cell)
+      corpus: DataFrame, // (neighbor_id, cv, cell, qcv)
       nlist: Int)
 
   /** Train centroids and assign every corpus row to its cell. `nlist`
     * records the ACTUAL centroid count — a corpus smaller than the
     * requested nlist yields fewer centroids, and the save/load
-    * round-trip must be identity.
+    * round-trip must be identity. The corpus is quantized ONCE here
+    * (`qcv` int8 column) so the q8 probe path ([[ivfTopKIndexedQ8]])
+    * scans 8× smaller candidate vectors with no per-query requantize.
     */
   def buildIvfIndex(corpus: DataFrame, nlist: Int = 16, iters: Int = 3,
                     seed: Long = 42L): IvfIndex = {
     val cents = ivfCentroids(corpus, nlist, iters, seed)
     IvfIndex(cents,
       corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-        nearestCell(col("vec"), cents).as("cell")),
+        nearestCell(col("vec"), cents).as("cell"),
+        quantizeCol(col("vec")).as("qcv")),
       cents.length)
   }
 
@@ -267,7 +285,12 @@ object Similarity {
     import spark.implicits._
     val cents = spark.table(s"${prefix}_centroids")
       .orderBy("cell").as[(Int, Seq[Double])].collect().map(_._2)
-    IvfIndex(cents, spark.table(s"${prefix}_corpus"), cents.length)
+    val corpus = spark.table(s"${prefix}_corpus")
+    // indexes persisted before the q8 tier lack qcv — derive it in the
+    // scan projection (keeps the bucketed layout; no extra pass)
+    val withQ = if (corpus.columns.contains("qcv")) corpus
+                else corpus.withColumn("qcv", quantizeCol(col("cv")))
+    IvfIndex(cents, withQ, cents.length)
   }
 
   /** Probe a prebuilt/loaded index: queries explode over their `nprobe`
@@ -289,6 +312,42 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** The production int8 ANN tier: IVF candidate pruning + int8
+    * scoring. Queries quantize on the fly (one kernel call per query
+    * row), explode over their `nprobe` probe cells, and equi-join the
+    * index's pre-quantized `qcv` column — so the hot candidate scan
+    * reads 8× smaller vectors than [[ivfTopKIndexed]] and the join
+    * inherits its exact scale shape: no broadcast hint (AQE broadcasts
+    * small batches; against a cell-bucketed corpus table the SMJ
+    * shuffles only the query side). Ranking deviates from the
+    * full-precision IVF ranking only where quantization reorders
+    * near-equal cosines (`sim_topk_q8_ivf` recall row bounds it).
+    */
+  def ivfTopKIndexedQ8(queries: DataFrame, index: IvfIndex, k: Int,
+                       nprobe: Int = 4): DataFrame = {
+    val q = queries.select(col("id").as("query_id"),
+      quantizeCol(col("vec")).as("qqv"),
+      explode(probeCells(col("vec"), index.centroids, nprobe)).as("cell"))
+    val scored = q
+      .join(index.corpus.select(col("cell"), col("neighbor_id"), col("qcv")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        fromExpr(graft.functions.VecCosineI8(toExpr(col("qqv")), toExpr(col("qcv")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Train-and-probe convenience for the q8 IVF tier (the index-once
+    * deployment path is [[buildIvfIndex]]/[[saveIvfIndex]] +
+    * [[ivfTopKIndexedQ8]]).
+    */
+  def ivfTopKQ8(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
+    ivfTopKIndexedQ8(queries, buildIvfIndex(corpus, nlist, iters), k, nprobe)
 
   /** Exact embedding-cosine pairs above `tau` — the brute-force baseline
     * of the embedding-space dedup tier (all-pairs by definition; the

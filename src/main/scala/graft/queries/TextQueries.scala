@@ -338,6 +338,14 @@ object TextQueries {
       annRecallRow(s, dir)((q, e) => Similarity.srpLshTopK(q, e, k = 5)),
       Some(annRecallOracle)),
 
+    // the production int8 tier: IVF candidate pruning + VecCosineI8
+    // scoring over the index's pre-quantized corpus column. Recall vs
+    // the exact double scan tracks plain IVF (quantization reorders
+    // only near-equal cosines; measured 0.56-0.58 across SFs)
+    QueryDef("sim_topk_q8_ivf", (s, dir) =>
+      annRecallRow(s, dir)((q, e) => Similarity.ivfTopKQ8(q, e, k = 5)),
+      Some(annRecallOracle)),
+
     QueryDef("mm_binary_meta", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Multimodal.withBinaryPayload(docs, "text")

@@ -166,6 +166,85 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKQ8 recall vs brute force; tracks the full-precision IVF ranking") {
+    val rnd = new scala.util.Random(17)
+    val corpus = vecDf((0L until 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian()))))
+    val queries = corpus.filter($"id" < 8)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q8 = Similarity.ivfTopKQ8(queries, corpus, k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect q8).size.toDouble / exact.size
+    recall should be >= 0.5
+    // the q8 tier prunes with the SAME cells as full-precision IVF, so
+    // its candidate set matches; only near-equal cosines may reorder
+    val full = Similarity.ivfTopK(queries, corpus, k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (full intersect q8).size.toDouble / full.size
+    overlap should be >= 0.8
+  }
+
+  test("q8 probe of a bucketed index shuffles only the query side, scans no full-precision vectors") {
+    val conf = spark.conf
+    val oldBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rnd = new scala.util.Random(37)
+      val corpus = vecDf((0L until 100L).map(i =>
+        (i, Seq.fill(16)(rnd.nextGaussian()))))
+      val idx = Similarity.buildIvfIndex(corpus, nlist = 4, iters = 1)
+      Similarity.saveIvfIndex(idx, "ivf_q8", buckets = 4)
+      val loaded = Similarity.loadIvfIndex(spark, "ivf_q8")
+
+      val joined = Similarity.ivfTopKIndexedQ8(
+        corpus.filter($"id" < 3), loaded, k = 3, nprobe = 2)
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include ("Bucketed: true")
+      // ONE cell exchange: the query side re-bucketing to the stored
+      // layout; the (large) corpus side stays in place
+      plan.split("Exchange hashpartitioning\\(cell").length - 1 shouldBe 1
+      // the candidate scan reads the int8 column, NOT the double vectors
+      plan should include ("qcv")
+      val readSchema = plan.split("ReadSchema: ").last.split("\n").head
+      readSchema should not include "cv:array<double>"
+      joined.count() should be > 0L
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      Seq("ivf_q8_corpus", "ivf_q8_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("loadIvfIndex derives qcv for a pre-q8 index table") {
+    val rnd = new scala.util.Random(41)
+    val corpus = vecDf((0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))))
+    try {
+      val idx = Similarity.buildIvfIndex(corpus, nlist = 4, iters = 1)
+      // persist the OLD index shape (no qcv), as a pre-q8 build wrote it
+      idx.corpus.drop("qcv").write.mode("overwrite")
+        .bucketBy(2, "cell").saveAsTable("ivf_old_corpus")
+      import spark.implicits._
+      idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").saveAsTable("ivf_old_centroids")
+      val loaded = Similarity.loadIvfIndex(spark, "ivf_old")
+      loaded.corpus.columns should contain ("qcv")
+      def topk(i: Similarity.IvfIndex) =
+        Similarity.ivfTopKIndexedQ8(corpus.filter($"id" < 4), i, k = 3, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      topk(loaded) shouldBe topk(idx)
+    } finally Seq("ivf_old_corpus", "ivf_old_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("embeddingNearDupPairs finds planted identical vectors") {
     val v = Seq.fill(64)(0.5)
     val corpus = vecDf(Seq((1L, v), (2L, v),

@@ -46,6 +46,22 @@ class PlanContractSpec extends SparkSpec {
     p should not include "strategy=broadcast"
   }
 
+  test("q8 ANN paths carry no forced broadcast hint") {
+    // round-4 verdict: quantizedTopK force-broadcast the query side
+    // (build-side OOM on a large batch). Both the exact q8 baseline and
+    // the q8 IVF scale tier must leave join sizing to AQE. (The recall
+    // QUERIES aggregate driver-side, so the contract pins the op plans.)
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+    val q = e.filter(col("id") < 5)
+    Similarity.quantizedTopK(q, e, k = 5)
+      .queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+    Similarity.ivfTopKQ8(q, e, k = 5, nlist = 4, nprobe = 2, iters = 1)
+      .queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+  }
+
   test("q_window_top_parts shares ONE suppkey exchange between aggregate and window") {
     val p = plan("q_window_top_parts")
     val hashExchanges = p.split("Exchange hashpartitioning").length - 1
