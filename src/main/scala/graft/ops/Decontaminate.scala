@@ -37,12 +37,18 @@ object Decontaminate {
       textCol: String,
       k: Int = 3,
       tau: Double = 0.5,
-      dfCap: Int = 512): DataFrame = {
+      dfCap: Int = 512,
+      persistIndex: Boolean = true): DataFrame = {
     require(tau > 0 && tau <= 1, "tau out of (0,1]")
-    val tEx = Dedup.shingleFpRows(train, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bEx = Dedup.shingleFpRows(bench, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persistIndex=false opts out (matching Dedup's flag) so repeated
+    // calls in a long-lived application don't accumulate executor cache;
+    // the default stays true — both shingle frames feed 2-4 consumers
+    def persisted(df: DataFrame): DataFrame =
+      if (persistIndex)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val tEx = persisted(Dedup.shingleFpRows(train, idCol, textCol, k))
+    val bEx = persisted(Dedup.shingleFpRows(bench, idCol, textCol, k))
     val bSizes = bEx.groupBy(col("id")).agg(count(lit(1)).as("nb"))
 
     // train-side df only: the train corpus is the sf-scaling side; bench
@@ -87,8 +93,10 @@ object Decontaminate {
       textCol: String,
       k: Int = 3,
       tau: Double = 0.5,
-      dfCap: Int = 512): DataFrame = {
-    val bad = containmentPairs(train, bench, idCol, textCol, k, tau, dfCap)
+      dfCap: Int = 512,
+      persistIndex: Boolean = true): DataFrame = {
+    val bad = containmentPairs(train, bench, idCol, textCol, k, tau, dfCap,
+        persistIndex)
       .select(col("train_id").as(idCol)).distinct()
     train.join(bad, Seq(idCol), "left_anti")
   }

@@ -552,6 +552,15 @@ object Dedup {
       }
       level += 1
     }
+    // the single-task endgame drains the list by construction, so a
+    // non-drained exit means maxLevels was set below
+    // log(edges/singleTaskEdges)+1 for this graph — the composed labels
+    // would be silently UNDER-merged (split clusters → duplicate
+    // survivors in a keep-list). Fail loudly instead.
+    require(remaining == 0,
+      s"connectedComponents: contraction stopped at maxLevels=$maxLevels " +
+        s"with $remaining cross-partition edges undrained; raise maxLevels " +
+        s"or singleTaskEdges")
     mappings.reverse match {
       case Nil =>
         pairs.sparkSession.emptyDataFrame

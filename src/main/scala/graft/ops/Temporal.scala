@@ -63,19 +63,29 @@ object Temporal {
     // caller already asked for it)
     val tsRequested = payload.contains(tsCol)
     val allPayload = if (tsRequested) payload else payload :+ tsCol
+    // ALL payload columns latch as ONE struct: per-column last(ignoreNulls)
+    // would skip a matched row's legitimately-NULL field and latch an
+    // OLDER right row's value there, stitching the result from different
+    // right rows. The struct is non-null on every right row even when its
+    // fields are null, so one last() latches the whole row atomically.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      allPayload.map(p => org.apache.spark.sql.types.StructField(
+        p, right.schema(p).dataType, nullable = true)))
     // left rows sort AFTER right rows at an equal timestamp (`__side`
     // 1 > 0, ascending in both directions), so an exactly-simultaneous
     // right row is visible to the left row — the inclusive contract.
     val leftTagged = left.select(
       leftCols.map(col) ++
-        Seq(lit(1).as("__side"), lit(Long.MaxValue).as("__tie")) ++
-        allPayload.map(p => lit(null).cast(right.schema(p).dataType).as(s"asof_$p")): _*)
-    val rightTagged = right.select(
+        Seq(lit(1).as("__side"), lit(Long.MaxValue).as("__tie"),
+          lit(null).cast(payloadType).as("__asof")): _*)
+    // a right row with NULL ts has no position on the timeline (it would
+    // sort first under asc null ordering and latch spuriously) — drop it
+    val rightTagged = right.filter(col(tsCol).isNotNull).select(
       keys.map(col) ++ Seq(col(tsCol)) ++
         leftCols.filterNot(keys.contains).filterNot(_ == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(lit(0).as("__side"), col(rightTieBreak).cast("long").as("__tie")) ++
-        allPayload.map(p => col(p).as(s"asof_$p")): _*)
+        Seq(lit(0).as("__side"), col(rightTieBreak).cast("long").as("__tie"),
+          struct(allPayload.map(p => col(p).as(p)): _*).as("__asof")): _*)
     // within an equal-ts group, `__side asc` already places every right
     // row before the left rows, so the tiebreak only orders simultaneous
     // RIGHT rows: ascending in both directions — the largest tiebreak is
@@ -87,10 +97,13 @@ object Temporal {
       .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = leftTagged.unionByName(rightTagged)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        allPayload.map(p => last(col(s"asof_$p"), ignoreNulls = true).over(w).as(s"asof_$p")): _*)
+      .select(leftCols.map(col) :+ col("__side") :+
+        last(col("__asof"), ignoreNulls = true).over(w).as("__m"): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      // field access on a null struct (no prior right row) yields null —
+      // the left-outer contract falls out of the projection
+      .select(leftCols.map(col) ++
+        allPayload.map(p => col("__m").getField(p).as(s"asof_$p")): _*)
     val bounded = toleranceUs match {
       case None => matched
       case Some(tol) =>
@@ -135,20 +148,25 @@ object Temporal {
       rightIdCol: String): DataFrame = {
     require(lowerUs < upperUs, "empty range window")
     val span = upperUs - lowerUs
-    // `div` (exact long division; == floor for the positive epoch-micros
-    // domain) — a double `/` + floor could misbucket a timestamp landing
-    // within one ulp of a bucket boundary
+    // TRUE floor division in exact long arithmetic (span > 0): `div`
+    // alone truncates toward zero, so a negative shifted timestamp
+    // (pre-1970 data, or a large negative lower offset near the epoch)
+    // would misalign left buckets vs right and silently drop in-window
+    // matches. A double `/` + floor is no fix either — a timestamp one
+    // ulp from a bucket boundary could misbucket.
+    def fdiv(a: String): String =
+      s"(($a) div ${span}L) - (CASE WHEN ($a) % ${span}L < 0 THEN 1 ELSE 0 END)"
     val l = left
       .withColumn("__lts", unix_micros(col(tsCol)))
       .withColumn("__bucket", explode(sequence(
-        expr(s"(__lts + ${lowerUs}L) div ${span}L"),
-        expr(s"(__lts + ${upperUs}L) div ${span}L"))))
+        expr(fdiv(s"__lts + ${lowerUs}L")),
+        expr(fdiv(s"__lts + ${upperUs}L")))))
     val r = right
       .withColumn("__rts", unix_micros(col(tsCol)))
       .select(
         keys.map(col) ++ Seq(
           col("__rts"),
-          expr(s"__rts div ${span}L").as("__bucket"),
+          expr(fdiv("__rts")).as("__bucket"),
           col(rightIdCol).as("__rid")): _*)
     val joined = l.join(r, keys :+ "__bucket", "left")
       .withColumn("__hit",

@@ -75,6 +75,17 @@ class DecontaminateSpec extends SparkSpec {
     capped((1L, 0L)) shouldBe uncapped((1L, 0L))
   }
 
+  test("persistIndex=false yields identical pairs and leaves no cached RDDs behind") {
+    // round-4 ADVICE: the shingle-frame persists had no opt-out and were
+    // never released — a long-lived application accumulated executor cache
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Decontaminate.containmentPairs(train, bench, "doc_id", "text",
+        k = 3, tau = 0.5, persistIndex = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 100L))
+    spark.sparkContext.getPersistentRDDs.keySet shouldBe before
+  }
+
   test("decontaminate drops exactly the contaminated train docs") {
     val kept = Decontaminate.decontaminate(train, bench, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet

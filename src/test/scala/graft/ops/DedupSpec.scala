@@ -349,6 +349,17 @@ class DedupSpec extends SparkSpec {
     rows.toMap shouldBe (1L to n.toLong).map(_ -> 1L).toMap
   }
 
+  test("connectedComponents fails loudly when maxLevels leaves edges undrained") {
+    // round-4 ADVICE: a non-drained exit silently returned UNDER-merged
+    // labels (split clusters → duplicate survivors). maxLevels=0 never
+    // enters the loop, so the residual-edge guard must throw.
+    val pairs = Seq((2L, 1L), (3L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxLevels = 0)
+    }
+    e.getMessage should include ("undrained")
+  }
+
   // independent in-driver union-find, the reference for CC specs
   private def driverComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()

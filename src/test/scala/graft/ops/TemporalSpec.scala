@@ -148,6 +148,59 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asof latches the matched row ATOMICALLY when a payload field is null") {
+    // quote 3 (ts 40, the match for probe 100) carries a NULL value: the
+    // result must keep that null, NOT latch quote 2's value from ts 10 —
+    // per-column last(ignoreNulls) would stitch columns from different
+    // right rows (round-4 ADVICE)
+    val quotesWithNull = Seq(
+      (1L, 1L, Some(ts(10)), Some(1.0)), (2L, 1L, Some(ts(10)), Some(2.0)),
+      (3L, 1L, Some(ts(40)), None: Option[Double]))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.asofJoinBackward(
+        probes, quotesWithNull, keys = Seq("user_id"), tsCol = "ts",
+        payload = Seq("event_id", "value"), rightTieBreak = "event_id")
+      .select("event_id", "asof_event_id", "asof_value")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    got(100L) shouldBe ((3L, None))        // matched row's null stays null
+    got(101L) shouldBe ((2L, Some(2.0)))   // untouched earlier behavior
+  }
+
+  test("asof ignores right rows with a NULL timestamp") {
+    // a NULL-ts quote has no timeline position; it must never latch
+    // (it would sort first under asc null ordering and shadow nothing /
+    // leak its payload into every probe of its key)
+    val quotesNullTs = Seq(
+      (1L, 1L, None: Option[java.sql.Timestamp], Some(9.0)),
+      (2L, 1L, Some(ts(10)), Some(2.0)))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.asofJoinBackward(
+        probes, quotesNullTs, keys = Seq("user_id"), tsCol = "ts",
+        payload = Seq("event_id", "value"), rightTieBreak = "event_id")
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    got(102L) shouldBe -1L // probe at ts 5: only the NULL-ts quote "precedes"
+    got(100L) shouldBe 2L  // real quote still matches
+  }
+
+  test("rangeJoinCount is exact on pre-1970 timestamps (negative micros)") {
+    // truncating `div` misaligns buckets when shifted micros go negative
+    // (round-4 ADVICE); true floor division must find these matches
+    val l = Seq((1L, 1L, ts(-100)), (2L, 1L, ts(-500)))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((10L, 1L, ts(-130)), (11L, 1L, ts(-95)), (12L, 1L, ts(-480)))
+      .toDF("event_id", "user_id", "ts")
+    val got = Temporal.rangeJoinCount(l, r, Seq("user_id"), "ts",
+        lowerUs = -60000000L, upperUs = 30000000L, rightIdCol = "event_id")
+      .select("event_id", "n_in_range", "first_in_range")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    got(1L) shouldBe ((2L, 10L)) // -130 and -95 are both in [-160, -70)
+    got(2L) shouldBe ((1L, 12L)) // -480 is inside probe 2's [-560, -470)
+  }
+
   test("rangeJoinCount window bounds are inclusive-lower, exclusive-upper") {
     val l = Seq((1L, 1L, ts(100))).toDF("event_id", "user_id", "ts")
     val r = Seq((10L, 1L, ts(90)), (11L, 1L, ts(100)), (12L, 1L, ts(99)))
