@@ -242,4 +242,26 @@ object UserConfig {
         bootstrapServers = S(conf, KafkaBootstrapServers),
         topic = S(conf, KafkaTopic)))
     else None
+
+  /** The reference's full four-shape Kafka option matrix
+    * (writer.py:752-799) from the same conf map, resolved through the
+    * secrets backend named by `se.streaming.secret.type` ("cerberus"
+    * selects the cbs_* keys; anything else the dbx_* keys). Secret keys
+    * missing from the backend surface as an error rather than silently
+    * producing a broken producer config.
+    */
+  def kafkaWriteOptions(
+      conf: Map[String, Any],
+      env: String,
+      dbrVersion: Option[String] = sys.env.get("DATABRICKS_RUNTIME_VERSION"))
+      : Map[String, String] = {
+    val secret: String => String = key => {
+      val t = S(conf, SecretType)
+      if (t.isEmpty || env == "local") key
+      else SecretsBackend(t).get(key).getOrElse(
+        throw new IllegalArgumentException(
+          s"kafka secret key '$key' not found in secrets backend '$t'"))
+    }
+    graft.sink.KafkaWriteOptions.fromConf(conf, env, dbrVersion, secret)
+  }
 }

@@ -57,9 +57,36 @@ object EmailNotifier {
   private def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** The reference's basic-template rendering (email.py:136-149): first
-    * line of the content is the title, subsequent `key: value` lines
-    * become table rows, and the subject is prepended as an h2.
+  /** The reference's SHIPPED default template, structure-for-structure
+    * (config/templates/basic_email_alert_template.jinja: a `<style>`
+    * block styling a 60%-width collapsed-border table, a `render_table`
+    * macro emitting `<table border=1><tbody>` with one `<td>` per cell).
+    * Kept as a constant so a deployment diffing rendered mail against a
+    * reference deployment sees the same element tree and CSS.
+    */
+  val DefaultStyle: String =
+    """<style>
+      |    table {
+      |        border-collapse: collapse;
+      |        width: 60%;
+      |        font-family: Arial, sans-serif;
+      |        border: 2px solid black;
+      |    }
+      |    td {
+      |        border: 1px solid black;
+      |        text-align: left;
+      |        padding: 4px;
+      |    }
+      |    tr:nth-child(even) {
+      |        background-color: #f9f9f9;
+      |    }
+      |</style>""".stripMargin
+
+  /** The reference's basic-template rendering (email.py:136-149 over the
+    * shipped Jinja default): first line of the content is the title,
+    * subsequent `key: value` lines become two-cell table rows, and the
+    * subject is prepended as an h2. Cell text is HTML-escaped (the one
+    * deliberate divergence — the reference renders raw).
     */
   def basicHtmlBody(subject: String, content: String): String = {
     val lines = content.trim.split("\n").toSeq
@@ -69,8 +96,8 @@ object EmailNotifier {
         val Array(k, v) = l.split(":", 2)
         s"<tr><td>${escapeHtml(k.trim)}</td><td>${escapeHtml(v.trim)}</td></tr>"
       }
-    s"<h2>${escapeHtml(subject)}</h2><h3>${escapeHtml(title)}</h3>" +
-      s"<table>${rows.mkString}</table>"
+    s"<h2>${escapeHtml(subject)}</h2>$DefaultStyle<h3>${escapeHtml(title)}</h3>" +
+      s"""<table border=1><tbody>${rows.mkString}</tbody></table>"""
   }
 
   def render(cfg: EmailConfig, n: Notification): EmailMessage = {

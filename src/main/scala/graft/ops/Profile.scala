@@ -100,6 +100,57 @@ object Profile {
     }
   }
 
+  /** Persist a profile frame into a snapshot-partitioned catalog table
+    * (the profile-store lifecycle, like `saveMinhashIndex` /
+    * `saveIvfIndex` for the dedup/ANN indexes): one partition per
+    * snapshot label (run date, batch id), re-saving a label replaces
+    * only that partition. Profiles are a handful of rows per snapshot,
+    * so the store stays tiny while the 100 TB inputs it summarizes are
+    * long gone — `drift` then runs baseline-vs-current without any
+    * recompute.
+    */
+  def save(profileDf: DataFrame, table: String, snapshot: String): Unit = {
+    val spark = profileDf.sparkSession
+    val df = profileDf.withColumn("snapshot", lit(snapshot))
+    if (!spark.catalog.tableExists(table))
+      df.write.partitionBy("snapshot").saveAsTable(table)
+    else {
+      // dynamic mode scopes the overwrite to the snapshot partitions
+      // actually present in df (insertInto reads the SESSION conf, not
+      // writer options) — other labels are untouched
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try df.write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** Load one snapshot back in the exact `profile()` shape. Partition
+    * pruning makes this a single-partition scan.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, table: String,
+           snapshot: String): DataFrame =
+    spark.table(table).filter(col("snapshot") === lit(snapshot)).drop("snapshot")
+
+  /** Snapshot labels present in a profile store (partition listing). */
+  def snapshots(spark: org.apache.spark.sql.SparkSession, table: String): Seq[String] =
+    spark.table(table).select("snapshot").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  /** Drift between two STORED snapshots — the lifecycle endgame: profile
+    * today's partition, `save` it, and compare against any historical
+    * label without touching the original data.
+    */
+  def driftFromStore(spark: org.apache.spark.sql.SparkSession, table: String,
+                     baselineSnapshot: String, currentSnapshot: String,
+                     tolerance: Double = 0.1): DataFrame =
+    drift(load(spark, table, baselineSnapshot),
+      load(spark, table, currentSnapshot), tolerance)
+
   /** Drift between a baseline profile and a current one: rows where the
     * relative change exceeds `tolerance` (or a metric exists on one side
     * only). The join is on (column_name, metric) — profile frames are a

@@ -51,6 +51,34 @@ object RulesReader {
     rules.filter(r => r.isActive && r.ruleType == ruleType)
       .map(r => r.rule -> r.expectation).toMap
 
+  /** Delta-Live-Tables dict mode (reference: utils/reader.py:265-327,
+    * `get_rules_from_df(rules_df, target, is_dlt=True, tag, params)`):
+    * filter on product/table/is_active, optionally narrow to one `tag`
+    * (the KPI the DLT job runs), and return `rule -> expectation` with
+    * `{param}` placeholders substituted — ALL rule types, matching the
+    * reference's is_dlt branch which doesn't split by type. The map is
+    * what a DLT pipeline hands to `@dlt.expect_all`.
+    */
+  def rulesMap(rulesDf: DataFrame, productId: String, targetTable: String,
+               tag: Option[String] = None,
+               params: Map[String, String] = Map.empty): Map[String, String] = {
+    // table_name placeholders substitute BEFORE the target filter
+    // (reader.py:298-306), so `{env}`-templated rows match their target
+    val resolved = params.foldLeft(rulesDf) { case (df, (k, v)) =>
+      df.withColumn("table_name",
+        call_function("replace", col("table_name"), lit(s"{$k}"), lit(v)))
+    }
+    val filtered = tag.foldLeft(filterRules(resolved, productId, targetTable)) {
+      (df, t) => df.filter(col("tag") === lit(t))
+    }
+    def sub(s: String): String =
+      params.foldLeft(Option(s).getOrElse("")) { case (acc, (k, v)) =>
+        acc.replace(s"{$k}", v)
+      }
+    filtered.select(col("rule"), col("expectation")).collect()
+      .map(r => r.getString(0) -> sub(r.getString(1))).toMap
+  }
+
   /** Rules DF → typed Dataset[Rule] (snake_case columns → camelCase fields). */
   def toDataset(spark: SparkSession, rulesDf: DataFrame): Dataset[Rule] = {
     import spark.implicits._

@@ -113,6 +113,23 @@ class NotificationsSpec extends AnyFunSuite with Matchers {
     (m.mime should not).include("not a row") // rows need a colon (email.py:141-144)
   }
 
+  test("email basic template golden render matches the reference default structure") {
+    // golden: the reference's shipped basic_email_alert_template.jinja
+    // element tree — h2 subject, style block, h3 title, bordered table
+    // with tbody of two-cell rows (email.py:127-149)
+    val body = EmailNotifier.basicHtmlBody("Subj",
+      "Run summary\nproduct_id: p1\nstatus: pass")
+    body shouldBe
+      "<h2>Subj</h2>" + EmailNotifier.DefaultStyle + "<h3>Run summary</h3>" +
+        "<table border=1><tbody>" +
+        "<tr><td>product_id</td><td>p1</td></tr>" +
+        "<tr><td>status</td><td>pass</td></tr>" +
+        "</tbody></table>"
+    EmailNotifier.DefaultStyle should include ("border-collapse: collapse")
+    EmailNotifier.DefaultStyle should include ("width: 60%")
+    EmailNotifier.DefaultStyle should include ("tr:nth-child(even)")
+  }
+
   test("notifier fans a completion out to email + pagerduty + zoom together") {
     val sink = new InMemoryNotifier
     var mails = 0; var pages = 0; var zooms = 0

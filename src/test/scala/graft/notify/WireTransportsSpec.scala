@@ -109,6 +109,6 @@ class WireTransportsSpec extends AnyFunSuite with Matchers {
     // default path unchanged without the hook
     val plain = EmailNotifier.render(cfg.copy(bodyRenderer = None),
       Notification("T", "k: v"))
-    plain.mime should include ("<table>")
+    plain.mime should include ("<table border=1>")
   }
 }

@@ -72,6 +72,41 @@ class ProfileSpec extends SparkSpec {
     d should contain (("v", "p95"))       // vanished from current
     d should contain (("w", "count"))     // new in current
   }
+
+  test("profile store round-trips snapshots and drifts without recompute") {
+    val table = "profile_store_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), table))
+    val base = Profile.profile(li, Seq("l_quantity"), withSketches = false)
+    Profile.save(base, table, "2026-08-01")
+
+    // a shifted current snapshot — saved, then drifted FROM THE STORE
+    val cur = Profile.profile(
+      li.withColumn("l_quantity", col("l_quantity") * 2), Seq("l_quantity"),
+      withSketches = false)
+    Profile.save(cur, table, "2026-08-02")
+
+    Profile.snapshots(spark, table) shouldBe Seq("2026-08-01", "2026-08-02")
+    // loaded == original, exact (tiny frames; column order preserved)
+    Profile.load(spark, table, "2026-08-01").collect().toSet shouldBe
+      base.collect().toSet
+
+    val d = Profile.driftFromStore(spark, table, "2026-08-01", "2026-08-02")
+      .collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+    // sum/mean/min/max doubled => rel_change 1.0; count unchanged => absent
+    d("sum") shouldBe 1.0 +- 1e-6
+    d("mean") shouldBe 1.0 +- 1e-6
+    d should not contain key("count")
+
+    // re-saving a label replaces ONLY that partition
+    Profile.save(base, table, "2026-08-02")
+    Profile.driftFromStore(spark, table, "2026-08-01", "2026-08-02")
+      .count() shouldBe 0
+    Profile.snapshots(spark, table) shouldBe Seq("2026-08-01", "2026-08-02")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
 
 class SketchAggregatesSpec extends SparkSpec {

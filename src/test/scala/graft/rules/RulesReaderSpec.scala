@@ -83,6 +83,65 @@ class RulesReaderSpec extends SparkSpec {
   }
 }
 
+/** Mirrors the reference's `test_get_rules_dlt` matrix
+  * (tests/integration/utils/test_reader.py:426-461): product/table/tag
+  * combinations over one rules view map to exact `rule -> expectation`
+  * dicts, inactive rows excluded, empty when nothing matches.
+  */
+class RulesMapDltSpec extends SparkSpec {
+
+  private def row(product: String, table: String, rule: String, tag: String,
+                  active: Boolean = true, ruleType: String = "row_dq",
+                  expectation: String = null) =
+    Row(product, table, ruleType, rule, "c1",
+      if (expectation == null) s"expectation_$rule" else expectation,
+      "ignore", tag, "d", true, true, active, false, 10, "@", false, "medium")
+
+  private def dltRules = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      row("product1", "table1", "rule1", "tag1"),
+      row("product1", "table1", "rule2", "tag2"),
+      row("product1", "table1", "rule3", "tag3", ruleType = "agg_dq"),
+      row("product1", "table1", "rule4", "tag4", active = false),
+      row("product2", "table1", "rule5", "tag5"),
+      row("product1", "table1", "rule6", "tag6", ruleType = "query_dq"),
+      row("product2", "table1", "rule7", "tag7"),
+      row("product2", "table2", "rule8", "tag8"),
+      row("product1", "table1", "rule10", "tag1"),
+      row("product2", "table1", "rule12", "tag2"),
+      row("product1", "table1", "rule13", "tag2"))),
+    Rule.schema)
+
+  test("tag narrows to that KPI's rules") {
+    RulesReader.rulesMap(dltRules, "product1", "table1", Some("tag2")) shouldBe Map(
+      "rule2" -> "expectation_rule2", "rule13" -> "expectation_rule13")
+  }
+
+  test("no tag returns every active rule for the product/table, all types") {
+    RulesReader.rulesMap(dltRules, "product1", "table1") shouldBe Map(
+      "rule1" -> "expectation_rule1", "rule2" -> "expectation_rule2",
+      "rule3" -> "expectation_rule3", "rule6" -> "expectation_rule6",
+      "rule10" -> "expectation_rule10", "rule13" -> "expectation_rule13")
+    RulesReader.rulesMap(dltRules, "product2", "table1").keySet shouldBe
+      Set("rule5", "rule7", "rule12")
+  }
+
+  test("unmatched tag yields an empty dict") {
+    RulesReader.rulesMap(dltRules, "product2", "table2", Some("tag7")) shouldBe empty
+  }
+
+  test("params substitute into expectations and templated table names") {
+    val templated = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        row("p", "{env}.orders", "r_env", "t", expectation = "amt > {lo}"))),
+      Rule.schema)
+    RulesReader.rulesMap(templated, "p", "dev.orders",
+      params = Map("env" -> "dev", "lo" -> "5")) shouldBe Map("r_env" -> "amt > 5")
+    // without params the templated table row doesn't match the target
+    RulesReader.rulesMap(templated, "p", "dev.orders") shouldBe empty
+  }
+}
+
 class CompositeQuerySplitterSpec extends SparkSpec {
 
   test("plain expectation passes through unchanged") {
