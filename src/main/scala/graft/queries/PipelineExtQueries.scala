@@ -233,23 +233,7 @@ object PipelineExtQueries {
     // end-to-end with exact integer outputs.
     QueryDef("curation_pipeline", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val bench = docs.filter(col("doc_id") % 10 === 0)
-      val train = docs.filter(col("doc_id") % 10 =!= 0)
-      val scored = train.select(col("doc_id"), col("lang"), col("text"),
-        TA.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TA.qualityScore(col("text")).as("quality"),
-        TA.fingerprint(col("text")).as("fp"))
-      val kept = scored.filter(col("quality") >= 0.5 && col("n_tokens") >= 10L)
-      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-      val deduped = kept.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-      val clean = Decontaminate.decontaminate(
-        deduped.select(col("doc_id"), col("lang"), col("n_tokens"), col("text")),
-        bench, "doc_id", "text", k = 3, tau = 0.5)
-      val packed = Packing.packByOrder(
-        clean.select(col("doc_id"), col("lang"), col("n_tokens")),
-        tokensCol = "n_tokens", orderCol = "doc_id", partCol = "lang", budget = 256)
-      Packing.packSummary(packed, "lang", budget = 256).orderBy("lang")
+      graft.ops.Curation.pipeline(docs).summary.orderBy("lang")
     }, Some(s"""
       WITH scored AS (
         SELECT doc_id, lang, text, len($sqlTokens) AS n_tokens,

@@ -62,6 +62,31 @@ class PlanContractSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
   }
 
+  test("curation pipeline consumers all read the cached survivor set — no corpus re-scan") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val docs = Tables.load(spark, dir, "documents")
+    val run = graft.ops.Curation.pipeline(docs)
+    try {
+      val opt = run.summary.queryExecution.optimizedPlan
+      // every pipeline stage downstream of the gated+deduped survivor
+      // set (and decontamination's shingle indexes) reads a cache leaf:
+      // the optimized plan outside those leaves holds NO file scan —
+      // at 100 TB nothing re-reads the corpus or re-runs the scoring
+      // regexes — and no residual dedup window
+      val leaves = opt.collectLeaves()
+      val cached = leaves.collect { case r: InMemoryRelation => r }
+      cached.size should be >= 3 // deduped survivors + train/bench shingles
+      leaves.filterNot(_.isInstanceOf[InMemoryRelation]) shouldBe empty
+      // node traversal (stops at cache leaves): the fingerprint-dedup
+      // row_number window lives only INSIDE the cached subtree; the
+      // only live window is packing's running sum
+      val liveWindows = opt.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+      liveWindows.flatMap(_.windowExpressions.map(_.toString))
+        .count(_.contains("row_number")) shouldBe 0
+    } finally run.release()
+  }
+
   test("q_window_top_parts shares ONE suppkey exchange between aggregate and window") {
     val p = plan("q_window_top_parts")
     val hashExchanges = p.split("Exchange hashpartitioning").length - 1
