@@ -181,6 +181,47 @@ object EngineExtQueries {
         (m, f) <- metricSql
       } yield s"SELECT '$c' AS column_name, '$m' AS metric, ${f(c)} AS value FROM lineitem"
       selects.mkString("", " UNION ALL ", " ORDER BY column_name, metric")
+    }),
+
+    // -- profile drift, baseline vs current, oracle-exact ----------------
+    // the profile-store endgame: two one-pass profiles (a quarter of the
+    // orders standing in for "last month's snapshot") diffed by relative
+    // change. Exact metrics only (mean excluded like profile_stats: the
+    // engines round decimal quotients differently); min/max/null_count
+    // agree across the halves so only count/sum drift — which pins the
+    // tolerance filter from BOTH sides
+    QueryDef("profile_drift", (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice")
+      val baseline = graft.ops.Profile.profile(
+        li.filter(col("l_orderkey") % 4 === 0), cols, withSketches = false)
+      val current = graft.ops.Profile.profile(li, cols, withSketches = false)
+      graft.ops.Profile.drift(baseline, current, tolerance = 0.05)
+        .filter(col("metric") =!= "mean")
+        .orderBy("column_name", "metric")
+    }, Some {
+      val metricSql = Map(
+        "count" -> ((c: String) => s"CAST(count($c) AS DOUBLE)"),
+        "null_count" -> ((c: String) => s"CAST(count(*) - count($c) AS DOUBLE)"),
+        "min" -> ((c: String) => s"CAST(min($c) AS DOUBLE)"),
+        "max" -> ((c: String) => s"CAST(max($c) AS DOUBLE)"),
+        "sum" -> ((c: String) => s"CAST(sum(CAST($c AS DECIMAL(38,2))) AS DOUBLE)"))
+      def side(where: String) = (for {
+        c <- Seq("l_quantity", "l_extendedprice")
+        (m, f) <- metricSql
+      } yield s"SELECT '$c' AS column_name, '$m' AS metric, ${f(c)} AS value FROM lineitem$where")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH base AS (${side(" WHERE l_orderkey % 4 = 0")}),
+           cur AS (${side("")}),
+           j AS (SELECT b.column_name, b.metric,
+                   b.value AS baseline_value, c.value AS current_value,
+                   CASE WHEN b.value = 0 AND c.value = 0 THEN CAST(0 AS DOUBLE)
+                        WHEN b.value = 0 THEN CAST('infinity' AS DOUBLE)
+                        ELSE abs(c.value - b.value) / abs(b.value) END AS rel_change
+                 FROM base b JOIN cur c USING (column_name, metric))
+      SELECT * FROM j WHERE rel_change > 0.05
+      ORDER BY column_name, metric"""
     })
   )
 }
