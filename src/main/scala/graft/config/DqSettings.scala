@@ -102,6 +102,7 @@ object SecretsBackend {
     Map("env" -> new EnvBackend)
 
   def register(b: SecretsBackend): Unit = synchronized { backends += b.name -> b }
+  def registered(name: String): Boolean = backends.contains(name)
   def apply(name: String): SecretsBackend =
     backends.getOrElse(name, throw new IllegalArgumentException(s"unknown secrets backend: $name"))
 }

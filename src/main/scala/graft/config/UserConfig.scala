@@ -112,6 +112,13 @@ object UserConfig {
     */
   val SecretScope = "se.streaming.dbx.secret.scope"
 
+  /** Cerberus vault address + default safe-deposit-box path (reference
+    * user_config.py cbs_url / cbs_sdb_path) — consumed by
+    * [[CerberusBackend.fromConf]].
+    */
+  val CbsUrl = "se.streaming.cerberus.url"
+  val CbsSdbPath = "se.streaming.cerberus.sdb.path"
+
   /** SMTP password resolution (reference: email.py `_get_smtp_password`
     * — plain conf value, else the secrets backend named by
     * `se.streaming.secret.type`). When a secret scope is configured,
@@ -122,6 +129,10 @@ object UserConfig {
     val direct = S(conf, EmailSmtpPassword)
     if (direct.nonEmpty) Some(direct)
     else conf.get(SecretType).map(_.toString).flatMap { t =>
+      // email.py:27-40 — a configured cbs_sdb_path means the password
+      // lives in a Cerberus box; stand the live backend up on demand
+      if (t.equalsIgnoreCase("cerberus") && !SecretsBackend.registered("cerberus"))
+        CerberusBackend.fromConf(conf)
       val key = conf.get(SecretScope).map(_.toString) match {
         case Some(scope) if scope.nonEmpty => s"$scope/$EmailSmtpPassword"
         case _ => EmailSmtpPassword
