@@ -64,4 +64,81 @@ object Curation {
     val summary = Packing.packSummary(packed, langCol, budget = budget)
     CurationRun(summary, () => { if (persist) deduped.unpersist(); () })
   }
+
+  /** Per-source boilerplate phrases: the distinct k-token n-grams that
+    * appear in at least `minDocs` documents OF THE SAME SOURCE — the
+    * header/footer/navigation text a site stamps on every page (the
+    * CCNet/Gopher boilerplate signal; this corpus has no newlines, so
+    * the unit is the token n-gram rather than the line).
+    *
+    * Scale shape: codegen shingle explode (zero shuffles, shingles
+    * deduped per doc inside the kernel so `count(*)` IS the document
+    * frequency) → one partial-agged groupBy on (source, ngram). The
+    * output is df-thresholded — a tiny fraction of the shingle stream —
+    * so the downstream join in [[boilerplateStats]] has a small build
+    * side AQE can broadcast on its own.
+    */
+  def boilerplateNgrams(
+      docs: DataFrame,
+      k: Int = 3,
+      minDocs: Int = 3,
+      srcCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    Dedup.shingleRowsKeep(docs, Seq(srcCol), textCol, k)
+      .groupBy(col(srcCol), col("s").as("ngram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate measurement against [[boilerplateNgrams]]:
+    * (id, n_shingles, n_boiler, boiler_ratio). A curation pipeline
+    * drops or rewrites documents above a ratio threshold; the ratio is
+    * emitted rather than the filtered corpus so the cutoff stays a
+    * caller policy.
+    *
+    * The shingle stream is computed twice (once under the boilerplate
+    * aggregate, once as the probe side) — deliberate: it is a cheap
+    * codegen projection of the scan, and at 100 TB re-scanning beats
+    * caching a ~200x-exploded intermediate. The join keys on
+    * (source, ngram); the build side is the df-thresholded phrase set.
+    */
+  def boilerplateStats(
+      docs: DataFrame,
+      k: Int = 3,
+      minDocs: Int = 3,
+      idCol: String = "doc_id",
+      srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val sh = Dedup.shingleRowsKeep(docs, Seq(idCol, srcCol), textCol, k)
+    val boiler = boilerplateNgrams(docs, k, minDocs, srcCol, textCol)
+    sh.join(boiler.withColumnRenamed("ngram", "s"), Seq(srcCol, "s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("n_docs")).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_shingles"))
+  }
+
+  /** Corpus vocabulary: every whitespace token with its collection term
+    * frequency (`tf`) and document frequency (`df`) — the input to
+    * tokenizer-vocab construction and idf weighting.
+    *
+    * One narrow two-level aggregation instead of `countDistinct`: the
+    * first groupBy on (token, id) partial-aggregates the exploded token
+    * stream map-side (a document's repeated tokens collapse before the
+    * shuffle), the second folds per-doc counts into tf and counts rows
+    * into df. No distinct-expand, both shuffles carry (string, long)
+    * pairs.
+    */
+  def vocabulary(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minDf: Int = 1): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"), col("id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
 }

@@ -58,6 +58,19 @@ object Dedup {
           org.apache.spark.sql.classic.GraftExpressionBridge.expression(col(textCol)), k)))
         .as("s"))
 
+  /** [[shingleRows]] with passthrough columns — same codegen kernel +
+    * Generate, but the caller picks which input columns ride along with
+    * each shingle row (Curation's boilerplate detector keeps
+    * (doc_id, source)). Plan shape is identical: scan → project →
+    * explode, zero shuffles.
+    */
+  def shingleRowsKeep(df: DataFrame, keepCols: Seq[String], textCol: String, k: Int): DataFrame =
+    df.select(keepCols.map(col) :+
+      explode(org.apache.spark.sql.classic.GraftExpressionBridge.column(
+        graft.functions.DistinctShingles(
+          org.apache.spark.sql.classic.GraftExpressionBridge.expression(col(textCol)), k)))
+        .as("s"): _*)
+
   /** The lead-window formulation of [[shingleRows]] — an independent
     * implementation kept for the three-way equivalence spec (kernel ==
     * window == HOF array form).

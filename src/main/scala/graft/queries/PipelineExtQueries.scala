@@ -266,6 +266,46 @@ object PipelineExtQueries {
       SELECT lang, total_tokens, n_docs,
         (total_tokens + 255) // 256 AS n_sequences,
         CAST(total_tokens - ((total_tokens + 255) // 256 - 1) * 256 AS DOUBLE) / 256 AS last_fill
-      FROM summary ORDER BY lang"""))
+      FROM summary ORDER BY lang""")),
+
+    // -- per-source boilerplate: phrases a source stamps across >= 3 of
+    // its documents, measured back onto every document as a ratio a
+    // curation gate can threshold --
+    QueryDef("text_boilerplate", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.boilerplateStats(docs, k = 3, minDocs = 3)
+        .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
+          col("n_boiler").cast("long").as("n_boiler"), col("boiler_ratio"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id, source, unnest(list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS g
+        FROM documents),
+      boiler AS (
+        SELECT source, g, count(*) AS n_docs FROM sh
+        GROUP BY source, g HAVING count(*) >= 3)
+      SELECT s.doc_id, count(*) AS n_shingles, count(b.n_docs) AS n_boiler,
+        CAST(count(b.n_docs) AS DOUBLE) / count(*) AS boiler_ratio
+      FROM sh s LEFT JOIN boiler b ON s.source = b.source AND s.g = b.g
+      GROUP BY s.doc_id ORDER BY doc_id""")),
+
+    // -- corpus vocabulary: token -> (collection tf, doc df), the input
+    // to tokenizer-vocab construction and idf weighting --
+    QueryDef("text_vocab", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.vocabulary(docs)
+        .select(col("token"), col("tf").cast("long").as("tf"),
+          col("df").cast("long").as("df"))
+        .orderBy(col("df").desc, col("tf").desc, col("token"))
+    }, Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      td AS (
+        SELECT token, doc_id, count(*) AS c FROM tok
+        WHERE length(token) > 0 GROUP BY token, doc_id)
+      SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df
+      FROM td GROUP BY token ORDER BY df DESC, tf DESC, token"""))
   )
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Boilerplate detection + vocabulary extraction (Curation's corpus-level
+  * operators; oracle rows `text_boilerplate` / `text_vocab` pin them
+  * against DuckDB on real data — these specs pin the semantics on
+  * hand-built corpora where the expected values are derivable by eye).
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // src-a stamps "home about contact" on 3 of its 4 docs; src-b shares
+  // the same phrase in only 1 doc, so per-source scoping must NOT mark it
+  private val docs = Seq(
+    (1L, "home about contact alpha beta gamma", "src-a"),
+    (2L, "home about contact delta epsilon zeta", "src-a"),
+    (3L, "home about contact eta theta iota", "src-a"),
+    (4L, "kappa lambda mu nu xi omicron", "src-a"),
+    (5L, "home about contact pi rho sigma", "src-b"),
+    (6L, "tau upsilon phi chi psi omega", "src-b")
+  ).toDF("doc_id", "text", "source")
+
+  test("boilerplateNgrams finds per-source repeated phrases only") {
+    val b = Curation.boilerplateNgrams(docs, k = 3, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    b should contain(("src-a", "home about contact", 3L))
+    // the phrase never reaches the threshold inside src-b
+    b.map(_._1).toSet shouldBe Set("src-a")
+    // only the shared prefix clears minDocs — doc-unique trigrams don't
+    b.map(_._2).foreach(_ should startWith("home"))
+  }
+
+  test("boilerplateStats measures each doc against its own source's phrases") {
+    val st = Curation.boilerplateStats(docs, k = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 6 tokens -> 4 distinct trigrams; docs 1-3 carry exactly the marked
+    // prefix trigram ("home about contact"); "about contact X" etc. are
+    // doc-unique so only 1 of 4 shingles is boilerplate
+    st(1L) shouldBe ((4L, 1L))
+    st(2L) shouldBe ((4L, 1L))
+    st(3L) shouldBe ((4L, 1L))
+    st(4L) shouldBe ((4L, 0L))
+    st(5L) shouldBe ((4L, 0L)) // src-b: below threshold there
+    st(6L) shouldBe ((4L, 0L))
+  }
+
+  test("vocabulary returns exact tf and df, empty tokens dropped") {
+    val corpus = Seq(
+      (1L, "a b b  c"), // double space -> empty token, must not count
+      (2L, "b c c"),
+      (3L, "a")
+    ).toDF("doc_id", "text")
+    val v = Curation.vocabulary(corpus)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    v shouldBe Map(
+      "a" -> ((2L, 2L)), // tf 2 across docs 1,3
+      "b" -> ((3L, 2L)), // 2 in doc1 + 1 in doc2
+      "c" -> ((3L, 2L)))
+  }
+
+  test("vocabulary minDf filters rare tokens") {
+    val corpus = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    Curation.vocabulary(corpus, minDf = 2).collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("x")
+  }
+
+  test("boilerplate pipeline shuffles only at the two aggregations and the join") {
+    // plan-shape guard: the shingle explode itself must stay shuffle-free
+    val sh = Dedup.shingleRowsKeep(docs, Seq("doc_id", "source"), "text", 3)
+    val plan = sh.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should include("Generate")
+  }
+}
