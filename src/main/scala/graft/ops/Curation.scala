@@ -141,4 +141,40 @@ object Curation {
       .groupBy(col("token"))
       .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
+
+  /** Top-`topN` characteristic terms per document by idf-weighted term
+    * frequency: score = tf × (N / df). The weighting is log-free so the
+    * score is a pure IEEE divide-then-multiply over exact integers —
+    * bit-identical in any engine (an `ln` idf would drift in the last
+    * ulp between libm implementations and break the hash oracle; the
+    * ORDER it induces within a document differs from log-idf only when
+    * tf and df both vary, and either variant is a legitimate
+    * tf-idf family member).
+    *
+    * Shape: token explode (codegen) → tf groupBy (map-side partial on
+    * (doc, token)) → df groupBy (token) → tf⋈df shuffle on token →
+    * per-doc window top-N. The 1-row corpus count rides a cross join
+    * (BNLJ over one row). No driver loops, no HOFs.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      topN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfT, Seq("token")).crossJoin(nDocs)
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
 }

@@ -306,6 +306,34 @@ object PipelineExtQueries {
         SELECT token, doc_id, count(*) AS c FROM tok
         WHERE length(token) > 0 GROUP BY token, doc_id)
       SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df
-      FROM td GROUP BY token ORDER BY df DESC, tf DESC, token"""))
+      FROM td GROUP BY token ORDER BY df DESC, tf DESC, token""")),
+
+    // -- top characteristic terms per doc by idf-weighted tf (log-free
+    // score = tf * N/df so the double arithmetic is bit-identical across
+    // engines; see Curation.tfidfTopTerms) --
+    QueryDef("text_tfidf", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.tfidfTopTerms(docs, topN = 3)
+        .select(col("doc_id"), col("token"),
+          col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+          col("score"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")
+    }, Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok
+        WHERE length(token) > 0 GROUP BY doc_id, token),
+      dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+          CAST(tf.tf AS DOUBLE) * (n.n_docs / CAST(dfx.df AS DOUBLE)) AS score
+        FROM tf, dfx, n WHERE tf.token = dfx.token)
+      SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        score, rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+            FROM scored)
+      WHERE rank <= 3 ORDER BY doc_id, rank"""))
   )
 }

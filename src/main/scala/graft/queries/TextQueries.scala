@@ -346,6 +346,54 @@ object TextQueries {
       annRecallRow(s, dir)((q, e) => Similarity.ivfTopKQ8(q, e, k = 5)),
       Some(annRecallOracle)),
 
+    // nearest-centroid corpus sharding against DETERMINISTIC seeds (the
+    // k smallest-id vectors): full hash oracle — this is the query that
+    // pins the NearestCentroid codegen kernel (left-fold cosine, argmax
+    // ties to HIGHEST index) against an independent engine; every IVF
+    // cell assignment rides the same kernel.
+    QueryDef("embed_partition", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+      val seeds = graft.ops.Clustering.seedCentroids(e, 8)
+      graft.ops.Clustering.assign(e, seeds)
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id")
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+      scored AS (
+        SELECT e.vec_id, s.cid,
+          ${dotSql("e.v", "s.c")} / (sqrt(${dotSql("e.v", "e.v")}) * sqrt(${dotSql("s.c", "s.c")})) AS cosine
+        FROM e, seeds s)
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid DESC) AS rn
+        FROM scored) WHERE rn = 1
+      ORDER BY vec_id""")),
+
+    // Lloyd's spherical k-means: centroid VALUES are partition-order
+    // averages (not bit-stable), so — like the ANN recall rows — the
+    // oracle checks exact cardinalities plus an engine-independent
+    // quality flag: 3 Lloyd rounds must beat seed-assignment by >= 0.01
+    // mean cosine (measured gain 0.034-0.09 across SFs — 3x margin).
+    QueryDef("embed_kmeans", (s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = graft.ops.Clustering.seedCentroids(e, 8)
+      val model = graft.ops.Clustering.kmeans(e, 8, iters = 3)
+      val seedCos  = graft.ops.Clustering.meanCosine(e, seeds)
+      val finalCos = graft.ops.Clustering.meanCosine(e, model.centroids)
+      val nAssigned = graft.ops.Clustering.assign(e, model.centroids).count()
+      e.unpersist()
+      Seq((nAssigned, 8L, finalCos - seedCos >= 0.01))
+        .toDF("n_assigned", "k", "improved_ok")
+    }, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_assigned, CAST(8 AS BIGINT) AS k,
+             true AS improved_ok
+      FROM embeddings""")),
+
     QueryDef("mm_binary_meta", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Multimodal.withBinaryPayload(docs, "text")

@@ -66,6 +66,31 @@ class CurationOpsSpec extends SparkSpec {
       .map(_.getString(0)).toSeq shouldBe Seq("x")
   }
 
+  test("tfidfTopTerms ranks doc-specific terms above corpus-wide ones") {
+    // "the" appears in every doc (df=3 -> idf 1), "quark" only in doc 1
+    val corpus = Seq(
+      (1L, "the quark quark the model"),
+      (2L, "the boson field the"),
+      (3L, "the lattice gauge the")
+    ).toDF("doc_id", "text")
+    val top = Curation.tfidfTopTerms(corpus, topN = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(5).toLong))
+    // doc 1: quark (tf=2, df=1 -> score 6.0) > model (tf=1, df=1 -> 3.0)
+    // > the (tf=2 but df=3 -> 2.0): rarity outweighs raw frequency
+    top.filter(_._1 == 1L).sortBy(_._3).map(_._2) shouldBe Seq("quark", "model")
+    // rank is dense per doc, topN bounds it
+    top.groupBy(_._1).values.foreach(_.map(_._3).sorted shouldBe Seq(1L, 2L))
+  }
+
+  test("tfidfTopTerms tie-breaks equal scores by token ascending") {
+    val corpus = Seq((1L, "b a"), (2L, "c d")).toDF("doc_id", "text")
+    // in doc 1 both tokens have tf=1, df=1 -> equal score; 'a' must rank 1
+    val top = Curation.tfidfTopTerms(corpus, topN = 2)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getString(1), r.getInt(5).toLong))
+    top.sortBy(_._2).map(_._1) shouldBe Seq("a", "b")
+  }
+
   test("boilerplate pipeline shuffles only at the two aggregations and the join") {
     // plan-shape guard: the shingle explode itself must stay shuffle-free
     val sh = Dedup.shingleRowsKeep(docs, Seq("doc_id", "source"), "text", 3)

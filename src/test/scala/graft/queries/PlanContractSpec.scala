@@ -120,6 +120,33 @@ class PlanContractSpec extends SparkSpec {
     plan should not include "CodegenFallback"
   }
 
+  test("embed_partition assignment is a pure map stage (only the output sort exchanges)") {
+    // the nearest-centroid kernel carries the matrix as a reference
+    // object: no join against a centroid table, no shuffle — at 100 TB
+    // the assignment is scan -> project, writable partitioned-by-cluster
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        graft.ops.Similarity.toDoubleVec(
+          org.apache.spark.sql.functions.col("embedding")).as("vec"))
+    val seeds = graft.ops.Clustering.seedCentroids(e, 8)
+    val p = graft.ops.Clustering.assign(e, seeds)
+      .queryExecution.executedPlan.toString
+    p should not include "Exchange"
+    p should not include "Join"
+    // the full QueryDef adds exactly the deterministic output sort
+    val q = plan("embed_partition")
+    q.split("Exchange").length - 1 shouldBe 1
+    q should include ("rangepartitioning")
+  }
+
+  test("text_vocab aggregates without a distinct Expand; tfidf carries no broadcast hint") {
+    // the two-level (token, doc) -> token aggregation must not plan as
+    // a countDistinct Expand (which doubles the exploded token stream)
+    plan("text_vocab") should not include "Expand"
+    SparkEntry.queries("text_tfidf")(spark, dir)
+      .queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+  }
+
   test("OnWrite final frame carries its counts as CollectMetrics, no extra shuffle") {
     import graft.model.Rule
     import graft.orchestrator.{CountsMode, DqConfig, SparkExpectations}
