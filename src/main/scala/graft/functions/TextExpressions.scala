@@ -43,6 +43,27 @@ object TextKernel {
     while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
     new GenericArrayData(out)
   }
+
+  /** Adjacent character pairs of one token, in order, non-distinct —
+    * the symbol-pair stream of BPE training's counting step. Code-point
+    * based (surrogate pairs stay whole) so lengths and substrings agree
+    * with character-semantics engines like DuckDB, not UTF-16 units.
+    */
+  def charPairs(text: UTF8String): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    if (cps.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cps.length - 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < cps.length - 1) {
+      sb.setLength(0)
+      sb.appendCodePoint(cps(i))
+      sb.appendCodePoint(cps(i + 1))
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** array<string> of a document's distinct k-shingles — the scan-side
@@ -60,5 +81,19 @@ final case class DistinctShingles(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.distinctShingles($t, $k)")
   override protected def withNewChildInternal(newChild: Expression): DistinctShingles =
+    copy(child = newChild)
+}
+
+/** array<string> of a token's adjacent character pairs (BPE pair-count
+  * generator input). Null yields null; explode drops it.
+  */
+final case class CharPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_pairs"
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.charPairs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.charPairs($t)")
+  override protected def withNewChildInternal(newChild: Expression): CharPairs =
     copy(child = newChild)
 }

@@ -142,6 +142,29 @@ object Curation {
       .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** BPE training's counting step: adjacent character-pair frequencies
+    * across the corpus, weighted by token frequency. The highest-count
+    * pair is the next BPE merge candidate.
+    *
+    * Scale shape — count over the DISTINCT vocabulary, not the corpus:
+    * [[vocabulary]] collapses the token stream to (token, tf) first
+    * (vocab ≪ corpus at any scale), then one codegen kernel explode
+    * (graft.functions.CharPairs) and one pair groupBy with map-side
+    * partial sums. Per-token work is O(len); nothing rescans documents.
+    */
+  def bpePairStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    vocabulary(docs, idCol, textCol)
+      .select(col("tf"),
+        explode(org.apache.spark.sql.classic.GraftExpressionBridge.column(
+          graft.functions.CharPairs(
+            org.apache.spark.sql.classic.GraftExpressionBridge.expression(col("token")))))
+          .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("tf")).as("n"))
+
   /** Top-`topN` characteristic terms per document by idf-weighted term
     * frequency: score = tf × (N / df). The weighting is log-free so the
     * score is a pure IEEE divide-then-multiply over exact integers —

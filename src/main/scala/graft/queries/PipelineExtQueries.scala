@@ -334,6 +334,27 @@ object PipelineExtQueries {
         score, rank
       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
             FROM scored)
-      WHERE rank <= 3 ORDER BY doc_id, rank"""))
+      WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // -- BPE training step 1: adjacent char-pair counts weighted by token
+    // frequency, computed over the DISTINCT vocabulary (vocab << corpus;
+    // see Curation.bpePairStats) --
+    QueryDef("bpe_pairs", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.bpePairStats(docs)
+        .select(col("pair"), col("n").cast("long").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+    }, Some("""
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (
+        SELECT token, count(*) AS tf FROM tok
+        WHERE length(token) > 0 GROUP BY token),
+      pairs AS (
+        SELECT unnest(list_transform(range(1, length(token)),
+          i -> substring(token, CAST(i AS INTEGER), 2))) AS pair, tf
+        FROM tf)
+      SELECT pair, CAST(sum(tf) AS BIGINT) AS n
+      FROM pairs GROUP BY pair ORDER BY n DESC, pair"""))
   )
 }

@@ -66,6 +66,23 @@ class CurationOpsSpec extends SparkSpec {
       .map(_.getString(0)).toSeq shouldBe Seq("x")
   }
 
+  test("bpePairStats counts char pairs weighted by token frequency") {
+    val corpus = Seq(
+      (1L, "aba ab x"), // 'ab' from aba(1) + ab(1); 'ba' from aba; x too short
+      (2L, "ab")        // ab again -> tf(ab)=2
+    ).toDF("doc_id", "text")
+    val p = Curation.bpePairStats(corpus)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    p shouldBe Map("ab" -> 3L, "ba" -> 1L) // aba once + ab twice
+  }
+
+  test("bpePairStats is code-point based (surrogate pairs stay whole)") {
+    val corpus = Seq((1L, "a😀b")).toDF("doc_id", "text") // a😀b
+    val p = Curation.bpePairStats(corpus)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    p shouldBe Map("a😀" -> 1L, "😀b" -> 1L)
+  }
+
   test("tfidfTopTerms ranks doc-specific terms above corpus-wide ones") {
     // "the" appears in every doc (df=3 -> idf 1), "quark" only in doc 1
     val corpus = Seq(
