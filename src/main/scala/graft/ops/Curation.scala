@@ -200,4 +200,44 @@ object Curation {
       .select(col(idCol), col("token"), col("tf"), col("df"),
         col("score"), col("rank"))
   }
+
+  /** Global quantile gate: drop (approximately, and at most) the bottom
+    * `dropFrac` of rows by `scoreCol`, with EXACT integer semantics that
+    * any engine reproduces bit-for-bit. Scores are quantized to a 1e-6
+    * grid (`q = floor(score·1e6)`, scores live in [0,1]); the threshold
+    * is the k-th smallest q where `k = floor(dropFrac·n) + 1`, and rows
+    * with `q < threshold` are dropped — so strictly fewer than
+    * `dropFrac·n + 1` rows go, and every kept row outranks every dropped
+    * row. A float percentile (`percentile` / DuckDB `quantile_cont`)
+    * would interpolate in doubles and flip boundary rows between
+    * engines; an order-statistic over quantized longs cannot.
+    *
+    * Plan shape: one hash aggregate on q (≤1e6+1 groups regardless of
+    * corpus size — the histogram trick), a single-partition window
+    * cumsum over that tiny histogram, and a 1-row threshold broadcast
+    * back as a cross join. The corpus is scanned twice (histogram +
+    * gate); callers holding the scored frame persisted pay one.
+    * Nothing global-sorts, nothing big reaches the driver.
+    */
+  def quantileGate(
+      scored: DataFrame,
+      scoreCol: String,
+      dropFrac: Double): DataFrame = {
+    require(dropFrac >= 0 && dropFrac < 1, "dropFrac out of [0,1)")
+    if (dropFrac == 0) return scored
+    val q = floor(col(scoreCol) * lit(1000000.0)).cast("long")
+    val hist = scored.select(q.as("__q"))
+      .groupBy(col("__q")).agg(count(lit(1)).as("__c"))
+    // the histogram is tiny (≤1e6 rows): a single-partition running sum
+    // is the cheapest correct cumsum, and n rides the same frame
+    val wCum = Window.orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val threshold = hist
+      .select(col("__q"), sum(col("__c")).over(wCum).as("__cum"),
+        sum(col("__c")).over(wAll).as("__n"))
+      .filter(col("__cum") >= floor(lit(dropFrac) * col("__n")) + lit(1L))
+      .agg(min(col("__q")).as("__thr"))
+    scored.crossJoin(threshold).filter(q >= col("__thr")).drop("__thr")
+  }
 }

@@ -62,15 +62,63 @@ object Sampling {
     * chosen deterministically: rank by (id hash, id) within each stratum
     * and keep the first `n`. The standard "N examples per language/domain
     * for eval" picker.
+    *
+    * With few strata (8 clusters, 30 languages) the naive window funnels
+    * the WHOLE table through #strata tasks. `saltBuckets > 0` turns on a
+    * two-phase selection: rank within (stratum, hash-salt) cells first —
+    * `saltBuckets × #strata` tasks — keep `n` per cell, then rank the
+    * surviving `n × saltBuckets` rows per stratum. Selecting the n
+    * smallest keys is distributive over any partition of the rows, and
+    * the (hash, id) order is total, so the result is bit-identical to
+    * the single-phase form (spec-pinned); only the first shuffle carries
+    * the table, and it spreads over the salted key space.
     */
-  def stratifiedFixedN(df: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame = {
+  def stratifiedFixedN(df: DataFrame, strataCol: String, idCol: String, n: Int,
+                       saltBuckets: Int = 0): DataFrame = {
     require(n > 0, "n must be positive")
+    def topN(d: DataFrame, parts: Seq[Column]): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(parts: _*)
+        .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
+      d.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+        .drop("__rn")
+    }
+    if (saltBuckets <= 1) topN(df, Seq(col(strataCol)))
+    else {
+      // salt off a DIFFERENT fold of the id than the rank key so cell
+      // membership doesn't correlate with rank order
+      val salted = df.withColumn("__salt",
+        pmod(pmod(col(idCol), lit(999983L)) * lit(Knuth), lit(saltBuckets.toLong)))
+      topN(topN(salted, Seq(col(strataCol), col("__salt"))).drop("__salt"),
+        Seq(col(strataCol)))
+    }
+  }
+
+  /** Deterministic global training order: every row gets a `shard` in
+    * [0, nShards) and a dense `pos` (1-based) within its shard, both
+    * pure functions of the id — the "shuffle the corpus for training"
+    * step, reproducible across runs and engines with no RNG state.
+    * Shard assignment hashes with a DIFFERENT multiplier than the
+    * within-shard order key, so position within a shard is uncorrelated
+    * with which shard a row landed in (the two-level shuffle trainers
+    * expect: shards are read in any order, rows stream within a shard).
+    *
+    * Plan shape: one exchange on `shard`, one in-partition sort — the
+    * minimum any global reordering needs. Pick `nShards` at the output
+    * file count (hundreds to tens of thousands at 100 TB), which also
+    * keeps every post-shuffle task bounded; there is no global sort and
+    * no driver involvement.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val shard = pmod(pmod(col(idCol), lit(FoldPrime)) * lit(2246822519L),
+      lit(nShards.toLong))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol))
+      .partitionBy(col("shard"))
       .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
   }
 
   /** Sampling fractions that reweight strata toward a target mix: given

@@ -355,6 +355,50 @@ object PipelineExtQueries {
           i -> substring(token, CAST(i AS INTEGER), 2))) AS pair, tf
         FROM tf)
       SELECT pair, CAST(sum(tf) AS BIGINT) AS n
-      FROM pairs GROUP BY pair ORDER BY n DESC, pair"""))
+      FROM pairs GROUP BY pair ORDER BY n DESC, pair""")),
+
+    // -- deterministic training order: shard + in-shard position, both
+    // pure functions of doc_id (Sampling.shardShuffle) --
+    QueryDef("train_order", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.shardShuffle(docs.select(col("doc_id"), col("source")),
+          idCol = "doc_id", nShards = 8)
+        .select(col("doc_id"), col("source"), col("shard"),
+          col("pos").cast("long").as("pos"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id, source,
+        ((doc_id % 1048573) * 2246822519) % 8 AS shard,
+        row_number() OVER (
+          PARTITION BY ((doc_id % 1048573) * 2246822519) % 8
+          ORDER BY $hashSql, doc_id) AS pos
+      FROM documents ORDER BY doc_id""")),
+
+    // -- global quantile quality gate: drop the bottom quartile by the
+    // composite quality score, via the quantized-histogram order
+    // statistic (Curation.quantileGate) — integer threshold semantics,
+    // so no float-percentile boundary flips between engines --
+    QueryDef("quality_gate", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        TA.qualityScore(col("text")).as("quality"))
+      graft.ops.Curation.quantileGate(scored, "quality", dropFrac = 0.25)
+        .select(col("doc_id"), col("quality"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH s AS (
+        SELECT doc_id,
+          least(CAST(1.0 AS DOUBLE), CAST(len($sqlTokens) AS DOUBLE) / 100.0) * 0.4
+            + least(CAST(1.0 AS DOUBLE), (CAST($enHits AS DOUBLE) / len($sqlTokens)) * 5.0) * 0.3
+            + CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3 AS quality
+        FROM documents),
+      qz AS (SELECT doc_id, quality,
+               CAST(floor(quality * 1000000.0) AS BIGINT) AS q FROM s),
+      hist AS (SELECT q, count(*) AS c FROM qz GROUP BY q),
+      cum AS (SELECT q,
+        sum(c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+        sum(c) OVER () AS n FROM hist),
+      thr AS (SELECT min(q) AS t FROM cum WHERE cumc >= floor(0.25 * n) + 1)
+      SELECT doc_id, quality FROM qz, thr WHERE q >= t ORDER BY doc_id"""))
   )
 }

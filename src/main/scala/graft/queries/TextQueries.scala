@@ -394,6 +394,39 @@ object TextQueries {
              true AS improved_ok
       FROM embeddings""")),
 
+    // semantic-balanced eval-set picking: clustering ∘ quota sampling —
+    // assign every vector to its seed cluster (the embed_partition map
+    // stage), then keep exactly 10 per cluster by the portable
+    // (knuth-hash, id) rank. The composition a 100 TB pipeline runs to
+    // build a per-domain eval split without a global sort.
+    QueryDef("cluster_quota_sample", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+      val seeds = graft.ops.Clustering.seedCentroids(e, 8)
+      val assigned = graft.ops.Clustering.assign(e, seeds)
+      graft.ops.Sampling.stratifiedFixedN(assigned,
+          strataCol = "cluster", idCol = "id", n = 10, saltBuckets = 16)
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id")
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+      scored AS (
+        SELECT e.vec_id, s.cid,
+          ${dotSql("e.v", "s.c")} / (sqrt(${dotSql("e.v", "e.v")}) * sqrt(${dotSql("s.c", "s.c")})) AS cosine
+        FROM e, seeds s),
+      assigned AS (
+        SELECT vec_id, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid DESC) AS rn
+          FROM scored) WHERE rn = 1),
+      ranked AS (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+          ORDER BY ((vec_id % 1048573) * 2654435761) % 1000000 ASC, vec_id ASC) AS rk
+        FROM assigned)
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM ranked
+      WHERE rk <= 10 ORDER BY vec_id""")),
+
     QueryDef("mm_binary_meta", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Multimodal.withBinaryPayload(docs, "text")

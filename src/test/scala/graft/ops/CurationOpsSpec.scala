@@ -115,4 +115,35 @@ class CurationOpsSpec extends SparkSpec {
     plan should not include "Exchange"
     plan should include("Generate")
   }
+
+  test("quantileGate drops at most dropFrac·n rows and keeps every outranking row") {
+    val scored = (1 to 1000).map(i => (i.toLong, (i % 997).toDouble / 997.0))
+      .toDF("id", "score")
+    for (frac <- Seq(0.1, 0.25, 0.5)) {
+      val kept = Curation.quantileGate(scored, "score", frac)
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val dropped = 1000 - kept.length
+      withClue(s"dropFrac=$frac: ") {
+        dropped should be <= (frac * 1000).toInt
+        // threshold semantics: every kept row's quantized score >= every
+        // dropped row's — the gate never drops a row that outranks a keeper
+        val keptQ = kept.map(t => math.floor(t._2 * 1e6).toLong)
+        val dropQ = scored.collect().map(r => (r.getLong(0), r.getDouble(1)))
+          .filterNot(t => kept.map(_._1).toSet(t._1))
+          .map(t => math.floor(t._2 * 1e6).toLong)
+        if (dropQ.nonEmpty) keptQ.min should be > dropQ.max
+      }
+    }
+    // dropFrac=0 is the identity
+    Curation.quantileGate(scored, "score", 0.0).count() shouldBe 1000
+  }
+
+  test("quantileGate histogram stays tiny and the gate join is a 1-row cross") {
+    val scored = (1 to 100).map(i => (i.toLong, i.toDouble / 100.0)).toDF("id", "score")
+    val plan = Curation.quantileGate(scored, "score", 0.25)
+      .queryExecution.executedPlan.toString
+    // the corpus side must NOT be exchanged for the gate: the threshold
+    // rides a nested-loop join of ONE row against the scored frame
+    plan should include("NestedLoopJoin")
+  }
 }

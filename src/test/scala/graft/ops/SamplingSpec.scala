@@ -54,12 +54,46 @@ class SamplingSpec extends SparkSpec {
     Sampling.stratifiedFixedN(tiny, "source", "id", 5).count() shouldBe 3
   }
 
+  test("salted two-phase fixedN is bit-identical to the single-phase form") {
+    for (salt <- Seq(2, 16, 64)) {
+      val salted = Sampling.stratifiedFixedN(ids, "source", "id", 7, saltBuckets = salt)
+        .collect().map(r => (r.getString(1), r.getLong(0))).sorted
+      val plain = Sampling.stratifiedFixedN(ids, "source", "id", 7)
+        .collect().map(r => (r.getString(1), r.getLong(0))).sorted
+      withClue(s"saltBuckets=$salt: ") { salted shouldBe plain }
+    }
+    // salted plan: both windows partition on bounded key spaces; the
+    // full table flows only through the (stratum, salt) window
+    val p = Sampling.stratifiedFixedN(ids, "source", "id", 7, saltBuckets = 16)
+      .queryExecution.executedPlan.toString
+    "Exchange".r.findAllMatchIn(p).size shouldBe 2
+  }
+
   test("sampling ops add no shuffle (fixedN adds exactly the window's one)") {
     val p1 = Sampling.hashSample(ids, "id", 0.3).queryExecution.executedPlan.toString
     "Exchange".r.findAllMatchIn(p1).size shouldBe 0
     val p2 = Sampling.stratifiedFixedN(ids, "source", "id", 5)
       .queryExecution.executedPlan.toString
     "Exchange".r.findAllMatchIn(p2).size shouldBe 1
+  }
+
+  test("shardShuffle: dense 1-based positions per shard, deterministic, one exchange") {
+    val out = Sampling.shardShuffle(ids, "id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    out.length shouldBe 10000
+    // every shard's positions are exactly 1..count(shard)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      rows.map(_._3).sorted shouldBe (1 to rows.length)
+      (shard >= 0 && shard < 8) shouldBe true
+    }
+    // shard is a pure function of id: re-running reproduces bit-identically
+    val again = Sampling.shardShuffle(ids, "id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    again.sortBy(_._1) shouldBe out.sortBy(_._1)
+    // plan: exactly the one exchange (on shard) any global reorder needs
+    val plan = Sampling.shardShuffle(ids, "id", 8)
+      .queryExecution.executedPlan.toString
+    "Exchange".r.findAllMatchIn(plan).size shouldBe 1
   }
 
   test("mixFractions hits the target mix without upsampling") {
