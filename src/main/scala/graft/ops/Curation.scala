@@ -142,6 +142,41 @@ object Curation {
       .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Per-document rarity: how common a document's vocabulary is in the
+    * corpus, as the mean collection term frequency of its tokens
+    * (duplicates count — a doc repeating a rare word is still rare).
+    * Low mean_tf = specialized/rare vocabulary, high = boilerplate-ish
+    * common words; the cheap perplexity proxy that needs no model and
+    * no `ln` (a log-based score would drift in the last ulp between
+    * libm implementations and break cross-engine parity — the sums here
+    * are exact longs, and the single final divide is IEEE-exact-rounded
+    * in every engine).
+    *
+    * Shape: token explode → corpus tf aggregation ([[vocabulary]]) →
+    * one shuffle joining the exploded stream back on token → per-doc
+    * sum/count. The join's build side is the vocabulary (≪ corpus);
+    * AQE broadcasts it when it fits, otherwise both sides shuffle on
+    * the token key — either way nothing quadratic, no driver loops.
+    */
+  def docRarity(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    // tf derived from the same token frame ([[vocabulary]]'s two-level
+    // agg inlined) so persisting `toks` upstream collapses the two
+    // corpus scans to one
+    val vocab = toks.groupBy(col("token"), col("id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("token")).agg(sum(col("c")).as("tf"))
+    toks.join(vocab, Seq("token"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("tf_sum"))
+      .select(col("id").as(idCol), col("n_tokens"), col("tf_sum"),
+        (col("tf_sum").cast("double") / col("n_tokens").cast("double")).as("mean_tf"))
+  }
+
   /** BPE training's counting step: adjacent character-pair frequencies
     * across the corpus, weighted by token frequency. The highest-count
     * pair is the next BPE merge candidate.

@@ -62,4 +62,51 @@ object Packing {
       .withColumn("n_sequences", expr(s"(total_tokens + ${budget - 1}L) div ${budget}L"))
       .withColumn("last_fill",
         (col("total_tokens") - (col("n_sequences") - 1) * budget).cast("double") / budget)
+
+  /** Per-document sliding-window chunking (the RAG / context-window
+    * splitter): cut each document's token sequence into windows of
+    * `size` tokens advancing by `size - overlap`, so consecutive chunks
+    * share `overlap` tokens. The LAST window is the only short one, and
+    * a window fully contained in its predecessor is never emitted
+    * (`nChunks = 1 + ceil(max(0, n - size) / stride)`).
+    *
+    * Per row: one `split`, one Generate (explode over the chunk-index
+    * sequence), then `slice` + `array_join` — all codegen-friendly
+    * expressions, NO higher-order functions (HOFs are CodegenFallback
+    * and would interpret per chunk). Shuffle-free: chunking is a pure
+    * map/flat-map stage; at 100 TB it pipelines into whatever write or
+    * downstream op follows, and output can be written partitioned by
+    * whatever the input carried.
+    *
+    * Output: `idCol`, `chunk_id` (0-based), `n_tokens` (in this chunk),
+    * `chunk_text`.
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      overlap: Int): DataFrame = {
+    require(size > 0, "chunk size must be positive")
+    require(overlap >= 0 && overlap < size, "overlap out of [0, size)")
+    val stride = size - overlap
+    val toks = split(col(textCol), " ")
+    val n = size_(toks)
+    // ceil((n - size) / stride) in integer arithmetic; 0 when n <= size
+    val extra = (greatest(n - lit(size), lit(0)) + lit(stride - 1)) / lit(stride)
+    docs
+      .select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0), extra.cast("int"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), col("chunk_id") * lit(stride) + lit(1), lit(size))
+          .as("__chunk"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        size_(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  // `size` the function shadows `size` the parameter name inside
+  // chunkTokens — alias it
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
 }

@@ -399,6 +399,46 @@ object PipelineExtQueries {
         sum(c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
         sum(c) OVER () AS n FROM hist),
       thr AS (SELECT min(q) AS t FROM cum WHERE cumc >= floor(0.25 * n) + 1)
-      SELECT doc_id, quality FROM qz, thr WHERE q >= t ORDER BY doc_id"""))
+      SELECT doc_id, quality FROM qz, thr WHERE q >= t ORDER BY doc_id""")),
+
+    // -- sliding-window chunking (RAG / context-window splitter):
+    // 64-token windows advancing by 48 (16-token overlap), last window
+    // short, all codegen expressions (Packing.chunkTokens) --
+    QueryDef("chunk_documents", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Packing.chunkTokens(docs.select(col("doc_id"), col("text")),
+          idCol = "doc_id", textCol = "text", size = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (SELECT doc_id, toks,
+          unnest(range(0, ((greatest(len(toks) - 64, 0) + 47) // 48) + 1)) AS chunk_id
+        FROM d)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        CAST(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64)) AS BIGINT) AS n_tokens,
+        array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ') AS chunk_text
+      FROM c ORDER BY doc_id, chunk_id""")),
+
+    // -- rarity score: mean corpus term frequency of each doc's tokens —
+    // the log-free perplexity proxy (Curation.docRarity); exact integer
+    // sums, one final divide --
+    QueryDef("doc_rarity", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.docRarity(docs)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("tf_sum").cast("long").as("tf_sum"), col("mean_tf"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (
+        SELECT token, count(*) AS tf FROM tok
+        WHERE length(token) > 0 GROUP BY token)
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(tf.tf) AS BIGINT) AS tf_sum,
+        CAST(sum(tf.tf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tf
+      FROM tok t JOIN tf ON t.token = tf.token
+      WHERE length(t.token) > 0
+      GROUP BY t.doc_id ORDER BY doc_id"""))
   )
 }

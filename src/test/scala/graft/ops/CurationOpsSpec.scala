@@ -116,6 +116,18 @@ class CurationOpsSpec extends SparkSpec {
     plan should include("Generate")
   }
 
+  test("docRarity: mean corpus tf, duplicates counted, exact integers") {
+    val corpus = Seq(
+      (1L, "the the rare"),   // tf(the)=4 (2 here + 2 in doc 2), tf(rare)=1
+      (2L, "the the common")  // tf(common)=1
+    ).toDF("doc_id", "text")
+    val out = Curation.docRarity(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    out(1L) shouldBe ((3L, 9L, 3.0))  // 4+4+1 over 3 tokens
+    out(2L) shouldBe ((3L, 9L, 3.0))
+  }
+
   test("quantileGate drops at most dropFrac·n rows and keeps every outranking row") {
     val scored = (1 to 1000).map(i => (i.toLong, (i % 997).toDouble / 997.0))
       .toDF("id", "score")

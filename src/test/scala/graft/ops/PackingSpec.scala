@@ -60,4 +60,47 @@ class PackingSpec extends SparkSpec {
     plan should not include "Join"
     "Exchange".r.findAllMatchIn(plan).size shouldBe 1
   }
+
+  test("chunkTokens: windows tile with exact overlap, last chunk short") {
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkTokens(doc, "doc_id", "text", size = 4, overlap = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // n=10, stride=3: minimal cover is starts 0,3,6 — the last window
+    // [6,10) ends exactly at the boundary, so NO extra chunk is emitted
+    out.map(_._1) shouldBe Seq(0L, 1L, 2L)
+    out.map(_._2) shouldBe Seq(4L, 4L, 4L)
+    out(0)._3 shouldBe "t1 t2 t3 t4"
+    out(1)._3 shouldBe "t4 t5 t6 t7" // 1-token overlap with predecessor
+    out(2)._3 shouldBe "t7 t8 t9 t10"
+    // concatenating de-overlapped chunks reconstructs the document
+    val rebuilt = out.map(_._3.split(" ")).reduce((a, b) => a ++ b.drop(1))
+    rebuilt.mkString(" ") shouldBe (1 to 10).map(i => s"t$i").mkString(" ")
+    // a short last chunk appears when the cover doesn't land on the edge
+    val out11 = Packing.chunkTokens(
+        Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", size = 4, overlap = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    out11.map(_._2) shouldBe Seq(4L, 4L, 4L, 2L)
+    out11(3)._3 shouldBe "t10 t11"
+  }
+
+  test("chunkTokens: short docs emit one chunk; zero overlap tiles disjointly") {
+    val doc = Seq((1L, "a b"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val one = Packing.chunkTokens(doc.filter($"doc_id" === 1L), "doc_id", "text", 4, 0)
+      .collect().map(r => (r.getLong(1), r.getString(3)))
+    one shouldBe Array((0L, "a b"))
+    val disjoint = Packing.chunkTokens(doc.filter($"doc_id" === 2L), "doc_id", "text", 3, 0)
+      .collect().map(_.getString(3)).sorted
+    disjoint shouldBe Array("a b c", "d e f")
+  }
+
+  test("chunkTokens plan: shuffle-free flat map, no HOFs in the hot path") {
+    val doc = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Packing.chunkTokens(doc, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should include("Generate")
+  }
 }
