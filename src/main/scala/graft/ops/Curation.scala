@@ -161,13 +161,20 @@ object Curation {
   def docRarity(
       docs: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
+      textCol: String = "text",
+      persistTokens: Boolean = false): DataFrame = {
+    val toks0 = docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("token"))
       .filter(length(col("token")) > 0)
-    // tf derived from the same token frame ([[vocabulary]]'s two-level
-    // agg inlined) so persisting `toks` upstream collapses the two
-    // corpus scans to one
+    // the token frame feeds BOTH the tf aggregation and the re-join, so
+    // the explode runs twice — deliberately: the token stream is
+    // corpus-sized, so caching it would write ~the whole corpus to
+    // memory/disk (and measured SLOWER than the re-scan even at sf0.1);
+    // re-reading one parquet string column is the cheaper side of the
+    // trade at every scale. persistTokens=true opts in for small inputs
+    val toks = if (persistTokens)
+      toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else toks0
     val vocab = toks.groupBy(col("token"), col("id")).agg(count(lit(1)).as("c"))
       .groupBy(col("token")).agg(sum(col("c")).as("tf"))
     toks.join(vocab, Seq("token"))
@@ -250,18 +257,26 @@ object Curation {
     * Plan shape: one hash aggregate on q (≤1e6+1 groups regardless of
     * corpus size — the histogram trick), a single-partition window
     * cumsum over that tiny histogram, and a 1-row threshold broadcast
-    * back as a cross join. The corpus is scanned twice (histogram +
-    * gate); callers holding the scored frame persisted pay one.
-    * Nothing global-sorts, nothing big reaches the driver.
+    * back as a cross join. The scored frame feeds the histogram AND the
+    * gate, so it is persisted by default (opt out via `persistScored`
+    * when an upstream persist already covers it). Nothing global-sorts,
+    * nothing big reaches the driver.
     */
   def quantileGate(
       scored: DataFrame,
       scoreCol: String,
-      dropFrac: Double): DataFrame = {
+      dropFrac: Double,
+      persistScored: Boolean = true): DataFrame = {
     require(dropFrac >= 0 && dropFrac < 1, "dropFrac out of [0,1)")
     if (dropFrac == 0) return scored
+    // the scored frame is scanned by the histogram AND the gate —
+    // persist by default so the (often expensive) score expression
+    // computes once; opt out when the caller persists upstream
+    val src = if (persistScored)
+      scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else scored
     val q = floor(col(scoreCol) * lit(1000000.0)).cast("long")
-    val hist = scored.select(q.as("__q"))
+    val hist = src.select(q.as("__q"))
       .groupBy(col("__q")).agg(count(lit(1)).as("__c"))
     // the histogram is tiny (≤1e6 rows): a single-partition running sum
     // is the cheapest correct cumsum, and n rides the same frame
@@ -273,6 +288,6 @@ object Curation {
         sum(col("__c")).over(wAll).as("__n"))
       .filter(col("__cum") >= floor(lit(dropFrac) * col("__n")) + lit(1L))
       .agg(min(col("__q")).as("__thr"))
-    scored.crossJoin(threshold).filter(q >= col("__thr")).drop("__thr")
+    src.crossJoin(threshold).filter(q >= col("__thr")).drop("__thr")
   }
 }
