@@ -15,7 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (driver never sets this): run only the
+    // comma-listed queries
+    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // repartition(1), not coalesce(1): coalesce collapses the final
       // stage to ONE task, serializing the whole query; repartition adds
       // an exchange so upstream stages keep their parallelism.

@@ -290,4 +290,44 @@ object Curation {
       .agg(min(col("__q")).as("__thr"))
     src.crossJoin(threshold).filter(q >= col("__thr")).drop("__thr")
   }
+
+  /** Per-group percentile normalization: each row's `pct` = fraction of
+    * its group's rows whose (quantized) score is STRICTLY below its own
+    * — the empirical CDF, used to calibrate quality scores across
+    * languages/sources before a single global gate (a raw score of 0.6
+    * means different things in `en` web text and `zh` forum text; its
+    * within-group percentile is comparable).
+    *
+    * Same histogram trick as [[quantileGate]], per group: scores
+    * quantize to `floor(score·1e6)` longs, so the aggregate has at most
+    * #groups·1e6 cells — independent of corpus size — and the cumsum
+    * window runs over that tiny histogram, partitioned by group (never
+    * over the corpus: the naive `percent_rank()` window would funnel
+    * each group's full data through one task). The corpus itself is one
+    * scan joined back on (group, bucket) — broadcast-sized build side.
+    * `pct` is an exact ratio of two longs (one correctly-rounded
+    * divide), so it is bit-identical across engines.
+    */
+  def groupPercentile(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      outCol: String = "pct"): DataFrame = {
+    val q = floor(col(scoreCol) * lit(1000000.0)).cast("long")
+    val hist = scored.select(col(groupCol), q.as("__q"))
+      .groupBy(col(groupCol), col("__q")).agg(count(lit(1)).as("__c"))
+    // identical partition+order on both frames so they fuse into ONE
+    // WindowExec (one sort, one pass over the tiny histogram)
+    val wBelow = Window.partitionBy(col(groupCol)).orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(groupCol)).orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdf = hist.select(col(groupCol), col("__q"),
+      coalesce(sum(col("__c")).over(wBelow), lit(0L)).as("__below"),
+      sum(col("__c")).over(wAll).as("__n"))
+    scored.withColumn("__q", q)
+      .join(cdf, Seq(groupCol, "__q"))
+      .withColumn(outCol, col("__below").cast("double") / col("__n"))
+      .drop("__q", "__below", "__n")
+  }
 }

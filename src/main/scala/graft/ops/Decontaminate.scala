@@ -100,4 +100,60 @@ object Decontaminate {
       .select(col("train_id").as(idCol)).distinct()
     train.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** [[decontaminate]] behind a Bloom-filter prefilter — the SAME exact
+    * result (spec- and oracle-pinned), reached without ever shuffling
+    * the training corpus on shingles.
+    *
+    * [[containmentPairs]] shuffles every train shingle once on its
+    * 8-byte fingerprint — linear and fine, but at 100 TB that is still
+    * a full-corpus exchange to find the <0.1% of documents that overlap
+    * a benchmark at all. Here the bench shingle set (benchmarks are
+    * thousands of documents) folds into ONE Bloom sketch
+    * ([[graft.functions.BloomFilterAgg]], word-wise-OR mergeable,
+    * driver-collected — a single bounded binary, ~1.2 MB at 1M shingles
+    * / 1% fpp), which rides the plan as a codegen reference object. The
+    * train pass is then scan → shingle → bloom-test → distinct over HIT
+    * doc ids: the only exchange is over hit ids, whose volume tracks
+    * the contamination rate (plus the deterministic fp rate), not the
+    * corpus. The hit documents — a tiny semi-joined slice — rerun the
+    * exact containment pipeline, so Bloom false positives cannot reach
+    * the output: a false-positive shingle only costs a candidate doc
+    * its exact re-check. No false negatives exist, so no contaminated
+    * doc escapes the prefilter.
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      tau: Double = 0.5,
+      dfCap: Int = 512,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.{BloomFunctions, BloomRuntime}
+    val bFps = Dedup.shingleFpRows(bench, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sketch sizing needs the bench shingle count — one 1-row agg over
+    // the (small, persisted) bench index; bounded driver traffic
+    val nBench = bFps.count()
+    val result =
+      if (nBench == 0) train
+      else {
+        val (numBits, numHashes) = BloomRuntime.sizeFor(nBench, fpp)
+        val sketch = bFps
+          .agg(BloomFunctions.bloomAgg(col("s"), numBits, numHashes).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        val hitIds = Dedup.shingleFpRows(train, idCol, textCol, k)
+          .filter(BloomFunctions.bloomMightContain(col("s"), sketch, numBits, numHashes))
+          .select(col("id").as(idCol)).distinct()
+        val candidates = train.join(hitIds, Seq(idCol), "left_semi")
+        val bad = containmentPairs(candidates, bench, idCol, textCol, k, tau,
+            dfCap, persistIndex = false)
+          .select(col("train_id").as(idCol)).distinct()
+        train.join(bad, Seq(idCol), "left_anti")
+      }
+    bFps.unpersist()
+    result
+  }
 }

@@ -651,4 +651,60 @@ object Dedup {
       .select(col("doc_id"))
     df.join(dupIds, df(idCol) === dupIds("doc_id"), "left_anti")
   }
+
+  /** Span-level (block) dedup — the C4/RefinedWeb "remove the duplicated
+    * PASSAGE, keep the document" operator, complementary to the
+    * whole-document tiers above: each document is split into
+    * non-overlapping `blockSize`-token blocks ([[Packing.chunkTokens]]
+    * with overlap 0), a block that occurs verbatim more than once
+    * corpus-wide survives only at its FIRST occurrence (minimum
+    * (doc id, block position) — deterministic, engine-independent), and
+    * each document is reassembled from its surviving blocks in order.
+    * Documents whose every block was dropped disappear from the output.
+    *
+    * Reference scope note: the reference engine has no passage-level
+    * dedup; this extends its dedup surface for pretraining pipelines
+    * (cf. C4's three-sentence-span dedup, Raffel et al. 2020).
+    *
+    * Output: `idCol`, `text_dedup`, `n_kept`, `n_dropped` (block counts).
+    *
+    * Scale shape: blocks are keyed by `xxhash64(block)` — 8-byte shuffle
+    * keys, same collision contract as [[exactDuplicates]]. Three keyed
+    * shuffles total, each linear in corpus size: (1) groupBy hash for
+    * first-occurrence election, (2) the decision join back (co-keyed
+    * with (1), and the election side is |distinct blocks| ≤ |blocks|),
+    * (3) groupBy doc for reassembly. No candidate quadratics exist at
+    * any tier — a block repeated in m documents contributes m rows to
+    * the election group, never m² pairs.
+    */
+  def blockDedup(docs: DataFrame, idCol: String, textCol: String,
+                 blockSize: Int = 64): DataFrame = {
+    val blocks = Packing.chunkTokens(docs, idCol, textCol,
+        size = blockSize, overlap = 0)
+      .select(col(idCol), col("chunk_id"), col("chunk_text"),
+        xxhash64(col("chunk_text")).as("__bh"))
+    // struct min = lexicographic (doc, position): the first occurrence
+    // under the corpus's natural order, with no arithmetic key-packing
+    // assumptions about id ranges
+    val firsts = blocks.groupBy(col("__bh"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"),
+        count(lit(1)).as("__df"))
+    // keep-decision flag + ONE reassembly aggregate: collect_list skips
+    // null entries, so kept blocks and the per-doc total ride the same
+    // groupBy — no second aggregation, no count join
+    blocks.join(firsts, Seq("__bh"))
+      .withColumn("__keep", col("__df") === 1 ||
+        (col(idCol) === col("__first")(idCol) &&
+          col("chunk_id") === col("__first")("chunk_id")))
+      .groupBy(col(idCol))
+      .agg(
+        array_sort(collect_list(when(col("__keep"),
+          struct(col("chunk_id"), col("chunk_text"))))).as("__arr"),
+        count(lit(1)).as("__total"))
+      .filter(size(col("__arr")) > 0)
+      .select(col(idCol),
+        array_join(col("__arr")("chunk_text"), " ").as("text_dedup"),
+        size(col("__arr")).cast("long").as("n_kept"),
+        (col("__total") - size(col("__arr"))).as("n_dropped"))
+  }
 }

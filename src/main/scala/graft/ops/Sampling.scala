@@ -141,4 +141,96 @@ object Sampling {
       s -> (if (c == 0) 0.0 else math.min(1.0, scale * share(s) / c))
     }
   }
+
+  /** Temperature-flattened mixture sampling, the multilingual-training
+    * rebalance (cf. mBERT/XLM-R exponential smoothing): target share of
+    * stratum `s` ∝ count(s)^alpha, realized by deterministic
+    * downsampling only (no upsampling — the most over-target stratum is
+    * kept whole). alpha = 1 keeps the natural mix; alpha → 0 approaches
+    * uniform; 0.5 is the common "flatten the head, keep the tail" point.
+    *
+    * Fully distributed, unlike [[mixFractions]]' driver-side map: the
+    * stratum counts, the scale bound, and the per-stratum thresholds are
+    * three TINY aggregates (≤ #strata rows) joined back to the corpus —
+    * AQE broadcasts them — so the corpus itself is ONE scan with a
+    * pushed filter and no shuffle, and nothing ever collects.
+    *
+    * Engine-portable determinism: membership is `hashBucket(id) <
+    * floor(frac·1e6)`, and for alpha = 0.5 the weight is computed with
+    * `sqrt` (correctly-rounded in IEEE-754, bit-identical across
+    * engines) — min/mul/div are likewise correctly rounded, so the
+    * thresholds and therefore the sampled SET are reproducible
+    * bit-for-bit in any engine (oracle-checked). Other alphas go
+    * through `pow`, which is only ~1-ulp across libms — documented, not
+    * oracle-pinned.
+    */
+  /** Per-stratum repeat factors that hit `target` shares by REPETITION
+    * (upsampling) only: the most over-target stratum gets factor 1.0
+    * (its data is never dropped), every other stratum repeats
+    * `scale·share/count ≥ 1` times. The dual of [[mixFractions]], which
+    * reaches the same mix by downsampling; use this form when the
+    * corpus is the bottleneck and training wants more epochs of the
+    * small sources (the standard multilingual/code-mix recipe).
+    */
+  def repeatFactors(current: Map[String, Long], target: Map[String, Double]): Map[String, Double] = {
+    require(current.nonEmpty && current.keySet == target.keySet, "strata sets must match")
+    val tSum = target.values.sum
+    require(target.values.forall(_ >= 0) && tSum > 0, "bad target shares")
+    require(current.forall { case (s, c) => c > 0 || target(s) == 0.0 },
+      "empty stratum with nonzero target share")
+    val share = target.view.mapValues(_ / tSum).toMap
+    val scale = current.collect { case (s, c) if share(s) > 0 => c / share(s) }.max
+    current.map { case (s, c) =>
+      s -> (if (share(s) == 0) 0.0 else scale * share(s) / c)
+    }
+  }
+
+  /** Materialize a repeated corpus from per-stratum repeat factors: a
+    * row in stratum `s` with factor `f` emits `floor(f)` copies plus one
+    * more iff `hashBucket(id) < frac(f)·1e6` — so each stratum's
+    * expected row count is exactly `f·count(s)`, membership of the
+    * extra copy is deterministic/engine-portable, and every output row
+    * carries its 0-based `epoch` copy index (trainers shard on it or
+    * interleave epochs downstream).
+    *
+    * Scale shape: the factor map compiles to a CASE chain (strata are
+    * few) — the corpus is ONE scan into a generator (explode of a
+    * `sequence` whose length is per-row computed); no shuffle, no join,
+    * no driver data motion. Output size is Σ f_s·n_s by construction —
+    * the expansion the caller explicitly asked for.
+    */
+  def epochMix(df: DataFrame, strataCol: String, idCol: String,
+               factors: Map[String, Double]): DataFrame = {
+    require(factors.values.forall(f => f >= 0 && f <= 1000), "factor out of [0,1000]")
+    val whole = factors.foldLeft(lit(0L)) { case (acc, (s, f)) =>
+      when(col(strataCol) === s, lit(math.floor(f).toLong)).otherwise(acc)
+    }
+    val fracThr = factors.foldLeft(lit(0L)) { case (acc, (s, f)) =>
+      when(col(strataCol) === s,
+        lit(math.floor((f - math.floor(f)) * Buckets).toLong)).otherwise(acc)
+    }
+    val copies = whole + when(hashBucket(col(idCol)) < fracThr, 1L).otherwise(0L)
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha out of (0,1]")
+    def weight(n: Column): Column =
+      if (alpha == 0.5) sqrt(n) else if (alpha == 1.0) n else pow(n, lit(alpha))
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", weight(col("__n")))
+    val scale = counts.agg(min(col("__n") / col("__w")).as("__scale"))
+    val thresholds = counts.crossJoin(scale)
+      .select(col(strataCol),
+        floor(least(lit(1.0), col("__scale") * col("__w") / col("__n"))
+          * lit(Buckets)).as("__thr"))
+    df.join(thresholds, Seq(strataCol))
+      .filter(hashBucket(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
 }

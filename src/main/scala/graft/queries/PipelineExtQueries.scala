@@ -439,6 +439,134 @@ object PipelineExtQueries {
         CAST(sum(tf.tf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tf
       FROM tok t JOIN tf ON t.token = tf.token
       WHERE length(t.token) > 0
-      GROUP BY t.doc_id ORDER BY doc_id"""))
+      GROUP BY t.doc_id ORDER BY doc_id""")),
+
+    // -- span-level (block) dedup, C4-style: a 32-token block occurring
+    // verbatim more than once corpus-wide survives only at its first
+    // (doc_id, position); docs reassemble from surviving blocks
+    // (Dedup.blockDedup — hash-keyed election, no pair quadratics) --
+    QueryDef("dedup_blocks", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Dedup.blockDedup(docs.select(col("doc_id"), col("text")),
+          idCol = "doc_id", textCol = "text", blockSize = 32)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      idx AS (SELECT doc_id, t,
+          unnest(generate_series(0, (len(t)-1)//32)) AS block_id FROM toks),
+      blocks AS (SELECT doc_id, block_id,
+          array_to_string(t[block_id*32+1 : block_id*32+32], ' ') AS block FROM idx),
+      firsts AS (SELECT block, min(doc_id*1000000 + block_id) AS fk, count(*) AS df
+                 FROM blocks GROUP BY block),
+      keep AS (SELECT b.doc_id, b.block_id, b.block
+               FROM blocks b JOIN firsts f USING(block)
+               WHERE f.df = 1 OR b.doc_id*1000000 + b.block_id = f.fk),
+      tot AS (SELECT doc_id, count(*) AS total FROM blocks GROUP BY doc_id)
+      SELECT k.doc_id, string_agg(k.block, ' ' ORDER BY k.block_id) AS text_dedup,
+        count(*) AS n_kept, any_value(t.total) - count(*) AS n_dropped
+      FROM keep k JOIN tot t ON k.doc_id = t.doc_id
+      GROUP BY k.doc_id ORDER BY k.doc_id""")),
+
+    // -- temperature-flattened language mix (alpha = 0.5): share ∝
+    // sqrt(count), realized by deterministic hash downsampling — the
+    // multilingual rebalance (Sampling.temperatureSample); sqrt/min/
+    // mul/div are all correctly-rounded IEEE, so thresholds match
+    // bit-for-bit across engines --
+    QueryDef("mix_temperature", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.temperatureSample(
+          docs.select(col("doc_id"), col("lang"), col("source")),
+          strataCol = "lang", idCol = "doc_id", alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                 FROM documents GROUP BY lang),
+      w AS (SELECT lang, n, sqrt(n) AS wt FROM c),
+      sc AS (SELECT min(n / wt) AS scale FROM w),
+      thr AS (SELECT lang,
+          CAST(floor(least(CAST(1.0 AS DOUBLE), sc.scale * wt / n) * 1000000) AS BIGINT) AS t
+          FROM w, sc)
+      SELECT d.doc_id, d.lang, d.source FROM documents d JOIN thr USING(lang)
+      WHERE $hashSql < thr.t ORDER BY doc_id""")),
+
+    // -- epoch-repeat materialization toward a UNIFORM language mix:
+    // the upsampling dual of mix_temperature — the most over-represented
+    // language keeps factor 1.0, the rest repeat scale*share/count
+    // times, fractional copies decided by the portable hash
+    // (Sampling.repeatFactors + epochMix; corpus is one scan into a
+    // generator, factors compile to a CASE chain) --
+    QueryDef("mix_epochs", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val counts = docs.groupBy(col("lang")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val f = Sampling.repeatFactors(counts, counts.keys.map(_ -> 1.0).toMap)
+      Sampling.epochMix(docs.select(col("doc_id"), col("lang")),
+          strataCol = "lang", idCol = "doc_id", factors = f)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }, Some(s"""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      sc AS (SELECT max(CAST(n AS DOUBLE) / (1.0/5.0)) AS scale FROM c),
+      f AS (SELECT lang, sc.scale * (1.0/5.0) / CAST(n AS DOUBLE) AS fac FROM c, sc),
+      e AS (SELECT d.doc_id, d.lang,
+          CAST(floor(f.fac) AS BIGINT) + CASE WHEN $hashSql <
+            CAST(floor((f.fac - floor(f.fac)) * 1000000) AS BIGINT)
+            THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN f USING(lang))
+      SELECT doc_id, lang,
+        unnest(generate_series(0, n_copies - 1)) AS epoch
+      FROM e WHERE n_copies > 0
+      ORDER BY doc_id, epoch""")),
+
+    // -- per-source percentile normalization of a quality score: the
+    // empirical within-group CDF via the quantized-histogram trick
+    // (Curation.groupPercentile) — no corpus-wide window, exact
+    // long-ratio pct --
+    QueryDef("score_percentile", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("source"),
+        (col("n_chars").cast("double") / lit(4.0)).as("score"))
+      graft.ops.Curation.groupPercentile(scored, "source", "score")
+        .select(col("doc_id"), col("source"), col("score"), col("pct"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH s AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) / 4.0 AS score
+                 FROM documents),
+      qz AS (SELECT doc_id, source, score,
+             CAST(floor(score * 1000000.0) AS BIGINT) AS q FROM s),
+      hist AS (SELECT source, q, count(*) AS c FROM qz GROUP BY source, q),
+      cdf AS (SELECT source, q,
+          coalesce(sum(c) OVER (PARTITION BY source ORDER BY q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+          sum(c) OVER (PARTITION BY source) AS n FROM hist)
+      SELECT z.doc_id, z.source, z.score, CAST(cdf.below AS DOUBLE) / cdf.n AS pct
+      FROM qz z JOIN cdf ON z.source = cdf.source AND z.q = cdf.q
+      ORDER BY doc_id""")),
+
+    // -- bloom-prefiltered decontamination: same exact result as the
+    // shuffle-everything form (false positives re-verified, no false
+    // negatives), but the train corpus never exchanges on shingles —
+    // only bloom-HIT doc ids shuffle (Decontaminate.decontaminateBloom) --
+    QueryDef("decontaminate_bloom", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Decontaminate.decontaminateBloom(
+          train = docs.filter(col("doc_id") % 10 =!= 0),
+          bench = docs.filter(col("doc_id") % 10 === 0),
+          idCol = "doc_id", textCol = "text", k = 3, tau = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, source, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents),
+      b AS (SELECT * FROM docs WHERE doc_id % 10 = 0 AND len(sh) > 0),
+      t AS (SELECT * FROM docs WHERE doc_id % 10 <> 0)
+      SELECT t.doc_id, t.source FROM t
+      WHERE NOT EXISTS (SELECT 1 FROM b
+        WHERE CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.5)
+      ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BlockDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-token blocks: doc 1 and doc 3 share block "a b c d"; doc 3 also
+  // repeats it internally; doc 2 is unique throughout
+  private def docs = Seq(
+    (1L, "a b c d e f g h"),            // blocks: [a b c d][e f g h]
+    (2L, "p q r s t"),                  // blocks: [p q r s][t]
+    (3L, "a b c d x y z w a b c d")     // blocks: [a b c d][x y z w][a b c d]
+  ).toDF("doc_id", "text")
+
+  test("blockDedup keeps only the first occurrence of a repeated block") {
+    val out = Dedup.blockDedup(docs, "doc_id", "text", blockSize = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array(
+      (1L, "a b c d e f g h", 2L, 0L),     // first occurrence of the dup block
+      (2L, "p q r s t", 2L, 0L),
+      (3L, "x y z w", 1L, 2L))             // both copies dropped (doc 1 owns it)
+  }
+
+  test("a document whose every block is a duplicate disappears") {
+    val d = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(d, "doc_id", "text", blockSize = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    out shouldBe Array((1L, "a b c d"))
+  }
+
+  test("result is invariant to input partitioning") {
+    val base = Dedup.blockDedup(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").collect().toSeq
+    val repart = Dedup.blockDedup(docs.repartition(7), "doc_id", "text", 4)
+      .orderBy("doc_id").collect().toSeq
+    repart shouldBe base
+  }
+
+  test("short final block participates in dedup like any other") {
+    // "t" is a full block of doc 2 and the final short block of doc 4;
+    // they are the same text, so the later one drops
+    val d = Seq((2L, "p q r s t"), (4L, "m n o p t")).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(d, "doc_id", "text", 4).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    out shouldBe Array((2L, "p q r s t", 0L), (4L, "m n o p", 1L))
+  }
+}

@@ -158,4 +158,37 @@ class CurationOpsSpec extends SparkSpec {
     // rides a nested-loop join of ONE row against the scored frame
     plan should include("NestedLoopJoin")
   }
+
+  test("groupPercentile is the exact within-group empirical CDF") {
+    val rows = Seq(
+      (1L, "a", 0.1), (2L, "a", 0.2), (3L, "a", 0.2), (4L, "a", 0.9),
+      (5L, "b", 0.5), (6L, "b", 0.7))
+    val scored = rows.toDF("id", "grp", "score")
+    val got = Curation.groupPercentile(scored, "grp", "score")
+      .select("id", "pct").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // group a (n=4): strictly-below counts are 0, 1, 1, 3
+    got(1L) shouldBe 0.0
+    got(2L) shouldBe 0.25
+    got(3L) shouldBe 0.25 // ties share a percentile
+    got(4L) shouldBe 0.75
+    // group b (n=2)
+    got(5L) shouldBe 0.0
+    got(6L) shouldBe 0.5
+  }
+
+  test("groupPercentile windows run over the histogram, not the corpus") {
+    val scored = (0 until 1000)
+      .map(i => (i.toLong, s"g${i % 3}", (i % 10) / 10.0)).toDF("id", "grp", "score")
+    val out = Curation.groupPercentile(scored, "grp", "score")
+    out.count() shouldBe 1000
+    // every pct in [0, 1); max strictly below 1 since the top row's
+    // below-count is n-1 at most
+    val pcts = out.select("pct").collect().map(_.getDouble(0))
+    pcts.foreach { p => p should be >= 0.0; p should be < 1.0 }
+    // plan: the window's exchange carries __q histogram rows — assert
+    // the window sits above an Aggregate, not above the raw scan
+    val plan = out.queryExecution.optimizedPlan.toString
+    plan should include("Window")
+    "Window".r.findAllMatchIn(plan).size shouldBe 1
+  }
 }

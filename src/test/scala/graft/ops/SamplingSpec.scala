@@ -117,4 +117,66 @@ class SamplingSpec extends SparkSpec {
     val f = Sampling.mixFractions(current, Map("a" -> 1.0, "b" -> 1.0))
     f shouldBe Map("a" -> 1.0, "b" -> 1.0)
   }
+
+  test("temperatureSample(alpha=0.5) flattens the mix toward sqrt shares") {
+    // 6400 "en", 400 "de": sqrt weights 80/20 → scale = min(6400/80,
+    // 400/20) = 20 → en frac = 20*80/6400 = 0.25, de frac = 1.0
+    val skewed = ((0L until 6400L).map((_, "en")) ++
+      (10000L until 10400L).map((_, "de"))).toDF("id", "lang")
+    val out = Sampling.temperatureSample(skewed, "lang", "id", 0.5)
+      .select("id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = out.groupBy(_._2).view.mapValues(_.size).toMap
+    byLang("de") shouldBe 400 // most under-represented stratum kept whole
+    byLang("en").toDouble / 6400 shouldBe 0.25 +- 0.03
+    // membership is the documented hash threshold: en threshold = 250000
+    out.filter(_._2 == "en").foreach { case (id, _) =>
+      assert(bucket(id) < 250000L, s"en id $id over threshold")
+    }
+  }
+
+  test("temperatureSample(alpha=1) keeps the natural mix (everything)") {
+    val df = (0L until 1000L).map(i => (i, s"s${i % 3}")).toDF("id", "lang")
+    Sampling.temperatureSample(df, "lang", "id", 1.0).count() shouldBe 1000
+  }
+
+  test("repeatFactors hits the target mix by repetition only") {
+    val current = Map("web" -> 8000L, "code" -> 1000L, "books" -> 1000L)
+    val target = Map("web" -> 0.5, "code" -> 0.25, "books" -> 0.25)
+    val f = Sampling.repeatFactors(current, target)
+    f("web") shouldBe 1.0 +- 1e-12 // most over-target: never dropped
+    f("code") shouldBe 4.0 +- 1e-12
+    f("books") shouldBe 4.0 +- 1e-12
+    val mixed = current.map { case (k, v) => k -> v * f(k) }
+    val tot = mixed.values.sum
+    target.foreach { case (k, share) => mixed(k) / tot shouldBe share +- 1e-9 }
+  }
+
+  test("epochMix emits floor(f) copies plus a hash-decided extra, with epoch index") {
+    val df = (0L until 2000L).map(i => (i, if (i < 1000) "a" else "b")).toDF("id", "lang")
+    val out = Sampling.epochMix(df, "lang", "id", Map("a" -> 2.5, "b" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    (0L until 1000L).foreach { id =>
+      val want = if (bucket(id) < 500000L) 3L else 2L
+      byId(id) shouldBe (0L until want)
+    }
+    (1000L until 2000L).foreach { id => byId(id) shouldBe Seq(0L) }
+    // expected total: 1000*2.5 + 1000*1 within hash noise
+    out.length.toDouble shouldBe 3500.0 +- 60.0
+  }
+
+  test("epochMix factor 0 drops the stratum") {
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "lang")
+    val out = Sampling.epochMix(df, "lang", "id", Map("a" -> 1.0, "b" -> 0.0))
+    out.select("lang").distinct().collect().map(_.getString(0)).toSeq shouldBe Seq("a")
+  }
+
+  test("temperatureSample is deterministic across partitionings") {
+    val df = (0L until 5000L).map(i => (i, s"s${i % 5}")).toDF("id", "lang")
+    val a = Sampling.temperatureSample(df, "lang", "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.temperatureSample(df.repartition(11), "lang", "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    a shouldBe b
+  }
 }
