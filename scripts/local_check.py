@@ -30,6 +30,15 @@ def main():
         oracles = json.load(f)
 
     n_pass = n_fail = 0
+    # an oracle with NO output dir means the Spark query THREW in Verify
+    # (it logs and moves on) — that must be a failure here, not silence
+    present = {d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d))}
+    only = os.environ.get("GRAFT_VERIFY_ONLY")
+    expected = set(only.split(",")) & set(oracles) if only else set(oracles)
+    for name in sorted(expected - present):
+        print(f"FAIL {name}: no output (query failed in Verify)")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):

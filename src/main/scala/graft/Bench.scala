@@ -148,18 +148,28 @@ object Bench {
     // under comma-decimal locales — invalid JSON
     def fmt(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", v)
-    def jmap(f: Seq[Double] => Double, dec: Int): String =
-      results.collect { case (k, Some(t)) => "\"" + k + "\":" + fmt(f(t), dec) }
+    // contract-line values: adaptive precision (>=10 s → 1 decimal, else
+    // 2) with trailing zeros stripped — "1.40"→"1.4", "0.50"→"0.5",
+    // "12.34"→"12.3". Always >= 2 significant figures, an order of
+    // magnitude finer than rep noise, at ~1 char/query less than fixed
+    // 2-decimal — the line must hold ~80+ queries inside the driver's
+    // 2000-char tail window (BenchContractSpec pins the budget)
+    def fmtShort(v: Double): String = {
+      val base = fmt(v, if (v >= 10) 1 else 2)
+      if (base.contains('.'))
+        base.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else base
+    }
+    def jmap(f: Seq[Double] => Double, render: Double => String): String =
+      results.collect { case (k, Some(t)) => "\"" + k + "\":" + render(f(t)) }
         .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Some(t)) => median(t) }.sum
-    // per-query medians on the CONTRACT line are 2-decimal (10 ms — an
-    // order of magnitude below rep noise); the 3-decimal medians + mins
-    // and the run metadata live on the earlier detail line, so each
-    // additional query costs the contract line only ~name+8 chars
-    val minLine = s"""{"detail":"queries_min","reps":$Reps,"isolation":"jvm-per-query","queries_median":${jmap(median, 3)},"queries_min":${jmap(_.min, 3)}}"""
-    val contract = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${jmap(median, 2)},"failed":$failed,"sf":"$sfDir"}"""
+    // full 3-decimal medians + mins and the run metadata live on the
+    // earlier detail line, so only the compact contract line has to fit
+    val minLine = s"""{"detail":"queries_min","reps":$Reps,"isolation":"jvm-per-query","queries_median":${jmap(median, fmt(_, 3))},"queries_min":${jmap(_.min, fmt(_, 3))}}"""
+    val contract = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${jmap(median, fmtShort)},"failed":$failed,"sf":"$sfDir"}"""
     minLine + "\n" + contract
   }
 }

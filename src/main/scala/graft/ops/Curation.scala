@@ -308,6 +308,50 @@ object Curation {
     * `pct` is an exact ratio of two longs (one correctly-rounded
     * divide), so it is bit-identical across engines.
     */
+  /** Per-group quantile VALUES over the quantized score domain: for
+    * each group and each requested `q`, the smallest quantized bucket
+    * whose cumulative count reaches `ceil(q·n)` — the inverse of
+    * [[groupPercentile]] (type-7-free integer order statistic, so no
+    * interpolation ambiguity between engines). Returns one row per
+    * (group, quantile): `groupCol, quantile, value` where `value` is
+    * the bucket floor `q_bucket / 1e6`.
+    *
+    * Same scale shape as [[groupPercentile]]: one corpus aggregate into
+    * a ≤1e6-buckets-per-group histogram, one fused cumsum window over
+    * the tiny histogram, then a broadcast-sized join against the
+    * quantile list. The per-source median/p95 quality dashboard at
+    * 100 TB is exactly this plan.
+    */
+  def groupQuantiles(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
+      "quantiles out of (0,1]")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val q = floor(col(scoreCol) * lit(1000000.0)).cast("long")
+    val hist = scored.select(col(groupCol), q.as("__q"))
+      .groupBy(col(groupCol), col("__q")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol)).orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdf = hist.select(col(groupCol), col("__q"),
+      sum(col("__c")).over(wCum).as("__cum"), sum(col("__c")).over(wAll).as("__n"))
+    val qs = quantiles.toDF("quantile")
+    cdf.crossJoin(qs)
+      // ceil(q*n) in long arithmetic: floor((q*n) - eps)+1 breaks on
+      // exact products, so use the standard ceil on the double product —
+      // both engines' ceil of the same correctly-rounded product agree
+      .filter(col("__cum") >= ceil(col("quantile") * col("__n")).cast("long"))
+      .groupBy(col(groupCol), col("quantile"))
+      .agg(min(col("__q")).as("__qb"))
+      .select(col(groupCol), col("quantile"),
+        (col("__qb").cast("double") / lit(1000000.0)).as("value"))
+  }
+
   def groupPercentile(
       scored: DataFrame,
       groupCol: String,

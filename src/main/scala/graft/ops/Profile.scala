@@ -173,4 +173,43 @@ object Profile {
             abs(col("baseline_value"))))
       .filter(col("rel_change").isNull || col("rel_change") > tolerance)
   }
+
+  /** Join/shuffle-key skew diagnosis: the top `topN` keys by frequency
+    * with their share of all rows and their ratio to the uniform share
+    * (`skew` = cnt·n_keys/total — 1.0 means perfectly balanced; a key
+    * at 50 means one post-shuffle partition does 50 keys' worth of
+    * work). Run this BEFORE keying a 100 TB join/groupBy on a column:
+    * a skew > ~20 on a hot key is the signal to salt it or rely on AQE
+    * skew-join splitting.
+    *
+    * Plan shape: one groupBy on the key, then a DISTRIBUTED top-N
+    * (`orderBy.limit` plans as TakeOrderedAndProject — per-partition
+    * heaps, never a global sort or single-task window), a 1-row totals
+    * aggregate cross-joined back, and a rank window over the ≤ topN
+    * surviving rows. Nothing corpus-sized moves after the first
+    * aggregate.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // totals are TWO scalars — materialize them now (also warms the
+    // persisted counts for the top-N pass) and release the cache after
+    // the top-N (≤ topN rows) is computed; no cache outlives the call
+    val t = counts.agg(sum(col("cnt")), count(lit(1))).head()
+    val (total, nKeys) = (t.getLong(0), t.getLong(1))
+    val top = counts.orderBy(col("cnt").desc, col(keyCol).asc).limit(topN)
+      .collect().toSeq
+    counts.unpersist()
+    val spark = df.sparkSession
+    val topDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(top, 1),
+      counts.schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+    topDf.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(keyCol), col("cnt"), col("rank"),
+        (col("cnt").cast("double") / lit(total)).as("frac"),
+        (col("cnt").cast("double") * lit(nKeys) / lit(total)).as("skew"))
+  }
 }

@@ -544,6 +544,78 @@ object PipelineExtQueries {
       FROM qz z JOIN cdf ON z.source = cdf.source AND z.q = cdf.q
       ORDER BY doc_id""")),
 
+    // -- per-language heavy hitters through the Misra-Gries sketch
+    // aggregate (functions/FrequentItemsAgg): 4096 counters per group —
+    // far above this corpus's vocabulary, so counts are exact and
+    // engine-reproducible (the sketch's bounded-undercount mode is
+    // spec-tested; the oracle pins the exact mode) --
+    QueryDef("text_heavy_hitters", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs.select(col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val sk = tok.groupBy(col("lang"))
+        .agg(graft.functions.FrequentItems.frequentItems(col("token"), 4096).as("fi"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("token").asc)
+      sk.select(col("lang"), explode(col("fi")).as(Seq("token", "cnt")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("token"), col("cnt"), col("rn"))
+        .orderBy("lang", "rn")
+    }, Some("""
+      WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      c AS (SELECT lang, token, count(*) AS cnt FROM tok
+            WHERE length(token) > 0 GROUP BY lang, token),
+      r AS (SELECT lang, token, cnt,
+            row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+            FROM c)
+      SELECT lang, token, cnt, rn FROM r WHERE rn <= 5 ORDER BY lang, rn""")),
+
+    // -- per-group quantile values (median/p90/p99 of the score per
+    // source) via the same quantized-histogram order statistic — the
+    // inverse of score_percentile (Curation.groupQuantiles) --
+    QueryDef("group_quantiles", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = docs.select(col("source"),
+        (col("n_chars").cast("double") / lit(4.0)).as("score"))
+      graft.ops.Curation.groupQuantiles(scored, "source", "score",
+          quantiles = Seq(0.5, 0.9, 0.99))
+        .orderBy("source", "quantile")
+    }, Some("""
+      WITH s AS (SELECT source, CAST(n_chars AS DOUBLE) / 4.0 AS score
+                 FROM documents),
+      qz AS (SELECT source, CAST(floor(score * 1000000.0) AS BIGINT) AS q FROM s),
+      hist AS (SELECT source, q, count(*) AS c FROM qz GROUP BY source, q),
+      cdf AS (SELECT source, q,
+          sum(c) OVER (PARTITION BY source ORDER BY q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(c) OVER (PARTITION BY source) AS n FROM hist),
+      qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS quantile),
+      sel AS (SELECT source, quantile, min(q) AS qb FROM cdf, qs
+              WHERE cum >= CAST(ceil(quantile * n) AS BIGINT)
+              GROUP BY source, quantile)
+      SELECT source, quantile, CAST(qb AS DOUBLE) / 1000000.0 AS value
+      FROM sel ORDER BY source, quantile""")),
+
+    // -- shuffle-key skew diagnosis: top user_ids by event count with
+    // share-of-total and ratio-to-uniform (Profile.keySkew — distributed
+    // TakeOrdered top-N, never a corpus-wide window) --
+    QueryDef("profile_skew", (s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      graft.ops.Profile.keySkew(ev, "user_id", topN = 10)
+        .orderBy("rank")
+    }, Some("""
+      WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+      t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c),
+      r AS (SELECT user_id, cnt,
+            row_number() OVER (ORDER BY cnt DESC, user_id) AS rank FROM c)
+      SELECT r.user_id, r.cnt, r.rank,
+        CAST(r.cnt AS DOUBLE) / t.total AS frac,
+        CAST(r.cnt AS DOUBLE) * t.n_keys / t.total AS skew
+      FROM r, t WHERE r.rank <= 10 ORDER BY rank""")),
+
     // -- bloom-prefiltered decontamination: same exact result as the
     // shuffle-everything form (false positives re-verified, no false
     // negatives), but the train corpus never exchanges on shingles —

@@ -16,17 +16,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries nanosecond-precision parquet timestamps,
-    * which Spark rejects by default. Read them as raw longs and truncate
-    * to microseconds — the same truncation DuckDB applies when it loads
-    * TIMESTAMP(NANOS) into its native microsecond timestamp.
+  /** The events table's `ts` precision depends on the testdata
+    * generation: earlier rounds shipped TIMESTAMP(NANOS) parquet (which
+    * Spark rejects by default — read as raw longs via the legacy conf
+    * and truncate to micros, the same truncation DuckDB applies), the
+    * current data ships plain microsecond timestamps (NTZ). Branch on
+    * the loaded type so both generations work; either way the result is
+    * a session-TZ (UTC) microsecond TimestampType column.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos read as long
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => // already a (micro) timestamp; pin NTZ -> session-TZ type
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   val all = Seq("region", "nation", "customer", "supplier", "part",

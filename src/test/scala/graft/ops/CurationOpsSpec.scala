@@ -159,6 +159,20 @@ class CurationOpsSpec extends SparkSpec {
     plan should include("NestedLoopJoin")
   }
 
+  test("groupQuantiles returns the exact order statistic per group") {
+    val rows = (1 to 100).map(i => (s"g${i % 2}", i.toDouble / 100.0))
+    val scored = rows.toDF("grp", "score")
+    val got = Curation.groupQuantiles(scored, "grp", "score", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // quantized buckets floor at 1e-6 below the true score
+    // g0: scores .02,.04,...,1.00 (n=50); median = 25th smallest = .50
+    got(("g0", 0.5)) shouldBe 0.50 +- 2e-6
+    got(("g0", 0.9)) shouldBe 0.90 +- 2e-6
+    // g1: scores .01,.03,...,.99 (n=50); median = 25th = .49
+    got(("g1", 0.5)) shouldBe 0.49 +- 2e-6
+    got(("g1", 0.9)) shouldBe 0.89 +- 2e-6
+  }
+
   test("groupPercentile is the exact within-group empirical CDF") {
     val rows = Seq(
       (1L, "a", 0.1), (2L, "a", 0.2), (3L, "a", 0.2), (4L, "a", 0.9),

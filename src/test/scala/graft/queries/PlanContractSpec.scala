@@ -147,6 +147,57 @@ class PlanContractSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
   }
 
+  test("temperatureSample corpus side is one scan with no forced hint and no sort-merge") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.ops.Sampling.temperatureSample(
+      docs.select(col("doc_id"), col("lang")), "lang", "doc_id", 0.5)
+    // the threshold side is <= #strata rows: the corpus must join it
+    // broadcast, never shuffle itself on the stratum
+    out.queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+    val p = out.queryExecution.executedPlan.toString
+    p should not include "SortMergeJoin"
+    p should include ("BroadcastHashJoin")
+  }
+
+  test("epochMix is a pure generator stage: no shuffle, no join") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Sampling.epochMix(
+        docs.select(col("doc_id"), col("lang")), "lang", "doc_id",
+        Map("en" -> 2.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0))
+      .queryExecution.executedPlan.toString
+    p should not include "Exchange"
+    p should not include "Join"
+  }
+
+  test("blockDedup is three keyed exchanges, no broadcast-nested-loop anywhere") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Dedup.blockDedup(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", 32)
+      .queryExecution.executedPlan.toString
+    // election groupBy (block hash) + decision join probe (same key) +
+    // reassembly groupBy (doc) — all hash-keyed and linear
+    p.split("Exchange hashpartitioning").length - 1 should be <= 3
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("decontaminateBloom tests the train side inside the scan stage") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.ops.Decontaminate.decontaminateBloom(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    val p = out.queryExecution.executedPlan.toString
+    // the sketch probe is the codegen predicate, present right in the
+    // plan (the corpus-wide shingle exchange of the exact form is gone
+    // from the prefilter pass — only HIT ids and the candidate slice
+    // shuffle)
+    p should include ("bloom_might_contain")
+  }
+
   test("OnWrite final frame carries its counts as CollectMetrics, no extra shuffle") {
     import graft.model.Rule
     import graft.orchestrator.{CountsMode, DqConfig, SparkExpectations}
