@@ -308,6 +308,47 @@ object Curation {
     * `pct` is an exact ratio of two longs (one correctly-rounded
     * divide), so it is bit-identical across engines.
     */
+  /** Data selection under a token budget: keep the highest-scoring
+    * documents whose cumulative token count fits `budget` — the
+    * "pick the best B tokens of the corpus" step every budgeted
+    * pretraining run ends with. Selection is bucket-atomic over the
+    * quantized score (floor(score·1e6)): keep every bucket `q` whose
+    * above-or-equal cumulative tokens `cum(q) = Σ tokens[q' ≥ q]` is
+    * within budget — i.e. the threshold is the smallest bucket that
+    * still fits entirely. Deterministic integer semantics (token sums
+    * are longs), no partial documents, engine-reproducible.
+    *
+    * Same plan skeleton as [[quantileGate]] but the histogram is
+    * TOKEN-WEIGHTED (`sum(tokens)` per bucket instead of row counts):
+    * one corpus aggregate into ≤1e6 buckets, a single-partition
+    * descending cumsum over that tiny histogram, a 1-row threshold
+    * cross-joined back. Nothing global-sorts.
+    */
+  def tokenBudgetGate(
+      scored: DataFrame,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long,
+      persistScored: Boolean = true): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val src = if (persistScored)
+      scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else scored
+    val q = floor(col(scoreCol) * lit(1000000.0)).cast("long")
+    val hist = src.select(q.as("__q"), col(tokensCol).cast("long").as("__tk"))
+      .groupBy(col("__q")).agg(sum(col("__tk")).as("__t"))
+    val wDesc = Window.orderBy(col("__q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val threshold = hist
+      .select(col("__q"), sum(col("__t")).over(wDesc).as("__cum"))
+      .filter(col("__cum") <= budget)
+      .agg(min(col("__q")).as("__thr"))
+    // an over-budget top bucket leaves __thr null: nothing fits
+    src.crossJoin(threshold)
+      .filter(col("__thr").isNotNull && q >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Per-group quantile VALUES over the quantized score domain: for
     * each group and each requested `q`, the smallest quantized bucket
     * whose cumulative count reaches `ceil(q·n)` — the inverse of

@@ -108,6 +108,35 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Hard-negative mining: for each vector, the top-k most similar
+    * vectors carrying a DIFFERENT label — the contrastive-training pair
+    * generator (a near-identical embedding with another label is
+    * exactly the example the encoder must learn to separate).
+    *
+    * This is the exact all-pairs baseline (same shape and oracle role
+    * as [[bruteForceTopK]], label predicate pushed below the top-k);
+    * at 100 TB mine hard negatives by over-fetching `m·k` candidates
+    * from [[ivfTopKIndexed]] and filtering label mismatches after — the
+    * IVF probe join does not lose the label column, so the composition
+    * is a filter away.
+    */
+  def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      col("label").as("ql"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      col("label").as("cl"))
+    val scored = q.crossJoin(c)
+      .filter(col("ql") =!= col("cl"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("ql").as("query_label"),
+        col("neighbor_id"), col("cl").as("neighbor_label"),
+        col("rank"), col("cosine"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed) as a plane-major
     * matrix — same RNG draw order as the round-1 literal-column form,
     * so bucket assignments are unchanged.

@@ -573,6 +573,36 @@ object PipelineExtQueries {
             FROM c)
       SELECT lang, token, cnt, rn FROM r WHERE rn <= 5 ORDER BY lang, rn""")),
 
+    // -- token-budget data selection: keep the best-scoring documents
+    // whose cumulative tokens fit a 15k budget, bucket-atomic over the
+    // quantized score (Curation.tokenBudgetGate — token-WEIGHTED
+    // histogram + descending cumsum, no global sort) --
+    QueryDef("token_budget", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        TA.qualityScore(col("text")).as("score"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Curation.tokenBudgetGate(scored, "score", "n_tokens",
+          budget = 15000L)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH s AS (
+        SELECT doc_id,
+          least(CAST(1.0 AS DOUBLE), CAST(len($sqlTokens) AS DOUBLE) / 100.0) * 0.4
+            + least(CAST(1.0 AS DOUBLE), (CAST($enHits AS DOUBLE) / len($sqlTokens)) * 5.0) * 0.3
+            + CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3 AS score,
+          CAST(len($sqlTokens) AS BIGINT) AS n_tokens
+        FROM documents),
+      qz AS (SELECT doc_id, score, n_tokens,
+             CAST(floor(score * 1000000.0) AS BIGINT) AS q FROM s),
+      hist AS (SELECT q, sum(n_tokens) AS t FROM qz GROUP BY q),
+      cum AS (SELECT q, sum(t) OVER (ORDER BY q DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM hist),
+      thr AS (SELECT min(q) AS t FROM cum WHERE cum <= 15000)
+      SELECT z.doc_id, z.score, z.n_tokens FROM qz z, thr
+      WHERE z.q >= thr.t ORDER BY z.doc_id""")),
+
     // -- per-group quantile values (median/p90/p99 of the score per
     // source) via the same quantized-histogram order statistic — the
     // inverse of score_percentile (Curation.groupQuantiles) --

@@ -325,6 +325,33 @@ object TextQueries {
         FROM scored) WHERE rank <= 5
       ORDER BY query_id, rank""")),
 
+    // -- hard-negative mining: top-3 most-similar embeddings with a
+    // DIFFERENT label per query (Similarity.hardNegativeTopK — the
+    // contrastive-pair generator; exact baseline, label predicate below
+    // the top-k; scale path = IVF over-fetch + label filter) --
+    QueryDef("hard_negatives", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.toDoubleVec(col("embedding")).as("vec"),
+          col("label").cast("long").as("label"))
+      val q = e.filter(col("id") < 40)
+      Similarity.hardNegativeTopK(q, e, k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+          c.vec_id AS neighbor_id, c.label AS neighbor_label,
+          ${dotSql("q.v", "c.v")} / (sqrt(${dotSql("q.v", "q.v")}) * sqrt(${dotSql("c.v", "c.v")})) AS cosine
+        FROM e q, e c WHERE q.vec_id < 40 AND q.label <> c.label)
+      SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+      WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // ANN neighbor LISTS depend on seeded hyperplanes/centroids (no SQL
     // oracle), but recall-vs-brute-force is engine-independent: emit the
     // query count (DuckDB-checkable exactly) and a thresholded recall

@@ -297,4 +297,27 @@ class SimilaritySpec extends SparkSpec {
     // table buckets them together, so recovery is certain, not chancy
     srp.keySet should contain allOf ((1L, 2L), (1L, 3L), (2L, 3L))
   }
+
+  test("hardNegativeTopK returns the most-similar OTHER-label vectors only") {
+    import org.apache.spark.sql.functions.col
+    // label 0: two near-identical vectors (1, 2); label 1: one close (3)
+    // and one orthogonal (4)
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0L),
+      (2L, Seq(0.999, 0.01, 0.0), 0L),
+      (3L, Seq(0.9, 0.1, 0.0), 1L),
+      (4L, Seq(0.0, 0.0, 1.0), 1L))
+    val df = rows.toDF("id", "vec", "label")
+    val got = Similarity.hardNegativeTopK(df, df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+    val byQuery = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // query 1 (label 0): same-label vector 2 is its true NN but must be
+    // excluded — hard negatives are 3 then 4
+    byQuery(1L) shouldBe Seq(3L, 4L)
+    byQuery(2L) shouldBe Seq(3L, 4L)
+    // query 3 (label 1): negatives come from label 0 only (2 edges out
+    // 1 on cosine: 0.99496 vs 0.99388)
+    byQuery(3L) shouldBe Seq(2L, 1L)
+  }
 }

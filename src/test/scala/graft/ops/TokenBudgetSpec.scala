@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TokenBudgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenBudgetGate keeps the best buckets whose cumulative tokens fit") {
+    // scores 0.1..1.0, 100 tokens each; budget 350 → the top 3 buckets
+    // (1.0, 0.9, 0.8) = 300 tokens fit; adding 0.7 would reach 400
+    val rows = (1 to 10).map(i => (i.toLong, i / 10.0, 100L))
+    val df = rows.toDF("id", "score", "tokens")
+    val kept = Curation.tokenBudgetGate(df, "score", "tokens", budget = 350L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(8L, 9L, 10L)
+  }
+
+  test("tokenBudgetGate: bucket atomicity — a bucket that would overflow is dropped whole") {
+    // two docs share score 0.9 (same bucket, 120 tokens together);
+    // budget 200 fits the 1.0 bucket (100) but not 1.0+0.9 (220)
+    val df = Seq((1L, 1.0, 100L), (2L, 0.9, 60L), (3L, 0.9, 60L))
+      .toDF("id", "score", "tokens")
+    val kept = Curation.tokenBudgetGate(df, "score", "tokens", budget = 200L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L)
+  }
+
+  test("tokenBudgetGate: nothing fits -> empty result, not a crash") {
+    val df = Seq((1L, 0.5, 1000L)).toDF("id", "score", "tokens")
+    Curation.tokenBudgetGate(df, "score", "tokens", budget = 10L)
+      .count() shouldBe 0L
+  }
+
+  test("tokenBudgetGate: budget above total keeps everything") {
+    val df = (1 to 50).map(i => (i.toLong, i / 50.0, 10L)).toDF("id", "score", "tokens")
+    Curation.tokenBudgetGate(df, "score", "tokens", budget = 100000L)
+      .count() shouldBe 50L
+  }
+}
