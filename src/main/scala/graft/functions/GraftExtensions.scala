@@ -67,5 +67,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_signature(x, n) - array<long> of n per-hash minima over 64-bit inputs"),
       (args: Seq[Expression]) =>
         MinHashSignatureAgg(args(0), intArg(args(1), "signature width n"))))
+
+    ext.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "bloom_agg(x, numBits, numHashes) - binary Bloom sketch over 64-bit inputs"),
+      (args: Seq[Expression]) =>
+        BloomFilterAgg(args(0), intArg(args(1), "numBits"),
+          intArg(args(2), "numHashes"))))
+
+    ext.injectFunction((FunctionIdentifier("frequent_items"),
+      info("frequent_items",
+        "frequent_items(x, capacity) - Misra-Gries map<item, weight> sketch"),
+      (args: Seq[Expression]) =>
+        FrequentItemsAgg(args(0), intArg(args(1), "capacity"))))
+
+    ext.injectFunction((FunctionIdentifier("char_pairs"),
+      info("char_pairs",
+        "char_pairs(token) - adjacent character pairs of a token (BPE pair input)"),
+      (args: Seq[Expression]) => CharPairs(args(0))))
   }
 }

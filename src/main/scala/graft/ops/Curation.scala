@@ -142,6 +142,27 @@ object Curation {
       .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Incremental vocabulary maintenance: fold a NEW batch's (token, tf,
+    * df) counts into a standing vocabulary table — the streaming-ingest
+    * dual of [[vocabulary]], same contract as the incremental dedup
+    * index: the standing corpus is never re-scanned; cost scales with
+    * |vocabulary| + |batch|, not corpus history. `union → groupBy sum`
+    * is exactly the partial-aggregate merge Spark would run had both
+    * corpora been aggregated together, so
+    * `updateVocabulary(vocabulary(A), B) == vocabulary(A ∪ B)` for
+    * disjoint doc sets (spec-pinned; a doc split across batches would
+    * double-count its df — ingest whole documents per batch).
+    */
+  def updateVocabulary(
+      existing: DataFrame,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    existing.select(col("token"), col("tf"), col("df"))
+      .unionByName(vocabulary(batch, idCol, textCol, minDf = 1))
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+
   /** Per-document rarity: how common a document's vocabulary is in the
     * corpus, as the mean collection term frequency of its tokens
     * (duplicates count — a doc repeating a rare word is still rare).

@@ -90,4 +90,28 @@ class GraftExtensionsSpec extends SparkSpec {
       ex.getMessage should include ("integer literal")
     }
   }
+
+  test("bloom_agg and frequent_items work as SQL aggregates") {
+    withExtendedSession { s2 =>
+      val bf = s2.sql(
+        "SELECT bloom_agg(x, 4096, 5) AS bf FROM VALUES (1L),(2L),(3L) t(x)")
+        .head().getAs[Array[Byte]]("bf")
+      bf.length shouldBe 4096 / 8
+      // the sketch contains what it saw
+      val words = new Array[Long](bf.length / 8)
+      java.nio.ByteBuffer.wrap(bf).asLongBuffer().get(words)
+      Seq(1L, 2L, 3L).foreach { v =>
+        BloomRuntime.mightContain(words, 4096, 5, v) shouldBe true
+      }
+
+      val fi = s2.sql(
+        "SELECT frequent_items(w, 16) AS fi FROM VALUES ('a'),('a'),('b') t(w)")
+        .head().getAs[Map[String, Long]]("fi")
+      fi shouldBe Map("a" -> 2L, "b" -> 1L)
+
+      val cp = s2.sql("SELECT char_pairs('abc') AS p")
+        .head().getSeq[String](0)
+      cp shouldBe Seq("ab", "bc")
+    }
+  }
 }

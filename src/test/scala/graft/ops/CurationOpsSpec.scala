@@ -159,6 +159,17 @@ class CurationOpsSpec extends SparkSpec {
     plan should include("NestedLoopJoin")
   }
 
+  test("updateVocabulary(vocab(A), B) equals vocabulary(A union B)") {
+    val docs = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val incremental = Curation.updateVocabulary(Curation.vocabulary(a), b)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = Curation.vocabulary(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    incremental shouldBe full
+  }
+
   test("groupQuantiles returns the exact order statistic per group") {
     val rows = (1 to 100).map(i => (s"g${i % 2}", i.toDouble / 100.0))
     val scored = rows.toDF("grp", "score")
