@@ -692,10 +692,21 @@ object Dedup {
     // keep-decision flag + ONE reassembly aggregate: collect_list skips
     // null entries, so kept blocks and the per-doc total ride the same
     // groupBy — no second aggregation, no count join
-    blocks.join(firsts, Seq("__bh"))
-      .withColumn("__keep", col("__df") === 1 ||
-        (col(idCol) === col("__first")(idCol) &&
-          col("chunk_id") === col("__first")("chunk_id")))
+    reassemble(idCol,
+      blocks.join(firsts, Seq("__bh"))
+        .withColumn("__keep", col("__df") === 1 ||
+          (col(idCol) === col("__first")(idCol) &&
+            col("chunk_id") === col("__first")("chunk_id"))))
+  }
+
+  private def blockRows(docs: DataFrame, idCol: String, textCol: String,
+                        blockSize: Int): DataFrame =
+    Packing.chunkTokens(docs, idCol, textCol, size = blockSize, overlap = 0)
+      .select(col(idCol), col("chunk_id"), col("chunk_text"),
+        xxhash64(col("chunk_text")).as("__bh"))
+
+  private def reassemble(idCol: String, flagged: DataFrame): DataFrame =
+    flagged
       .groupBy(col(idCol))
       .agg(
         array_sort(collect_list(when(col("__keep"),
@@ -706,5 +717,52 @@ object Dedup {
         array_join(col("__arr")("chunk_text"), " ").as("text_dedup"),
         size(col("__arr")).cast("long").as("n_kept"),
         (col("__total") - size(col("__arr"))).as("n_dropped"))
+
+  /** One batch of incremental [[blockDedup]]: dedup a NEW batch's blocks
+    * against a standing seen-block index (one `bh` long column) AND
+    * within the batch itself, returning the deduped batch plus the
+    * index delta to append. When corpus documents precede batch
+    * documents in (doc, pos) order, folding batches in order equals the
+    * one-shot `blockDedup(corpus ∪ batch)` restricted to the batch
+    * (spec-pinned) — the continuous-ingest contract.
+    *
+    * Scale: the standing index is never re-read as text and never
+    * shuffles when persisted bucketed by `bh` ([[saveBlockIndex]]) —
+    * the batch side alone moves through the seen join, exactly the
+    * [[minhashLshIncremental]] deployment shape. The index delta is the
+    * batch's DISTINCT new hashes (8 bytes each), appended bucket-aligned.
+    */
+  final case class BlockBatch(deduped: DataFrame, newBlocks: DataFrame)
+
+  def blockDedupIncremental(batch: DataFrame, idCol: String, textCol: String,
+                            seenBlocks: DataFrame,
+                            blockSize: Int = 64): BlockBatch = {
+    val blocks = blockRows(batch, idCol, textCol, blockSize)
+    val firsts = blocks.groupBy(col("__bh"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"),
+        count(lit(1)).as("__df"))
+    val seen = seenBlocks.select(col("bh").as("__bh"), lit(true).as("__seen"))
+    val flagged = blocks.join(firsts, Seq("__bh"))
+      .join(seen, Seq("__bh"), "left")
+      .withColumn("__keep", col("__seen").isNull &&
+        (col("__df") === 1 ||
+          (col(idCol) === col("__first")(idCol) &&
+            col("chunk_id") === col("__first")("chunk_id"))))
+    val delta = blocks.select(col("__bh"))
+      .distinct()
+      .join(seen, Seq("__bh"), "left_anti")
+      .select(col("__bh").as("bh"))
+    BlockBatch(reassemble(idCol, flagged), delta)
   }
+
+  /** Persist/append a seen-block index bucketed by `bh`, so batch joins
+    * leave the standing side in place (same contract as
+    * [[saveMinhashIndex]]). Append the [[BlockBatch.newBlocks]] delta
+    * after each batch.
+    */
+  def saveBlockIndex(blocks: DataFrame, table: String, buckets: Int = 64,
+                     append: Boolean = false): Unit =
+    blocks.select(col("bh")).write
+      .mode(if (append) "append" else "overwrite")
+      .bucketBy(buckets, "bh").saveAsTable(table)
 }
