@@ -91,4 +91,35 @@ object StreamingDedup {
     }
     (q, state)
   }
+
+  /** Streaming span-level dedup: each micro-batch's blocks are deduped
+    * within the batch and against the standing seen-block table
+    * ([[Dedup.blockDedupIncremental]]), the surviving reassembled
+    * documents go to `onBatch`, and the batch's new block hashes are
+    * appended to the index table bucket-aligned — so folding the stream
+    * equals the one-shot [[Dedup.blockDedup]] over everything ingested
+    * (in arrival order). The index table is the only state; restarts
+    * resume against it via checkpointed batch ids.
+    */
+  def startBlockDedup(stream: DataFrame, idCol: String, textCol: String,
+                      indexTable: String, blockSize: Int = 64,
+                      checkpoint: Option[String] = None,
+                      queryName: String = "graft_streaming_block_dedup")
+                     (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    var w = stream.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val seen = spark.table(indexTable)
+        val res = Dedup.blockDedupIncremental(batch, idCol, textCol, seen,
+          blockSize)
+        // deliver BEFORE appending the delta: if the sink fails the
+        // batch replays against the unchanged index (idempotent-first)
+        onBatch(res.deduped, batchId)
+        Dedup.saveBlockIndex(res.newBlocks, indexTable, append = true)
+      }
+    checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
+    w.start()
+  }
 }

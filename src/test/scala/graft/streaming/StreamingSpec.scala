@@ -348,6 +348,42 @@ class StreamingSpec extends SparkSpec {
     collected.map(p => (p._1, p._2)) should contain allOf ((11L, 1L), (12L, 4L))
   }
 
+  test("streaming block dedup folds batches into the one-shot result") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Dedup
+    // 4-token blocks; the repeated block "a b c d" crosses batches
+    val d1 = Seq((1L, "a b c d e f g h"))
+    val d2 = Seq((2L, "a b c d x y z w"), (3L, "p q r s"))
+    val d3 = Seq((4L, "p q r s a b c d m n o u"))
+    val allDocs = (d1 ++ d2 ++ d3).toDF("doc_id", "text")
+
+    // empty standing index
+    spark.sql("DROP TABLE IF EXISTS graft_block_idx")
+    Dedup.saveBlockIndex(Seq.empty[Long].toDF("bh"), "graft_block_idx")
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.startBlockDedup(stream, "doc_id", "text",
+        indexTable = "graft_block_idx", blockSize = 4) { (deduped, _) =>
+      collected ++= deduped.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    }
+    try {
+      mem.addData(d1: _*); q.processAllAvailable()
+      mem.addData(d2: _*); q.processAllAvailable()
+      mem.addData(d3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val want = Dedup.blockDedup(allDocs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    collected.sortBy(_._1).toSeq shouldBe want
+    // the cross-batch duplicate was actually dropped somewhere
+    want.map(_._4).sum should be >= 2L
+  }
+
   test("streaming cluster state equals the batch closure over all match pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
