@@ -709,7 +709,9 @@ object Dedup {
     flagged
       .groupBy(col(idCol))
       .agg(
-        array_sort(collect_list(when(col("__keep"),
+        // sort_array, not array_sort: same (chunk_id-first) struct
+        // ordering without the higher-order-function machinery
+        sort_array(collect_list(when(col("__keep"),
           struct(col("chunk_id"), col("chunk_text"))))).as("__arr"),
         count(lit(1)).as("__total"))
       .filter(size(col("__arr")) > 0)

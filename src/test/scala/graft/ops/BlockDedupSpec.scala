@@ -60,6 +60,45 @@ class BlockDedupSpec extends SparkSpec {
       batchHashes.join(seen, Seq("bh"), "left_anti").count()
   }
 
+  test("fuzz: reassembly always equals the original text minus dropped blocks, in order") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    (1 to 5).foreach { trial =>
+      val blockSize = 1 + rnd.nextInt(5)
+      val docs = (0L until 40L).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val out = Dedup.blockDedup(df, "doc_id", "text", blockSize)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+
+      // reference model in plain Scala
+      val model = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      val blocksByDoc = docs.map { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        id -> toks.grouped(blockSize).map(_.mkString(" ")).toSeq
+      }
+      blocksByDoc.foreach { case (id, bs) =>
+        bs.zipWithIndex.foreach { case (b, i) =>
+          if (!model.contains(b)) model(b) = (id, i)
+        }
+      }
+      val dfCount = blocksByDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      val want = blocksByDoc.flatMap { case (id, bs) =>
+        val kept = bs.zipWithIndex.collect {
+          case (b, i) if dfCount(b) == 1 || model(b) == (id, i) => b
+        }
+        if (kept.isEmpty) None
+        else Some((id, kept.mkString(" "), kept.size.toLong, (bs.size - kept.size).toLong))
+      }
+      withClue(s"trial $trial blockSize $blockSize: ") {
+        out.sortBy(_._1) shouldBe want.sortBy(_._1)
+      }
+    }
+  }
+
   test("short final block participates in dedup like any other") {
     // "t" is a full block of doc 2 and the final short block of doc 4;
     // they are the same text, so the later one drops
