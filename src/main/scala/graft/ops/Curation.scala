@@ -65,6 +65,43 @@ object Curation {
     CurationRun(summary, () => { if (persist) deduped.unpersist(); () })
   }
 
+  /** The round-5 curation composition: absolute quality gate →
+    * span-level block dedup ([[Dedup.blockDedup]]) → temperature-
+    * flattened language mix ([[Sampling.temperatureSample]]) →
+    * token-budget selection ([[tokenBudgetGate]]) → per-language
+    * summary (n_docs, total_tokens). Every stage is an independently
+    * oracle-checked operator; this pins their COMPOSITION (column
+    * contracts, rescoring on the deduped text, mix-then-budget order)
+    * end-to-end. The deduped survivor set is persisted once — the mix's
+    * count aggregate, the budget histogram, and the gates all read the
+    * cache, so the corpus text is scanned exactly once past the dedup.
+    */
+  def pipelineV2(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      langCol: String = "lang",
+      textCol: String = "text",
+      minQuality: Double = 0.5,
+      blockSize: Int = 32,
+      alpha: Double = 0.5,
+      tokenBudget: Long = 15000L): CurationRun = {
+    val gated = docs
+      .select(col(idCol), col(langCol), col(textCol))
+      .filter(TA.qualityScore(col(textCol)) >= minQuality)
+    val deduped = Dedup.blockDedup(gated, idCol, textCol, blockSize)
+      .join(gated.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol),
+        TA.tokenCount(col("text_dedup")).cast("long").as("n_tokens"),
+        TA.qualityScore(col("text_dedup")).as("q2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mixed = Sampling.temperatureSample(deduped, langCol, idCol, alpha)
+    val budgeted = tokenBudgetGate(mixed, "q2", "n_tokens", tokenBudget,
+      persistScored = false)
+    val summary = budgeted.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    CurationRun(summary, () => { deduped.unpersist(); () })
+  }
+
   /** Per-source boilerplate phrases: the distinct k-token n-grams that
     * appear in at least `minDocs` documents OF THE SAME SOURCE — the
     * header/footer/navigation text a site stamps on every page (the

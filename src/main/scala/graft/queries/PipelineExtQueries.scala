@@ -441,6 +441,61 @@ object PipelineExtQueries {
       WHERE length(t.token) > 0
       GROUP BY t.doc_id ORDER BY doc_id""")),
 
+    // -- the round-5 curation composition as ONE declarative plan:
+    // absolute quality gate → block dedup → temperature language mix →
+    // token-budget selection → per-language summary. Every stage is an
+    // oracle-checked operator above; this pins their composition
+    // (rescoring on the DEDUPED text, mix-then-budget order) --
+    QueryDef("curation_pipeline_v2", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val run = graft.ops.Curation.pipelineV2(docs)
+      run.summary.orderBy("lang")
+    }, Some {
+      def quality(src: String) =
+        s"""least(CAST(1.0 AS DOUBLE), CAST(len(string_split($src,' ')) AS DOUBLE) / 100.0) * 0.4
+            + least(CAST(1.0 AS DOUBLE), (CAST(len(list_filter(string_split($src,' '), t -> t IN (${TA.stopwords("en").map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(string_split($src,' '))) * 5.0) * 0.3
+            + CAST(length(regexp_replace($src, '[^a-z]', '', 'g')) AS DOUBLE) / length($src) * 0.3"""
+      s"""
+      WITH g AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE ${quality("text")} >= 0.5),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM g),
+      idx AS (SELECT doc_id, t,
+          unnest(generate_series(0, (len(t)-1)//32)) AS block_id FROM toks),
+      blocks AS (SELECT doc_id, block_id,
+          array_to_string(t[block_id*32+1 : block_id*32+32], ' ') AS block FROM idx),
+      firsts AS (SELECT block, min(doc_id*1000000 + block_id) AS fk, count(*) AS df
+                 FROM blocks GROUP BY block),
+      keep AS (SELECT b.doc_id, b.block_id, b.block
+               FROM blocks b JOIN firsts f USING(block)
+               WHERE f.df = 1 OR b.doc_id*1000000 + b.block_id = f.fk),
+      dd0 AS (SELECT doc_id, string_agg(block, ' ' ORDER BY block_id) AS td
+              FROM keep GROUP BY doc_id),
+      dd1 AS (SELECT d.doc_id, g.lang, d.td AS text FROM dd0 d JOIN g USING(doc_id)),
+      dd AS (SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ${quality("text")} AS q2
+             FROM dd1),
+      c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM dd GROUP BY lang),
+      w AS (SELECT lang, n, sqrt(n) AS wt FROM c),
+      sc AS (SELECT min(n / wt) AS scale FROM w),
+      thr AS (SELECT lang,
+          CAST(floor(least(CAST(1.0 AS DOUBLE), sc.scale * wt / n) * 1000000) AS BIGINT) AS t
+          FROM w, sc),
+      mixed AS (SELECT dd.* FROM dd JOIN thr USING(lang)
+                WHERE $hashSql < thr.t),
+      qz AS (SELECT doc_id, lang, n_tokens,
+             CAST(floor(q2 * 1000000.0) AS BIGINT) AS q FROM mixed),
+      hist AS (SELECT q, sum(n_tokens) AS tk FROM qz GROUP BY q),
+      cum AS (SELECT q, sum(tk) OVER (ORDER BY q DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM hist),
+      bthr AS (SELECT min(q) AS t FROM cum WHERE cum <= 15000),
+      sel AS (SELECT z.* FROM qz z, bthr WHERE z.q >= bthr.t)
+      SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+      FROM sel GROUP BY lang ORDER BY lang"""
+    }),
+
     // -- span-level (block) dedup, C4-style: a 32-token block occurring
     // verbatim more than once corpus-wide survives only at its first
     // (doc_id, position); docs reassemble from surviving blocks

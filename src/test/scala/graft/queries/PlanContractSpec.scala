@@ -198,6 +198,19 @@ class PlanContractSpec extends SparkSpec {
     p should include ("bloom_might_contain")
   }
 
+  test("curation_pipeline_v2 post-dedup stages read the persisted survivor set") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val run = graft.ops.Curation.pipelineV2(docs)
+    val p = run.summary.queryExecution.executedPlan.toString
+    // the mix thresholds, budget histogram, and final summary must all
+    // consume the cached deduped frame, not re-run dedup + rescoring:
+    // every path from the summary root down hits an InMemoryTableScan
+    // (plan toString re-prints the cached subtree under each consumer,
+    // so parquet-scan string counts are not meaningful here)
+    ("InMemoryTableScan".r.findAllMatchIn(p).size) should be >= 3
+    run.release()
+  }
+
   test("OnWrite final frame carries its counts as CollectMetrics, no extra shuffle") {
     import graft.model.Rule
     import graft.orchestrator.{CountsMode, DqConfig, SparkExpectations}
