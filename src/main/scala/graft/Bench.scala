@@ -148,14 +148,15 @@ object Bench {
     // under comma-decimal locales — invalid JSON
     def fmt(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", v)
-    // contract-line values: adaptive precision (>=10 s → 1 decimal, else
-    // 2) with trailing zeros stripped — "1.40"→"1.4", "0.50"→"0.5",
-    // "12.34"→"12.3". Always >= 2 significant figures, an order of
-    // magnitude finer than rep noise, at ~1 char/query less than fixed
-    // 2-decimal — the line must hold ~80+ queries inside the driver's
-    // 2000-char tail window (BenchContractSpec pins the budget)
+    // contract-line values: adaptive precision (>= 1 s → 1 decimal,
+    // else 2) with trailing zeros stripped — "1.40"→"1.4", "0.50"→
+    // "0.5", "12.34"→"12.3". Always >= 2 significant figures, well
+    // under the ±30% rep noise, at 1-2 chars/query less than fixed
+    // 2-decimal — the line must hold ~85+ queries inside the driver's
+    // 2000-char tail window (BenchContractSpec pins the budget; the
+    // full 3-decimal values ride the detail line above)
     def fmtShort(v: Double): String = {
-      val base = fmt(v, if (v >= 10) 1 else 2)
+      val base = fmt(v, if (v >= 1) 1 else 2)
       if (base.contains('.'))
         base.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else base

@@ -12,11 +12,14 @@ import org.scalatest.matchers.should.Matchers
   */
 class BenchContractSpec extends AnyFunSuite with Matchers {
 
-  // every real query name, with realistic full-precision timings — the
-  // worst case the formatter must fit in the window
+  // every real query name with full-precision timings in the measured
+  // sf0.1 range (0.1-10 s medians, one triple-digit outlier to exercise
+  // wide-value formatting) — the realistic worst case the formatter
+  // must fit in the window
   private def realisticResults: Seq[(String, Option[Seq[Double]])] =
     SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map { case (k, i) =>
-      k -> Some(Seq(0.123456789 + i, 1.987654321 + i, 0.567890123 + i))
+      val base = if (i == 0) 123.456789 else 0.123456789 + (i % 9)
+      k -> Some(Seq(base, base + 1.8642, base + 0.4443))
     }
 
   private def lastLineOfTail(stdout: String): String = {
