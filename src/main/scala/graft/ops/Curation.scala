@@ -473,4 +473,69 @@ object Curation {
       .withColumn(outCol, col("__below").cast("double") / col("__n"))
       .drop("__q", "__below", "__n")
   }
+
+  /** Weights of a linear document-quality classifier over the standard
+    * heuristic feature set (the same features [[TextAnalysis.qualityScore]]
+    * mixes with fixed weights — here the weights are a TRAINED model's,
+    * supplied by the caller). This is the serving half of the
+    * fastText-style quality-classifier stage every large pretraining
+    * pipeline runs (cf. GPT-3/CCNet quality filtering, public papers):
+    * training happens offline; at corpus scale only the linear scoring
+    * pass matters, and it compiles to pure codegen string arithmetic.
+    */
+  final case class QualityModel(
+      bias: Double,
+      wTokens: Double, // feature: least(1, whitespaceTokens / 100)
+      wStop: Double,   // feature: en-stopword ratio
+      wAlpha: Double)  // feature: [a-z] character ratio
+
+  /** Score every document with the linear model and keep those the
+    * classifier accepts. The decision is taken on the LOGIT (`> 0`
+    * keeps), not the sigmoid — monotone-equivalent, and the logit is a
+    * fixed left-associated sum of IEEE double products, so thresholds
+    * are bit-identical across engines (no transcendental `exp` whose
+    * last ulp could differ).
+    *
+    * Output: `idCol`, `logit` — accepted rows only.
+    *
+    * Scale shape: one shuffle-free codegen projection + filter over the
+    * corpus scan; the three features are regex/split arithmetic on the
+    * text column. Nothing aggregates, joins, or collects.
+    */
+  def classifierGate(docs: DataFrame, idCol: String, textCol: String,
+                     model: QualityModel): DataFrame = {
+    val t = col(textCol)
+    val logit =
+      lit(model.bias) +
+        lit(model.wTokens) * least(lit(1.0),
+          TA.tokenCount(t).cast("double") / lit(100.0)) +
+        lit(model.wStop) * TA.stopwordRatio(t) +
+        lit(model.wAlpha) * TA.alphaRatio(t)
+    docs.select(col(idCol), logit.as("logit"))
+      .filter(col("logit") > 0)
+  }
+
+  /** Snapshot diff between two corpus versions keyed by `idCol`:
+    * `added` (only in new), `removed` (only in old), `changed` (both,
+    * different content fingerprint), `unchanged`. The everyday
+    * recrawl / re-release audit — what changed between corpus v1 and
+    * v2 — run BEFORE incremental dedup decides what to reprocess.
+    *
+    * Scale shape: each side collapses to (id, md5) BEFORE the
+    * full-outer join, so the exchange carries 32-byte fingerprints,
+    * never document bodies; one co-keyed shuffle per side and the
+    * status projection is codegen. Pre-bucketed snapshots join with no
+    * exchange at all.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol), md5(col(textCol)).as("__oh"))
+    val n = newDocs.select(col(idCol), md5(col(textCol)).as("__nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") === col("__nh"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -757,6 +757,39 @@ object Dedup {
     BlockBatch(reassemble(idCol, flagged), delta)
   }
 
+  /** Boilerplate-block STRIP: remove every occurrence of any block that
+    * appears in >= `minDf` distinct documents — headers, footers, cookie
+    * banners, license stubs. The dual of [[blockDedup]]: where dedup
+    * keeps the FIRST occurrence of a repeated span, strip keeps NONE,
+    * because a span shared by many documents is template noise, not
+    * content (cf. RefinedWeb's line-frequency filter, Penedo et al.
+    * 2023 §3.2 — public-paper semantics, no reference analogue).
+    *
+    * Document frequency counts DISTINCT documents (a block repeated
+    * WITHIN one document is repetition, not boilerplate — it stays
+    * unless [[blockDedup]] is also applied). Documents whose every
+    * block was stripped disappear from the output.
+    *
+    * Output: `idCol`, `text_dedup`, `n_kept`, `n_dropped` — the same
+    * contract as [[blockDedup]], so the two compose interchangeably.
+    *
+    * Scale shape: identical to [[blockDedup]] — three keyed linear
+    * shuffles on 8-byte `xxhash64` keys (df election, decision join
+    * back, per-doc reassembly); the df aggregate is
+    * `count(distinct doc)` per hash, which Spark executes as two
+    * partial-aggregated passes over the SAME key partitioning, never a
+    * pair expansion. No quadratics at any tier.
+    */
+  def blockBoilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
+                            blockSize: Int = 32, minDf: Int = 2): DataFrame = {
+    val blocks = blockRows(docs, idCol, textCol, blockSize)
+    val dfs = blocks.groupBy(col("__bh"))
+      .agg(countDistinct(col(idCol)).as("__docdf"))
+    reassemble(idCol,
+      blocks.join(dfs, Seq("__bh"))
+        .withColumn("__keep", col("__docdf") < minDf))
+  }
+
   /** Persist/append a seen-block index bucketed by `bh`, so batch joins
     * leave the standing side in place (same contract as
     * [[saveMinhashIndex]]). Append the [[BlockBatch.newBlocks]] delta

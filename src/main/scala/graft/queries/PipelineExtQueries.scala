@@ -724,6 +724,79 @@ object PipelineExtQueries {
       SELECT t.doc_id, t.source FROM t
       WHERE NOT EXISTS (SELECT 1 FROM b
         WHERE CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.5)
+      ORDER BY doc_id""")),
+
+    // -- boilerplate-block STRIP (RefinedWeb line-frequency semantics):
+    // every occurrence of any 32-token block appearing in >= 2 distinct
+    // documents is removed — the dual of dedup_blocks' keep-first
+    // (Dedup.blockBoilerplateStrip; same three linear keyed shuffles) --
+    QueryDef("boilerplate_strip", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Dedup.blockBoilerplateStrip(
+          docs.select(col("doc_id"), col("text")),
+          idCol = "doc_id", textCol = "text", blockSize = 32, minDf = 2)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      idx AS (SELECT doc_id, t,
+          unnest(generate_series(0, (len(t)-1)//32)) AS block_id FROM toks),
+      blocks AS (SELECT doc_id, block_id,
+          array_to_string(t[block_id*32+1 : block_id*32+32], ' ') AS block FROM idx),
+      dfs AS (SELECT block, count(distinct doc_id) AS df FROM blocks GROUP BY block),
+      keep AS (SELECT b.doc_id, b.block_id, b.block
+               FROM blocks b JOIN dfs f USING(block) WHERE f.df < 2),
+      tot AS (SELECT doc_id, count(*) AS total FROM blocks GROUP BY doc_id)
+      SELECT k.doc_id, string_agg(k.block, ' ' ORDER BY k.block_id) AS text_dedup,
+        count(*) AS n_kept, any_value(t.total) - count(*) AS n_dropped
+      FROM keep k JOIN tot t ON k.doc_id = t.doc_id
+      GROUP BY k.doc_id ORDER BY k.doc_id""")),
+
+    // -- linear quality-classifier gate: a TRAINED model's weights over
+    // the heuristic feature set, decided on the logit (> 0 keeps) so no
+    // transcendental enters the comparison — shuffle-free codegen
+    // projection + filter (Curation.classifierGate) --
+    QueryDef("quality_classifier", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.classifierGate(docs, idCol = "doc_id",
+          textCol = "text",
+          model = graft.ops.Curation.QualityModel(
+            bias = -1.1, wTokens = 0.8, wStop = 2.0, wAlpha = 0.9))
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id, logit FROM (
+        SELECT doc_id,
+          CAST(-1.1 AS DOUBLE)
+            + 0.8 * least(CAST(1.0 AS DOUBLE), CAST(len($sqlTokens) AS DOUBLE) / 100.0)
+            + 2.0 * (CAST($enHits AS DOUBLE) / len($sqlTokens))
+            + 0.9 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)) AS logit
+        FROM documents)
+      WHERE logit > 0 ORDER BY doc_id""")),
+
+    // -- corpus snapshot diff: recrawl audit between two corpus
+    // versions — added / removed / changed / unchanged by content
+    // fingerprint; each side collapses to (id, md5) BEFORE the
+    // full-outer join so the exchange never carries document bodies
+    // (Curation.corpusDiff) --
+    QueryDef("corpus_diff", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 3)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          upper(col("text"))).otherwise(col("text")))
+      graft.ops.Curation.corpusDiff(v1, v2, idCol = "doc_id",
+          textCol = "text")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 3),
+      n AS (SELECT doc_id,
+          md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS h
+          FROM documents WHERE doc_id % 10 <> 7)
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        CASE WHEN o.h IS NULL THEN 'added'
+             WHEN n.h IS NULL THEN 'removed'
+             WHEN o.h = n.h THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
       ORDER BY doc_id"""))
   )
 }

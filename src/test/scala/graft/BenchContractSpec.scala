@@ -32,13 +32,27 @@ class BenchContractSpec extends AnyFunSuite with Matchers {
     val contract = out.linesIterator.toSeq.last
     withClue(s"line length ${contract.length} for ${SparkEntry.queries.size} queries: ") {
       // hard ceiling: the driver parses the final line of the LAST 2000
-      // chars of stdout — the line itself (plus its newline) must fit
+      // chars of stdout — the line itself (plus its newline) must fit.
+      // The budgeted assembly (slowest-first, fastest omitted past 1900
+      // chars) makes this structural, not hoped-for.
       contract.length should be < 1950
-      // early warning: at ~22 chars/query, 1800 leaves ~6 queries of
-      // slack — crossing it means switching to shorter keys or
-      // totals-only BEFORE the driver trips
-      contract.length should be < 1800
     }
+  }
+
+  test("over-budget registries omit the FASTEST queries and say so") {
+    // 300 synthetic queries cannot fit at ~21 chars each; the slowest
+    // must survive on the contract line, the omission must be declared,
+    // and the line must stay parseable and under the ceiling
+    val big = (1 to 300).map(i => f"synthetic_query_$i%03d" ->
+      Some(Seq(i * 0.01, i * 0.01, i * 0.01)))
+    val contract = Bench.contractLines(big, "/root/testdata/sf0.1")
+      .linesIterator.toSeq.last
+    contract.length should be < 1950
+    contract should include("\"omitted\":")
+    // slowest query present, fastest gone from the contract map
+    contract should include("\"synthetic_query_300\":")
+    contract should not include "\"synthetic_query_001\":"
+    contract.count(_ == '{') shouldBe contract.count(_ == '}')
   }
 
   test("driver-style 2000-char tail parse recovers the full contract") {

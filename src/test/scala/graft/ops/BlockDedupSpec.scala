@@ -31,6 +31,28 @@ class BlockDedupSpec extends SparkSpec {
     out shouldBe Array((1L, "a b c d"))
   }
 
+  test("blockBoilerplateStrip removes EVERY occurrence of a cross-doc block") {
+    val out = Dedup.blockBoilerplateStrip(docs, "doc_id", "text",
+        blockSize = 4, minDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // "a b c d" appears in docs 1 and 3 -> stripped everywhere,
+    // including doc 1's first occurrence (unlike blockDedup)
+    out shouldBe Array(
+      (1L, "e f g h", 1L, 1L),
+      (2L, "p q r s t", 2L, 0L),
+      (3L, "x y z w", 1L, 2L))
+  }
+
+  test("blockBoilerplateStrip: within-doc repetition is NOT boilerplate") {
+    // the repeated block lives in ONE document only -> distinct-doc df
+    // is 1, so both copies stay (repetition, not template noise)
+    val d = Seq((1L, "a b c d e f g h a b c d")).toDF("doc_id", "text")
+    val out = Dedup.blockBoilerplateStrip(d, "doc_id", "text", 4, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array((1L, "a b c d e f g h a b c d", 3L, 0L))
+  }
+
   test("result is invariant to input partitioning") {
     val base = Dedup.blockDedup(docs, "doc_id", "text", 4)
       .orderBy("doc_id").collect().toSeq

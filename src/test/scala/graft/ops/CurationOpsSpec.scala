@@ -216,4 +216,49 @@ class CurationOpsSpec extends SparkSpec {
     plan should include("Window")
     "Window".r.findAllMatchIn(plan).size shouldBe 1
   }
+
+  test("classifierGate keeps exactly the rows with positive logit") {
+    // weights isolate one feature each: with only wAlpha set, the gate
+    // is a pure alpha-ratio threshold at bias
+    val d = Seq(
+      (1L, "abcde fghij"),   // alpha ratio 10/11
+      (2L, "!!!!! !!!!!")    // alpha ratio 0
+    ).toDF("doc_id", "text")
+    val kept = Curation.classifierGate(d, "doc_id", "text",
+        Curation.QualityModel(bias = -0.5, wTokens = 0, wStop = 0, wAlpha = 1.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    kept.map(_._1).toSeq shouldBe Seq(1L)
+    kept.head._2 shouldBe (-0.5 + 10.0 / 11.0) +- 1e-12
+  }
+
+  test("classifierGate is a shuffle-free single projection") {
+    val d = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val out = Curation.classifierGate(d, "doc_id", "text",
+      Curation.QualityModel(-1, 1, 1, 1))
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  test("corpusDiff labels added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new text"), (4L, "fresh")).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(v1, v2, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    out shouldBe Array(
+      (1L, "unchanged"), (2L, "changed"), (3L, "removed"), (4L, "added"))
+  }
+
+  test("corpusDiff joins on fingerprints, never full text") {
+    val v1 = Seq((1L, "x")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "x")).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(v1, v2, "doc_id", "text")
+    // the optimized plan's join inputs must project md5 BELOW the join:
+    // no `text` attribute may survive into or above the join
+    val join = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.head
+    join.output.map(_.name) should not contain "text"
+    join.children.foreach(c => c.output.map(_.name) should not contain "text")
+  }
 }
