@@ -184,6 +184,29 @@ class PlanContractSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("blockBoilerplateStrip keeps blockDedup's three-linear-shuffle shape") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Dedup.blockBoilerplateStrip(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", 32)
+      .queryExecution.executedPlan.toString
+    // df election (block hash, two partial-agg passes for the distinct
+    // count — same key partitioning) + decision join + reassembly
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // the distinct-doc count must NOT plan as an Expand over the corpus
+    p should not include "Expand"
+  }
+
+  test("corpus_diff exchanges fingerprints, never document text") {
+    val p = plan("corpus_diff")
+    // both sides collapse to (id, md5) below the join: no Exchange row
+    // may carry the text column (each Exchange prints its child output)
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      line should not include "text"
+    }
+  }
+
   test("decontaminateBloom tests the train side inside the scan stage") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
