@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
   *
-  * Four tiers, in increasing tolerance:
+  * Tiers, in increasing tolerance:
   *   1. exact          — hash-groupBy on the raw text (one shuffle)
   *   2. n-gram Jaccard — shingle inverted-index candidates + exact verify
   *   3. MinHash-LSH    — banded signatures; candidate volume independent
   *                       of corpus size for a fixed collision rate
   *   4. SimHash        — 63-bit sketch, hamming-band join
+  *   6. substring      — sampled char-k-gram fingerprints: doc pairs
+  *                       sharing long VERBATIM spans even when whole-doc
+  *                       similarity is low (tier 5, embedding-space, is
+  *                       [[Similarity.embeddingNearDupPairs]])
   *
   * Scale design: every variant is generate-candidates → shuffle on a
   * candidate key → verify within groups; nothing is O(n²) except the
@@ -209,31 +213,40 @@ object Dedup {
                         persistIndex: Boolean = true): DataFrame = {
     val ex    = persisted(shingleFpRows(df, idCol, textCol, k), persistIndex)
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    jaccardFromCounts(fusedIntersections(ex, dfCap), sizes, tau)
+  }
+
+  /** Fused candidate generation + EXACT intersection counts over a
+    * distinct (id, s) inverted index: (id_a, id_b, ic) for every pair
+    * sharing at least one under-cap key, with ic = the FULL shared-key
+    * count (over-cap keys restored by the supplement join). Shared by
+    * tier 2 and the tier-6 span pairs — see [[ngramJaccardPairs]] for
+    * the exactness contract and the hot-key bound.
+    */
+  private[ops] def fusedIntersections(ex: DataFrame, dfCap: Int): DataFrame = {
     val kept  = dfCapped(ex, dfCap)
     val cKept = kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("c_kept"))
-    val inter =
-      if (dfCap <= 0) cKept.select(col("id_a"), col("id_b"), col("c_kept").as("ic"))
-      else {
-        // the over-cap slice: same rows dfCapped dropped (left_semi vs
-        // its left_anti); distinct over-cap shingles are few, so this
-        // frame is short and its joins below are broadcast-sized
-        val over = ex.join(
-          ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
-            .filter(col("df_") > dfCap).select(col("s")),
-          Seq("s"), "left_semi")
-        val cOver = cKept.select(col("id_a"), col("id_b"))
-          .join(over.select(col("id").as("id_a"), col("s")), Seq("id_a"))
-          .join(over.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("c_over"))
-        cKept.join(cOver, Seq("id_a", "id_b"), "left")
-          .select(col("id_a"), col("id_b"),
-            (col("c_kept") + coalesce(col("c_over"), lit(0L))).as("ic"))
-      }
-    jaccardFromCounts(inter, sizes, tau)
+    if (dfCap <= 0) cKept.select(col("id_a"), col("id_b"), col("c_kept").as("ic"))
+    else {
+      // the over-cap slice: same rows dfCapped dropped (left_semi vs
+      // its left_anti); distinct over-cap shingles are few, so this
+      // frame is short and its joins below are broadcast-sized
+      val over = ex.join(
+        ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+          .filter(col("df_") > dfCap).select(col("s")),
+        Seq("s"), "left_semi")
+      val cOver = cKept.select(col("id_a"), col("id_b"))
+        .join(over.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+        .join(over.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("c_over"))
+      cKept.join(cOver, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          (col("c_kept") + coalesce(col("c_over"), lit(0L))).as("ic"))
+    }
   }
 
   /** MinHash signatures + distinct-shingle counts from shingle ROWS in
@@ -800,4 +813,91 @@ object Dedup {
     blocks.select(col("bh")).write
       .mode(if (append) "append" else "overwrite")
       .bucketBy(buckets, "bh").saveAsTable(table)
+
+  // -------------------------------------------------------------------
+  // Tier 6: substring (span-level) duplication. Whole-doc tiers (2-5)
+  // miss the common web-scale failure mode where two otherwise-distinct
+  // pages share one long verbatim passage (a quoted article, a license
+  // block, a template). Exact substring matching over every position is
+  // a suffix-array job; the scalable relational form is "0 mod p"
+  // fingerprint sampling (Manber 1994 / MOSS): every character k-gram
+  // whose md5 hex digest starts with `sel` is a fingerprint, so a
+  // duplicated span of length L >= k shares an expected
+  // (L - k + 1) / 16^|sel| sampled grams between its two hosts.
+  // Selection is content-defined — edits elsewhere in a doc never shift
+  // which grams inside the span are sampled (unlike fixed-stride
+  // sampling) — and md5 keeps it engine-portable (the DuckDB oracle
+  // reproduces the selection bit-for-bit).
+
+  /** Sampled char-k-gram fingerprints: one (id, h) row per DISTINCT
+    * selected gram per doc, h = the md5 hex digest. The gram explode is
+    * linear in corpus characters and stays INSIDE the scan stage (no
+    * shuffle carries unsampled grams): Generate(sequence of start
+    * positions) → substr → md5 → startsWith(sel) all fuse into one
+    * whole-stage-codegen span, and only the surviving 16^-|sel|
+    * fraction reaches the distinct's exchange. At 100 TB: tune k to the
+    * shortest span worth catching (40-100 chars) and |sel| so sampled
+    * rows per doc stay O(len/16^|sel|) ~ tens.
+    */
+  def spanFingerprints(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 40, sel: String = "0"): DataFrame =
+    df.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"), col(textCol).as("__t"))
+      // length >= k keeps the sequence ascending (Spark would otherwise
+      // generate a DESCENDING sequence for stop < start, not an empty one)
+      .select(col("id"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")) - lit(k - 1))).as("__p"))
+      .select(col("id"), md5(col("__t").substr(col("__p"), lit(k))).as("h"))
+      .filter(col("h").startsWith(sel))
+      .distinct()
+
+  /** Doc pairs sharing at least `minShared` sampled k-grams — i.e.
+    * sharing verbatim spans totalling roughly `minShared * 16^|sel|`
+    * chars. Same fused inverted-index shape as tier 2 (shuffles key on
+    * 8-byte xxhash64 of the digest; `dfCap` bounds hot boilerplate
+    * grams with the supplement join keeping surfaced counts exact), so
+    * the all-pairs quadratic is structurally impossible here too.
+    */
+  def duplicateSpanPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 40, sel: String = "0", minShared: Int = 2,
+                         dfCap: Int = 256, persistIndex: Boolean = true): DataFrame = {
+    val ex = persisted(
+      spanFingerprints(df, idCol, textCol, k, sel)
+        .select(col("id"), xxhash64(col("h")).as("s")),
+      persistIndex)
+    fusedIntersections(ex, dfCap)
+      .filter(col("ic") >= minShared)
+      .select(col("id_a"), col("id_b"), col("ic").as("n_shared"))
+  }
+
+  /** Per-doc span-duplication profile: of this doc's `n_sampled`
+    * fingerprints, `n_dup` also occur in ANOTHER doc (corpus df >= 2);
+    * `dup_ratio` = n_dup / n_sampled estimates the fraction of the doc
+    * that is verbatim-duplicated elsewhere — the number a curation gate
+    * thresholds on (docs under `k` chars or with no sampled gram carry
+    * n_sampled = 0 and a null ratio). Two shuffles total: the df
+    * groupBy on the 8-byte fingerprint and the per-doc rollup; the
+    * doc-side left join re-attaches by id.
+    */
+  def spanDupProfile(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 40, sel: String = "0",
+                     persistIndex: Boolean = true): DataFrame = {
+    val ex = persisted(
+      spanFingerprints(df, idCol, textCol, k, sel)
+        .select(col("id"), xxhash64(col("h")).as("s")),
+      persistIndex)
+    val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+    val per = ex.join(dfs, Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        count_if(col("df_") >= 2).as("n_dup"))
+    df.select(col(idCol).as("id"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_sampled"), lit(0L)) > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_sampled"))
+          .as("dup_ratio"))
+  }
 }

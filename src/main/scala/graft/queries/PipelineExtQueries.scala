@@ -49,6 +49,67 @@ object PipelineExtQueries {
       SELECT event_id, user_id, click_id, gap_us FROM j WHERE rn = 1
       ORDER BY event_id""")),
 
+    // -- as-of join with NULL payload fields: the matched click's value
+    // is nulled on a deterministic subset, pinning the atomic
+    // struct-latch semantics (a matched row's legitimately-NULL field
+    // must SURVIVE — per-column latching would stitch in an older
+    // click's value; the argmax oracle is row-atomic by construction) --
+    QueryDef("q_asof_nulls", (s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_id") % 3 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value_n"))
+      Temporal.asofJoinBackward(p, c, keys = Seq("user_id"), tsCol = "ts",
+          payload = Seq("event_id", "value_n"), rightTieBreak = "event_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("click_id"),
+          col("asof_value_n").as("click_value"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value_n
+                 FROM events WHERE event_type = 'click'),
+           j AS (SELECT p.event_id, p.user_id, c.event_id AS click_id,
+                   c.value_n AS click_value,
+                   row_number() OVER (PARTITION BY p.event_id
+                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                 FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+      SELECT event_id, user_id, click_id, click_value FROM j WHERE rn = 1
+      ORDER BY event_id""")),
+
+    // -- forward as-of with tolerance: each click -> EARLIEST following
+    // purchase by the same user, nulled when farther than 10 minutes
+    // (the row survives — left-outer tolerance contract) --
+    QueryDef("q_asof_forward", (s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      val c = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Temporal.asofJoin(c, p, keys = Seq("user_id"), tsCol = "ts",
+          payload = Seq("event_id", "ts"), rightTieBreak = "event_id",
+          forward = true, toleranceUs = Some(600000000L))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("purchase_id"),
+          (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("gap_us"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+           p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           j AS (SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
+                   date_diff('microsecond', c.ts, p.ts) AS gap_us,
+                   row_number() OVER (PARTITION BY c.event_id
+                     ORDER BY p.ts ASC, p.event_id DESC) AS rn
+                 FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts)
+      SELECT event_id, user_id,
+        CASE WHEN gap_us <= 600000000 THEN purchase_id END AS purchase_id,
+        CASE WHEN gap_us <= 600000000 THEN gap_us END AS gap_us
+      FROM j WHERE rn = 1 ORDER BY event_id""")),
+
     // -- bounded range join: clicks in the 10 minutes before a purchase --
     QueryDef("q_range_join", (s, dir) => {
       val ev = Tables.loadEvents(s, dir)
@@ -771,6 +832,44 @@ object PipelineExtQueries {
             + 0.9 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)) AS logit
         FROM documents)
       WHERE logit > 0 ORDER BY doc_id""")),
+
+    // -- tier-6 substring dedup: doc pairs sharing long verbatim spans
+    // via "0 mod p"-sampled char-40-gram md5 fingerprints (engine-
+    // portable selection — DuckDB reproduces it bit-for-bit) --
+    QueryDef("dedup_spans", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Dedup.duplicateSpanPairs(docs, "doc_id", "text",
+          k = 40, sel = "0", minShared = 2)
+        .orderBy("id_a", "id_b")
+    }, Some("""
+      WITH g AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h
+                 FROM documents, UNNEST(range(1, len(text)-40+2)) AS t(i)),
+           s AS (SELECT doc_id, h FROM g WHERE h LIKE '0%')
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""")),
+
+    // -- per-doc span-duplication profile: fraction of each doc's
+    // sampled fingerprints that occur in another doc — the verbatim-
+    // duplication ratio a curation gate thresholds on --
+    QueryDef("span_profile", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Dedup.spanDupProfile(docs, "doc_id", "text", k = 40, sel = "0")
+        .select(col("id").as("doc_id"), col("n_sampled"), col("n_dup"),
+          col("dup_ratio"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH g AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h
+                 FROM documents, UNNEST(range(1, len(text)-40+2)) AS t(i)),
+           s AS (SELECT doc_id, h FROM g WHERE h LIKE '0%'),
+           d AS (SELECT h, count(*) AS df FROM s GROUP BY h),
+           p AS (SELECT s.doc_id, count(*) AS n_sampled,
+                   count(*) FILTER (WHERE d.df >= 2) AS n_dup
+                 FROM s JOIN d USING (h) GROUP BY s.doc_id)
+      SELECT doc_id, coalesce(n_sampled, 0) AS n_sampled,
+        coalesce(n_dup, 0) AS n_dup,
+        CAST(coalesce(n_dup, 0) AS DOUBLE) / nullif(n_sampled, 0) AS dup_ratio
+      FROM documents LEFT JOIN p USING (doc_id) ORDER BY doc_id""")),
 
     // -- corpus snapshot diff: recrawl audit between two corpus
     // versions — added / removed / changed / unchanged by content
