@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity self-join (entity resolution / fuzzy
+  * matching): all pairs with `levenshtein(a, b) <= maxDist`.
+  *
+  * The naive form is an all-pairs O(n²·L²) quadratic — structurally
+  * impossible at scale, and q-gram blocking (the tier-2 trick) does not
+  * prune it: common grams make nearly every pair a candidate on real
+  * text. The scalable relational form is the PassJoin partition scheme
+  * (Li, Deng, Feng — VLDB'11): split the SHORTER string of a pair into
+  * `maxDist + 1` contiguous segments; by pigeonhole, `maxDist` edits
+  * touch at most `maxDist` segments, so at least one segment appears
+  * VERBATIM in the longer string, shifted by at most `maxDist`
+  * positions. Candidate generation is therefore an equi-join:
+  *
+  *   - seg rows:   every doc emits its `maxDist+1` segments, keyed
+  *                 (segment index, own length, xxhash64(content))
+  *   - probe rows: every doc emits, for each partner length
+  *                 `l' ∈ [len-maxDist, len]` and segment index, the
+  *                 substrings at the ±maxDist candidate positions —
+  *                 O((maxDist+1)²·(2·maxDist+1)) rows per doc, constant
+  *                 in corpus size
+  *
+  * Join on the 3-part key, dedup pairs, then verify with Spark's
+  * native bounded `levenshtein(l, r, threshold)` (codegen; early-exits
+  * above the threshold) — the expensive exact ED runs once per
+  * CANDIDATE, never per pair. Both generates stay inside the scan
+  * stage; the only shuffles are the candidate equi-join on an 8-byte
+  * hash + two id-keyed text re-attach joins. `maxDist` drives the probe
+  * blowup cubically — keep it small (it is a NEAR-dup predicate), and
+  * run exact dedup first so identical strings don't re-verify.
+  *
+  * Strings shorter than `maxDist+1` cannot host `maxDist+1` nonempty
+  * segments; their partners are at most `2·maxDist` chars, so that
+  * residue is a bounded-length broadcast join, not a corpus-scale
+  * cross product.
+  */
+object Fuzzy {
+
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, persistIndex: Boolean = true): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val e = maxDist
+    val parts = e + 1
+    val d0 = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
+      length(col(textCol)).cast("long").as("l"))
+    // feeds seg rows, probe rows, the short residue, and two verify
+    // re-attaches — materialize once (same rationale as Dedup's index)
+    val d = if (persistIndex)
+      d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else d0
+    val long = d.filter(col("l") >= parts)
+
+    // segment i of a length-l string: [floor(i*l/parts)+1,
+    // floor((i+1)*l/parts)] (1-based, nonempty for l >= parts)
+    def segStart(i: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column) =
+      floor(i * l / parts) + lit(1L)
+    def segLen(i: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column) =
+      floor((i + lit(1L)) * l / parts) - floor(i * l / parts)
+
+    val segs = long
+      .select(col("id").as("id_s"), col("l").as("ls"), col("t"),
+        explode(sequence(lit(0L), lit(e.toLong))).as("i"))
+      .select(col("id_s"), col("ls"), col("i"),
+        xxhash64(col("t").substr(
+          segStart(col("i"), col("ls")).cast("int"),
+          segLen(col("i"), col("ls")).cast("int"))).as("h"))
+
+    val probes = long
+      // partner (= shorter-side) length this row probes for
+      .select(col("id").as("id_p"), col("l").as("lp"), col("t"),
+        explode(sequence(greatest(col("l") - e, lit(parts.toLong)), col("l"))).as("ls"))
+      .select(col("id_p"), col("lp"), col("t"), col("ls"),
+        explode(sequence(lit(0L), lit(e.toLong))).as("i"))
+      .withColumn("p", segStart(col("i"), col("ls")))
+      .withColumn("m", segLen(col("i"), col("ls")))
+      // start ∈ [p-e, p+e] clamped to [1, lp-m+1]; always ascending
+      // because p <= lp - m + 1 (segment fits the shorter string)
+      .select(col("id_p"), col("ls"), col("i"), col("t"), col("m"),
+        explode(sequence(greatest(col("p") - e, lit(1L)),
+          least(col("p") + e, col("lp") - col("m") + lit(1L)))).as("q"))
+      .select(col("id_p"), col("ls"), col("i"),
+        xxhash64(col("t").substr(col("q").cast("int"), col("m").cast("int"))).as("h"))
+
+    val mainCands = segs.join(probes, Seq("h", "i", "ls"))
+      .filter(col("id_s") =!= col("id_p"))
+      .select(least(col("id_s"), col("id_p")).as("id_a"),
+        greatest(col("id_s"), col("id_p")).as("id_b"))
+
+    // residue: shorter side under parts chars ⇒ partner is at most
+    // 2e chars — both sides bounded-length, broadcast-joinable
+    val shorts = d.filter(col("l") < parts)
+      .select(col("id").as("id_s"), col("l").as("lsh"))
+    val shortPartners = d.filter(col("l") <= 2L * e)
+      .select(col("id").as("id_p"), col("l").as("lp"))
+    val shortCands = broadcast(shorts).join(shortPartners,
+        col("id_s") =!= col("id_p") &&
+          abs(col("lsh") - col("lp")) <= e)
+      .select(least(col("id_s"), col("id_p")).as("id_a"),
+        greatest(col("id_s"), col("id_p")).as("id_b"))
+
+    mainCands.unionByName(shortCands)
+      .distinct()
+      .join(d.select(col("id").as("id_a"), col("t").as("ta")), Seq("id_a"))
+      .join(d.select(col("id").as("id_b"), col("t").as("tb")), Seq("id_b"))
+      // bounded levenshtein: -1 above the threshold (early-exit codegen)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), e))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+}

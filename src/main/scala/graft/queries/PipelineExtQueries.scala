@@ -849,6 +849,26 @@ object PipelineExtQueries {
       FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""")),
 
+    // -- edit-distance similarity join (PassJoin pigeonhole blocking +
+    // bounded-levenshtein verify; Fuzzy.editDistancePairs). The oracle
+    // is the brute-force ground truth — DuckDB's levenshtein costs
+    // ~20 ms/pair at these lengths, so the query runs on the doc_id%3
+    // slice to keep the oracle's pair count bounded; the operator
+    // itself never goes all-pairs at any size --
+    QueryDef("edit_dist_join", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+      graft.ops.Fuzzy.editDistancePairs(docs, "doc_id", "text", maxDist = 4)
+        .orderBy("id_a", "id_b")
+    }, Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+           j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+                 FROM d a JOIN d b
+                   ON a.doc_id < b.doc_id
+                   AND abs(len(a.text) - len(b.text)) <= 4)
+      SELECT id_a, id_b, dist FROM j WHERE dist <= 4 ORDER BY 1, 2""")),
+
     // -- per-doc span-duplication profile: fraction of each doc's
     // sampled fingerprints that occur in another doc — the verbatim-
     // duplication ratio a curation gate thresholds on --
