@@ -301,6 +301,67 @@ object Curation {
         col("score"), col("rank"))
   }
 
+  /** BM25 document scores for a fixed query-term set — the retrieval
+    * ranking companion of [[tfidfTopTerms]] (data curation uses it to
+    * pull topic-relevant subsets out of a web corpus: score against a
+    * topic's seed terms, keep the head). Log-free variant for the same
+    * reason tfidf is: both engines fold the IDENTICAL double parse tree
+    * `((nd - df + 0.5) / (df + 0.5)) * tf(k1+1) / (tf + k1(1 - b +
+    * b·dl/avgdl))`, so results are bit-comparable; dropping BM25's
+    * outer `ln` keeps that true (libm log implementations differ in the
+    * last ulp across engines) and preserves the ranking (ln is
+    * monotone) though not the classic score values.
+    *
+    * Per-term scores combine by a FIXED left-to-right sum in `terms`
+    * order (a float `sum()` aggregate would add in partition order —
+    * non-associative doubles would then hash-diverge across engines and
+    * even across runs). Returns (id, n_hit, bm25) for docs matching at
+    * least one term. `nd`/`avgdl` count docs with ≥1 token.
+    *
+    * Shape: token explode → per-doc length agg + 1-row corpus stats
+    * (broadcast cross join) → tf groupBy on (doc, term) with the term
+    * IN-filter pushed into the scan → df groupBy over the tiny
+    * (terms × docs) frame → fixed-width pivot agg. Nothing scales with
+    * |terms| but the final projection.
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val dl = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(dfT, Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        ((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * (lit(k1) + lit(1.0))) /
+            (col("tf") + lit(k1) *
+              (lit(1.0) - lit(b) + lit(b) * (col("dl") / col("avgdl"))))))
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, col("s"))).as(s"__s$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"), pivots: _*)
+      .select(col(idCol), col("n_hit"), total.as("bm25"))
+  }
+
   /** Global quantile gate: drop (approximately, and at most) the bottom
     * `dropFrac` of rows by `scoreCol`, with EXACT integer semantics that
     * any engine reproduces bit-for-bit. Scores are quantized to a 1e-6

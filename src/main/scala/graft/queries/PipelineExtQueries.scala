@@ -397,6 +397,39 @@ object PipelineExtQueries {
             FROM scored)
       WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // -- BM25 retrieval scores against a fixed 3-term query (log-free
+    // for cross-engine bit parity — see Curation.bm25Scores; per-term
+    // scores combine in fixed left-to-right order so the double sum is
+    // deterministic) --
+    QueryDef("text_bm25", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.bm25Scores(docs, Seq("table", "value", "row"))
+        .select(col("doc_id"), col("n_hit").cast("long").as("n_hit"),
+          col("bm25"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+      dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tk GROUP BY doc_id),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tk
+             WHERE token IN ('table','value','row') GROUP BY doc_id, token),
+      dfx AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+      sc AS (SELECT tf.doc_id, tf.token,
+               ((st.nd - dfx.df + 0.5) / (dfx.df + 0.5)) *
+               ((tf.tf * (1.2 + 1.0)) /
+                (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS s
+             FROM tf, dfx, dl, st
+             WHERE tf.token = dfx.token AND tf.doc_id = dl.doc_id),
+      ag AS (SELECT doc_id, count(*) AS n_hit,
+               max(CASE WHEN token = 'table' THEN s END) AS s0,
+               max(CASE WHEN token = 'value' THEN s END) AS s1,
+               max(CASE WHEN token = 'row'   THEN s END) AS s2
+             FROM sc GROUP BY doc_id)
+      SELECT doc_id, CAST(n_hit AS BIGINT) AS n_hit,
+        coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS bm25
+      FROM ag ORDER BY doc_id""")),
+
     // -- BPE training step 1: adjacent char-pair counts weighted by token
     // frequency, computed over the DISTINCT vocabulary (vocab << corpus;
     // see Curation.bpePairStats) --

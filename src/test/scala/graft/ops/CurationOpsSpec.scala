@@ -261,4 +261,28 @@ class CurationOpsSpec extends SparkSpec {
     join.output.map(_.name) should not contain "text"
     join.children.foreach(c => c.output.map(_.name) should not contain "text")
   }
+
+  test("bm25Scores matches a hand-computed reference and skips no-hit docs") {
+    val docs = Seq(
+      (1L, "table value table"), // hits both terms
+      (2L, "value only here please"),
+      (3L, "nothing relevant at all"),
+      (4L, "table"))
+      .toDF("doc_id", "text")
+    val out = Curation.bm25Scores(docs, Seq("table", "value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 4L) // doc 3 matches nothing
+    out(1L)._1 shouldBe 2L
+    out(2L)._1 shouldBe 1L
+    out(4L)._1 shouldBe 1L
+    // reference: nd=4, avgdl=(3+4+4+1)/4=3.0; log-free idf=(nd-df+.5)/(df+.5)
+    def term(tf: Double, df: Double, dl: Double): Double =
+      ((4.0 - df + 0.5) / (df + 0.5)) *
+        ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / 3.0))))
+    out(1L)._2 shouldBe (term(2, 2, 3) + term(1, 2, 3)) // table then value
+    out(2L)._2 shouldBe term(1, 2, 4)
+    out(4L)._2 shouldBe term(1, 2, 1)
+    // rarer terms outrank common ones at equal tf/dl (idf is monotone in df)
+    term(1, 1, 3) should be > term(1, 3, 3)
+  }
 }
