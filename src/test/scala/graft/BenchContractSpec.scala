@@ -55,10 +55,11 @@ class BenchContractSpec extends AnyFunSuite with Matchers {
     contract.count(_ == '{') shouldBe contract.count(_ == '}')
   }
 
-  test("driver-style 2000-char tail parse recovers the full contract") {
+  test("driver-style 2000-char tail parse recovers the contract; omissions only ever drop the fastest") {
     // simulate sbt/log noise before the JSON lines, as in a real run
     val noise = ("[info] running graft.Bench\n" * 40)
-    val out = noise + Bench.contractLines(realisticResults, "/root/testdata/sf0.1")
+    val full = Bench.contractLines(realisticResults, "/root/testdata/sf0.1")
+    val out = noise + full
     val line = lastLineOfTail(out)
     line should startWith("{\"metric\":\"total\"")
     line should endWith("}")
@@ -68,8 +69,29 @@ class BenchContractSpec extends AnyFunSuite with Matchers {
       "\"queries\":{", "\"failed\":[", "\"sf\":").foreach(k => line should include(k))
     line.count(_ == '{') shouldBe line.count(_ == '}')
     line.count(_ == '[') shouldBe line.count(_ == ']')
-    // every query name present in the tail-visible contract line
-    SparkEntry.queries.keys.foreach(k => line should include("\"" + k + "\":"))
+    // included + declared-omitted must account for the WHOLE registry —
+    // nothing silently vanishes (past ~85 queries the budget drops the
+    // fastest from the contract map; they keep full precision on the
+    // detail line)
+    val included = SparkEntry.queries.keys.filter(k => line.contains("\"" + k + "\":"))
+    val omitted = "\"omitted\":(\\d+)".r.findFirstMatchIn(line)
+      .map(_.group(1).toInt).getOrElse(0)
+    included.size + omitted shouldBe SparkEntry.queries.size
+    if (omitted > 0) {
+      // every omitted query must be strictly faster than every included
+      // one (medians here are synthetic: rank i -> 0.123 + i%9)
+      val medians = realisticResults.collect { case (k, Some(t)) =>
+        k -> t.sorted.apply(t.size / 2) }.toMap
+      val includedMin = included.map(medians).min
+      medians.filterNot { case (k, _) => included.toSet.contains(k) }
+        .values.foreach(_ should be <= includedMin)
+      // the slowest query is always on the contract line
+      val slowest = medians.maxBy(_._2)._1
+      line should include("\"" + slowest + "\":")
+    }
+    // every query rides the DETAIL line regardless of contract budget
+    val detail = full.linesIterator.toSeq.head
+    SparkEntry.queries.keys.foreach(k => detail should include("\"" + k + "\":"))
   }
 
   test("contract values are compact; full precision and metadata live on the earlier line") {
