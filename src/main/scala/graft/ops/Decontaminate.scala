@@ -130,30 +130,73 @@ object Decontaminate {
       k: Int = 3,
       tau: Double = 0.5,
       dfCap: Int = 512,
-      fpp: Double = 0.01): DataFrame = {
-    import graft.functions.{BloomFunctions, BloomRuntime}
-    val bFps = Dedup.shingleFpRows(bench, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sketch sizing needs the bench shingle count — one 1-row agg over
-    // the (small, persisted) bench index; bounded driver traffic
-    val nBench = bFps.count()
-    val result =
-      if (nBench == 0) train
-      else {
-        val (numBits, numHashes) = BloomRuntime.sizeFor(nBench, fpp)
-        val sketch = bFps
-          .agg(BloomFunctions.bloomAgg(col("s"), numBits, numHashes).as("bf"))
-          .head().getAs[Array[Byte]]("bf")
+      fpp: Double = 0.01): DataFrame =
+    bloomGate(bench, idCol, textCol, k, tau, dfCap, fpp).clean(train)
+
+  /** A PREBUILT Bloom decontamination gate: the benchmark shingle set
+    * folded once into the driver-held sketch, reusable across many
+    * train batches — the build-once/probe-many shape
+    * ([[Dedup.MinhashIndex]], [[Similarity.IvfIndex]] are the same
+    * lifecycle). [[graft.streaming.StreamingDecontaminate]] holds one
+    * gate for a whole stream so micro-batches never rebuild the sketch.
+    */
+  final class BloomGate private[ops] (
+      bench: DataFrame,
+      sketch: Option[(Array[Byte], Int, Int)],
+      idCol: String, textCol: String,
+      k: Int, tau: Double, dfCap: Int) extends Serializable {
+
+    /** Exact decontaminate of `train` behind the sketch prefilter —
+      * the SAME rows as [[Decontaminate.decontaminate]] (spec-pinned:
+      * Bloom false positives only cost their exact re-check; no false
+      * negatives exist). Per-call cost: one train scan + the exact
+      * containment pipeline over the (tiny) hit slice. The bench side
+      * is re-shingled per call — bounded by the benchmark size, and
+      * deliberately NOT cached here so repeated gate use (a long
+      * stream) accumulates no executor cache.
+      */
+    def clean(train: DataFrame): DataFrame = sketch match {
+      case None => train
+      case Some((bytes, numBits, numHashes)) =>
+        import graft.functions.BloomFunctions
         val hitIds = Dedup.shingleFpRows(train, idCol, textCol, k)
-          .filter(BloomFunctions.bloomMightContain(col("s"), sketch, numBits, numHashes))
+          .filter(BloomFunctions.bloomMightContain(col("s"), bytes, numBits, numHashes))
           .select(col("id").as(idCol)).distinct()
         val candidates = train.join(hitIds, Seq(idCol), "left_semi")
         val bad = containmentPairs(candidates, bench, idCol, textCol, k, tau,
             dfCap, persistIndex = false)
           .select(col("train_id").as(idCol)).distinct()
         train.join(bad, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Build a [[BloomGate]] from the benchmark set: size the sketch from
+    * the bench shingle count (one bounded agg over the small persisted
+    * bench index), fold it word-wise with [[graft.functions.BloomFilterAgg]],
+    * release the build-time cache. An empty benchmark yields a pass-
+    * through gate.
+    */
+  def bloomGate(
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      tau: Double = 0.5,
+      dfCap: Int = 512,
+      fpp: Double = 0.01): BloomGate = {
+    import graft.functions.{BloomFunctions, BloomRuntime}
+    val bFps = Dedup.shingleFpRows(bench, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBench = bFps.count()
+    val sketch =
+      if (nBench == 0) None
+      else {
+        val (numBits, numHashes) = BloomRuntime.sizeFor(nBench, fpp)
+        Some((bFps
+          .agg(BloomFunctions.bloomAgg(col("s"), numBits, numHashes).as("bf"))
+          .head().getAs[Array[Byte]]("bf"), numBits, numHashes))
       }
     bFps.unpersist()
-    result
+    new BloomGate(bench, sketch, idCol, textCol, k, tau, dfCap)
   }
 }

@@ -322,6 +322,35 @@ object Similarity {
     IvfIndex(cents, withQ, cents.length)
   }
 
+  /** Append a new vector batch to a PERSISTED IVF index without
+    * retraining: each new vector is assigned to its nearest EXISTING
+    * centroid (and pre-quantized) and appended into the cell-bucketed
+    * corpus table — standard IVF maintenance, the vector-side companion
+    * of [[graft.ops.Dedup.saveBlockIndex]]'s append mode. Only the
+    * batch shuffles (into the bucket layout); the standing corpus rows
+    * are untouched, and later probes see old + new rows through the
+    * same bucket-pruned scan. Probing the appended index equals probing
+    * an index whose corpus was assigned wholesale under the SAME
+    * centroids (spec-pinned) — recall drifts only as the data
+    * distribution drifts from the training sample; rebuild with
+    * [[buildIvfIndex]]/[[saveIvfIndex]] when cell occupancy skews.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       batch: DataFrame, prefix: String,
+                       buckets: Int = 16): IvfIndex = {
+    val idx = loadIvfIndex(spark, prefix)
+    val assigned = batch.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      nearestCell(col("vec"), idx.centroids).as("cell"),
+      quantizeCol(col("vec")).as("qcv"))
+    // an index persisted before the q8 tier has no qcv column — match
+    // the standing schema rather than failing the append
+    val out = if (spark.table(s"${prefix}_corpus").columns.contains("qcv"))
+      assigned else assigned.drop("qcv")
+    out.write.mode("append").bucketBy(buckets, "cell")
+      .saveAsTable(s"${prefix}_corpus")
+    loadIvfIndex(spark, prefix)
+  }
+
   /** Probe a prebuilt/loaded index: queries explode over their `nprobe`
     * nearest cells and equi-join the cell-keyed corpus. No broadcast
     * hint — a small query batch broadcasts via AQE anyway, and a LARGE

@@ -120,6 +120,39 @@ class SimilaritySpec extends SparkSpec {
     } finally names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("appendToIvfIndex folds a batch in without retraining; probes equal wholesale assignment") {
+    val rnd = new scala.util.Random(41)
+    val all = (0L until 160L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val first = vecDf(all.take(100))
+    val batch = vecDf(all.drop(100))
+    val queries = vecDf(all.take(5))
+    val names = Seq("_corpus", "_centroids").map("ivf_app" + _)
+    try {
+      val idx = Similarity.buildIvfIndex(first, nlist = 8, iters = 2)
+      Similarity.saveIvfIndex(idx, "ivf_app", buckets = 4)
+      val appended = Similarity.appendToIvfIndex(spark, batch, "ivf_app", buckets = 4)
+      // centroids unchanged; corpus grew by the batch
+      appended.centroids.map(_.toList).toList shouldBe idx.centroids.map(_.toList).toList
+      appended.corpus.count() shouldBe 160L
+      // probing the appended index == probing an index whose corpus was
+      // assigned wholesale under the SAME centroids
+      val wholesale = Similarity.IvfIndex(idx.centroids,
+        vecDf(all).select(col("id").as("neighbor_id"), col("vec").as("cv"),
+          Similarity.nearestCell(col("vec"), idx.centroids).as("cell"),
+          Similarity.quantizeCol(col("vec")).as("qcv")),
+        idx.nlist)
+      def topk(i: Similarity.IvfIndex) =
+        Similarity.ivfTopKIndexed(queries, i, k = 4, nprobe = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      topk(appended) shouldBe topk(wholesale)
+      // the q8 probe path sees the appended rows' pre-quantized vectors too
+      def topkQ8(i: Similarity.IvfIndex) =
+        Similarity.ivfTopKIndexedQ8(queries, i, k = 4, nprobe = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      topkQ8(appended) shouldBe topkQ8(wholesale)
+    } finally names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("IVF index on a corpus smaller than nlist round-trips consistently") {
     val rnd = new scala.util.Random(31)
     val tiny = vecDf((0L until 6L).map(i => (i, Seq.fill(8)(rnd.nextGaussian()))))
