@@ -201,6 +201,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** [[tableBuckets]] carrying the int8-quantized vector instead of the
+    * full-precision one: quantize ONCE per row (before the table
+    * explode), so the candidate join ships 8× smaller payloads.
+    */
+  private def tableBucketsQ8(vecs: DataFrame, idAlias: String,
+                             numTables: Int, planesPerTable: Int, dim: Int): DataFrame = {
+    val entries = (0 until numTables).map { t =>
+      val planes = hyperplanes(planesPerTable, dim, seed = 42L + t)
+      struct(lit(t).as("tbl"), srpBucket(col("vec"), planes).as("bucket"))
+    }
+    vecs.select(col("id").as(idAlias), quantizeCol(col("vec")).as("qv"),
+        explode(array(entries: _*)).as("tb"))
+      .select(col(idAlias), col("qv"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+  }
+
+  /** [[srpLshTopK]] with int8 scoring — the SRP twin of
+    * [[ivfTopKIndexedQ8]]: same multi-table candidate generation (the
+    * bucket bits come from the FULL-precision vectors, so candidate
+    * recall is unchanged), but the join payload and the scoring kernel
+    * are the 8×-smaller quantized vectors. No broadcast hint, same
+    * rationale as [[srpLshTopK]].
+    */
+  def srpLshTopKQ8(queries: DataFrame, corpus: DataFrame, k: Int,
+                   numTables: Int = 8, planesPerTable: Int = 4,
+                   dim: Int = 64): DataFrame = {
+    val q = tableBucketsQ8(queries, "query_id", numTables, planesPerTable, dim)
+      .withColumnRenamed("qv", "qa")
+    val c = tableBucketsQ8(corpus, "neighbor_id", numTables, planesPerTable, dim)
+      .withColumnRenamed("qv", "qb")
+    val cands = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qa", "neighbor_id", "qb")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.withColumn("cosine",
+      fromExpr(graft.functions.VecCosineI8(toExpr(col("qa")), toExpr(col("qb")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** IVF (inverted-file) top-k: a coarse quantizer of `nlist` centroids
     * partitions the corpus; each query probes its `nprobe` nearest
     * centroid cells only. The classic ANN scale path: at 100 TB the cell

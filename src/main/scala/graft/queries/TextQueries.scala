@@ -373,6 +373,13 @@ object TextQueries {
       annRecallRow(s, dir)((q, e) => Similarity.ivfTopKQ8(q, e, k = 5)),
       Some(annRecallOracle)),
 
+    // the SRP twin: same multi-table candidate bits (full-precision
+    // bucketing, so recall tracks sim_topk_lsh), int8 join payload +
+    // scoring kernel
+    QueryDef("sim_topk_q8_lsh", (s, dir) =>
+      annRecallRow(s, dir)((q, e) => Similarity.srpLshTopKQ8(q, e, k = 5)),
+      Some(annRecallOracle)),
+
     // nearest-centroid corpus sharding against DETERMINISTIC seeds (the
     // k smallest-id vectors): full hash oracle — this is the query that
     // pins the NearestCentroid codegen kernel (left-fold cosine, argmax

@@ -44,6 +44,16 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     recall should be >= 0.5
     approx.size should be <= exact.size // LSH can only return fewer/equal
+
+    // q8 twin: identical candidate bits (full-precision bucketing), so
+    // its recall tracks the full-precision path — quantization only
+    // reorders near-equal cosines inside a bucket
+    val q8 = Similarity.srpLshTopKQ8(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallQ8 = (exact intersect q8).size.toDouble / exact.size
+    recallQ8 should be >= (recall - 0.1)
+    q8.size shouldBe approx.size // same candidates, same per-query k
   }
 
   test("ivfTopK recall vs brute force; probing all cells is exact") {

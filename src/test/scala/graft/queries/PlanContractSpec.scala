@@ -60,6 +60,8 @@ class PlanContractSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
     Similarity.ivfTopKQ8(q, e, k = 5, nlist = 4, nprobe = 2, iters = 1)
       .queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+    Similarity.srpLshTopKQ8(q, e, k = 5)
+      .queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
   }
 
   test("curation pipeline consumers all read the cached survivor set — no corpus re-scan") {
