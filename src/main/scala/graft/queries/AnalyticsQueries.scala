@@ -244,6 +244,44 @@ object AnalyticsQueries {
     }, Some("""
       SELECT
         (SELECT count(*) FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)) AS with_high_value,
-        (SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)) AS without_high_value"""))
+        (SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)) AS without_high_value""")),
+
+    // ordered conversion funnel view -> click -> purchase: per user, the
+    // earliest view, the earliest click strictly AFTER it, the earliest
+    // purchase strictly after that. Three chained conditional-min
+    // windows over ONE user partitioning — consecutive Window operators
+    // share a single exchange+sort, so the whole funnel costs one
+    // shuffle + the final 1-row rollup (the min-per-user join chain the
+    // SQL oracle spells out is semantically identical)
+    QueryDef("q_funnel", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.loadEvents(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+      val staged = ev
+        .withColumn("tv", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("tc", min(when(col("event_type") === "click" &&
+          col("ts") > col("tv"), col("ts"))).over(w))
+        .withColumn("tp", min(when(col("event_type") === "purchase" &&
+          col("ts") > col("tc"), col("ts"))).over(w))
+      staged.groupBy(col("user_id"))
+        .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"), max(col("tp")).as("tp"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("tv")).as("n_viewed"),
+          count(col("tc")).as("n_clicked_after"),
+          count(col("tp")).as("n_purchased_after"))
+    }, Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      v AS (SELECT user_id, min(ts) AS tv FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+            JOIN v ON e.user_id = v.user_id AND e.ts > v.tv
+            WHERE e.event_type = 'click' GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+            JOIN c ON e.user_id = c.user_id AND e.ts > c.tc
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM u) AS n_users,
+             (SELECT count(*) FROM v) AS n_viewed,
+             (SELECT count(*) FROM c) AS n_clicked_after,
+             (SELECT count(*) FROM p) AS n_purchased_after"""))
   )
 }
