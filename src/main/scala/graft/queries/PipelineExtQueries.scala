@@ -820,6 +820,41 @@ object PipelineExtQueries {
         WHERE CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.5)
       ORDER BY doc_id""")),
 
+    // -- contamination audit per source: which corpus slices leak eval
+    // content, at what rate — the report a curation run publishes
+    // alongside the cleaned corpus (containmentPairs -> distinct
+    // contaminated ids -> per-source rates; one extra rollup) --
+    QueryDef("decontaminate_report", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val bad = Decontaminate.containmentPairs(train, bench,
+          idCol = "doc_id", textCol = "text", k = 3, tau = 0.5)
+        .select(col("train_id").as("doc_id")).distinct()
+      train.join(bad.withColumn("contaminated", lit(1L)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("contaminated"), lit(0L))).as("n_contaminated"),
+          (sum(coalesce(col("contaminated"), lit(0L))).cast("double") /
+            count(lit(1))).as("rate"))
+        .orderBy("source")
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, source, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents),
+      b AS (SELECT * FROM docs WHERE doc_id % 10 = 0 AND len(sh) > 0),
+      t AS (SELECT * FROM docs WHERE doc_id % 10 <> 0),
+      bad AS (SELECT DISTINCT t.doc_id FROM t JOIN b
+              ON CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.5)
+      SELECT d.source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rate
+      FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id
+      WHERE d.doc_id % 10 <> 0
+      GROUP BY d.source ORDER BY d.source""")),
+
     // -- boilerplate-block STRIP (RefinedWeb line-frequency semantics):
     // every occurrence of any 32-token block appearing in >= 2 distinct
     // documents is removed — the dual of dedup_blocks' keep-first
