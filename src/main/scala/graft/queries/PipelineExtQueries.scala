@@ -937,6 +937,41 @@ object PipelineExtQueries {
                    AND abs(len(a.text) - len(b.text)) <= 4)
       SELECT id_a, id_b, dist FROM j WHERE dist <= 4 ORDER BY 1, 2""")),
 
+    // -- tier-6 end-to-end keep-list: span pairs -> duplicate-cluster
+    // closure -> drop every member but the min-id representative; docs
+    // with no shared span survive untouched (composition of
+    // duplicateSpanPairs + connectedComponents + dropDuplicateMembers;
+    // oracle closes the same pairs with WITH RECURSIVE) --
+    QueryDef("span_dedup_keep", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = graft.ops.Dedup.duplicateSpanPairs(docs, "doc_id", "text",
+        k = 40, sel = "0", minShared = 2)
+      val clusters = graft.ops.Dedup.connectedComponents(pairs)
+      graft.ops.Dedup.dropDuplicateMembers(docs, "doc_id", clusters)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH RECURSIVE g AS (
+        SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h
+        FROM documents, UNNEST(range(1, len(text)-40+2)) AS t(i)),
+      s AS (SELECT doc_id, h FROM g WHERE h LIKE '0%'),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+      drop_ids AS (
+        SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(r))
+      SELECT d.doc_id, d.source FROM documents d
+      LEFT JOIN drop_ids x ON d.doc_id = x.doc_id
+      WHERE x.doc_id IS NULL ORDER BY d.doc_id""")),
+
     // -- per-doc span-duplication profile: fraction of each doc's
     // sampled fingerprints that occur in another doc — the verbatim-
     // duplication ratio a curation gate thresholds on --
