@@ -513,6 +513,57 @@ object PipelineExtQueries {
         array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ') AS chunk_text
       FROM c ORDER BY doc_id, chunk_id""")),
 
+    // -- RAG ingestion end-to-end: chunk -> batched stub-encode
+    // (Embedding.encodeChunks; deterministic portable-arithmetic stub,
+    // real mapPartitions batching) -> cosine vs a fixed probe vector
+    // (VecCosine kernel) -> distributed top-20 (TakeOrdered, ranked
+    // after the limit so no corpus-wide window) --
+    QueryDef("rag_ingest", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val chunks = Packing.chunkTokens(docs.select(col("doc_id"), col("text")),
+          idCol = "doc_id", textCol = "text", size = 64, overlap = 16)
+        .filter(col("n_tokens") > 0)
+      val emb = graft.ops.Embedding.encodeChunks(chunks, dim = 16)
+      val probe = array((0 until 16).map(j =>
+        lit((((j + 1) * 40503L) % 1048573L).toDouble / 1048573.0 * 2.0 - 1.0)): _*)
+      val top = emb
+        .withColumn("cosine", Similarity.cosine(col("embedding"), probe))
+        .select("doc_id", "chunk_id", "cosine")
+        .orderBy(col("cosine").desc, col("doc_id"), col("chunk_id"))
+        .limit(20)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("doc_id"), col("chunk_id")))
+          .cast("long"))
+        .orderBy("rank")
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (SELECT doc_id, toks,
+          unnest(range(0, ((greatest(len(toks) - 64, 0) + 47) // 48) + 1)) AS chunk_id
+        FROM d),
+      ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+          array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ') AS t
+        FROM c WHERE len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64)) > 0),
+      sd AS (SELECT doc_id, chunk_id,
+          list_reduce(list_transform(range(1, len(t)+1),
+            i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT) * i),
+            (a, b) -> a + b) % 65521 AS seed
+        FROM ch),
+      v AS (SELECT doc_id, chunk_id,
+          list_transform(range(1, 17),
+            j -> CAST((seed * j * 2654435761) % 1048573 AS DOUBLE) / 1048573.0 * 2.0 - 1.0) AS e
+        FROM sd),
+      p AS (SELECT list_transform(range(1, 17),
+          j -> CAST((j * 40503) % 1048573 AS DOUBLE) / 1048573.0 * 2.0 - 1.0) AS pv),
+      sc AS (SELECT doc_id, chunk_id,
+          list_reduce(list_transform(range(1, 17), i -> e[i]*pv[i]), (a,b) -> a+b) /
+            (sqrt(list_reduce(list_transform(range(1, 17), i -> e[i]*e[i]), (a,b) -> a+b)) *
+             sqrt(list_reduce(list_transform(range(1, 17), i -> pv[i]*pv[i]), (a,b) -> a+b))) AS cosine
+        FROM v, p)
+      SELECT doc_id, chunk_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (ORDER BY cosine DESC, doc_id, chunk_id) AS rank
+        FROM sc)
+      WHERE rank <= 20 ORDER BY rank""")),
+
     // -- rarity score: mean corpus term frequency of each doc's tokens —
     // the log-free perplexity proxy (Curation.docRarity); exact integer
     // sums, one final divide --
