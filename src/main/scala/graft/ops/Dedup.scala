@@ -223,21 +223,28 @@ object Dedup {
     * tier 2 and the tier-6 span pairs — see [[ngramJaccardPairs]] for
     * the exactness contract and the hot-key bound.
     */
-  private[ops] def fusedIntersections(ex: DataFrame, dfCap: Int): DataFrame = {
-    val kept  = dfCapped(ex, dfCap)
-    val cKept = kept.as("a").join(kept.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("c_kept"))
-    if (dfCap <= 0) cKept.select(col("id_a"), col("id_b"), col("c_kept").as("ic"))
-    else {
-      // the over-cap slice: same rows dfCapped dropped (left_semi vs
-      // its left_anti); distinct over-cap shingles are few, so this
-      // frame is short and its joins below are broadcast-sized
-      val over = ex.join(
-        ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
-          .filter(col("df_") > dfCap).select(col("s")),
-        Seq("s"), "left_semi")
+  private[ops] def fusedIntersections(ex: DataFrame, dfCap: Int): DataFrame =
+    if (dfCap <= 0) {
+      ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("ic"))
+    } else {
+      // ONE over-cap key set feeds both the anti join (candidate
+      // pruning) and the semi join (score supplement) — the shared
+      // subtree lets ReuseExchange serve both consumers from a single
+      // df aggregation over the index
+      val overS = ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+        .filter(col("df_") > dfCap).select(col("s"))
+      val kept = ex.join(overS, Seq("s"), "left_anti")
+      val cKept = kept.as("a").join(kept.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("c_kept"))
+      // the over-cap slice: same rows `kept` dropped (left_semi vs its
+      // left_anti); distinct over-cap shingles are few, so this frame
+      // is short and its joins below are broadcast-sized
+      val over = ex.join(overS, Seq("s"), "left_semi")
       val cOver = cKept.select(col("id_a"), col("id_b"))
         .join(over.select(col("id").as("id_a"), col("s")), Seq("id_a"))
         .join(over.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
@@ -247,7 +254,6 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           (col("c_kept") + coalesce(col("c_over"), lit(0L))).as("ic"))
     }
-  }
 
   /** MinHash signatures + distinct-shingle counts from shingle ROWS in
     * ONE groupBy(id): `numHashes` min-aggregates (min over
