@@ -876,6 +876,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("ic").as("n_shared"))
   }
 
+  /** Persist a tier-6 span-fingerprint index BUCKETED BY the 8-byte
+    * fingerprint — the join key of [[spanPairsIncremental]], so batch
+    * probes leave the corpus side in place (same contract as
+    * [[saveMinhashIndex]]). Append each batch's fingerprints after
+    * processing to keep the index current.
+    */
+  def saveSpanIndex(df: DataFrame, idCol: String, textCol: String,
+                    table: String, k: Int = 40, sel: String = "0",
+                    buckets: Int = 64, append: Boolean = false): Unit =
+    spanFingerprints(df, idCol, textCol, k, sel)
+      .select(col("id"), xxhash64(col("h")).as("s"))
+      .write.mode(if (append) "append" else "overwrite")
+      .bucketBy(buckets, "s").saveAsTable(table)
+
+  /** Incremental tier-6: span pairs of a NEW batch against a persisted
+    * corpus index — (id_new, id_corpus, n_shared) with n_shared >=
+    * `minShared`, EXACT per surfaced pair (over-cap supplement, as in
+    * [[duplicateSpanPairs]]). Only the batch side is fingerprinted and
+    * shuffled; against a [[saveSpanIndex]] table the sort-merge join
+    * reads corpus buckets in place, and the corpus-side df counts (the
+    * sf-scaling side for the cap) ride that same bucketed layout
+    * shuffle-free. Batch-internal pairs are intentionally not emitted
+    * (run [[duplicateSpanPairs]] on the batch for those).
+    */
+  def spanPairsIncremental(newDf: DataFrame, idCol: String, textCol: String,
+                           index: DataFrame, k: Int = 40, sel: String = "0",
+                           minShared: Int = 2, dfCap: Int = 256,
+                           persistIndex: Boolean = true): DataFrame = {
+    val b = persisted(
+      spanFingerprints(newDf, idCol, textCol, k, sel)
+        .select(col("id").as("id_new"), xxhash64(col("h")).as("s")),
+      persistIndex)
+    val idx = index.select(col("id").as("id_corpus"), col("s"))
+    // corpus-side df only: the corpus is the side that scales
+    val overS = idx.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+      .filter(col("df_") > dfCap).select(col("s"))
+    val keptIdx = if (dfCap <= 0) idx else idx.join(overS, Seq("s"), "left_anti")
+    val keptB   = if (dfCap <= 0) b   else b.join(overS, Seq("s"), "left_anti")
+    val cKept = keptB.join(keptIdx, Seq("s"))
+      .groupBy(col("id_new"), col("id_corpus"))
+      .agg(count(lit(1)).as("c_kept"))
+    val inter =
+      if (dfCap <= 0) cKept.select(col("id_new"), col("id_corpus"), col("c_kept").as("n_shared"))
+      else {
+        val overIdx = idx.join(overS, Seq("s"), "left_semi")
+        val overB   = b.join(overS, Seq("s"), "left_semi")
+        val cOver = cKept.select(col("id_new"), col("id_corpus"))
+          .join(overB, Seq("id_new"))
+          .join(overIdx, Seq("id_corpus", "s"))
+          .groupBy(col("id_new"), col("id_corpus"))
+          .agg(count(lit(1)).as("c_over"))
+        cKept.join(cOver, Seq("id_new", "id_corpus"), "left")
+          .select(col("id_new"), col("id_corpus"),
+            (col("c_kept") + coalesce(col("c_over"), lit(0L))).as("n_shared"))
+      }
+    inter.filter(col("n_shared") >= minShared)
+  }
+
   /** Per-doc span-duplication profile: of this doc's `n_sampled`
     * fingerprints, `n_dup` also occur in ANOTHER doc (corpus df >= 2);
     * `dup_ratio` = n_dup / n_sampled estimates the fraction of the doc

@@ -988,6 +988,28 @@ object PipelineExtQueries {
                    AND abs(len(a.text) - len(b.text)) <= 4)
       SELECT id_a, id_b, dist FROM j WHERE dist <= 4 ORDER BY 1, 2""")),
 
+    // -- tier-6 incremental: a new batch (odd doc_ids) span-checked
+    // against the standing corpus index (even doc_ids) — only the
+    // batch is fingerprinted/shuffled (Dedup.spanPairsIncremental;
+    // the bucketed-table path is spec-pinned) --
+    QueryDef("span_incremental", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idx = graft.ops.Dedup.spanFingerprints(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 40, sel = "0")
+        .select(col("id"), xxhash64(col("h")).as("s"))
+      graft.ops.Dedup.spanPairsIncremental(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx,
+          k = 40, sel = "0", minShared = 2)
+        .orderBy("id_new", "id_corpus")
+    }, Some("""
+      WITH g AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h
+                 FROM documents, UNNEST(range(1, len(text)-40+2)) AS t(i)),
+           s AS (SELECT doc_id, h FROM g WHERE h LIKE '0%')
+      SELECT b.doc_id AS id_new, c.doc_id AS id_corpus, count(*) AS n_shared
+      FROM s b JOIN s c ON b.h = c.h
+      WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+      GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""")),
+
     // -- tier-6 end-to-end keep-list: span pairs -> duplicate-cluster
     // closure -> drop every member but the min-id representative; docs
     // with no shared span survive untouched (composition of

@@ -97,6 +97,54 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("spanPairsIncremental equals full span pairs restricted to cross pairs") {
+    val wide = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      Seq((5L, s"a second host of $span appears here too"),
+        (6L, "yet another fully unrelated body of words entirely")))
+      .toDF("doc_id", "text")
+    val corpus = wide.filter($"doc_id" % 2 === 0)
+    val batch = wide.filter($"doc_id" % 2 === 1)
+    val idx = Dedup.spanFingerprints(corpus, "doc_id", "text", k = 8, sel = "")
+      .select($"id", xxhash64($"h").as("s"))
+    val inc = Dedup.spanPairsIncremental(batch, "doc_id", "text", idx,
+        k = 8, sel = "", minShared = 2, dfCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = Dedup.duplicateSpanPairs(wide, "doc_id", "text",
+        k = 8, sel = "", minShared = 2, dfCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect { case (a, b, n) if a % 2 != b % 2 =>
+        (if (a % 2 == 1) (a, b) else (b, a)) -> n
+      }.toMap
+    inc shouldBe full
+    inc.keySet should contain((1L, 2L)) // planted cross pair
+  }
+
+  test("span index round-trips through a bucketed table; batch probe keeps corpus in place") {
+    val name = "span_idx_rt"
+    try {
+      Dedup.saveSpanIndex(docs, "doc_id", "text", name, k = 8, sel = "", buckets = 4)
+      val loaded = spark.table(name)
+      val direct = Dedup.spanFingerprints(docs, "doc_id", "text", k = 8, sel = "")
+        .select($"id", xxhash64($"h").as("s"))
+      loaded.count() shouldBe direct.count()
+      val batch = Seq((100L, s"fresh doc embedding $span once more")).toDF("doc_id", "text")
+      val viaTable = Dedup.spanPairsIncremental(batch, "doc_id", "text", loaded,
+          k = 8, sel = "", minShared = 2, dfCap = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val viaFrame = Dedup.spanPairsIncremental(batch, "doc_id", "text", direct,
+          k = 8, sel = "", minShared = 2, dfCap = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      viaTable shouldBe viaFrame
+      viaTable.keySet shouldBe Set((100L, 1L), (100L, 2L)) // both span hosts
+      // bucketed layout: the probe join plans with NO exchange on the
+      // corpus side (only the batch shuffles to the stored bucketing)
+      val plan = Dedup.spanPairsIncremental(batch, "doc_id", "text", loaded,
+        k = 8, sel = "", minShared = 2, dfCap = 0)
+        .queryExecution.executedPlan.toString
+      plan should not include "CartesianProduct"
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("span pair plan: no cartesian product, fingerprint explode below the exchange") {
     val p = Dedup.duplicateSpanPairs(docs, "doc_id", "text",
       k = 8, sel = "0", minShared = 2).queryExecution.executedPlan.toString
