@@ -1,10 +1,13 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Edit-distance similarity self-join (entity resolution / fuzzy
-  * matching): all pairs with `levenshtein(a, b) <= maxDist`.
+/** Edit-distance similarity joins (entity resolution / fuzzy
+  * matching): all pairs with `levenshtein(a, b) <= maxDist`, as a
+  * self-join over one corpus ([[editDistancePairs]]) or a join between
+  * two tables ([[editDistanceJoin]] — noisy records against a
+  * canonical reference list, the classic record-linkage shape).
   *
   * The naive form is an all-pairs O(n²·L²) quadratic — structurally
   * impossible at scale, and q-gram blocking (the tier-2 trick) does not
@@ -29,7 +32,7 @@ import org.apache.spark.sql.functions._
   * above the threshold) — the expensive exact ED runs once per
   * CANDIDATE, never per pair. Both generates stay inside the scan
   * stage; the only shuffles are the candidate equi-join on an 8-byte
-  * hash + two id-keyed text re-attach joins. `maxDist` drives the probe
+  * hash + id-keyed text re-attach joins. `maxDist` drives the probe
   * blowup cubically — keep it small (it is a NEAR-dup predicate), and
   * run exact dedup first so identical strings don't re-verify.
   *
@@ -40,43 +43,49 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
-  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-                        maxDist: Int, persistIndex: Boolean = true): DataFrame = {
-    require(maxDist >= 0, "maxDist must be non-negative")
-    val e = maxDist
-    val parts = e + 1
-    val d0 = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
+  // segment i of a length-l string: [floor(i*l/parts)+1,
+  // floor((i+1)*l/parts)] (1-based, nonempty for l >= parts)
+  private def segStart(parts: Int)(i: Column, l: Column): Column =
+    floor(i * l / parts) + lit(1L)
+  private def segLen(parts: Int)(i: Column, l: Column): Column =
+    floor((i + lit(1L)) * l / parts) - floor(i * l / parts)
+
+  /** (id, t, l) normalized frame, optionally persisted — it feeds seg
+    * rows, probe rows, the short residue, and the verify re-attach.
+    */
+  private def prep(df: DataFrame, idCol: String, textCol: String,
+                   persistIt: Boolean): DataFrame = {
+    val d = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
       length(col(textCol)).cast("long").as("l"))
-    // feeds seg rows, probe rows, the short residue, and two verify
-    // re-attaches — materialize once (same rationale as Dedup's index)
-    val d = if (persistIndex)
-      d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else d0
-    val long = d.filter(col("l") >= parts)
+    if (persistIt) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else d
+  }
 
-    // segment i of a length-l string: [floor(i*l/parts)+1,
-    // floor((i+1)*l/parts)] (1-based, nonempty for l >= parts)
-    def segStart(i: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column) =
-      floor(i * l / parts) + lit(1L)
-    def segLen(i: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column) =
-      floor((i + lit(1L)) * l / parts) - floor(i * l / parts)
-
-    val segs = long
+  /** (id_s, ls, i, h) — one row per segment of each long-enough doc. */
+  private def segRows(d: DataFrame, e: Int): DataFrame = {
+    val parts = e + 1
+    d.filter(col("l") >= parts)
       .select(col("id").as("id_s"), col("l").as("ls"), col("t"),
         explode(sequence(lit(0L), lit(e.toLong))).as("i"))
       .select(col("id_s"), col("ls"), col("i"),
         xxhash64(col("t").substr(
-          segStart(col("i"), col("ls")).cast("int"),
-          segLen(col("i"), col("ls")).cast("int"))).as("h"))
+          segStart(parts)(col("i"), col("ls")).cast("int"),
+          segLen(parts)(col("i"), col("ls")).cast("int"))).as("h"))
+  }
 
-    val probes = long
+  /** (id_p, ls, i, h) — position-bounded probe substrings of each
+    * long-enough doc, for every partner length it can pair with.
+    */
+  private def probeRows(d: DataFrame, e: Int): DataFrame = {
+    val parts = e + 1
+    d.filter(col("l") >= parts)
       // partner (= shorter-side) length this row probes for
       .select(col("id").as("id_p"), col("l").as("lp"), col("t"),
         explode(sequence(greatest(col("l") - e, lit(parts.toLong)), col("l"))).as("ls"))
       .select(col("id_p"), col("lp"), col("t"), col("ls"),
         explode(sequence(lit(0L), lit(e.toLong))).as("i"))
-      .withColumn("p", segStart(col("i"), col("ls")))
-      .withColumn("m", segLen(col("i"), col("ls")))
+      .withColumn("p", segStart(parts)(col("i"), col("ls")))
+      .withColumn("m", segLen(parts)(col("i"), col("ls")))
       // start ∈ [p-e, p+e] clamped to [1, lp-m+1]; always ascending
       // because p <= lp - m + 1 (segment fits the shorter string)
       .select(col("id_p"), col("ls"), col("i"), col("t"), col("m"),
@@ -84,8 +93,17 @@ object Fuzzy {
           least(col("p") + e, col("lp") - col("m") + lit(1L)))).as("q"))
       .select(col("id_p"), col("ls"), col("i"),
         xxhash64(col("t").substr(col("q").cast("int"), col("m").cast("int"))).as("h"))
+  }
 
-    val mainCands = segs.join(probes, Seq("h", "i", "ls"))
+  /** Self-join: canonical (id_a < id_b, dist) pairs within one corpus. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, persistIndex: Boolean = true): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val e = maxDist
+    val parts = e + 1
+    val d = prep(df, idCol, textCol, persistIndex)
+
+    val mainCands = segRows(d, e).join(probeRows(d, e), Seq("h", "i", "ls"))
       .filter(col("id_s") =!= col("id_p"))
       .select(least(col("id_s"), col("id_p")).as("id_a"),
         greatest(col("id_s"), col("id_p")).as("id_b"))
@@ -110,5 +128,51 @@ object Fuzzy {
       .withColumn("dist", levenshtein(col("ta"), col("tb"), e))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
+  /** Two-table join: (left_id, right_id, dist) for every cross pair
+    * within `maxDist` — match noisy records to a canonical list. Same
+    * machinery as the self-join, run in both directions (the seg side
+    * must be the SHORTER of a pair, and either table can hold it):
+    * segs(L)⨝probes(R) catches pairs where the left string is shorter
+    * or equal, segs(R)⨝probes(L) the reverse; equal-length pairs
+    * surface in both and collapse in the distinct. No intra-table
+    * candidate work is generated at all.
+    */
+  def editDistanceJoin(left: DataFrame, right: DataFrame,
+                       leftId: String, leftText: String,
+                       rightId: String, rightText: String,
+                       maxDist: Int, persistIndex: Boolean = true): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val e = maxDist
+    val parts = e + 1
+    val dl = prep(left, leftId, leftText, persistIndex)
+    val dr = prep(right, rightId, rightText, persistIndex)
+
+    val lShortSide = segRows(dl, e).join(probeRows(dr, e), Seq("h", "i", "ls"))
+      .select(col("id_s").as("left_id"), col("id_p").as("right_id"))
+    val rShortSide = segRows(dr, e).join(probeRows(dl, e), Seq("h", "i", "ls"))
+      .select(col("id_p").as("left_id"), col("id_s").as("right_id"))
+
+    // short residue, both directions: any string under parts chars can
+    // only pair with strings of length <= 2e
+    def shortsOf(d: DataFrame) = d.filter(col("l") < parts)
+      .select(col("id").as("sid"), col("l").as("lsh"))
+    def partnersOf(d: DataFrame) = d.filter(col("l") <= 2L * e)
+      .select(col("id").as("pid"), col("l").as("lp"))
+    val shortCands = broadcast(shortsOf(dl)).join(partnersOf(dr),
+        abs(col("lsh") - col("lp")) <= e)
+      .select(col("sid").as("left_id"), col("pid").as("right_id"))
+      .unionByName(broadcast(shortsOf(dr)).join(partnersOf(dl),
+          abs(col("lsh") - col("lp")) <= e)
+        .select(col("pid").as("left_id"), col("sid").as("right_id")))
+
+    lShortSide.unionByName(rShortSide).unionByName(shortCands)
+      .distinct()
+      .join(dl.select(col("id").as("left_id"), col("t").as("ta")), Seq("left_id"))
+      .join(dr.select(col("id").as("right_id"), col("t").as("tb")), Seq("right_id"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), e))
+      .filter(col("dist") >= 0)
+      .select(col("left_id"), col("right_id"), col("dist").cast("long").as("dist"))
   }
 }

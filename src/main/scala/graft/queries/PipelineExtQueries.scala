@@ -1045,6 +1045,27 @@ object PipelineExtQueries {
       LEFT JOIN drop_ids x ON d.doc_id = x.doc_id
       WHERE x.doc_id IS NULL ORDER BY d.doc_id""")),
 
+    // -- two-table record linkage: noisy slice (doc_id%3=1) matched to a
+    // canonical slice (doc_id%3=2) within edit distance 4
+    // (Fuzzy.editDistanceJoin — both pigeonhole directions, no
+    // intra-table candidates; oracle subsetting as in edit_dist_join) --
+    QueryDef("fuzzy_link", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Fuzzy.editDistanceJoin(
+          docs.filter(col("doc_id") % 3 === 1),
+          docs.filter(col("doc_id") % 3 === 2),
+          "doc_id", "text", "doc_id", "text", maxDist = 4)
+        .select(col("left_id"), col("right_id"), col("dist"))
+        .orderBy("left_id", "right_id")
+    }, Some("""
+      WITH l AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+           r AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+           j AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                   CAST(levenshtein(l.text, r.text) AS BIGINT) AS dist
+                 FROM l JOIN r ON abs(len(l.text) - len(r.text)) <= 4)
+      SELECT left_id, right_id, dist FROM j WHERE dist <= 4
+      ORDER BY 1, 2""")),
+
     // -- per-doc span-duplication profile: fraction of each doc's
     // sampled fingerprints that occur in another doc — the verbatim-
     // duplication ratio a curation gate thresholds on --

@@ -88,6 +88,52 @@ class FuzzySpec extends SparkSpec {
     pairs(docs, 0) shouldBe Set((1L, 2L, 0L))
   }
 
+  test("editDistanceJoin equals brute-force cross levenshtein in both length directions") {
+    val canon = Seq(
+      (1L, "acme corporation limited"),
+      (2L, "zenith systems incorporated"),
+      (3L, "ab"))
+      .toDF("rid", "rname")
+    val noisy = Seq(
+      (10L, "acme corporatio limited"),    // 1 deletion vs 1
+      (11L, "acme corporation limited x"), // 2 insertions vs 1
+      (12L, "zenith systems incorporated"),// exact vs 2
+      (13L, "completely unrelated entry"),
+      (14L, "abc"))                        // short residue vs 3
+      .toDF("nid", "nname")
+    val got = Fuzzy.editDistanceJoin(noisy, canon,
+        "nid", "nname", "rid", "rname", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = noisy.select(col("nid"), col("nname"))
+      .crossJoin(canon.select(col("rid"), col("rname")))
+      .withColumn("dist", levenshtein(col("nname"), col("rname")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select("nid", "rid", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe expect
+    got should contain((10L, 1L, 1L))
+    got should contain((11L, 1L, 2L))
+    got should contain((12L, 2L, 0L))
+    got should contain((14L, 3L, 1L))
+    got.map(_._1) should not contain 13L
+    // no intra-table pairs can appear by construction (output schema is
+    // left x right only) — and randomized check across length skews
+    val rnd = new scala.util.Random(11)
+    def randDocs(n: Int, off: Long) = (0 until n).map { i =>
+      (off + i, (0 until 6 + rnd.nextInt(12)).map(_ => "abcd"(rnd.nextInt(4))).mkString)
+    }
+    val l = randDocs(25, 0L).toDF("nid", "nname")
+    val r = randDocs(25, 100L).toDF("rid", "rname")
+    val got2 = Fuzzy.editDistanceJoin(l, r, "nid", "nname", "rid", "rname", maxDist = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val exp2 = l.crossJoin(r)
+      .withColumn("dist", levenshtein(col("nname"), col("rname")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select("nid", "rid", "dist")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    got2 shouldBe exp2
+  }
+
   test("plan: no corpus-scale cartesian product; candidate join keys on the hash") {
     val docs = (0L until 50L).map(i => (i, s"document body number $i with shared structure"))
       .toDF("doc_id", "text")
