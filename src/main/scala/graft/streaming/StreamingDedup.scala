@@ -101,6 +101,38 @@ object StreamingDedup {
     * (in arrival order). The index table is the only state; restarts
     * resume against it via checkpointed batch ids.
     */
+  /** Streaming tier-6 substring dedup: each micro-batch's sampled span
+    * fingerprints are checked against the persisted span index
+    * ([[Dedup.saveSpanIndex]]'s bucketed table) and then appended to
+    * it, so every batch sees all earlier ingestion. `onBatch` receives
+    * the (id_new, id_corpus, n_shared) matches; folding the stream
+    * equals running [[Dedup.spanPairsIncremental]] batch-by-batch
+    * against a growing corpus (spec-pinned). Same delivery contract as
+    * [[startBlockDedup]]: matches are delivered BEFORE the index
+    * append, so a failed sink replays against the unchanged index.
+    */
+  def startSpanDedup(stream: DataFrame, idCol: String, textCol: String,
+                     indexTable: String, k: Int = 40, sel: String = "0",
+                     minShared: Int = 2, dfCap: Int = 256,
+                     checkpoint: Option[String] = None,
+                     queryName: String = "graft_streaming_span_dedup")
+                    (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    var w = stream.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val matches = Dedup.spanPairsIncremental(batch, idCol, textCol,
+          spark.table(indexTable), k, sel, minShared, dfCap,
+          persistIndex = false)
+        onBatch(matches, batchId)
+        Dedup.saveSpanIndex(batch, idCol, textCol, indexTable, k, sel,
+          append = true)
+      }
+    checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
+    w.start()
+  }
+
   def startBlockDedup(stream: DataFrame, idCol: String, textCol: String,
                       indexTable: String, blockSize: Int = 64,
                       checkpoint: Option[String] = None,

@@ -384,6 +384,41 @@ class StreamingSpec extends SparkSpec {
     want.map(_._4).sum should be >= 2L
   }
 
+  test("streaming span dedup matches each batch against all earlier ingestion") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Dedup
+    val span = "SHARED-VERBATIM-PASSAGE-ONE-TWO-THREE"
+    val b1 = Seq((1L, s"first host of $span in the corpus"),
+      (2L, "unrelated words entirely different here"))
+    val b2 = Seq((3L, s"second host embedding $span verbatim"))
+    val b3 = Seq((4L, s"third host too: $span appears again"),
+      // no 8-char substring shared with doc 2's text
+      (5L, "zqwvxkjm pbnmtrew ydfghsa cvbnmklo"))
+
+    spark.sql("DROP TABLE IF EXISTS graft_span_idx")
+    // empty standing index with the right schema
+    Dedup.saveSpanIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", "graft_span_idx", k = 8, sel = "")
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.startSpanDedup(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", indexTable = "graft_span_idx",
+        k = 8, sel = "", minShared = 2) { (matches, _) =>
+      collected ++= matches.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch 1 sees an empty index; batch 2 matches doc 1; batch 3
+    // matches docs 1 AND 3 (the index grew) — cross-batch visibility
+    collected.toSet shouldBe Set((3L, 1L), (4L, 1L), (4L, 3L))
+  }
+
   test("streaming cluster state equals the batch closure over all match pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
