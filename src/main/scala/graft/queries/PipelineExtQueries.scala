@@ -994,9 +994,13 @@ object PipelineExtQueries {
     // the bucketed-table path is spec-pinned) --
     QueryDef("span_incremental", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+      // production holds the index as a materialized bucketed table
+      // (saveSpanIndex); the inline frame feeds 4 consumers (df counts,
+      // kept, over slice, supplement) — persist stands in for the table
       val idx = graft.ops.Dedup.spanFingerprints(
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 40, sel = "0")
         .select(col("id"), xxhash64(col("h")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ops.Dedup.spanPairsIncremental(
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx,
           k = 40, sel = "0", minShared = 2)
