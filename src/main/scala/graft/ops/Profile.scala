@@ -212,4 +212,61 @@ object Profile {
         (col("cnt").cast("double") / lit(total)).as("frac"),
         (col("cnt").cast("double") * lit(nKeys) / lit(total)).as("skew"))
   }
+
+  /** Equi-width histogram of a numeric column — the distribution view
+    * the scalar metrics can't give. Bucketing is EXACT INTEGER
+    * arithmetic on the quantileGate 1e-6 grid (`q = floor(x·1e6)`;
+    * bucket = `(q - qlo)·bins div (qhi - qlo + 1)`), so no
+    * double-division boundary row can flip buckets between engines or
+    * partitionings. Two passes: a 1-row min/max agg (broadcast back as
+    * a cross join) and one groupBy over ≤ `bins` groups. A constant
+    * column (qhi = qlo) lands entirely in bucket 0. Only non-empty
+    * buckets are emitted, with their [lo, hi) value bounds.
+    */
+  def histogram(df: DataFrame, c: String, bins: Int = 20): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val q = df.filter(col(c).isNotNull)
+      .select(floor(col(c).cast("double") * lit(1e6)).cast("long").as("q"))
+    val bounds = q.agg(min(col("q")).as("qlo"), max(col("q")).as("qhi"))
+    // `div` (true integer division; all operands non-negative after the
+    // qlo shift) — a double `/` + truncate could flip boundary rows
+    // between engines
+    q.crossJoin(broadcast(bounds))
+      .select(expr(s"((q - qlo) * $bins) div (qhi - qlo + 1)").as("bucket"),
+        col("qlo"), col("qhi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), first(col("qlo")).as("qlo"), first(col("qhi")).as("qhi"))
+      .select(col("bucket"),
+        (expr(s"qlo + ((qhi - qlo + 1) * bucket) div $bins")
+          .cast("double") / lit(1e6)).as("lo"),
+        (expr(s"qlo + ((qhi - qlo + 1) * (bucket + 1)) div $bins")
+          .cast("double") / lit(1e6)).as("hi"),
+        col("n"))
+  }
+
+  /** Pearson correlation of two numeric columns with ENGINE-PORTABLE
+    * arithmetic: the five sufficient statistics are decimal-EXACT sums
+    * (2-dp source columns; products carry scale 4), cast to double
+    * once, and r folds through the IDENTICAL parse tree
+    * `(n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²)·sqrt(n·Syy − Sy²))` in
+    * both engines — the one-pass textbook form, safe here because the
+    * sums are exact (no catastrophic cancellation from float partial
+    * sums). One aggregate pass; a zero-variance side yields null.
+    */
+  def corrStats(df: DataFrame, x: String, y: String): DataFrame = {
+    val dx = col(x).cast("decimal(19,2)")
+    val dy = col(y).cast("decimal(19,2)")
+    df.filter(col(x).isNotNull && col(y).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dx).cast("double").as("sx"),
+        sum(dy).cast("double").as("sy"),
+        sum(dx * dx).cast("double").as("sxx"),
+        sum(dy * dy).cast("double").as("syy"),
+        sum(dx * dy).cast("double").as("sxy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("pearson_r"))
+  }
 }

@@ -222,6 +222,46 @@ object EngineExtQueries {
                  FROM base b JOIN cur c USING (column_name, metric))
       SELECT * FROM j WHERE rel_change > 0.05
       ORDER BY column_name, metric"""
-    })
+    }),
+
+    // -- equi-width histogram on the quantized integer grid (exact
+    // bucket arithmetic — no double-division boundary flips;
+    // Profile.histogram) --
+    QueryDef("profile_hist", (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      graft.ops.Profile.histogram(li, "l_extendedprice", bins = 20)
+        .orderBy("bucket")
+    }, Some("""
+      WITH q AS (SELECT CAST(floor(l_extendedprice * 1e6) AS BIGINT) AS q
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      b AS (SELECT min(q) AS qlo, max(q) AS qhi FROM q),
+      h AS (SELECT ((q.q - b.qlo) * 20) // (b.qhi - b.qlo + 1) AS bucket,
+              b.qlo AS qlo, b.qhi AS qhi
+            FROM q, b)
+      SELECT bucket,
+        CAST(qlo + ((qhi - qlo + 1) * bucket) // 20 AS DOUBLE) / 1e6 AS lo,
+        CAST(qlo + ((qhi - qlo + 1) * (bucket + 1)) // 20 AS DOUBLE) / 1e6 AS hi,
+        count(*) AS n
+      FROM h GROUP BY bucket, qlo, qhi ORDER BY bucket""")),
+
+    // -- Pearson correlation from decimal-exact sufficient statistics,
+    // folded through the identical double parse tree in both engines
+    // (Profile.corrStats) --
+    QueryDef("profile_corr", (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      graft.ops.Profile.corrStats(li, "l_quantity", "l_extendedprice")
+    }, Some("""
+      WITH s AS (SELECT count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(19,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(19,2))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE) AS syy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE) AS sxy
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+      SELECT n,
+        (n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
+      FROM s"""))
   )
 }

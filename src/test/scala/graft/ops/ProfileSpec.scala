@@ -175,4 +175,41 @@ class SketchAggregatesSpec extends SparkSpec {
     all.length shouldBe 10 // fewer keys than topN: all surface
     all.map(_.getDouble(4)).foreach(_ shouldBe 1.0 +- 1e-12) // balanced
   }
+
+  test("histogram: counts cover every row, bounds tile [min, max], constants collapse") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toDouble / 10.0)).toDF("v")
+    val h = graft.ops.Profile.histogram(df, "v", bins = 10)
+      .orderBy("bucket").collect()
+    h.map(_.getLong(3)).sum shouldBe 1000L
+    h.length shouldBe 10 // uniform data fills every bucket
+    // buckets tile: each hi equals the next lo; first lo = min, and the
+    // max value falls inside the last bucket
+    h.sliding(2).foreach { case Array(a, b) =>
+      a.getDouble(2) shouldBe b.getDouble(1)
+    }
+    h.head.getDouble(1) shouldBe 0.0
+    h.last.getDouble(2) should be > 99.9
+    // a constant column lands entirely in bucket 0
+    val c = Seq(5.5, 5.5, 5.5).toDF("v")
+    val hc = graft.ops.Profile.histogram(c, "v", bins = 10).collect()
+    hc.length shouldBe 1
+    hc.head.getLong(0) shouldBe 0L
+    hc.head.getLong(3) shouldBe 3L
+  }
+
+  test("corrStats: exactly 1 on a perfect line, near 0 on designed-orthogonal data") {
+    import spark.implicits._
+    val line = (1 to 100).map(i => (i.toDouble, 2.0 * i + 3.0)).toDF("x", "y")
+    val r = graft.ops.Profile.corrStats(line, "x", "y").head()
+    r.getLong(0) shouldBe 100L
+    r.getDouble(1) shouldBe 1.0 +- 1e-9
+    // anti-correlated
+    val anti = (1 to 100).map(i => (i.toDouble, -1.0 * i)).toDF("x", "y")
+    graft.ops.Profile.corrStats(anti, "x", "y").head()
+      .getDouble(1) shouldBe -1.0 +- 1e-9
+    // zero variance on one side -> null (division by zero std)
+    val flat = (1 to 10).map(i => (i.toDouble, 7.0)).toDF("x", "y")
+    graft.ops.Profile.corrStats(flat, "x", "y").head().isNullAt(1) shouldBe true
+  }
 }
