@@ -246,6 +246,31 @@ object AnalyticsQueries {
         (SELECT count(*) FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)) AS with_high_value,
         (SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)) AS without_high_value""")),
 
+    // weekly cohort retention triangle: cohort = a user's first active
+    // epoch-week, offset = weeks since; distinct active users per
+    // (cohort, offset). All-integer epoch arithmetic (micros div
+    // week-micros) — no calendar/date_trunc semantics to diverge
+    // between engines. Two shuffles: the user-week distinct and the
+    // cohort rollup; the cohort min rides the same user partitioning
+    QueryDef("q_retention", (s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      val wk = ev.select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("week"))
+        .distinct()
+      val cohort = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      wk.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "offset")
+    }, Some("""
+      WITH wk AS (SELECT DISTINCT user_id,
+                    epoch_us(ts) // 604800000000 AS week FROM events),
+           c AS (SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id)
+      SELECT c.cohort, wk.week - c.cohort AS offset,
+             count(DISTINCT wk.user_id) AS n_users
+      FROM wk JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ordered conversion funnel view -> click -> purchase: per user, the
     // earliest view, the earliest click strictly AFTER it, the earliest
     // purchase strictly after that. Three chained conditional-min
