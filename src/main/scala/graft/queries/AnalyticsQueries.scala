@@ -246,6 +246,32 @@ object AnalyticsQueries {
         (SELECT count(*) FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)) AS with_high_value,
         (SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)) AS without_high_value""")),
 
+    // per-user 3-event moving average over the event stream — the
+    // sliding ROWS frame (rowsBetween), decimal-exact inside the frame
+    // so the 3-term double sum can't reorder between engines
+    QueryDef("q_moving_avg", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.loadEvents(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      // cast the EXACT decimal frame-sum to double BEFORE dividing:
+      // engines disagree on decimal-division result scales, but not on
+      // one double division of identical operands
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          (sum(col("value").cast("decimal(19,2)")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("avg3"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id, user_id,
+        CAST(sum(CAST(value AS DECIMAL(19,2))) OVER w AS DOUBLE) /
+             (count(*) OVER w) AS avg3
+      FROM events WHERE event_type = 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")),
+
     // weekly cohort retention triangle: cohort = a user's first active
     // epoch-week, offset = weeks since; distinct active users per
     // (cohort, offset). All-integer epoch arithmetic (micros div
