@@ -265,8 +265,13 @@ object Profile {
         sum(dy * dy).cast("double").as("syy"),
         sum(dx * dy).cast("double").as("sxy"))
       .select(col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("pearson_r"))
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("vx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cxy"))
+      // zero variance -> null, guarded BEFORE the division (ANSI mode
+      // raises DIVIDE_BY_ZERO even for doubles)
+      .select(col("n"),
+        when(col("vx") > 0 && col("vy") > 0,
+          col("cxy") / (sqrt(col("vx")) * sqrt(col("vy")))).as("pearson_r"))
   }
 }
