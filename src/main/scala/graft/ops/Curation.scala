@@ -599,4 +599,76 @@ object Curation {
           .when(col("__oh") === col("__nh"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** (w1, bigram) rows with MULTIPLICITY — the adjacency stream behind
+    * the bigram language model (unlike [[graft.ops.Dedup.shingleRows]],
+    * which dedups per doc: an LM needs every occurrence). Pure codegen
+    * array arithmetic on the split-token array; docs with < 2 tokens
+    * contribute no rows here (callers keep them via a final left join).
+    */
+  private def bigramRows(docs: DataFrame, keepCols: Seq[String],
+                         textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bgs = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))
+              .as("bigram"))))
+      .otherwise(array().cast("array<struct<w1:string,bigram:string>>"))
+    docs.select(keepCols.map(col) :+ explode(bgs).as("bg"): _*)
+      .select(keepCols.map(col) :+ col("bg.w1") :+ col("bg.bigram"): _*)
+  }
+
+  /** CCNet-style n-gram LM quality scoring: train a bigram model on a
+    * REFERENCE corpus (CCNet trains on Wikipedia and scores CommonCrawl;
+    * reference-free corpora use their own high-confidence slice) and
+    * score every candidate document by how well the model predicts its
+    * token transitions. Output per doc:
+    *
+    *   - `n_bigrams` / `n_hits` — adjacent pairs, and how many the model
+    *     has seen;
+    *   - `lm_score` = Σ c(w1,w2) / Σ c(w1) over the doc's bigrams — the
+    *     POOLED transition likelihood. The classic per-bigram mean of
+    *     c(w1,w2)/c(w1) needs a product/log chain whose last-ulp varies
+    *     by libm, breaking cross-engine parity; pooling keeps both sums
+    *     exact longs with ONE final IEEE divide (same trick as
+    *     [[docRarity]]) while ordering docs the same way in practice:
+    *     high = model-predicted transitions, low = unseen/garbled text;
+    *   - `oov_rate` — the fraction of bigrams the model never saw (the
+    *     hard signal CCNet's "tail" bucket keys on).
+    *
+    * Scale shape: the model tables are vocabulary-bounded (≪ corpus) and
+    * df-aggregated once — AQE broadcasts them under the candidate
+    * stream's two left joins (bigram key, then context key); the
+    * candidate side is a codegen explode of the scan, never cached. The
+    * per-doc aggregate partial-aggregates map-side; unmatched bigrams
+    * count 0, so smoothing stays a caller policy on the emitted counts.
+    */
+  def ngramLmScore(ref: DataFrame, docs: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val refBg = bigramRows(ref, Nil, textCol)
+    val c2 = refBg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val scored = bigramRows(docs, Seq(idCol), textCol)
+      .join(c2, Seq("bigram"), "left")
+      .join(c1, Seq("w1"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("nb"),
+        count(col("c2")).as("nh"),
+        sum(coalesce(col("c2"), lit(0L))).as("hs"),
+        sum(coalesce(col("c1"), lit(0L))).as("cs"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nh"), lit(0L)).as("n_hits"),
+        coalesce(col("hs"), lit(0L)).as("hit_sum"),
+        coalesce(col("cs"), lit(0L)).as("ctx_sum"),
+        when(col("cs") > 0, col("hs").cast("double") / col("cs").cast("double"))
+          .as("lm_score"),
+        when(col("nb") > 0,
+          (col("nb") - col("nh")).cast("double") / col("nb").cast("double"))
+          .as("oov_rate"))
+  }
 }

@@ -1117,6 +1117,38 @@ object PipelineExtQueries {
              WHEN o.h = n.h THEN 'unchanged'
              ELSE 'changed' END AS status
       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // -- CCNet-style bigram-LM quality scoring: model trained on the
+    // English slice, every doc scored by pooled transition likelihood +
+    // OOV rate. Exact long sums, one final IEEE divide (the log-free
+    // parity discipline of doc_rarity) --
+    QueryDef("ngram_lm_score", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.ngramLmScore(docs.filter(col("lang") === "en"), docs)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      bg AS (
+        SELECT doc_id, lang,
+          unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks),
+      c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY 1),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY 1),
+      scored AS (
+        SELECT b.doc_id, count(*) AS nb, count(c2.c2) AS nh,
+          sum(coalesce(c2.c2, 0)) AS hs, sum(coalesce(c1.c1, 0)) AS cs
+        FROM bg b LEFT JOIN c2 USING (bigram) LEFT JOIN c1 USING (w1)
+        GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+        CAST(coalesce(hs, 0) AS BIGINT) AS hit_sum,
+        CAST(coalesce(cs, 0) AS BIGINT) AS ctx_sum,
+        CASE WHEN cs > 0 THEN CAST(hs AS DOUBLE) / CAST(cs AS DOUBLE) END AS lm_score,
+        CASE WHEN nb > 0 THEN CAST(nb - nh AS DOUBLE) / CAST(nb AS DOUBLE) END AS oov_rate
+      FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+      ORDER BY d.doc_id"""))
   )
 }

@@ -285,4 +285,34 @@ class CurationOpsSpec extends SparkSpec {
     // rarer terms outrank common ones at equal tf/dl (idf is monotone in df)
     term(1, 1, 3) should be > term(1, 3, 3)
   }
+
+  test("ngramLmScore: pooled transition likelihood + oov against a hand model") {
+    // ref bigrams: "a b" x2, "b c" x2, "a c" x1; contexts: a x3, b x2
+    val ref = Seq((100L, "a b c"), (101L, "a b c"), (102L, "a c"))
+      .toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "a b c"),   // all bigrams seen: nb=2 nh=2 hs=2+2 cs=3+2
+      (2L, "c a"),     // "c a" never seen, context c never seen
+      (3L, "x y z"),   // fully OOV
+      (4L, "solo")     // < 2 tokens -> no bigrams, null scores
+    ).toDF("doc_id", "text")
+    val out = Curation.ngramLmScore(ref, cand).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getLong(1) shouldBe 2L            // n_bigrams
+    out(1L).getLong(2) shouldBe 2L            // n_hits
+    out(1L).getLong(3) shouldBe 4L            // hit_sum = c("a b")+c("b c")
+    out(1L).getLong(4) shouldBe 5L            // ctx_sum = c1(a)+c1(b)
+    out(1L).getDouble(5) shouldBe 4.0 / 5.0   // lm_score
+    out(1L).getDouble(6) shouldBe 0.0         // oov_rate
+    out(2L).getLong(2) shouldBe 0L
+    out(2L).getLong(4) shouldBe 0L            // context c never seen in ref
+    out(2L).isNullAt(5) shouldBe true
+    out(2L).getDouble(6) shouldBe 1.0
+    out(3L).getLong(4) shouldBe 0L
+    out(3L).isNullAt(5) shouldBe true         // no seen context -> no score
+    out(3L).getDouble(6) shouldBe 1.0
+    out(4L).getLong(1) shouldBe 0L
+    out(4L).isNullAt(5) shouldBe true
+    out(4L).isNullAt(6) shouldBe true
+  }
 }
