@@ -88,4 +88,42 @@ object Clustering {
     */
   def meanCosine(vecs: DataFrame, cents: Array[Seq[Double]]): Double =
     assignScored(vecs, cents).agg(avg(col("cosine"))).head().getDouble(0)
+
+  /** SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    * prune near-duplicate pairs WITHIN each cluster only — the
+    * clustering is what makes semantic dedup tractable, because the
+    * pair search never leaves a cell. Greedy lowest-id survivor: a row
+    * is dropped iff some LOWER id in its cluster sits within `tau`
+    * cosine (deterministic, order-free — no dependence on a scan
+    * order). Output (id, cluster, kept).
+    *
+    * Scale shape: assignment is a shuffle-free map ([[assign]]); the
+    * pair search self-joins on the cluster key, so candidate volume is
+    * Σ m_c² — bounded by making `k` GROW with the corpus (SemDeDup uses
+    * ~100k clusters at LAION scale; target m ≈ 1-10k rows/cell) —
+    * never |n|². `clusterCap` backstops degenerate clustering the same
+    * way [[graft.ops.Similarity.embeddingNearDupPairs]]'s bucketCap
+    * does: over-cap clusters skip pairing (their rows are all KEPT,
+    * the conservative direction) rather than detonating a cell-local
+    * quadratic.
+    */
+  def semanticDedup(vecs: DataFrame, k: Int, tau: Double,
+                    cents: Option[Array[Seq[Double]]] = None,
+                    clusterCap: Int = 65536): DataFrame = {
+    val cs = cents.getOrElse(seedCentroids(vecs, k))
+    val a = vecs.select(col("id"),
+      Similarity.nearestCell(col("vec"), cs).as("cluster"), col("vec"))
+    val small =
+      if (clusterCap <= 0) a
+      else a.join(
+        a.groupBy(col("cluster")).agg(count(lit(1)).as("m_"))
+          .filter(col("m_") > clusterCap).select(col("cluster")),
+        Seq("cluster"), "left_anti")
+    val dup = small.as("x").join(small.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
+      .filter(Similarity.cosine(col("x.vec"), col("y.vec")) >= tau)
+      .select(col("y.id").as("id")).distinct()
+    a.join(dup.withColumn("__dup", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("__dup").isNull.as("kept"))
+  }
 }

@@ -405,6 +405,41 @@ object TextQueries {
         FROM scored) WHERE rn = 1
       ORDER BY vec_id""")),
 
+    // SemDeDup: cluster the embedding space (the deterministic seed
+    // assignment embed_partition pins), prune near-dup pairs WITHIN each
+    // cluster only, greedy lowest-id survivor. Full hash oracle — both
+    // the assignment kernel and the pair pruning are replayed in SQL.
+    QueryDef("semantic_dedup", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+      val seeds = graft.ops.Clustering.seedCentroids(e, 8)
+      graft.ops.Clustering.semanticDedup(e, k = 8, tau = 0.4, cents = Some(seeds))
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("kept"))
+        .orderBy("vec_id")
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+      scored AS (
+        SELECT e.vec_id, s.cid,
+          ${dotSql("e.v", "s.c")} / (sqrt(${dotSql("e.v", "e.v")}) * sqrt(${dotSql("s.c", "s.c")})) AS cosine
+        FROM e, seeds s),
+      asg AS (
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid DESC) AS rn
+          FROM scored) WHERE rn = 1),
+      dup AS (
+        SELECT DISTINCT y.vec_id FROM asg x
+        JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        JOIN e ex ON ex.vec_id = x.vec_id
+        JOIN e ey ON ey.vec_id = y.vec_id
+        WHERE ${dotSql("ex.v", "ey.v")} / (sqrt(${dotSql("ex.v", "ex.v")}) * sqrt(${dotSql("ey.v", "ey.v")})) >= 0.4)
+      SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+        (d.vec_id IS NULL) AS kept
+      FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
+      ORDER BY a.vec_id""")),
+
     // Lloyd's spherical k-means: centroid VALUES are partition-order
     // averages (not bit-stable), so — like the ANN recall rows — the
     // oracle checks exact cardinalities plus an engine-independent

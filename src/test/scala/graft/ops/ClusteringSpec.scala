@@ -88,4 +88,32 @@ class ClusteringSpec extends SparkSpec {
     val b = Clustering.kmeans(vecs, 2, iters = 2).centroids
     a.map(_.toList).toList shouldBe b.map(_.toList).toList
   }
+
+  test("semanticDedup drops higher-id near-dups within a cluster only") {
+    val cents = Some(Array(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    // cos(0,2)≈0.9988, cos(0,1)≈0.9939, cos(1,2)≈0.9965; tau=0.998
+    // drops only id 2 (vs id 0); the +y cluster is looser at that tau
+    // except (3,5): cos≈0.99875 — also over, drops id 5
+    val out = Clustering.semanticDedup(vecs, k = 2, tau = 0.998, cents = cents)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    out(0L) shouldBe true
+    out(1L) shouldBe true
+    out(2L) shouldBe false
+    out(3L) shouldBe true
+    out(5L) shouldBe false
+    // cross-cluster pairs are never compared: everything survives a tau
+    // below every intra-cluster cosine only if within-cluster pairs miss
+    val all = Clustering.semanticDedup(vecs, k = 2, tau = 1.01, cents = cents)
+      .collect().map(_.getBoolean(2))
+    all.forall(identity) shouldBe true
+  }
+
+  test("semanticDedup clusterCap skips pairing in over-cap clusters (all kept)") {
+    val cents = Some(Array(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val out = Clustering.semanticDedup(vecs, k = 2, tau = 0.9,
+        cents = cents, clusterCap = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // both clusters hold 3 > 2 rows: pairing is skipped, nothing dropped
+    out.values.forall(identity) shouldBe true
+  }
 }
