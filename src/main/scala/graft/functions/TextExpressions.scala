@@ -44,6 +44,84 @@ object TextKernel {
     new GenericArrayData(out)
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Tier-6 span sampling fused into one pass: md5 every char-k-gram of
+    * the document, keep the digests whose HEX form starts with `sel`
+    * ("0 mod p" content-defined selection), dedup within the doc, return
+    * the selected hex digests. Bit-identical to the explode→substr→md5→
+    * startsWith→distinct pipeline it replaces ([[graft.ops.Dedup
+    * .spanFingerprints]] history), but with no per-position row
+    * materialization, no hex string for the ~15/16 rejected positions
+    * (the prefix check reads digest NIBBLES), and no distinct exchange
+    * (dedup happens here). ASCII documents — the overwhelming case —
+    * hash a sliding window of ONE byte array with zero per-position
+    * allocation; multi-byte text falls back to the codepoint-exact
+    * substring path (Spark `substr` counts codepoints, not UTF-16
+    * units, so the fallback indexes by codepoint).
+    */
+  def sampledSpanHashes(text: UTF8String, k: Int, sel: String): ArrayData = {
+    val s = text.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[String]
+    val selN = new Array[Int](sel.length)
+    var i = 0
+    while (i < sel.length) {
+      selN(i) = java.lang.Character.digit(sel.charAt(i), 16); i += 1
+    }
+    def selected(d: Array[Byte]): Boolean = {
+      var j = 0
+      while (j < selN.length) {
+        val nib = if (j % 2 == 0) (d(j / 2) >> 4) & 0xF else d(j / 2) & 0xF
+        if (nib != selN(j)) return false
+        j += 1
+      }
+      true
+    }
+    def hex(d: Array[Byte]): String = {
+      val out = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        out(2 * j) = HexDigits((d(j) >> 4) & 0xF)
+        out(2 * j + 1) = HexDigits(d(j) & 0xF)
+        j += 1
+      }
+      new String(out)
+    }
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length == s.length) {
+      // ASCII: bytes index == char index == codepoint index
+      var p = 0
+      while (p + k <= bytes.length) {
+        md.reset()
+        md.update(bytes, p, k)
+        val d = md.digest()
+        if (selected(d)) seen.add(hex(d))
+        p += 1
+      }
+    } else {
+      // codepoint-exact fallback: char offsets of each codepoint start
+      val n = s.codePointCount(0, s.length)
+      val starts = new Array[Int](n + 1)
+      var ci = 0; var cp = 0
+      while (cp < n) { starts(cp) = ci; ci = s.offsetByCodePoints(ci, 1); cp += 1 }
+      starts(n) = s.length
+      var p = 0
+      while (p + k <= n) {
+        md.reset()
+        val d = md.digest(s.substring(starts(p), starts(p + k))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (selected(d)) seen.add(hex(d))
+        p += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Adjacent character pairs of one token, in order, non-distinct —
     * the symbol-pair stream of BPE training's counting step. Code-point
     * based (surrogate pairs stay whole) so lengths and substrings agree
@@ -81,6 +159,28 @@ final case class DistinctShingles(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.distinctShingles($t, $k)")
   override protected def withNewChildInternal(newChild: Expression): DistinctShingles =
+    copy(child = newChild)
+}
+
+/** array<string> of a document's per-doc-distinct SELECTED span-gram md5
+  * digests (tier-6 fingerprint sampling fused into the scan). Null text
+  * yields null; explode drops it.
+  */
+final case class SampledSpanHashes(child: Expression, k: Int, sel: String)
+    extends UnaryExpression {
+  require(k >= 1, "span gram size must be >= 1")
+  require(sel.forall(c => Character.digit(c, 16) >= 0),
+    "sel must be hex digits (empty = sample every position)")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "sampled_span_hashes"
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.sampledSpanHashes(input.asInstanceOf[UTF8String], k, sel)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selRef = ctx.addReferenceObj("sel", sel, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.TextKernel.sampledSpanHashes($t, $k, $selRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SampledSpanHashes =
     copy(child = newChild)
 }
 

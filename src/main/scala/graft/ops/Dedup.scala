@@ -836,17 +836,39 @@ object Dedup {
   // reproduces the selection bit-for-bit).
 
   /** Sampled char-k-gram fingerprints: one (id, h) row per DISTINCT
-    * selected gram per doc, h = the md5 hex digest. The gram explode is
-    * linear in corpus characters and stays INSIDE the scan stage (no
-    * shuffle carries unsampled grams): Generate(sequence of start
-    * positions) → substr → md5 → startsWith(sel) all fuse into one
-    * whole-stage-codegen span, and only the surviving 16^-|sel|
-    * fraction reaches the distinct's exchange. At 100 TB: tune k to the
-    * shortest span worth catching (40-100 chars) and |sel| so sampled
-    * rows per doc stay O(len/16^|sel|) ~ tens.
+    * selected gram per doc, h = the md5 hex digest. The whole
+    * hash-select-dedup loop runs INSIDE the scan as ONE codegen kernel
+    * ([[graft.functions.SampledSpanHashes]]): a sliding byte-window md5
+    * per position with no per-position row, no hex encode for the
+    * ~15/16 rejected digests (prefix checked on nibbles), and per-doc
+    * dedup in place — so the plan is scan → kernel → Generate with ZERO
+    * shuffles (the old relational form paid a distinct exchange and a
+    * Generate row per character; it survives as
+    * [[spanFingerprintsUnfused]] for the equivalence spec, and the
+    * DuckDB oracle still replays selection bit-for-bit from md5). At
+    * 100 TB: tune k to the shortest span worth catching (40-100 chars)
+    * and |sel| so sampled rows per doc stay O(len/16^|sel|) ~ tens.
     */
   def spanFingerprints(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 40, sel: String = "0"): DataFrame =
+    df.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(org.apache.spark.sql.classic.GraftExpressionBridge.column(
+          graft.functions.SampledSpanHashes(
+            org.apache.spark.sql.classic.GraftExpressionBridge.expression(
+              col(textCol)), k, sel))).as("h"))
+
+  /** The explode→substr→md5→startsWith→distinct formulation of
+    * [[spanFingerprints]] — an independent implementation kept ONLY for
+    * the equivalence spec (kernel == relational pipeline): the fused
+    * kernel hashes a sliding byte window with no per-position row and
+    * dedups in place, where this form materializes a Generate row per
+    * character position, hex-encodes every rejected digest, and pays a
+    * full distinct exchange.
+    */
+  private[graft] def spanFingerprintsUnfused(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 40, sel: String = "0"): DataFrame =
     df.filter(length(col(textCol)) >= k)
       .select(col(idCol).as("id"), col(textCol).as("__t"))
       // length >= k keeps the sequence ascending (Spark would otherwise

@@ -156,4 +156,26 @@ class SpanDedupSpec extends SparkSpec {
       line should not include "text"
     }
   }
+
+  test("fused kernel == relational pipeline, on ASCII and multi-byte text") {
+    // multi-byte doc exercises the codepoint-exact fallback (Spark
+    // substr counts codepoints; the kernel must match digest-for-digest)
+    val mixed = docs.union(Seq(
+      (5L, "héllo wörld ünïcode çontent — päragraph füll of ümlauts héllo wörld"),
+      (6L, "日本語のテキストです 同じ部分文字列 日本語のテキストです 同じ部分文字列!")
+    ).toDF("doc_id", "text"))
+    for (sel <- Seq("", "0", "ab"); k <- Seq(4, 8)) {
+      val fused = Dedup.spanFingerprints(mixed, "doc_id", "text", k, sel)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val plain = Dedup.spanFingerprintsUnfused(mixed, "doc_id", "text", k, sel)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      withClue(s"k=$k sel='$sel': ") { fused shouldBe plain }
+    }
+  }
+
+  test("fused fingerprint plan has no exchange at all (dedup is in-kernel)") {
+    val p = Dedup.spanFingerprints(docs, "doc_id", "text", k = 8, sel = "0")
+      .queryExecution.executedPlan.toString
+    p should not include "Exchange"
+  }
 }
