@@ -650,6 +650,64 @@ object Curation {
     val refBg = bigramRows(ref, Nil, textCol)
     val c2 = refBg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
     val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    scoreAgainstCounts(docs, c2, c1, idCol, textCol)
+  }
+
+  /** Train the bigram model ONCE and persist it as two bucketed count
+    * tables (`<prefix>_bigrams` keyed/bucketed by `bigram`,
+    * `<prefix>_contexts` by `w1`) — the index-once shape of
+    * [[graft.ops.Dedup.saveMinhashIndex]] applied to LM scoring: later
+    * crawl batches score against the standing model without re-reading
+    * the reference corpus. [[appendLmModel]] appends a new reference
+    * batch's PARTIAL counts (append-only, no table rewrite — the
+    * 100 TB-friendly maintenance mode); [[scoreWithLmModel]] collapses
+    * partials at read time with one vocab-bounded aggregate.
+    */
+  def saveLmModel(ref: DataFrame, prefix: String,
+                  textCol: String = "text", buckets: Int = 16): Unit = {
+    val refBg = bigramRows(ref, Nil, textCol)
+    refBg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .write.mode("overwrite").bucketBy(buckets, "bigram")
+      .saveAsTable(s"${prefix}_bigrams")
+    refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").bucketBy(buckets, "w1")
+      .saveAsTable(s"${prefix}_contexts")
+  }
+
+  /** Fold a NEW reference batch into a persisted LM model by appending
+    * its partial counts; only the batch is scanned and aggregated. See
+    * [[saveLmModel]].
+    */
+  def appendLmModel(batch: DataFrame, prefix: String,
+                    textCol: String = "text", buckets: Int = 16): Unit = {
+    val bg = bigramRows(batch, Nil, textCol)
+    bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .write.mode("append").bucketBy(buckets, "bigram")
+      .saveAsTable(s"${prefix}_bigrams")
+    bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .write.mode("append").bucketBy(buckets, "w1")
+      .saveAsTable(s"${prefix}_contexts")
+  }
+
+  /** Score `docs` against a model persisted by [[saveLmModel]] (+ any
+    * [[appendLmModel]] batches). Equals [[ngramLmScore]] trained on the
+    * union of every batch (spec-pinned): `union → groupBy sum` of the
+    * partials is exactly the partial-aggregate merge Spark would have
+    * run over the whole reference at once.
+    */
+  def scoreWithLmModel(docs: DataFrame, prefix: String,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val c2 = spark.table(s"${prefix}_bigrams")
+      .groupBy(col("bigram")).agg(sum(col("c2")).as("c2"))
+    val c1 = spark.table(s"${prefix}_contexts")
+      .groupBy(col("w1")).agg(sum(col("c1")).as("c1"))
+    scoreAgainstCounts(docs, c2, c1, idCol, textCol)
+  }
+
+  private def scoreAgainstCounts(docs: DataFrame, c2: DataFrame, c1: DataFrame,
+                                 idCol: String, textCol: String): DataFrame = {
     val scored = bigramRows(docs, Seq(idCol), textCol)
       .join(c2, Seq("bigram"), "left")
       .join(c1, Seq("w1"), "left")

@@ -315,4 +315,19 @@ class CurationOpsSpec extends SparkSpec {
     out(4L).isNullAt(5) shouldBe true
     out(4L).isNullAt(6) shouldBe true
   }
+
+  test("persisted LM model: save + append batches == training on the union") {
+    val refA = Seq((100L, "a b c"), (101L, "a b c")).toDF("doc_id", "text")
+    val refB = Seq((102L, "a c b"), (103L, "b c a")).toDF("doc_id", "text")
+    val cand = Seq((1L, "a b c a"), (2L, "c a b"), (3L, "x y")).toDF("doc_id", "text")
+    Curation.saveLmModel(refA, "lm_spec", buckets = 2)
+    Curation.appendLmModel(refB, "lm_spec", buckets = 2)
+    val viaModel = Curation.scoreWithLmModel(cand, "lm_spec")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val direct = Curation.ngramLmScore(refA.unionByName(refB), cand)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    viaModel shouldBe direct
+    // and the model actually saw batch B: "c a" exists only there
+    viaModel(2L)(2) shouldBe 2L // n_hits: "c a" (from B) + "a b" (from A)
+  }
 }
