@@ -31,6 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got: $other")
   }
 
+  private def strArg(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - left-fold dot product of two array<double>"),
@@ -85,5 +92,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("char_pairs",
         "char_pairs(token) - adjacent character pairs of a token (BPE pair input)"),
       (args: Seq[Expression]) => CharPairs(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("sampled_span_hashes"),
+      info("sampled_span_hashes",
+        "sampled_span_hashes(text, k, sel) - per-doc-distinct md5 digests of the " +
+          "char-k-grams whose hex starts with sel (tier-6 span sampling)"),
+      (args: Seq[Expression]) => SampledSpanHashes(args(0),
+        intArg(args(1), "span gram size k"), strArg(args(2), "selector prefix"))))
   }
 }

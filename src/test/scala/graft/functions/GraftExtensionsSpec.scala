@@ -112,6 +112,15 @@ class GraftExtensionsSpec extends SparkSpec {
       val cp = s2.sql("SELECT char_pairs('abc') AS p")
         .head().getSeq[String](0)
       cp shouldBe Seq("ab", "bc")
+
+      // empty selector samples every position: len - k + 1 digests on
+      // an all-distinct-gram string, each matching SQL md5(substring)
+      val sh = s2.sql("SELECT sampled_span_hashes('abcdef', 4, '') AS h")
+        .head().getSeq[String](0)
+      val expected = s2.sql(
+        """SELECT array(md5('abcd'), md5('bcde'), md5('cdef')) AS e""")
+        .head().getSeq[String](0)
+      sh shouldBe expected
     }
   }
 }
