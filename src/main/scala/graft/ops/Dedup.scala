@@ -96,6 +96,24 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
+  /** [[exactGroups]] with a QUALITY-AWARE survivor: the keeper is the
+    * group member with the highest `scoreCol` (ties to the LOWEST id —
+    * deterministic, unlike `max_by`). Production dedup rarely wants
+    * min-id: when near-identical pages differ in metadata, keep the
+    * best-scored copy (longest, highest quality gate, freshest crawl).
+    * Same plan shape as [[exactGroups]] — ONE hash aggregate with
+    * map-side partials; the argmax rides a struct max (lexicographic:
+    * score, then negated id), no window, no second pass.
+    */
+  def exactGroupsBest(df: DataFrame, idCol: String, textCol: String,
+                      scoreCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"))).as("m"),
+        count(lit(1)).as("n_dups"))
+      .select(col("fp"), (-col("m.ni")).as("keeper"),
+        col("m.s").as("keeper_score"), col("n_dups"))
+
   /** Drop shingles whose document frequency exceeds `dfCap` from an
     * inverted index. A shingle with df=m produces m² hits in a
     * candidate self-join — one ubiquitous "stop shingle" at web scale

@@ -201,6 +201,22 @@ object TextQueries {
       SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY fp""")),
 
+    // quality-aware survivor election: keeper = highest score (a
+    // synthetic per-doc score that VARIES inside dup groups so the
+    // argmax is actually exercised), ties to lowest id
+    QueryDef("dedup_exact_best", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("q", (col("doc_id") % 7).cast("long"))
+      Dedup.exactGroupsBest(docs, "doc_id", "text", "q").orderBy("fp")
+    }, Some("""
+      SELECT fp, keeper, keeper_score, n_dups FROM (
+        SELECT md5(text) AS fp, doc_id AS keeper, doc_id % 7 AS keeper_score,
+          count(*) OVER (PARTITION BY md5(text)) AS n_dups,
+          row_number() OVER (PARTITION BY md5(text)
+            ORDER BY doc_id % 7 DESC, doc_id ASC) AS rn
+        FROM documents)
+      WHERE rn = 1 ORDER BY fp""")),
+
     QueryDef("dedup_ngram", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.8)

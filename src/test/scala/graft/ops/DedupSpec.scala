@@ -455,4 +455,18 @@ class DedupSpec extends SparkSpec {
     // 2,3 fold into 1; 6 folds into 5; 4,7,8 are singletons
     kept shouldBe Set(1L, 4L, 5L, 7L, 8L)
   }
+
+  test("exactGroupsBest elects the highest-score member, ties to lowest id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same body", 10L),  // group A: 2 outranks 1
+      (2L, "same body", 50L),
+      (3L, "other body", 7L),  // group B: tie on score -> lowest id 3
+      (4L, "other body", 7L),
+      (5L, "single", 1L)
+    ).toDF("doc_id", "text", "q")
+    val out = Dedup.exactGroupsBest(docs, "doc_id", "text", "q")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    out shouldBe Map(2L -> ((50L, 2L)), 3L -> ((7L, 2L)), 5L -> ((1L, 1L)))
+  }
 }

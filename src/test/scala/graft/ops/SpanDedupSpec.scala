@@ -178,4 +178,23 @@ class SpanDedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     p should not include "Exchange"
   }
+
+  test("fused kernel == relational pipeline on a randomized mixed corpus") {
+    // seeded random strings over a small alphabet (forces gram repeats
+    // within docs, exercising the in-kernel dedup) with multi-byte
+    // characters mixed in (exercising the codepoint fallback)
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab c0é日"
+    val rdocs = (0L until 40L).map { i =>
+      val len = rnd.nextInt(60)
+      (i, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    for (sel <- Seq("", "0"); k <- Seq(3, 6)) {
+      val fused = Dedup.spanFingerprints(rdocs, "doc_id", "text", k, sel)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val plain = Dedup.spanFingerprintsUnfused(rdocs, "doc_id", "text", k, sel)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      withClue(s"k=$k sel='$sel': ") { fused shouldBe plain }
+    }
+  }
 }
