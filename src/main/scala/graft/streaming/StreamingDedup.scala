@@ -154,4 +154,39 @@ object StreamingDedup {
     checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
     w.start()
   }
+
+  /** Streaming SemDeDup (tier 5, embedding space): every micro-batch of
+    * (id, vec double[]) rows dedups against the persisted survivor
+    * index AND within itself under FIXED centroids
+    * ([[graft.ops.Clustering.semanticDedupIncremental]]), then its
+    * SURVIVORS append into the cluster-bucketed index — so later
+    * batches see every earlier batch's kept rows (cross-batch
+    * visibility, same contract as [[startSpanDedup]]). Delivery
+    * precedes the append: a failed sink replays the batch against the
+    * unchanged index.
+    */
+  def startSemanticDedup(stream: DataFrame,
+                         cents: Array[Seq[Double]], indexTable: String,
+                         tau: Double, clusterCap: Int = 65536,
+                         buckets: Int = 16,
+                         checkpoint: Option[String] = None,
+                         queryName: String = "graft_streaming_semantic_dedup")
+                        (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    var w = stream.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val res = graft.ops.Clustering.semanticDedupIncremental(
+          batch.toDF(), cents, spark.table(indexTable), tau, clusterCap)
+        onBatch(res, batchId)
+        val kept = batch.toDF().join(
+          res.filter(org.apache.spark.sql.functions.col("kept"))
+            .select("id"), Seq("id"))
+        graft.ops.Clustering.saveSemanticIndex(kept, cents, indexTable,
+          buckets = buckets, append = true)
+      }
+    checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
+    w.start()
+  }
 }

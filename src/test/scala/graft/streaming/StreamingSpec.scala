@@ -419,6 +419,43 @@ class StreamingSpec extends SparkSpec {
     collected.toSet shouldBe Set((3L, 1L), (4L, 1L), (4L, 3L))
   }
 
+  test("streaming semantic dedup drops near-dups of earlier batches' survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Clustering
+    val cents = Array(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    spark.sql("DROP TABLE IF EXISTS graft_sem_idx")
+    Clustering.saveSemanticIndex(
+      Seq.empty[(Long, Seq[Double])].toDF("id", "vec"),
+      cents, "graft_sem_idx", buckets = 2)
+
+    // batch 1: two distinct directions survive; 11 is an internal dup
+    val b1 = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.999, 0.01)),
+      (12L, Seq(0.0, 1.0)))
+    // batch 2: 20 duplicates batch 1's survivor 10; 21 is new
+    val b2 = Seq((20L, Seq(0.998, 0.02)), (21L, Seq(0.1, 0.99)))
+
+    val keptIds = scala.collection.mutable.Map.empty[Long, Boolean]
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingDedup.startSemanticDedup(
+        mem.toDF().toDF("id", "vec"), cents, "graft_sem_idx",
+        tau = 0.999, buckets = 2) { (res, _) =>
+      res.collect().foreach(r => keptIds(r.getLong(0)) = r.getBoolean(2))
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    keptIds.toMap shouldBe Map(
+      10L -> true, 11L -> false, 12L -> true,  // internal dup dropped
+      20L -> false,                            // cross-batch dup dropped
+      21L -> true)
+    // the index holds exactly the survivors
+    spark.table("graft_sem_idx").select("id").collect()
+      .map(_.getLong(0)).toSet shouldBe Set(10L, 12L, 21L)
+  }
+
   test("streaming cluster state equals the batch closure over all match pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
