@@ -252,4 +252,33 @@ class PlanContractSpec extends SparkSpec {
     res.finalDf.queryExecution.executedPlan.toString should not include "Exchange"
     res.unpersist()
   }
+
+  test("ngram_lm_score: no forced broadcast; candidate explode stays un-cached") {
+    // the model sides are vocab-bounded and AQE-broadcastable, but a
+    // FORCED hint would pin an unbounded reference corpus build-side;
+    // and the doc-side bigram explode must stream, never cache
+    val p = plan("ngram_lm_score")
+    p should not include "broadcast"
+    p should not include "InMemoryTableScan"
+  }
+
+  test("semantic_dedup: assignment is in-scan (no centroid-table join on the corpus side)") {
+    val p = plan("semantic_dedup")
+    // the NearestCentroid kernel carries the matrix as a reference
+    // object: exactly zero BroadcastNestedLoop / cartesian anywhere,
+    // and no forced broadcast hints
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "ResolvedHint"
+  }
+
+  test("fused span fingerprints reach the pair join without a distinct exchange") {
+    // the kernel dedups per doc, so between scan and the candidate
+    // self-join there is ONE exchange (the join key), not two (the old
+    // distinct then the join): count Exchange nodes in the index subtree
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = graft.ops.Dedup.spanFingerprints(docs, "doc_id", "text",
+      k = 40, sel = "0")
+    idx.queryExecution.executedPlan.toString should not include "Exchange"
+  }
 }
