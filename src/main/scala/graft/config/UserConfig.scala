@@ -45,6 +45,14 @@ object UserConfig {
   val PagerdutyIntegrationKey = "spark.expectations.notifications.pagerduty.integration.key"
   val PagerdutyWebhookUrl = "spark.expectations.notifications.pagerduty.webhook.url"
 
+  /** reference `se_enable_obs_dq_report_result` (user_config.py:24). */
+  val EnableObservability = "spark.expectations.notifications.observability.enabled"
+  /** reference `se_dq_obs_alert_flag` (user_config.py:20) — despite the
+    * key text ("disable"), the reference treats value TRUE as
+    * alert-enabled (reader.py:42-43); mirrored verbatim.
+    */
+  val ObsAlertFlag = "spark.expectations.notifications.alert.flag.disable"
+
   val NotifyOnStart = "spark.expectations.notifications.on.start"
   val NotifyOnCompletion = "spark.expectations.notifications.on.completion"
   val NotifyOnFail = "spark.expectations.notifications.on.fail"
@@ -237,7 +245,12 @@ object UserConfig {
       enableQueryDqDetailedResult = errorGated.enableQueryDqDetailedResult ||
         B(conf, EnableQueryDqDetailedResult),
       jobMetadata = conf.get(JobMetadata).map(_.toString)
-        .orElse(errorGated.jobMetadata))
+        .orElse(errorGated.jobMetadata),
+      enableObsReport = errorGated.enableObsReport || B(conf, EnableObservability),
+      // the reference reads the alert flag only INSIDE the
+      // report-enabled branch (reader.py:40-43)
+      enableObsAlert = errorGated.enableObsAlert ||
+        (B(conf, EnableObservability) && B(conf, ObsAlertFlag)))
   }
 
   /** Kafka stats-streaming settings, when the custom config is enabled

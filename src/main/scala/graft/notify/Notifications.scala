@@ -155,6 +155,15 @@ final class Notifier(
           .mkString("\n"),
         priority = "high", kind = "threshold"))
 
+  /** The observability report alert — the rendered three-section HTML
+    * body (header / per-rule / detailed, reference alert.py:32-48 +
+    * prep_report_data) fanned out like any other notification; the
+    * email channel delivers it as the report mail, webhook channels
+    * get the same body.
+    */
+  def onObsReport(subject: String, html: String): Unit =
+    fanOut(Notification(subject, html, priority = "high", kind = "obs_report"))
+
   /** Failed rules with action 'ignore' — the silent-failure alert
     * (expectations.py:798-840), filtered by rule priority.
     */

@@ -73,7 +73,19 @@ final case class DqConfig(
     /** how pipeline counts (input/error/output/per-rule) are produced —
       * see [[CountsMode]]. Defaults to the dedicated fused aggregate.
       */
-    countsMode: CountsMode = CountsMode.FusedAggregate)
+    countsMode: CountsMode = CountsMode.FusedAggregate,
+    /** build the observability report table over the run's detailed
+      * stats + query outputs and expose it as [[DqResult.reportDf]]
+      * (reference: writer.py:706-722 under
+      * `se_enable_obs_dq_report_result`). Implies detailed stats.
+      */
+    enableObsReport: Boolean = false,
+    /** additionally send the three-section report alert through the
+      * notifier (reference: writer.py:724-728 + alert.prep_report_data
+      * under `se_dq_obs_alert_flag`; only meaningful with
+      * [[enableObsReport]]).
+      */
+    enableObsAlert: Boolean = false)
 
 /** Strategy for producing the run's counts and per-rule summaries. */
 sealed trait CountsMode
@@ -142,7 +154,12 @@ final case class DqResult(
       * core/expectations.py:416-441 + the
       * invalid_rules_do_not_raise_exception test).
       */
-    validationWarnings: Seq[graft.rules.RuleValidator.Violation] = Seq.empty) {
+    validationWarnings: Seq[graft.rules.RuleValidator.Violation] = Seq.empty,
+    /** The observability report table (reference
+      * `dq_obs_report_dataframe`, report.py:340) — populated when
+      * [[DqConfig.enableObsReport]] is set.
+      */
+    reportDf: Option[DataFrame] = None) {
   /** The `<stats>_detailed` table: source/target sides full-outer joined
     * on the reference's 6 keys (sinks/utils/writer.py:504-622).
     */
@@ -178,7 +195,15 @@ final class SparkExpectations(
     val productId: String,
     val targetTable: String,
     rules: Seq[Rule],
-    config: DqConfig = DqConfig()) {
+    config0: DqConfig = DqConfig()) {
+
+  // the observability report is BUILT FROM the detailed rows, so the
+  // report flag implies them (the reference reaches writer.py:706 only
+  // on the detailed-stats path)
+  private val config: DqConfig =
+    if (config0.enableObsReport && !config0.enableDetailedStats)
+      config0.copy(enableDetailedStats = true)
+    else config0
 
   private val grouped: Map[RuleType, Seq[Rule]] =
     RuleType.all.map { t =>
@@ -639,9 +664,25 @@ final class SparkExpectations(
         throw w
     }
 
+    // observability report + alert (reference writer.py:706-728): built
+    // AFTER the stats sinks so a failing report cannot mask a green run's
+    // persisted stats, from the same detailed rows the sinks saw
+    val reportDf =
+      if (config.enableObsReport) {
+        val rep = graft.sink.Report.build(spark, ctx,
+          (sourceDetails ++ targetDetails).toSeq,
+          graft.sink.Report.pairQueryOutputs(queryOutputs), inputCount)
+        if (config.enableObsAlert) config.notifier.foreach(_.onObsReport(
+          s"DQ Report for $productId / $targetTable",
+          graft.sink.Report.alertEmailHtml(spark, rep,
+            s"DQ Report for $productId / $targetTable")))
+        Some(rep)
+      } else None
+
     DqResult(finalDf, errorDf, stats, sourceAgg, sourceQuery,
       targetAgg, targetQuery, rowSummaries, statuses, sourceDetails,
-      targetDetails, queryOutputs, pipelineCleanup, validationWarnings)
+      targetDetails, queryOutputs, pipelineCleanup, validationWarnings,
+      reportDf)
   }
 }
 

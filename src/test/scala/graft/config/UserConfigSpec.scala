@@ -219,4 +219,22 @@ class UserConfigSpec extends SparkSpec {
       UserConfig.KafkaCustomConfigEnable -> false,
       UserConfig.KafkaTopic -> "stale-topic")) shouldBe None
   }
+
+  test("observability keys map to report/alert flags like reader.py:40-43") {
+    val both = UserConfig.dqConfig(Map(
+      UserConfig.EnableObservability -> true,
+      UserConfig.ObsAlertFlag -> true), "p", "t")
+    both.enableObsReport shouldBe true
+    both.enableObsAlert shouldBe true
+    // report without the alert flag
+    val reportOnly = UserConfig.dqConfig(Map(
+      UserConfig.EnableObservability -> true), "p", "t")
+    reportOnly.enableObsReport shouldBe true
+    reportOnly.enableObsAlert shouldBe false
+    // the alert flag is read ONLY inside the report-enabled branch
+    val alertNoReport = UserConfig.dqConfig(Map(
+      UserConfig.ObsAlertFlag -> true), "p", "t")
+    alertNoReport.enableObsReport shouldBe false
+    alertNoReport.enableObsAlert shouldBe false
+  }
 }

@@ -141,4 +141,34 @@ class EndToEndSpec extends SparkSpec {
     inMem.sent.map(_.kind) should contain ("failure")
     pages.size should be >= 1 // job failure pages the on-call
   }
+
+  test("obs report flag builds the report table; alert flag fans out the HTML") {
+    import graft.syntax._
+    val inMem = new InMemoryNotifier
+    val input = Seq((1, "a"), (2, "b"), (3, "c")).toDF("col1", "col2")
+    val rules = Seq(
+      Rule("p1", "e2e_obs", "row_dq", "col1_gt1", "col1", "col1 > 1", "ignore"),
+      Rule("p1", "e2e_obs", "agg_dq", "n", "col1", "count(col1) = 3"))
+    val res = input.withExpectations("p1", "e2e_obs", rules, DqConfig(
+      notifier = Some(new Notifier(Seq(inMem))),
+      enableObsReport = true,
+      enableObsAlert = true))
+    // report rows exist even though enableDetailedStats was NOT set:
+    // the report flag implies the detailed rows it is built from
+    val rep = res.reportDf.getOrElse(fail("reportDf missing"))
+    rep.filter($"rule" === "col1_gt1").head()
+      .getAs[Long]("failed_records") shouldBe 1L
+    // the alert went through the notifier as rendered HTML
+    val alert = inMem.sent.filter(_.kind == "obs_report")
+    alert should have size 1
+    alert.head.body should include ("<table")
+    alert.head.title should include ("p1")
+    res.unpersist()
+
+    // report off -> no frame, no alert
+    val off = input.withExpectations("p1", "e2e_obs", rules, DqConfig(
+      notifier = Some(new Notifier(Seq(new InMemoryNotifier)))))
+    off.reportDf shouldBe None
+    off.unpersist()
+  }
 }
