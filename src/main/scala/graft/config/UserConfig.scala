@@ -29,6 +29,13 @@ object UserConfig {
   val EmailSmtpUser = "spark.expectations.notifications.smtp.user.name"
   val EmailSmtpPassword = "spark.expectations.notifications.email.smtp.password"
   val EmailTemplatedBasicBody = "spark.expectations.notifications.email.templated.basic.body.enable"
+  /** reference `se_notifications_enable_custom_email_body` +
+    * `se_notifications_email_custom_body`: the completion body becomes
+    * `CUSTOM EMAIL` + a JSON of the stats keys the template names as
+    * `'key': {}` placeholders (spark_expectations_notify.py:80-106).
+    */
+  val EnableCustomEmailBody = "spark.expectations.notifications.email.custom.body.enable"
+  val EmailCustomBody = "spark.expectations.notifications.email.custom.body"
 
   val EnableSlack = "spark.expectations.notifications.slack.enabled"
   val SlackWebhookUrl = "spark.expectations.notifications.slack.webhook.url"
@@ -204,7 +211,10 @@ object UserConfig {
     else Some(new Notifier(ps,
       enableOnStart = B(conf, NotifyOnStart),
       enableOnCompletion = B(conf, NotifyOnCompletion),
-      enableOnFailure = !conf.contains(NotifyOnFail) || B(conf, NotifyOnFail)))
+      enableOnFailure = !conf.contains(NotifyOnFail) || B(conf, NotifyOnFail),
+      customBody =
+        if (B(conf, EnableCustomEmailBody)) Some(S(conf, EmailCustomBody))
+        else None))
   }
 
   /** `se.dq.rules.params` (Map or "k=v,k=v" string) → param map. */

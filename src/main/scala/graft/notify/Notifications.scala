@@ -111,12 +111,66 @@ final class PagerDutyNotifier(
   * .py:42-388) and fans them out to registered plugins, honoring the
   * low<medium<high priority filter.
   */
+/** The reference's custom notification body
+  * (spark_expectations_notify.py:80-106): the user template declares
+  * which stats it wants as `'key': {}` placeholders; the rendered body
+  * is `CUSTOM EMAIL\n` + a JSON object of those keys from the run's
+  * stats dict (reference stats-table key names). Keys absent from the
+  * dict are skipped (the reference logs a warning); a template with NO
+  * placeholders raises, like the reference.
+  */
+object CustomBody {
+  private val Placeholder = """'(\w+)': \{\}""".r
+
+  def render(template: String, s: DqStats): String = {
+    val keys = Placeholder.findAllMatchIn(template).map(_.group(1)).toSeq
+    require(keys.nonEmpty, "No key words for statistics were provided.")
+    val dict = statsDict(s)
+    val m = new java.util.LinkedHashMap[String, Any]
+    keys.foreach(k => dict.get(k).foreach(v => m.put(k, v)))
+    "CUSTOM EMAIL\n" + new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(m)
+  }
+
+  /** The stats row under the reference's snake_case stats-table names
+    * (the same mapping as StatsBuilder.toReferenceDataFrame; dates in
+    * ISO form, like the reference's serialize_date default).
+    */
+  private def statsDict(s: DqStats): Map[String, Any] = {
+    def r2(v: Double) = math.round(v * 100.0) / 100.0
+    Map(
+      "product_id" -> s.productId,
+      "table_name" -> s.tableName,
+      "input_count" -> s.inputCount,
+      "error_count" -> s.errorCount,
+      "output_count" -> s.outputCount,
+      "output_percentage" -> r2(s.outputPercentage),
+      "success_percentage" -> r2(s.successPercentage),
+      "error_percentage" -> r2(s.errorPercentage),
+      "dq_status" -> {
+        val m = new java.util.LinkedHashMap[String, String]
+        s.dqStatus.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+        m
+      },
+      "meta_dq_run_id" -> s.runId,
+      "meta_dq_run_date" -> s.runDate.toLocalDateTime.toLocalDate.toString,
+      "meta_dq_run_datetime" -> s.runDate.toLocalDateTime.toString,
+      "se_job_metadata" -> s.jobMetadata.orNull)
+  }
+}
+
 final class Notifier(
     plugins: Seq[NotificationPlugin],
     minPriority: String = "low",
     enableOnStart: Boolean = true,
     enableOnCompletion: Boolean = true,
-    enableOnFailure: Boolean = true) {
+    enableOnFailure: Boolean = true,
+    /** the reference's `se_notifications_email_custom_body` template —
+      * when set (with its enable flag, handled by UserConfig), the
+      * completion notification body is [[CustomBody.render]] instead of
+      * the standard summary (spark_expectations_notify.py:208-212).
+      */
+    customBody: Option[String] = None) {
 
   private val rank = Map("low" -> 0, "medium" -> 1, "high" -> 2)
 
@@ -132,10 +186,11 @@ final class Notifier(
   def onCompletion(stats: DqStats): Unit = if (enableOnCompletion)
     fanOut(Notification(
       s"Spark expectations job completed",
-      s"product_id: ${stats.productId}\ntable: ${stats.tableName}\n" +
-        s"input_count: ${stats.inputCount}\nerror_count: ${stats.errorCount}\n" +
-        s"output_count: ${stats.outputCount}\n" +
-        f"success_percentage: ${stats.successPercentage}%.2f",
+      customBody.map(CustomBody.render(_, stats)).getOrElse(
+        s"product_id: ${stats.productId}\ntable: ${stats.tableName}\n" +
+          s"input_count: ${stats.inputCount}\nerror_count: ${stats.errorCount}\n" +
+          s"output_count: ${stats.outputCount}\n" +
+          f"success_percentage: ${stats.successPercentage}%.2f"),
       kind = "completion"))
 
   def onFailure(productId: String, table: String, error: String): Unit = if (enableOnFailure)

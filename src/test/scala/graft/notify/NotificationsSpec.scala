@@ -149,6 +149,27 @@ class NotificationsSpec extends AnyFunSuite with Matchers {
     pages shouldBe 1 // completion is not a failure scenario
     sink.sent should have size 2
   }
+
+  test("custom email body renders the declared stats keys as JSON") {
+    val sink = new InMemoryNotifier
+    val stats = graft.model.DqStats("p7", "t7", 10, 1, 9, 90.0, 90.0, 10.0,
+      Nil, Nil, Nil, Nil, Map("run_status" -> "Passed"), Map.empty, Map.empty,
+      Nil, Nil, "run1", new java.sql.Timestamp(0L))
+    val template = "Stats are: 'product_id': {} and 'input_count': {} " +
+      "and 'no_such_key': {} and 'error_percentage': {}"
+    new Notifier(Seq(sink), customBody = Some(template)).onCompletion(stats)
+    val body = sink.sent.head.body
+    body should startWith ("CUSTOM EMAIL\n")
+    // declared keys in template order; the unknown key silently skipped
+    body should include ("\"product_id\":\"p7\"")
+    body should include ("\"input_count\":10")
+    body should include ("\"error_percentage\":10.0")
+    body should not include "no_such_key"
+    // a template with no placeholders raises, like the reference
+    an[IllegalArgumentException] should be thrownBy
+      new Notifier(Seq(sink), customBody = Some("no placeholders here"))
+        .onCompletion(stats)
+  }
 }
 
 class DqSettingsSpec extends graft.SparkSpec {
