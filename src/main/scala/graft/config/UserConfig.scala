@@ -36,6 +36,12 @@ object UserConfig {
     */
   val EnableCustomEmailBody = "spark.expectations.notifications.email.custom.body.enable"
   val EmailCustomBody = "spark.expectations.notifications.email.custom.body"
+  /** reference `se_notifications_smtp_creds_dict` (email.py:67-76): a
+    * NESTED conf map holding its own secret.type + keys; consulted when
+    * neither the direct password key nor the top-level secret path
+    * yields one.
+    */
+  val SmtpCredsDict = "spark.expectations.notifications.smtp.creds.dict"
 
   val EnableSlack = "spark.expectations.notifications.slack.enabled"
   val SlackWebhookUrl = "spark.expectations.notifications.slack.webhook.url"
@@ -140,7 +146,7 @@ object UserConfig {
     * the lookup key is "scope/key" so scope-addressed backends
     * (ScopedBackend) resolve; scope-less backends get the bare key.
     */
-  private def smtpPassword(conf: Map[String, Any]): Option[String] = {
+  private[config] def smtpPassword(conf: Map[String, Any]): Option[String] = {
     val direct = S(conf, EmailSmtpPassword)
     if (direct.nonEmpty) Some(direct)
     else conf.get(SecretType).map(_.toString).flatMap { t =>
@@ -153,6 +159,16 @@ object UserConfig {
         case _ => EmailSmtpPassword
       }
       scala.util.Try(SecretsBackend(t).get(key)).toOption.flatten
+    } match {
+      case some @ Some(_) => some
+      case None =>
+        // the nested creds dict is its own little conf: recurse so a
+        // direct password key OR a dict-scoped secret backend both work
+        conf.get(SmtpCredsDict) match {
+          case Some(m: scala.collection.Map[_, _]) =>
+            smtpPassword(m.map { case (k, v) => k.toString -> (v: Any) }.toMap)
+          case _ => None
+        }
     }
   }
 

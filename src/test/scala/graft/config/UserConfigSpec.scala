@@ -220,6 +220,24 @@ class UserConfigSpec extends SparkSpec {
       UserConfig.KafkaTopic -> "stale-topic")) shouldBe None
   }
 
+  test("smtp creds dict resolves the password like email.py:67-76") {
+    // direct password inside the nested dict
+    UserConfig.smtpPassword(Map(
+      UserConfig.SmtpCredsDict -> Map[String, Any](
+        UserConfig.EmailSmtpPassword -> "nested-pass"))) shouldBe Some("nested-pass")
+    // dict-scoped secret backend
+    SecretsBackend.register(new SecretsBackend.MapBackend(
+      Map(UserConfig.EmailSmtpPassword -> "nested-vault")))
+    UserConfig.smtpPassword(Map(
+      UserConfig.SmtpCredsDict -> Map[String, Any](
+        UserConfig.SecretType -> "static"))) shouldBe Some("nested-vault")
+    // top-level password always wins over the dict
+    UserConfig.smtpPassword(Map(
+      UserConfig.EmailSmtpPassword -> "top",
+      UserConfig.SmtpCredsDict -> Map[String, Any](
+        UserConfig.EmailSmtpPassword -> "nested"))) shouldBe Some("top")
+  }
+
   test("observability keys map to report/alert flags like reader.py:40-43") {
     val both = UserConfig.dqConfig(Map(
       UserConfig.EnableObservability -> true,
