@@ -689,6 +689,40 @@ object Dedup {
     df.join(dupIds, df(idCol) === dupIds("doc_id"), "left_anti")
   }
 
+  /** Quality-aware winner election over near-dup clusters: per
+    * `cluster_id`, the member with the highest `scoreCol` (ties to the
+    * LOWEST id) plus the member count — [[exactGroupsBest]] lifted from
+    * identical-text groups to transitive near-dup components. The
+    * clusters frame is pair-derived (tiny vs the corpus) and the argmax
+    * is one struct-max hash aggregate; no window, no second pass.
+    */
+  def bestClusterMembers(clusters: DataFrame, scores: DataFrame,
+                         idCol: String, scoreCol: String): DataFrame =
+    clusters
+      .join(scores.select(col(idCol).as("doc_id"), col(scoreCol).as("__q")),
+        Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("__q").as("s"), (-col("doc_id")).as("ni"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("m.ni")).as("keeper"),
+        col("m.s").as("keeper_score"), col("n_members"))
+
+  /** [[dropDuplicateMembers]] with the quality-aware survivor: every
+    * cluster keeps its [[bestClusterMembers]] winner instead of the
+    * minimum id. Rows outside any cluster pass through untouched.
+    */
+  def dropDuplicateMembersBest(df: DataFrame, idCol: String,
+                               scoreCol: String,
+                               clusters: DataFrame): DataFrame = {
+    val winners = bestClusterMembers(clusters,
+      df.select(col(idCol), col(scoreCol)), idCol, scoreCol)
+    val dupIds = clusters.join(winners, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    df.join(dupIds, df(idCol) === dupIds("doc_id"), "left_anti")
+  }
+
   /** Span-level (block) dedup — the C4/RefinedWeb "remove the duplicated
     * PASSAGE, keep the document" operator, complementary to the
     * whole-document tiers above: each document is split into

@@ -105,6 +105,55 @@ object Packing {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** Length-bucketed inference batching: group documents into
+    * padding-efficient batches of `batchSize`, where batch peers share
+    * a token-length bucket (`n div bucketWidth`) — so per-batch padding
+    * waste is bounded by the bucket width, vs the unbatched worst case
+    * of padding everything to the global max (the standard
+    * dynamic-batching prep for GPU inference / reward scoring passes).
+    *
+    * Scale shape: bucket CARDINALITY is tiny (max_len / width), so a
+    * plain per-bucket window would funnel each bucket into one task. A
+    * deterministic hash shard (`nShards`) splits every bucket first —
+    * batches form within (bucket, shard), keeping parallelism at
+    * buckets × shards with NO effect on padding efficiency (peers still
+    * share the bucket). One exchange on (bucket, shard); both windows
+    * (ordinal, batch max) ride the same sort.
+    *
+    * Output: all input columns plus `bucket`, `shard`, `batch_id`
+    * (0-based within (bucket, shard)), `batch_max_tokens`, `pad_tokens`
+    * (this doc's padding in its batch). Zero/null-token docs are
+    * dropped, like [[packByOrder]].
+    */
+  def lengthBucketBatches(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      bucketWidth: Int,
+      batchSize: Int,
+      nShards: Int = 64,
+      /** shard assignment override — the default xxhash64 spreads any id
+        * type; pass the portable modular hash (see
+        * [[graft.ops.Sampling]]) when a cross-engine oracle must replay
+        * the sharding.
+        */
+      shardBy: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(bucketWidth > 0, "bucket width must be positive")
+    require(batchSize > 0, "batch size must be positive")
+    require(nShards > 0, "shard count must be positive")
+    val shardCol = shardBy.getOrElse(pmod(xxhash64(col(idCol)), lit(nShards)))
+    val bucketed = docs
+      .filter(col(tokensCol).isNotNull && col(tokensCol) > 0)
+      .withColumn("bucket", expr(s"$tokensCol div ${bucketWidth}L"))
+      .withColumn("shard", shardCol.cast("int"))
+    val batched = bucketed
+      .withColumn("batch_id", expr(s"(row_number() OVER (PARTITION BY bucket, shard ORDER BY $idCol) - 1) div ${batchSize}L"))
+    val wb = Window.partitionBy(col("bucket"), col("shard"), col("batch_id"))
+    batched
+      .withColumn("batch_max_tokens", max(col(tokensCol)).over(wb))
+      .withColumn("pad_tokens", col("batch_max_tokens") - col(tokensCol))
+  }
+
   // `size` the function shadows `size` the parameter name inside
   // chunkTokens — alias it
   private def size_(c: org.apache.spark.sql.Column) =

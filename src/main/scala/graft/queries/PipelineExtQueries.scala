@@ -1149,6 +1149,36 @@ object PipelineExtQueries {
         CASE WHEN cs > 0 THEN CAST(hs AS DOUBLE) / CAST(cs AS DOUBLE) END AS lm_score,
         CASE WHEN nb > 0 THEN CAST(nb - nh AS DOUBLE) / CAST(nb AS DOUBLE) END AS oov_rate
       FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // -- length-bucketed inference batching: batch peers share a token-
+    // length bucket so per-batch padding is bounded by the bucket width;
+    // deterministic portable shard hash so DuckDB replays the grouping --
+    QueryDef("batch_by_length", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Packing.lengthBucketBatches(docs, "doc_id", "n_tokens",
+          bucketWidth = 32, batchSize = 8, nShards = 4,
+          shardBy = Some(pmod(col("doc_id") % 1048573 * 2654435761L, lit(4))))
+        .select(col("doc_id"), col("n_tokens"), col("bucket"),
+          col("shard").cast("long").as("shard"), col("batch_id"),
+          col("batch_max_tokens"), col("pad_tokens"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_tokens, n_tokens // 32 AS bucket,
+          ((doc_id % 1048573) * 2654435761) % 4 AS shard
+        FROM t WHERE n_tokens > 0),
+      o AS (
+        SELECT *, (row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1) // 8 AS batch_id
+        FROM b)
+      SELECT doc_id, n_tokens, bucket, shard, batch_id,
+        max(n_tokens) OVER (PARTITION BY bucket, shard, batch_id) AS batch_max_tokens,
+        max(n_tokens) OVER (PARTITION BY bucket, shard, batch_id) - n_tokens AS pad_tokens
+      FROM o ORDER BY doc_id"""))
   )
 }

@@ -258,6 +258,44 @@ object TextQueries {
       SELECT id AS doc_id, min(r) AS cluster_id
       FROM reach GROUP BY id ORDER BY doc_id""")),
 
+    // quality-aware survivor election over the SAME near-dup clusters:
+    // keep the LONGEST member of each component (ties to lowest id) —
+    // exactGroupsBest lifted to transitive near-dup components
+    QueryDef("dedup_keep_best", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.8)
+      val clusters = Dedup.connectedComponents(pairs)
+      Dedup.bestClusterMembers(clusters,
+          docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+        .orderBy("cluster_id")
+    }, Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM docs a, docs b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+      cc AS (
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT cluster_id, keeper, keeper_score, n_members FROM (
+        SELECT cc.cluster_id, d.doc_id AS keeper, d.n_chars AS keeper_score,
+          count(*) OVER (PARTITION BY cc.cluster_id) AS n_members,
+          row_number() OVER (PARTITION BY cc.cluster_id
+            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+        FROM cc JOIN documents d ON cc.doc_id = d.doc_id)
+      WHERE rn = 1 ORDER BY cluster_id""")),
+
     // the production shape: corpus indexed once, incoming batch deduped
     // against the stored index without re-shingling the corpus. Corpus =
     // even doc_ids, batch = odd; oracle is the exact cross-side jaccard.

@@ -456,6 +456,22 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Set(1L, 4L, 5L, 7L, 8L)
   }
 
+  test("dropDuplicateMembersBest keeps each cluster's best-scored member") {
+    import spark.implicits._
+    // two clusters: {1,2,3} label 1, {5,6} label 5; 4 unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, 10L), (2L, 90L), (3L, 90L), (4L, 1L), (5L, 2L), (6L, 7L))
+      .toDF("doc_id", "q")
+    val best = Dedup.bestClusterMembers(clusters, docs, "doc_id", "q")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // tie 2 vs 3 at 90 -> lowest id 2; cluster 5 -> member 6 (7 > 2)
+    best shouldBe Map(1L -> ((2L, 90L, 3L)), 5L -> ((6L, 7L, 2L)))
+    val kept = Dedup.dropDuplicateMembersBest(docs, "doc_id", "q", clusters)
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(2L, 4L, 6L) // winners + the unclustered row
+  }
+
   test("exactGroupsBest elects the highest-score member, ties to lowest id") {
     import spark.implicits._
     val docs = Seq(

@@ -103,4 +103,41 @@ class PackingSpec extends SparkSpec {
     plan should not include "Exchange"
     plan should include("Generate")
   }
+
+  test("lengthBucketBatches groups same-bucket docs and bounds pad waste") {
+    import spark.implicits._
+    // width 10: ids 1-3 land in bucket 0 (3,7,9 tokens), 4-5 in bucket 1
+    val docs = Seq((1L, 3L), (2L, 7L), (3L, 9L), (4L, 12L), (5L, 19L),
+      (6L, 0L)) // zero tokens -> dropped
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.lengthBucketBatches(docs, "doc_id", "n_tokens",
+        bucketWidth = 10, batchSize = 2, nShards = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("bucket"), r.getAs[Long]("batch_id"),
+          r.getAs[Long]("batch_max_tokens"), r.getAs[Long]("pad_tokens")))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+    // bucket 0, id order 1,2,3 -> batches {1,2} and {3}
+    out(1L) shouldBe ((0L, 0L, 7L, 4L))
+    out(2L) shouldBe ((0L, 0L, 7L, 0L))
+    out(3L) shouldBe ((0L, 1L, 9L, 0L))
+    // bucket 1: {4,5} one batch, max 19
+    out(4L) shouldBe ((1L, 0L, 19L, 7L))
+    out(5L) shouldBe ((1L, 0L, 19L, 0L))
+    // padding never exceeds what cross-bucket batching could cost: every
+    // doc's pad is < global max (19) - its own tokens when buckets split
+    out.values.foreach { case (_, _, mx, pad) => pad should be < mx }
+  }
+
+  test("lengthBucketBatches shards are deterministic and respected") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, 5L + i % 3)).toDF("doc_id", "n_tokens")
+    val a = Packing.lengthBucketBatches(docs, "doc_id", "n_tokens", 100, 4, nShards = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("batch_id")))
+    val b = Packing.lengthBucketBatches(docs, "doc_id", "n_tokens", 100, 4, nShards = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("batch_id")))
+    a.sortBy(_._1) shouldBe b.sortBy(_._1)
+    // batches never mix shards, and no batch exceeds the batch size
+    val sizes = a.groupBy(t => (t._2, t._3)).values.map(_.size)
+    all(sizes) should be <= 4
+  }
 }
