@@ -46,6 +46,56 @@ object TextKernel {
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  /** Distinct k-token shingle HASHES of one document — the fingerprint
+    * stream [[distinctShingles]]→`xxhash64` produces, computed
+    * zero-copy: a k-token shingle joined with single spaces is exactly
+    * the byte span of the ORIGINAL text from token i's first byte to
+    * token i+k-1's last byte (the tokenizer splits on single spaces, so
+    * re-joining with single spaces reproduces the source bytes, empty
+    * tokens included), and 0x20 never occurs inside a UTF-8 multi-byte
+    * sequence — so each hash runs XXH64 (seed 42, Spark's `xxhash64`,
+    * bit-identical and therefore interoperable with indexes persisted
+    * by the string pipeline; spec-pinned) directly over a slice of the
+    * input bytes. No shingle string, no per-shingle allocation, no
+    * post-explode hash projection.
+    */
+  def distinctShingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // token boundaries: starts(i) = first byte of token i; ends(i) = one
+    // past its last byte. numToks = spaces + 1 (split(" ", -1) contract).
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val numToks = spaces + 1
+    if (numToks < k) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](numToks)
+    val ends = new Array[Int](numToks)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = n
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    var s = 0
+    while (s + k <= numToks) {
+      val from = starts(s)
+      val len = ends(s + k - 1) - from
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+        len, 42L))
+      s += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next().longValue(); m += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Tier-6 span sampling fused into one pass: md5 every char-k-gram of
     * the document, keep the digests whose HEX form starts with `sel`
     * ("0 mod p" content-defined selection), dedup within the doc, return
@@ -159,6 +209,24 @@ final case class DistinctShingles(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.distinctShingles($t, $k)")
   override protected def withNewChildInternal(newChild: Expression): DistinctShingles =
+    copy(child = newChild)
+}
+
+/** array<long> of a document's distinct k-shingle xxhash64 fingerprints
+  * (zero-copy byte-span hashing — see
+  * [[TextKernel.distinctShingleHashes]]). Null text yields null;
+  * explode drops it.
+  */
+final case class DistinctShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "distinct_shingle_hashes"
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.distinctShingleHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.distinctShingleHashes($t, $k)")
+  override protected def withNewChildInternal(newChild: Expression): DistinctShingleHashes =
     copy(child = newChild)
 }
 

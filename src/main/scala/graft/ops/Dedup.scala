@@ -201,6 +201,21 @@ object Dedup {
     * shingles; one collision inflates one intersection count by 1).
     */
   def shingleFpRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(org.apache.spark.sql.classic.GraftExpressionBridge.column(
+        graft.functions.DistinctShingleHashes(
+          org.apache.spark.sql.classic.GraftExpressionBridge.expression(
+            col(textCol)), k))).as("s"))
+
+  /** The string-pipeline formulation of [[shingleFpRows]]
+    * (shingleRows → xxhash64) — kept for the equivalence spec: the
+    * fused kernel hashes byte SPANS of the input zero-copy where this
+    * form materializes every shingle string through the Generate and
+    * hashes it in a separate projection. Bit-identical output
+    * (spec-pinned), so fingerprints from either form interoperate.
+    */
+  private[graft] def shingleFpRowsUnfused(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     shingleRows(df, idCol, textCol, k).select(col("id"), xxhash64(col("s")).as("s"))
 
   /** Tier 2: n-gram Jaccard near-dup pairs above `tau`.

@@ -456,6 +456,24 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Set(1L, 4L, 5L, 7L, 8L)
   }
 
+  test("zero-copy shingle hashes == shingleRows -> xxhash64, bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val alphabet = Seq("alpha", "beta", "gamma", "", "日本語", "x")
+    val docs = ((0L until 30L).map { i =>
+      val len = rnd.nextInt(12)
+      (i, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString(" "))
+    } ++ Seq((100L, "a  b   c"), (101L, " leading and trailing "), (102L, "")))
+      .toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3)) {
+      val fused = Dedup.shingleFpRows(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plain = Dedup.shingleFpRowsUnfused(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      withClue(s"k=$k: ") { fused shouldBe plain }
+    }
+  }
+
   test("dropDuplicateMembersBest keeps each cluster's best-scored member") {
     import spark.implicits._
     // two clusters: {1,2,3} label 1, {5,6} label 5; 4 unclustered
