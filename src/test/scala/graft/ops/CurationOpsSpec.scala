@@ -316,6 +316,38 @@ class CurationOpsSpec extends SparkSpec {
     out(4L).isNullAt(6) shouldBe true
   }
 
+  test("trainQualityModel separates stopword-rich English from gibberish") {
+    // two clearly separable populations on the stopword-ratio feature
+    val en = (0L until 40L).map(i =>
+      (i, s"the quick fox and the dog are in the yard with a ball $i", 1))
+    val junk = (100L until 140L).map(i =>
+      (i, s"zzz qqq xxx kkk vvv www jjj ppp mmm nnn $i", 0))
+    val docs = (en ++ junk).toDF("doc_id", "text", "label")
+    val w = Curation.trainQualityModel(docs, "text", "label",
+      iters = 80, lr = 4.0)
+    val acc = Curation.modelAccuracy(docs, "text", "label", w)
+    acc should be >= 0.95
+    // the trained weights serve through the codegen gate: accepted set
+    // is (approximately) the English side
+    val kept = Curation.classifierGate(docs, "doc_id", "text", w)
+      .collect().map(_.getLong(0)).toSet
+    (kept.count(_ < 100L).toDouble / 40.0) should be >= 0.9
+    (kept.count(_ >= 100L).toDouble / 40.0) should be <= 0.1
+    // stopword ratio should carry positive learned weight
+    w.wStop should be > 0.0
+  }
+
+  test("IRLS trainer reaches GD-or-better accuracy in 6 iterations") {
+    val en = (0L until 40L).map(i =>
+      (i, s"the quick fox and the dog are in the yard with a ball $i", 1))
+    val junk = (100L until 140L).map(i =>
+      (i, s"zzz qqq xxx kkk vvv www jjj ppp mmm nnn $i", 0))
+    val docs = (en ++ junk).toDF("doc_id", "text", "label")
+    val w = Curation.trainQualityModelIRLS(docs, "text", "label", iters = 6)
+    Curation.modelAccuracy(docs, "text", "label", w) should be >= 0.95
+    w.wStop should be > 0.0
+  }
+
   test("persisted LM model: save + append batches == training on the union") {
     val refA = Seq((100L, "a b c"), (101L, "a b c")).toDF("doc_id", "text")
     val refB = Seq((102L, "a c b"), (103L, "b c a")).toDF("doc_id", "text")
