@@ -686,6 +686,56 @@ object Curation {
       1.0).otherwise(0.0))).head().getDouble(0)
   }
 
+  /** Exact binary-classifier evaluation as distributed aggregates: the
+    * confusion counts at `threshold` plus tie-aware AUC — the
+    * Mann-Whitney U formulation, U = Σ over distinct scores of
+    * cp·(cumNegBelow + cn/2). Every term is an exact half-integer, so
+    * the cross-partition sum is ORDER-INDEPENDENT (each partial sum is
+    * an exactly-representable multiple of 0.5) and the metric is
+    * hash-oracle-able, unlike a per-row trapezoid over doubles.
+    *
+    * Scale note: the prefix sum runs over DISTINCT scores in one
+    * ordered window — bounded work only when score cardinality is
+    * bounded (integral scores, or quantize continuous scores first,
+    * same discipline as [[quantileGate]]'s 1e6-bucket domain).
+    * Confusion counts are a single partial-agged pass regardless.
+    *
+    * Output (one row): n, n_pos, n_neg, tp, fp, fn, tn, precision,
+    * recall, f1, auc.
+    */
+  def binaryMetrics(df: DataFrame, labelCol: String, scoreCol: String,
+                    threshold: Double = 0.0): DataFrame = {
+    val y = col(labelCol).cast("double") > 0.5
+    val pred = col(scoreCol).cast("double") > threshold
+    val conf = df.agg(
+      count(lit(1)).as("n"),
+      count_if(y).as("n_pos"),
+      count_if(!y).as("n_neg"),
+      count_if(pred && y).as("tp"),
+      count_if(pred && !y).as("fp"),
+      count_if(!pred && y).as("fn"),
+      count_if(!pred && !y).as("tn"))
+    val per = df.groupBy(col(scoreCol).cast("double").as("s"))
+      .agg(count_if(y).as("cp"), count_if(!y).as("cn"))
+    val wBelow = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val u = per
+      .withColumn("below", coalesce(sum(col("cn")).over(wBelow), lit(0L)))
+      .agg(sum(col("cp") * col("below") +
+        col("cp") * col("cn") / lit(2.0)).as("u"))
+    conf.crossJoin(u).select(
+      col("n"), col("n_pos"), col("n_neg"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+      when(col("n_pos") > 0,
+        col("tp").cast("double") / col("n_pos")).as("recall"),
+      when(col("tp") * 2 + col("fp") + col("fn") > 0,
+        col("tp") * lit(2.0) / (col("tp") * 2 + col("fp") + col("fn"))).as("f1"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        col("u") / (col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
   /** Score every document with the linear model and keep those the
     * classifier accepts. The decision is taken on the LOGIT (`> 0`
     * keeps), not the sigmoid — monotone-equivalent, and the logit is a

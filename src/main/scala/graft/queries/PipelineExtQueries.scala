@@ -1177,6 +1177,45 @@ object PipelineExtQueries {
         true AS learned_ok
       FROM documents""")),
 
+    // -- exact evaluation metrics: confusion counts + tie-aware AUC via
+    // the Mann-Whitney half-integer sum (order-independent, so the full
+    // row hash-matches DuckDB). Score = n_chars, label = English,
+    // threshold 600 — an arbitrary but fixed operating point --
+    QueryDef("eval_metrics", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("label", (col("lang") === "en").cast("int"))
+      graft.ops.Curation.binaryMetrics(docs, "label", "n_chars",
+          threshold = 600.0)
+        .select(col("n"), col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+          col("fn"), col("tn"), col("precision").as("prec"), col("recall"),
+          col("f1"), col("auc"))
+    }, Some("""
+      WITH d AS (
+        SELECT CAST(n_chars AS DOUBLE) AS s, (lang = 'en') AS y FROM documents),
+      conf AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (y) AS BIGINT) AS n_pos,
+          CAST(count(*) FILTER (NOT y) AS BIGINT) AS n_neg,
+          CAST(count(*) FILTER (s > 600 AND y) AS BIGINT) AS tp,
+          CAST(count(*) FILTER (s > 600 AND NOT y) AS BIGINT) AS fp,
+          CAST(count(*) FILTER (s <= 600 AND y) AS BIGINT) AS fn,
+          CAST(count(*) FILTER (s <= 600 AND NOT y) AS BIGINT) AS tn
+        FROM d),
+      per AS (
+        SELECT s, count(*) FILTER (y) AS cp, count(*) FILTER (NOT y) AS cn
+        FROM d GROUP BY s),
+      wb AS (
+        SELECT cp, cn, coalesce(sum(cn) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM per),
+      uu AS (SELECT sum(cp * below + cp * cn / 2.0) AS u FROM wb)
+      SELECT n, n_pos, n_neg, tp, fp, fn, tn,
+        CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+        CASE WHEN n_pos > 0 THEN CAST(tp AS DOUBLE) / n_pos END AS recall,
+        CASE WHEN tp * 2 + fp + fn > 0 THEN tp * 2.0 / (tp * 2 + fp + fn) END AS f1,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN u / CAST(n_pos * n_neg AS DOUBLE) END AS auc
+      FROM conf, uu""")),
+
     // -- length-bucketed inference batching: batch peers share a token-
     // length bucket so per-batch padding is bounded by the bucket width;
     // deterministic portable shard hash so DuckDB replays the grouping --

@@ -337,6 +337,29 @@ class CurationOpsSpec extends SparkSpec {
     w.wStop should be > 0.0
   }
 
+  test("binaryMetrics: confusion counts and tie-aware AUC on a hand case") {
+    import spark.implicits._
+    // scores: pos at 3,3,5 / neg at 1,3,4 -> with ties at 3:
+    // U = pairs(pos>neg) + 0.5*ties = (p3>n1)*2 + (p5>all 3) + 0.5*(two p3 vs n3)
+    //   = 2 + 3 + 1.0 = 6 ; AUC = 6/9
+    val df = Seq((3.0, 1), (3.0, 1), (5.0, 1), (1.0, 0), (3.0, 0), (4.0, 0))
+      .toDF("score", "label")
+    val m = Curation.binaryMetrics(df, "label", "score", threshold = 3.5).head()
+    m.getAs[Long]("n") shouldBe 6L
+    m.getAs[Long]("tp") shouldBe 1L   // only the 5.0 positive clears 3.5
+    m.getAs[Long]("fp") shouldBe 1L   // the 4.0 negative
+    m.getAs[Long]("fn") shouldBe 2L
+    m.getAs[Long]("tn") shouldBe 2L
+    m.getAs[Double]("precision") shouldBe 0.5
+    m.getAs[Double]("recall") shouldBe (1.0 / 3.0)
+    m.getAs[Double]("auc") shouldBe (6.0 / 9.0)
+    // degenerate single-class input: AUC null, counts still exact
+    val onePos = Seq((1.0, 1), (2.0, 1)).toDF("score", "label")
+    val m2 = Curation.binaryMetrics(onePos, "label", "score").head()
+    m2.getAs[Long]("n_neg") shouldBe 0L
+    m2.isNullAt(m2.fieldIndex("auc")) shouldBe true
+  }
+
   test("IRLS trainer reaches GD-or-better accuracy in 6 iterations") {
     val en = (0L until 40L).map(i =>
       (i, s"the quick fox and the dog are in the yard with a ball $i", 1))
