@@ -141,6 +141,38 @@ object TextQueries {
         s_en, s_de, s_es, s_fr
       FROM sc ORDER BY doc_id""")),
 
+    // language-ID confusion matrix: the langid heuristic evaluated
+    // against the labeled lang column, per (truth, prediction) cell with
+    // per-truth recall — the eval view a pipeline reads before trusting
+    // the classifier's routing. One partial-agged groupBy.
+    QueryDef("langid_confusion", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      docs.select(col("lang"), TA.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lang_share",
+          col("n").cast("double") / sum(col("n")).over(w))
+        .orderBy("lang", "pred_lang")
+    }, Some(s"""
+      WITH sc AS (SELECT doc_id, lang,
+        $enHits AS s_en, $deHits AS s_de, $esHits AS s_es, $frHits AS s_fr
+        FROM documents),
+      pred AS (
+        SELECT lang,
+          CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+               WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+               WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM sc),
+      cells AS (
+        SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2)
+      SELECT lang, pred_lang, n,
+        CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) AS lang_share
+      FROM cells ORDER BY lang, pred_lang""")),
+
     QueryDef("text_fingerprint", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       docs.select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))

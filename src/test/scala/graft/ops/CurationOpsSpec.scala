@@ -371,6 +371,20 @@ class CurationOpsSpec extends SparkSpec {
     w.wStop should be > 0.0
   }
 
+  test("IRLS survives degenerate inputs (single class, constant features)") {
+    import spark.implicits._
+    // all-positive labels with identical text: weights diverge toward
+    // +inf on the separable direction but the ridge keeps the solve
+    // finite and the model still predicts the only class it ever saw
+    val docs = (0L until 10L).map(i => (i, "the same text", 1))
+      .toDF("doc_id", "text", "label")
+    val w = Curation.trainQualityModelIRLS(docs, "text", "label", iters = 4)
+    Seq(w.bias, w.wTokens, w.wStop, w.wAlpha).foreach { v =>
+      java.lang.Double.isFinite(v) shouldBe true
+    }
+    Curation.modelAccuracy(docs, "text", "label", w) shouldBe 1.0
+  }
+
   test("persisted LM model: save + append batches == training on the union") {
     val refA = Seq((100L, "a b c"), (101L, "a b c")).toDF("doc_id", "text")
     val refB = Seq((102L, "a c b"), (103L, "b c a")).toDF("doc_id", "text")
