@@ -786,6 +786,60 @@ object Curation {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Per-source corpus health report — the "data card" a pipeline
+    * publishes per release, as ONE declarative plan over exact-integer
+    * aggregates (cross-engine-stable; every double is a single final
+    * divide): docs, token volume, PII incidence (docs with ≥1
+    * email/phone match), exact-duplicate incidence (docs whose text
+    * fingerprint occurs ≥2 corpus-WIDE — cross-source dups count for
+    * both sources), and the pooled bigram-LM transition likelihood vs
+    * the `refFilter` slice ([[ngramLmScore]] semantics, pooled by
+    * source instead of doc).
+    *
+    * Scale shape: three partial-agged groupBys on (source) /
+    * (fingerprint) plus the vocab-bounded LM joins; source cardinality
+    * is tiny so the final joins broadcast. Nothing corpus-sized is
+    * collected or cached.
+    */
+  def corpusReport(docs: DataFrame,
+                   textCol: String = "text",
+                   srcCol: String = "source",
+                   refFilter: org.apache.spark.sql.Column =
+                     col("lang") === "en"): DataFrame = {
+    val t = col(textCol)
+    val base = docs.groupBy(col(srcCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(t, " "))).cast("long").as("total_tokens"),
+        count_if(TA.countEmails(t) + TA.countPhones(t) > 0).as("pii_docs"))
+    val fps = docs.select(col(srcCol), md5(t).as("fp"))
+    val dupFps = fps.groupBy(col("fp")).agg(count(lit(1)).as("c_"))
+      .filter(col("c_") >= 2).select(col("fp"))
+    val dup = fps.join(dupFps, Seq("fp"), "left_semi")
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("dup_docs"))
+    val refBg = bigramRows(docs.filter(refFilter), Nil, textCol)
+    val c2 = refBg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val lm = bigramRows(docs, Seq(srcCol), textCol)
+      .join(c2, Seq("bigram"), "left")
+      .join(c1, Seq("w1"), "left")
+      .groupBy(col(srcCol))
+      .agg(sum(coalesce(col("c2"), lit(0L))).as("lm_hit_sum"),
+        sum(coalesce(col("c1"), lit(0L))).as("lm_ctx_sum"))
+    base
+      .join(dup, Seq(srcCol), "left")
+      .join(lm, Seq(srcCol), "left")
+      .select(col(srcCol), col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avg_tokens"),
+        col("pii_docs"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        coalesce(col("lm_hit_sum"), lit(0L)).as("lm_hit_sum"),
+        coalesce(col("lm_ctx_sum"), lit(0L)).as("lm_ctx_sum"),
+        when(col("lm_ctx_sum") > 0,
+          col("lm_hit_sum").cast("double") / col("lm_ctx_sum").cast("double"))
+          .as("lm_score"))
+  }
+
   /** (w1, bigram) rows with MULTIPLICITY — the adjacency stream behind
     * the bigram language model (unlike [[graft.ops.Dedup.shingleRows]],
     * which dedups per doc: an LM needs every occurrence). Pure codegen

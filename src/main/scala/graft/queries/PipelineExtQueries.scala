@@ -1177,6 +1177,52 @@ object PipelineExtQueries {
         true AS learned_ok
       FROM documents""")),
 
+    // -- per-source corpus health report (the release "data card"): doc
+    // and token volume, PII incidence, exact-dup incidence (corpus-wide
+    // fingerprints), pooled bigram-LM score vs the English slice — all
+    // exact long sums, single final divides --
+    QueryDef("corpus_report", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.corpusReport(docs).orderBy("source")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, source, lang, text, string_split(text, ' ') AS tk
+        FROM documents),
+      base AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+          CAST(count(*) FILTER (
+            len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) +
+            len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) > 0) AS BIGINT) AS pii_docs
+        FROM toks GROUP BY source),
+      fps AS (SELECT source, md5(text) AS fp FROM documents),
+      dupfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2),
+      dup AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS dup_docs
+        FROM fps WHERE fp IN (SELECT fp FROM dupfp) GROUP BY source),
+      bg AS (
+        SELECT source, lang,
+          unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+          unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM toks),
+      c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY 1),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY 1),
+      lm AS (
+        SELECT b.source,
+          CAST(sum(coalesce(c2.c2, 0)) AS BIGINT) AS lm_hit_sum,
+          CAST(sum(coalesce(c1.c1, 0)) AS BIGINT) AS lm_ctx_sum
+        FROM bg b LEFT JOIN c2 USING (bigram) LEFT JOIN c1 USING (w1)
+        GROUP BY 1)
+      SELECT base.source, n_docs, total_tokens,
+        CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens,
+        pii_docs, coalesce(dup_docs, 0) AS dup_docs,
+        coalesce(lm_hit_sum, 0) AS lm_hit_sum,
+        coalesce(lm_ctx_sum, 0) AS lm_ctx_sum,
+        CASE WHEN lm_ctx_sum > 0
+          THEN CAST(lm_hit_sum AS DOUBLE) / CAST(lm_ctx_sum AS DOUBLE) END AS lm_score
+      FROM base LEFT JOIN dup USING (source) LEFT JOIN lm USING (source)
+      ORDER BY base.source""")),
+
     // -- exact evaluation metrics: confusion counts + tie-aware AUC via
     // the Mann-Whitney half-integer sum (order-independent, so the full
     // row hash-matches DuckDB). Score = n_chars, label = English,
