@@ -719,10 +719,14 @@ object Curation {
       .agg(count_if(y).as("cp"), count_if(!y).as("cn"))
     val wBelow = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // terms in DOUBLE: a long cp*below product would overflow (ANSI
+    // throw) once pair counts pass 2^63 at extreme scale; doubles stay
+    // exact half-integers up to 2^53 pairs — far beyond any corpus this
+    // gate meets — and degrade gracefully past it instead of failing
     val u = per
       .withColumn("below", coalesce(sum(col("cn")).over(wBelow), lit(0L)))
-      .agg(sum(col("cp") * col("below") +
-        col("cp") * col("cn") / lit(2.0)).as("u"))
+      .agg(sum(col("cp").cast("double") * col("below").cast("double") +
+        col("cp").cast("double") * col("cn").cast("double") / lit(2.0)).as("u"))
     conf.crossJoin(u).select(
       col("n"), col("n_pos"), col("n_neg"),
       col("tp"), col("fp"), col("fn"), col("tn"),
@@ -733,7 +737,8 @@ object Curation {
       when(col("tp") * 2 + col("fp") + col("fn") > 0,
         col("tp") * lit(2.0) / (col("tp") * 2 + col("fp") + col("fn"))).as("f1"),
       when(col("n_pos") > 0 && col("n_neg") > 0,
-        col("u") / (col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+        col("u") / (col("n_pos").cast("double") * col("n_neg").cast("double")))
+        .as("auc"))
   }
 
   /** Score every document with the linear model and keep those the
