@@ -741,6 +741,26 @@ object Curation {
         .as("auc"))
   }
 
+  /** Classifier calibration curve on the SCORE scale: bucket rows by
+    * `floor(score / width)` and report each bucket's size and positive
+    * rate — the reliability diagram's data, kept on the raw-score axis
+    * (bucketing a sigmoid would drag `exp`'s engine-varying last ulp
+    * into bucket boundaries; the logit is exact IEEE arithmetic, so
+    * bucket membership is cross-engine stable). Counts are exact longs,
+    * the rate one final divide. One partial-agged groupBy; bucket
+    * cardinality is score-range / width, independent of corpus size.
+    */
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+                      width: Double): DataFrame = {
+    require(width > 0, "bin width must be positive")
+    df.groupBy(floor(col(scoreCol).cast("double") / lit(width)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col(labelCol).cast("double") > 0.5).as("n_pos"))
+      .select(col("bin"), (col("bin") * width).as("bin_lo"), col("n"),
+        col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"))
+  }
+
   /** Score every document with the linear model and keep those the
     * classifier accepts. The decision is taken on the LOGIT (`> 0`
     * keeps), not the sigmoid — monotone-equivalent, and the logit is a

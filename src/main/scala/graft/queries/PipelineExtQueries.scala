@@ -1223,6 +1223,22 @@ object PipelineExtQueries {
       FROM base LEFT JOIN dup USING (source) LEFT JOIN lm USING (source)
       ORDER BY base.source""")),
 
+    // -- calibration / reliability curve on the score axis: per-bin
+    // exact counts + positive rate (companion to eval_metrics) --
+    QueryDef("eval_calibration", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("label", (col("lang") === "en").cast("int"))
+      graft.ops.Curation.calibrationBins(docs, "label", "n_chars",
+          width = 100.0)
+        .orderBy("bin")
+    }, Some("""
+      SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin,
+        CAST(floor(n_chars / 100.0) AS BIGINT) * 100.0 AS bin_lo,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_pos,
+        CAST(count(*) FILTER (lang = 'en') AS DOUBLE) / count(*) AS pos_rate
+      FROM documents GROUP BY 1 ORDER BY bin""")),
+
     // -- exact evaluation metrics: confusion counts + tie-aware AUC via
     // the Mann-Whitney half-integer sum (order-independent, so the full
     // row hash-matches DuckDB). Score = n_chars, label = English,

@@ -360,6 +360,18 @@ class CurationOpsSpec extends SparkSpec {
     m2.isNullAt(m2.fieldIndex("auc")) shouldBe true
   }
 
+  test("calibrationBins: exact per-bin counts and rates, negatives floor down") {
+    import spark.implicits._
+    val df = Seq((-0.5, 0), (0.1, 0), (0.9, 1), (1.5, 1), (1.9, 0))
+      .toDF("score", "label")
+    val out = Curation.calibrationBins(df, "label", "score", width = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    out(-1L) shouldBe ((-1.0, 1L, 0L, 0.0))   // floor(-0.5) = -1, not 0
+    out(0L) shouldBe ((0.0, 2L, 1L, 0.5))
+    out(1L) shouldBe ((1.0, 2L, 1L, 0.5))
+  }
+
   test("IRLS trainer reaches GD-or-better accuracy in 6 iterations") {
     val en = (0L until 40L).map(i =>
       (i, s"the quick fox and the dog are in the yard with a ball $i", 1))
