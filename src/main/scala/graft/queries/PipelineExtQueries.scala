@@ -1177,6 +1177,95 @@ object PipelineExtQueries {
         true AS learned_ok
       FROM documents""")),
 
+    // -- the session-3 curation composition as ONE declarative plan:
+    // fixed-weight classifier gate → tier-6 span-duplication gate →
+    // bigram-LM OOV gate (CCNet shape: model trained on the surviving
+    // English slice — non-English survivors mostly fail it, which is
+    // the language+quality filter working) → length-bucketed batching →
+    // per-language summary. Every stage is an oracle-checked operator
+    // above; this pins their composition and the staged survivor flow.
+    QueryDef("curation_pipeline_v3", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.ops.Curation.QualityModel(
+        bias = -1.1, wTokens = 0.8, wStop = 2.0, wAlpha = 0.9)
+      // each staged survivor set feeds 2+ downstream consumers (sv1
+      // feeds the LM twice — ref slice + candidates — plus batching),
+      // so persist per stage or every consumer re-runs the gate regexes
+      // and the span-md5 profile (measured 7.4 s unpersisted vs ~2.5 s;
+      // same lesson as curation_pipeline's survivor-set persist)
+      val kept0 = graft.ops.Curation.classifierGate(docs, "doc_id", "text", model)
+        .select(col("doc_id"))
+      val sv0 = docs.join(kept0, Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prof = graft.ops.Dedup.spanDupProfile(sv0, "doc_id", "text",
+        k = 40, sel = "0")
+      val kept1 = prof
+        .filter(col("dup_ratio").isNull || col("dup_ratio") <= 0.5)
+        .select(col("id").as("doc_id"))
+      val sv1 = sv0.join(kept1, Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lm = graft.ops.Curation.ngramLmScore(
+        sv1.filter(col("lang") === "en"), sv1)
+      val kept2 = lm
+        .filter(col("oov_rate").isNull || col("oov_rate") <= 0.9)
+        .select(col("doc_id"))
+      val sv2 = sv1.join(kept2, Seq("doc_id"))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      val batched = Packing.lengthBucketBatches(sv2, "doc_id", "n_tokens",
+        bucketWidth = 32, batchSize = 8, nShards = 4,
+        shardBy = Some(pmod(col("doc_id") % 1048573 * 2654435761L, lit(4))))
+      batched.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(struct(col("bucket"), col("shard"), col("batch_id")))
+            .as("n_batches"))
+        .orderBy("lang")
+    }, Some(s"""
+      WITH gate AS (
+        SELECT doc_id, lang, text FROM (
+          SELECT *, CAST(-1.1 AS DOUBLE)
+            + 0.8 * least(CAST(1.0 AS DOUBLE), CAST(len($sqlTokens) AS DOUBLE) / 100.0)
+            + 2.0 * (CAST($enHits AS DOUBLE) / len($sqlTokens))
+            + 0.9 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)) AS logit
+          FROM documents) WHERE logit > 0),
+      sg AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h
+             FROM gate, UNNEST(range(1, len(text)-40+2)) AS t(i)),
+      ss AS (SELECT doc_id, h FROM sg WHERE h LIKE '0%'),
+      sd AS (SELECT h, count(*) AS df FROM ss GROUP BY h),
+      sp AS (SELECT ss.doc_id, count(*) AS n_sampled,
+               count(*) FILTER (WHERE sd.df >= 2) AS n_dup
+             FROM ss JOIN sd USING (h) GROUP BY ss.doc_id),
+      sv1 AS (
+        SELECT gate.doc_id, lang, text FROM gate LEFT JOIN sp USING (doc_id)
+        WHERE sp.doc_id IS NULL
+           OR CAST(n_dup AS DOUBLE) / nullif(n_sampled, 0) <= 0.5),
+      toks1 AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM sv1),
+      bg AS (
+        SELECT doc_id, lang,
+          unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+          unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM toks1),
+      c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY 1),
+      lmx AS (
+        SELECT b.doc_id, count(*) AS nb, count(c2.c2) AS nh
+        FROM bg b LEFT JOIN c2 USING (bigram) GROUP BY 1),
+      sv2 AS (
+        SELECT t.doc_id, t.lang, CAST(len(t.tk) AS BIGINT) AS n_tokens
+        FROM toks1 t LEFT JOIN lmx ON t.doc_id = lmx.doc_id
+        WHERE lmx.doc_id IS NULL
+           OR CAST(nb - nh AS DOUBLE) / nullif(nb, 0) <= 0.9),
+      bb AS (
+        SELECT doc_id, lang, n_tokens, n_tokens // 32 AS bucket,
+          ((doc_id % 1048573) * 2654435761) % 4 AS shard
+        FROM sv2 WHERE n_tokens > 0),
+      ob AS (
+        SELECT *, (row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1) // 8 AS batch_id
+        FROM bb)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(count(DISTINCT (bucket, shard, batch_id)) AS BIGINT) AS n_batches
+      FROM ob GROUP BY lang ORDER BY lang""")),
+
     // -- per-source corpus health report (the release "data card"): doc
     // and token volume, PII incidence, exact-dup incidence (corpus-wide
     // fingerprints), pooled bigram-LM score vs the English slice — all
