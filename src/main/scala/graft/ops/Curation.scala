@@ -65,6 +65,23 @@ object Curation {
     CurationRun(summary, () => { if (persist) deduped.unpersist(); () })
   }
 
+  /** The staged frames of [[pipelineV2]], exposed so each stage's
+    * survivor set can be oracle-checked independently (the
+    * `v2_stage_counts` bisection query). `gated` is (id, lang);
+    * `deduped` is the narrow rescored survivor frame (id, lang,
+    * n_tokens, q2) — q2 a quantized LONG from
+    * [[TextAnalysis.qualityScoreQ]]; `mixed`/`budgeted` share its
+    * schema. `deduped` is persisted AND eagerly materialized (it is
+    * narrow — no document text — so the cache is a few longs per
+    * survivor) before its three consumers fan out.
+    */
+  final case class PipelineV2Stages(
+      gated: DataFrame,
+      deduped: DataFrame,
+      mixed: DataFrame,
+      budgeted: DataFrame,
+      release: () => Unit)
+
   /** The round-5 curation composition: absolute quality gate →
     * span-level block dedup ([[Dedup.blockDedup]]) → temperature-
     * flattened language mix ([[Sampling.temperatureSample]]) →
@@ -72,10 +89,45 @@ object Curation {
     * summary (n_docs, total_tokens). Every stage is an independently
     * oracle-checked operator; this pins their COMPOSITION (column
     * contracts, rescoring on the deduped text, mix-then-budget order)
-    * end-to-end. The deduped survivor set is persisted once — the mix's
-    * count aggregate, the budget histogram, and the gates all read the
-    * cache, so the corpus text is scanned exactly once past the dedup.
+    * end-to-end.
+    *
+    * Every gate comparison is INTEGER-exact: the quality gates score
+    * through [[TextAnalysis.qualityScoreQ]] (a long), `minQuality`
+    * quantizes once to `floor(minQuality·1e6)`, and the token-budget
+    * histogram consumes the long directly (`quantized = true`) — no
+    * double ever reaches a comparison, so the composition cannot flip
+    * a survivor on an engine's last-ulp difference (the round-5
+    * `curation_pipeline_v2` hash-mismatch mechanism).
     */
+  def pipelineV2Stages(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      langCol: String = "lang",
+      textCol: String = "text",
+      minQuality: Double = 0.5,
+      blockSize: Int = 32,
+      alpha: Double = 0.5,
+      tokenBudget: Long = 15000L,
+      eager: Boolean = true): PipelineV2Stages = {
+    val minQ = math.floor(minQuality * 1000000.0).toLong
+    val gated = docs
+      .select(col(idCol), col(langCol), col(textCol))
+      .filter(TA.qualityScoreQ(col(textCol)) >= minQ)
+    val deduped = Dedup.blockDedup(gated, idCol, textCol, blockSize)
+      .join(gated.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol),
+        TA.tokenCount(col("text_dedup")).cast("long").as("n_tokens"),
+        TA.qualityScoreQ(col("text_dedup")).as("q2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (eager) deduped.count()
+    val mixed = Sampling.temperatureSample(deduped, langCol, idCol, alpha)
+    val budgeted = tokenBudgetGate(mixed, "q2", "n_tokens", tokenBudget,
+      persistScored = false, quantized = true)
+    PipelineV2Stages(gated.select(col(idCol), col(langCol)), deduped, mixed,
+      budgeted, () => { deduped.unpersist(); () })
+  }
+
+  /** See [[pipelineV2Stages]] — this is its per-language summary. */
   def pipelineV2(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -85,21 +137,11 @@ object Curation {
       blockSize: Int = 32,
       alpha: Double = 0.5,
       tokenBudget: Long = 15000L): CurationRun = {
-    val gated = docs
-      .select(col(idCol), col(langCol), col(textCol))
-      .filter(TA.qualityScore(col(textCol)) >= minQuality)
-    val deduped = Dedup.blockDedup(gated, idCol, textCol, blockSize)
-      .join(gated.select(col(idCol), col(langCol)), Seq(idCol))
-      .select(col(idCol), col(langCol),
-        TA.tokenCount(col("text_dedup")).cast("long").as("n_tokens"),
-        TA.qualityScore(col("text_dedup")).as("q2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val mixed = Sampling.temperatureSample(deduped, langCol, idCol, alpha)
-    val budgeted = tokenBudgetGate(mixed, "q2", "n_tokens", tokenBudget,
-      persistScored = false)
-    val summary = budgeted.groupBy(col(langCol))
+    val st = pipelineV2Stages(docs, idCol, langCol, textCol, minQuality,
+      blockSize, alpha, tokenBudget)
+    val summary = st.budgeted.groupBy(col(langCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
-    CurationRun(summary, () => { deduped.unpersist(); () })
+    CurationRun(summary, st.release)
   }
 
   /** Per-source boilerplate phrases: the distinct k-token n-grams that
@@ -448,12 +490,17 @@ object Curation {
       scoreCol: String,
       tokensCol: String,
       budget: Long,
-      persistScored: Boolean = true): DataFrame = {
+      persistScored: Boolean = true,
+      quantized: Boolean = false): DataFrame = {
     require(budget > 0, "budget must be positive")
     val src = if (persistScored)
       scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else scored
-    val q = floor(col(scoreCol) * lit(1000000.0)).cast("long")
+    // quantized=true: scoreCol already holds the integer bucket (e.g.
+    // TextAnalysis.qualityScoreQ) — skip the double-path floor so the
+    // gate is exact end-to-end for integer-scored compositions.
+    val q = if (quantized) col(scoreCol).cast("long")
+    else floor(col(scoreCol) * lit(1000000.0)).cast("long")
     val hist = src.select(q.as("__q"), col(tokensCol).cast("long").as("__tk"))
       .groupBy(col("__q")).agg(sum(col("__tk")).as("__t"))
     val wDesc = Window.orderBy(col("__q").desc)

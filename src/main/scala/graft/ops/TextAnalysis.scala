@@ -79,6 +79,39 @@ object TextAnalysis {
       least(lit(1.0), stopwordRatio(text) * 5.0) * 0.3 +
       alphaRatio(text) * 0.3
 
+  /** Integer-exact quantized quality score: a LONG in [0, 1e6] computed
+    * with pure integer arithmetic (each term is a floor division of
+    * exact integer counts), so the value is bit-identical across
+    * engines — the composition-safe form of [[qualityScore]] for gates
+    * that compare or histogram the score downstream.  Terms mirror
+    * [[qualityScore]]'s weights scaled by 1e6:
+    * {{{
+    *   min(400000, n_tokens * 4000)             // 0.4 * min(1, nt/100)
+    * + min(300000, (stop_hits * 1500000) div nt) // 0.3 * min(1, 5*sw/nt)
+    * + (alpha_chars * 300000) div length         // 0.3 * alpha_ratio
+    * }}}
+    * The divisions run as `floor(double-div)`: numerators stay below
+    * 2^53 so operands are exact, the IEEE quotient is correctly
+    * rounded, and a non-integer rational p/q (q = a document length)
+    * sits at least 1/q >> ulp away from any integer — so the floor
+    * equals exact integer division on every engine.  Note the sum of
+    * per-term floors is NOT floor(1e6 * qualityScore); this is its own
+    * deterministic contract, paired with DuckDB `//` in the oracles.
+    */
+  def qualityScoreQ(text: Column): Column = {
+    val nt = tokenCount(text).cast("long")
+    val sw = stopwordHits(text, "en").cast("long")
+    val al = length(regexp_replace(text, "[^a-z]", "")).cast("long")
+    val ln = length(text).cast("long")
+    val t1 = least(lit(400000L), nt * lit(4000L))
+    val t2 = least(lit(300000L),
+      floor((sw * lit(1500000L)).cast("double") / nt.cast("double")).cast("long"))
+    val t3 = when(ln > 0,
+      floor((al * lit(300000L)).cast("double") / ln.cast("double")).cast("long"))
+      .otherwise(lit(0L))
+    t1 + t2 + t3
+  }
+
   /** Heuristic language ID: stopword-hit argmax with fixed precedence
     * en > de > es > fr; 'und' when nothing matches.
     */

@@ -23,6 +23,65 @@ object PipelineExtQueries {
   private val enHits =
     s"len(list_filter($sqlTokens, t -> t IN (${TA.stopwords("en").map(w => s"'$w'").mkString(",")})))"
 
+  /** DuckDB rendering of [[TA.qualityScoreQ]] — integer-exact quantized
+    * quality score as a BIGINT; `//` is DuckDB floor division, matching
+    * Spark's exact `floor(double-div)` for these operand ranges.
+    */
+  private def qualityQSql(src: String): String = {
+    val toks = s"string_split($src, ' ')"
+    val hits =
+      s"len(list_filter($toks, t -> t IN (${TA.stopwords("en").map(w => s"'$w'").mkString(",")})))"
+    s"""(least(CAST(400000 AS BIGINT), CAST(len($toks) AS BIGINT) * 4000)
+       + least(CAST(300000 AS BIGINT),
+           (CAST($hits AS BIGINT) * 1500000) // CAST(len($toks) AS BIGINT))
+       + (CAST(length(regexp_replace($src, '[^a-z]', '', 'g')) AS BIGINT) * 300000)
+           // CAST(length($src) AS BIGINT))"""
+  }
+
+  /** Shared CTE chain of the v2 curation composition (quality gate →
+    * block dedup → temperature mix → token budget), used by both the
+    * `curation_pipeline_v2` summary oracle and the `v2_stage_counts`
+    * bisection oracle. Gate scores are the integer-exact
+    * [[qualityQSql]] BIGINTs — no double reaches a comparison, matching
+    * [[graft.ops.Curation.pipelineV2Stages]] stage for stage.
+    */
+  private lazy val v2CtesSql: String = s"""
+      WITH g AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE ${qualityQSql("text")} >= 500000),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM g),
+      idx AS (SELECT doc_id, t,
+          unnest(generate_series(0, (len(t)-1)//32)) AS block_id FROM toks),
+      blocks AS (SELECT doc_id, block_id,
+          array_to_string(t[block_id*32+1 : block_id*32+32], ' ') AS block FROM idx),
+      firsts AS (SELECT block, min(doc_id*1000000 + block_id) AS fk, count(*) AS df
+                 FROM blocks GROUP BY block),
+      keep AS (SELECT b.doc_id, b.block_id, b.block
+               FROM blocks b JOIN firsts f USING(block)
+               WHERE f.df = 1 OR b.doc_id*1000000 + b.block_id = f.fk),
+      dd0 AS (SELECT doc_id, string_agg(block, ' ' ORDER BY block_id) AS td
+              FROM keep GROUP BY doc_id),
+      dd1 AS (SELECT d.doc_id, g.lang, d.td AS text FROM dd0 d JOIN g USING(doc_id)),
+      dd AS (SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ${qualityQSql("text")} AS q2
+             FROM dd1),
+      c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM dd GROUP BY lang),
+      w AS (SELECT lang, n, sqrt(n) AS wt FROM c),
+      sc AS (SELECT min(n / wt) AS scale FROM w),
+      thr AS (SELECT lang,
+          CAST(floor(least(CAST(1.0 AS DOUBLE), sc.scale * wt / n) * 1000000) AS BIGINT) AS t
+          FROM w, sc),
+      mixed AS (SELECT dd.* FROM dd JOIN thr USING(lang)
+                WHERE $hashSql < thr.t),
+      qz AS (SELECT doc_id, lang, n_tokens, q2 AS q FROM mixed),
+      hist AS (SELECT q, sum(n_tokens) AS tk FROM qz GROUP BY q),
+      cum AS (SELECT q, sum(tk) OVER (ORDER BY q DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM hist),
+      bthr AS (SELECT min(q) AS t FROM cum WHERE cum <= 15000),
+      sel AS (SELECT z.* FROM qz z, bthr WHERE z.q >= bthr.t)"""
+
   def all: Seq[QueryDef] = Seq(
 
     // -- as-of join: each purchase ← latest prior click by the same user --
@@ -595,51 +654,39 @@ object PipelineExtQueries {
       val docs = Tables.load(s, dir, "documents")
       val run = graft.ops.Curation.pipelineV2(docs)
       run.summary.orderBy("lang")
-    }, Some {
-      def quality(src: String) =
-        s"""least(CAST(1.0 AS DOUBLE), CAST(len(string_split($src,' ')) AS DOUBLE) / 100.0) * 0.4
-            + least(CAST(1.0 AS DOUBLE), (CAST(len(list_filter(string_split($src,' '), t -> t IN (${TA.stopwords("en").map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(string_split($src,' '))) * 5.0) * 0.3
-            + CAST(length(regexp_replace($src, '[^a-z]', '', 'g')) AS DOUBLE) / length($src) * 0.3"""
-      s"""
-      WITH g AS (
-        SELECT doc_id, lang, text FROM documents
-        WHERE ${quality("text")} >= 0.5),
-      toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM g),
-      idx AS (SELECT doc_id, t,
-          unnest(generate_series(0, (len(t)-1)//32)) AS block_id FROM toks),
-      blocks AS (SELECT doc_id, block_id,
-          array_to_string(t[block_id*32+1 : block_id*32+32], ' ') AS block FROM idx),
-      firsts AS (SELECT block, min(doc_id*1000000 + block_id) AS fk, count(*) AS df
-                 FROM blocks GROUP BY block),
-      keep AS (SELECT b.doc_id, b.block_id, b.block
-               FROM blocks b JOIN firsts f USING(block)
-               WHERE f.df = 1 OR b.doc_id*1000000 + b.block_id = f.fk),
-      dd0 AS (SELECT doc_id, string_agg(block, ' ' ORDER BY block_id) AS td
-              FROM keep GROUP BY doc_id),
-      dd1 AS (SELECT d.doc_id, g.lang, d.td AS text FROM dd0 d JOIN g USING(doc_id)),
-      dd AS (SELECT doc_id, lang,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               ${quality("text")} AS q2
-             FROM dd1),
-      c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM dd GROUP BY lang),
-      w AS (SELECT lang, n, sqrt(n) AS wt FROM c),
-      sc AS (SELECT min(n / wt) AS scale FROM w),
-      thr AS (SELECT lang,
-          CAST(floor(least(CAST(1.0 AS DOUBLE), sc.scale * wt / n) * 1000000) AS BIGINT) AS t
-          FROM w, sc),
-      mixed AS (SELECT dd.* FROM dd JOIN thr USING(lang)
-                WHERE $hashSql < thr.t),
-      qz AS (SELECT doc_id, lang, n_tokens,
-             CAST(floor(q2 * 1000000.0) AS BIGINT) AS q FROM mixed),
-      hist AS (SELECT q, sum(n_tokens) AS tk FROM qz GROUP BY q),
-      cum AS (SELECT q, sum(tk) OVER (ORDER BY q DESC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-              FROM hist),
-      bthr AS (SELECT min(q) AS t FROM cum WHERE cum <= 15000),
-      sel AS (SELECT z.* FROM qz z, bthr WHERE z.q >= bthr.t)
+    }, Some(s"""
+      $v2CtesSql
       SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
-      FROM sel GROUP BY lang ORDER BY lang"""
-    }),
+      FROM sel GROUP BY lang ORDER BY lang""")),
+
+    // -- per-stage survivor counts of the v2 composition (the round-5
+    // hash-mismatch bisection instrument): one (stage, lang, n_docs)
+    // row per pipeline stage, so a future engine divergence pins to
+    // the exact gate that flipped a document --
+    QueryDef("v2_stage_counts", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val st = graft.ops.Curation.pipelineV2Stages(docs)
+      def cnt(df: org.apache.spark.sql.DataFrame, stage: String) =
+        df.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("stage", lit(stage))
+      cnt(st.gated, "1_gate")
+        .unionByName(cnt(st.deduped, "2_dedup"))
+        .unionByName(cnt(st.mixed, "3_mix"))
+        .unionByName(cnt(st.budgeted, "4_budget"))
+        .select(col("stage"), col("lang"), col("n_docs"))
+        .orderBy("stage", "lang")
+    }, Some(s"""
+      $v2CtesSql
+      SELECT stage, lang, n_docs FROM (
+        SELECT '1_gate' AS stage, lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM g GROUP BY lang
+        UNION ALL
+        SELECT '2_dedup', lang, CAST(count(*) AS BIGINT) FROM dd GROUP BY lang
+        UNION ALL
+        SELECT '3_mix', lang, CAST(count(*) AS BIGINT) FROM mixed GROUP BY lang
+        UNION ALL
+        SELECT '4_budget', lang, CAST(count(*) AS BIGINT) FROM sel GROUP BY lang)
+      ORDER BY stage, lang""")),
 
     // -- span-level (block) dedup, C4-style: a 32-token block occurring
     // verbatim more than once corpus-wide survives only at its first

@@ -41,6 +41,39 @@ class TextAnalysisSpec extends SparkSpec {
     scores(0) should be > scores(2) // English text beats gibberish
   }
 
+  test("qualityScoreQ equals the exact-integer model on adversarial inputs") {
+    val docs = Seq(
+      (1L, "the quick fox and the dog"),
+      (2L, "a"),                               // single token, all alpha
+      (3L, "12345 67890"),                     // zero alpha
+      (4L, "the the the the the"),             // saturated stopword term
+      (5L, ("the a of " * 60).trim),           // saturated length term
+      (6L, "x Y z 9 ."),                       // mixed case + punct
+      (7L, "the  a")                           // repeated separator (empty token)
+    ).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TextAnalysis.qualityScoreQ($"text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stops = TextAnalysis.stopwords("en").toSet
+    docs.collect().foreach { row =>
+      val (id, text) = (row.getLong(0), row.getString(1))
+      val nt = text.count(_ == ' ').toLong + 1
+      val sw = text.split(" ", -1).count(stops.contains).toLong
+      val al = text.count(c => c >= 'a' && c <= 'z').toLong
+      val ln = text.length.toLong
+      val expect = math.min(400000L, nt * 4000L) +
+        math.min(300000L, sw * 1500000L / nt) +
+        (if (ln > 0) al * 300000L / ln else 0L)
+      got(id) shouldBe expect
+    }
+    all(got.values) should (be >= 0L and be <= 1000000L)
+    // the quantized score tracks the double score (per-term floors can
+    // only lose < 1 quantum each)
+    val dbl = docs.select($"doc_id",
+        floor(TextAnalysis.qualityScore($"text") * 1000000).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dbl.foreach { case (id, d) => math.abs(got(id) - d) should be <= 3L }
+  }
+
   test("codegen forms equal the token-array folds on adversarial inputs") {
     // the operators compute token stats WITHOUT materializing the token
     // array (length arithmetic + regexp_count); prove equivalence to the

@@ -37,4 +37,20 @@ class TokenBudgetSpec extends SparkSpec {
     Curation.tokenBudgetGate(df, "score", "tokens", budget = 100000L)
       .count() shouldBe 50L
   }
+
+  test("tokenBudgetGate quantized=true consumes integer buckets directly") {
+    // pre-quantized long scores (the qualityScoreQ contract): same
+    // selection as the double path fed score/1e6
+    val rows = (1 to 10).map(i => (i.toLong, i * 100000L, 100L))
+    val qdf = rows.toDF("id", "q", "tokens")
+    val ddf = rows.map { case (id, q, tk) => (id, q / 1000000.0, tk) }
+      .toDF("id", "score", "tokens")
+    val keptQ = Curation.tokenBudgetGate(qdf, "q", "tokens", budget = 350L,
+        quantized = true)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val keptD = Curation.tokenBudgetGate(ddf, "score", "tokens", budget = 350L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    keptQ shouldBe Array(8L, 9L, 10L)
+    keptQ shouldBe keptD
+  }
 }
