@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.ops.{TextAnalysis => TA}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -50,14 +50,26 @@ object Curation {
       TA.fingerprint(col(textCol)).as("fp"))
     val kept = scored.filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
     val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    // persist only the NARROW survivor frame (id, lang, n_tokens) and
+    // materialize it eagerly; the one text consumer (decontamination's
+    // shingle index) re-reads the source and semi-joins the cached ids.
+    // A lazily-cached full-text frame races its consumers (each re-runs
+    // the scoring regexes until the cache fills), and at 100 TB caching
+    // surviving corpus TEXT per stage is not an option while the id set
+    // is a few longs per survivor.
     val dedupedAll = kept.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col(idCol), col(langCol), col("n_tokens"), col(textCol))
+      .select(col(idCol), col(langCol), col("n_tokens"))
     val deduped =
       if (persist) dedupedAll.persist(StorageLevel.MEMORY_AND_DISK) else dedupedAll
+    if (persist) deduped.count()
 
-    val clean = Decontaminate.decontaminate(
-      deduped, bench, idCol, textCol, k = k, tau = tau)
+    val dedupedText = train.select(col(idCol), col(textCol))
+      .join(deduped.select(col(idCol)), Seq(idCol))
+    val bad = Decontaminate.containmentPairs(
+        dedupedText, bench, idCol, textCol, k = k, tau = tau)
+      .select(col("train_id").as(idCol)).distinct()
+    val clean = deduped.join(bad, Seq(idCol), "left_anti")
     val packed = Packing.packByOrder(
       clean.select(col(idCol), col(langCol), col("n_tokens")),
       tokensCol = "n_tokens", orderCol = idCol, partCol = langCol, budget = budget)
@@ -142,6 +154,91 @@ object Curation {
     val summary = st.budgeted.groupBy(col(langCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     CurationRun(summary, st.release)
+  }
+
+  /** Staged frames of [[pipelineV3Stages]]: `kept0`/`kept1` are the
+    * narrow cached survivor sets (id, lang, n_tokens) after the
+    * classifier gate and the span-duplication gate; `lm` is the
+    * bigram-LM score frame over the span survivors; `batched` the
+    * length-bucketed batching of the LM survivors; `summary` its
+    * per-language rollup.
+    */
+  final case class PipelineV3Stages(
+      kept0: DataFrame,
+      kept1: DataFrame,
+      lm: DataFrame,
+      batched: DataFrame,
+      summary: DataFrame,
+      release: () => Unit)
+
+  /** The session-3 curation composition: fixed-weight classifier gate →
+    * tier-6 span-duplication gate ([[graft.ops.Dedup.spanDupStats]]) →
+    * bigram-LM OOV gate (CCNet shape: the model trains on the surviving
+    * `refLang` slice — non-`refLang` survivors mostly fail it, which is
+    * the language+quality filter working) → length-bucketed batching
+    * ([[Packing.lengthBucketBatches]]) → per-language summary.
+    *
+    * Stage discipline (the round-5 variance fix): persist only the
+    * NARROW kept-id frames — (id, lang, n_tokens), a few longs per
+    * survivor — and materialize each EAGERLY before its consumers fan
+    * out. A lazily-cached full-text frame racing multiple consumers
+    * (the LM reads the span survivors twice: ref slice + candidates)
+    * re-runs the gate regexes and the span-md5 kernel a
+    * nondeterministic number of times; and at 100 TB caching surviving
+    * corpus TEXT per stage is not an option, while text consumers
+    * re-scanning the source and semi-joining the id cache is exactly
+    * the executor-friendly shape. The final batching stage is
+    * text-free: (lang, n_tokens) ride the id caches from the gate scan.
+    */
+  def pipelineV3Stages(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      langCol: String = "lang",
+      textCol: String = "text",
+      refLang: String = "en",
+      model: QualityModel = QualityModel(-1.1, 0.8, 2.0, 0.9),
+      spanK: Int = 40,
+      spanSel: String = "0",
+      maxDupRatio: Double = 0.5,
+      maxOovRate: Double = 0.9,
+      bucketWidth: Int = 32,
+      batchSize: Int = 8,
+      nShards: Int = 4,
+      shardBy: Option[Column] = None,
+      eager: Boolean = true): PipelineV3Stages = {
+    val kept0 = classifierGate(docs, idCol, textCol, model,
+        carry = Seq(col(langCol),
+          TA.tokenCount(col(textCol)).cast("long").as("n_tokens")))
+      .select(col(idCol), col(langCol), col("n_tokens"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (eager) kept0.count()
+    val sv0 = docs.join(kept0.select(col(idCol)), Seq(idCol))
+    // cover-free span stats: kept0 IS the id universe, so survivors are
+    // its anti-join against the over-threshold ids (no sampled spans ≡
+    // absent from the stats frame ≡ kept)
+    val bad1 = Dedup.spanDupStats(sv0, idCol, textCol, k = spanK, sel = spanSel)
+      .filter(col("n_dup").cast("double") / col("n_sampled") > maxDupRatio)
+      .select(col("id").as(idCol))
+    val kept1 = kept0.join(bad1, Seq(idCol), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (eager) kept1.count()
+    val sv1 = docs.join(kept1.select(col(idCol)), Seq(idCol))
+    val lm = ngramLmScore(sv1.filter(col(langCol) === refLang), sv1,
+      idCol, textCol)
+    val kept2 = lm
+      .filter(col("oov_rate").isNull || col("oov_rate") <= maxOovRate)
+      .select(col(idCol))
+    val sv2 = kept1.join(kept2, Seq(idCol))
+    val batched = Packing.lengthBucketBatches(sv2, idCol, "n_tokens",
+      bucketWidth = bucketWidth, batchSize = batchSize, nShards = nShards,
+      shardBy = shardBy)
+    val summary = batched.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(struct(col("bucket"), col("shard"), col("batch_id")))
+          .as("n_batches"))
+    PipelineV3Stages(kept0, kept1, lm, batched, summary,
+      () => { kept0.unpersist(); kept1.unpersist(); () })
   }
 
   /** Per-source boilerplate phrases: the distinct k-token n-grams that
@@ -822,7 +919,8 @@ object Curation {
     * text column. Nothing aggregates, joins, or collects.
     */
   def classifierGate(docs: DataFrame, idCol: String, textCol: String,
-                     model: QualityModel): DataFrame = {
+                     model: QualityModel,
+                     carry: Seq[Column] = Nil): DataFrame = {
     val t = col(textCol)
     val logit =
       lit(model.bias) +
@@ -830,7 +928,10 @@ object Curation {
           TA.tokenCount(t).cast("double") / lit(100.0)) +
         lit(model.wStop) * TA.stopwordRatio(t) +
         lit(model.wAlpha) * TA.alphaRatio(t)
-    docs.select(col(idCol), logit.as("logit"))
+    // `carry`: extra projections computed in the SAME scan as the gate
+    // (e.g. lang / token counts a downstream text-free stage needs —
+    // saves that stage its own corpus scan)
+    docs.select((col(idCol) +: carry) :+ logit.as("logit"): _*)
       .filter(col("logit") > 0)
   }
 
@@ -920,14 +1021,22 @@ object Curation {
     */
   private def bigramRows(docs: DataFrame, keepCols: Seq[String],
                          textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // materialize the token array as its OWN projection first: transform
+    // is CodegenFallback (interpreted), and if the lambda references
+    // `split(text)` as an expression the array is re-evaluated per
+    // element — O(tokens²) per document whenever the optimizer fails to
+    // hoist it (observed in composed plans where a join sits between
+    // the scan and the explode). Bound to an attribute, the array is
+    // computed once per row.
+    val toks = col("__toks")
     val bgs = when(size(toks) >= 2,
         transform(sequence(lit(1), size(toks) - 1),
           i => struct(element_at(toks, i).as("w1"),
             concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))
               .as("bigram"))))
       .otherwise(array().cast("array<struct<w1:string,bigram:string>>"))
-    docs.select(keepCols.map(col) :+ explode(bgs).as("bg"): _*)
+    docs.select(keepCols.map(col) :+ split(col(textCol), " ").as("__toks"): _*)
+      .select(keepCols.map(col) :+ explode(bgs).as("bg"): _*)
       .select(keepCols.map(col) :+ col("bg.w1") :+ col("bg.bigram"): _*)
   }
 
@@ -959,11 +1068,22 @@ object Curation {
   def ngramLmScore(ref: DataFrame, docs: DataFrame,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val refBg = bigramRows(ref, Nil, textCol)
-    val c2 = refBg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
-    val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    scoreAgainstCounts(docs, c2, c1, idCol, textCol)
+    val c2 = bigramRows(ref, Nil, textCol)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    scoreAgainstCounts(docs, c2, contextsFromBigrams(c2), idCol, textCol)
   }
+
+  /** Context counts DERIVED from the bigram counts: c1(w1) = Σ_w2
+    * c2(w1,w2), exactly the row count of the adjacency stream grouped
+    * by w1 — but computed from the vocab-bounded c2 table instead of a
+    * SECOND full scan + explode of the reference corpus (w1 is the
+    * bigram's prefix before the separator space; tokens are space-split
+    * so the prefix is unambiguous). Halves the reference-side cost of
+    * [[ngramLmScore]]/[[saveLmModel]].
+    */
+  private def contextsFromBigrams(c2: DataFrame): DataFrame =
+    c2.select(substring_index(col("bigram"), " ", 1).as("w1"), col("c2"))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
 
   /** Train the bigram model ONCE and persist it as two bucketed count
     * tables (`<prefix>_bigrams` keyed/bucketed by `bigram`,
@@ -977,13 +1097,16 @@ object Curation {
     */
   def saveLmModel(ref: DataFrame, prefix: String,
                   textCol: String = "text", buckets: Int = 16): Unit = {
-    val refBg = bigramRows(ref, Nil, textCol)
-    refBg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
-      .write.mode("overwrite").bucketBy(buckets, "bigram")
-      .saveAsTable(s"${prefix}_bigrams")
-    refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      .write.mode("overwrite").bucketBy(buckets, "w1")
-      .saveAsTable(s"${prefix}_contexts")
+    val c2 = bigramRows(ref, Nil, textCol)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      c2.write.mode("overwrite").bucketBy(buckets, "bigram")
+        .saveAsTable(s"${prefix}_bigrams")
+      contextsFromBigrams(c2)
+        .write.mode("overwrite").bucketBy(buckets, "w1")
+        .saveAsTable(s"${prefix}_contexts")
+    } finally c2.unpersist()
   }
 
   /** Fold a NEW reference batch into a persisted LM model by appending
@@ -992,13 +1115,16 @@ object Curation {
     */
   def appendLmModel(batch: DataFrame, prefix: String,
                     textCol: String = "text", buckets: Int = 16): Unit = {
-    val bg = bigramRows(batch, Nil, textCol)
-    bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
-      .write.mode("append").bucketBy(buckets, "bigram")
-      .saveAsTable(s"${prefix}_bigrams")
-    bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      .write.mode("append").bucketBy(buckets, "w1")
-      .saveAsTable(s"${prefix}_contexts")
+    val c2 = bigramRows(batch, Nil, textCol)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      c2.write.mode("append").bucketBy(buckets, "bigram")
+        .saveAsTable(s"${prefix}_bigrams")
+      contextsFromBigrams(c2)
+        .write.mode("append").bucketBy(buckets, "w1")
+        .saveAsTable(s"${prefix}_contexts")
+    } finally c2.unpersist()
   }
 
   /** Score `docs` against a model persisted by [[saveLmModel]] (+ any

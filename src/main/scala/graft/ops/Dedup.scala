@@ -1032,18 +1032,35 @@ object Dedup {
     * groupBy on the 8-byte fingerprint and the per-doc rollup; the
     * doc-side left join re-attaches by id.
     */
-  def spanDupProfile(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 40, sel: String = "0",
-                     persistIndex: Boolean = true): DataFrame = {
+  /** Per-doc sampled-span duplication counts for the ids that HAVE
+    * sampled spans: (id, n_sampled > 0, n_dup). The cover-free core of
+    * [[spanDupProfile]] — a pipeline that already holds the id universe
+    * (e.g. a cached gate-survivor set) anti-joins the over-threshold
+    * ids from THIS frame instead of paying the profile's extra source
+    * scan for the all-ids left join. The span index feeds both the
+    * df aggregate and the per-doc join, so when persisted it is
+    * materialized EAGERLY — two consumers racing a lazy cache re-run
+    * the fingerprint kernel a nondeterministic number of times.
+    */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 40, sel: String = "0",
+                   persistIndex: Boolean = true): DataFrame = {
     val ex = persisted(
       spanFingerprints(df, idCol, textCol, k, sel)
         .select(col("id"), xxhash64(col("h")).as("s")),
       persistIndex)
+    if (persistIndex) ex.count()
     val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
-    val per = ex.join(dfs, Seq("s"))
+    ex.join(dfs, Seq("s"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_sampled"),
         count_if(col("df_") >= 2).as("n_dup"))
+  }
+
+  def spanDupProfile(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 40, sel: String = "0",
+                     persistIndex: Boolean = true): DataFrame = {
+    val per = spanDupStats(df, idCol, textCol, k, sel, persistIndex)
     df.select(col(idCol).as("id"))
       .join(per, Seq("id"), "left")
       .select(col("id"),

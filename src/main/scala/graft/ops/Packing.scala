@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Sequence packing for LLM training pipelines: concatenate documents in
   * a deterministic order and chunk the token stream into fixed-budget
@@ -141,17 +141,28 @@ object Packing {
     require(bucketWidth > 0, "bucket width must be positive")
     require(batchSize > 0, "batch size must be positive")
     require(nShards > 0, "shard count must be positive")
-    val shardCol = shardBy.getOrElse(pmod(xxhash64(col(idCol)), lit(nShards)))
+    // Column-API throughout, with caller names backtick-quoted (raw
+    // expr() SQL interpolation — and even bare col() — treats a dotted
+    // name as nested-field access and chokes on spaces/hyphens).
+    def qcol(name: String): Column = col(s"`${name.replace("`", "``")}`")
+    val shardCol = shardBy.getOrElse(pmod(xxhash64(qcol(idCol)), lit(nShards)))
+    // Integer division as (a - a%w)/w — the divide is exact (numerator
+    // divisible by w), so this equals `div` bit-for-bit.
+    def intDiv(a: Column, w: Long): Column =
+      ((a - pmod(a, lit(w))) / lit(w)).cast("long")
+    val tk = qcol(tokensCol).cast("long")
     val bucketed = docs
-      .filter(col(tokensCol).isNotNull && col(tokensCol) > 0)
-      .withColumn("bucket", expr(s"$tokensCol div ${bucketWidth}L"))
+      .filter(qcol(tokensCol).isNotNull && qcol(tokensCol) > 0)
+      .withColumn("bucket", intDiv(tk, bucketWidth.toLong))
       .withColumn("shard", shardCol.cast("int"))
+    val rn0 = row_number().over(
+      Window.partitionBy(col("bucket"), col("shard")).orderBy(qcol(idCol))) - 1
     val batched = bucketed
-      .withColumn("batch_id", expr(s"(row_number() OVER (PARTITION BY bucket, shard ORDER BY $idCol) - 1) div ${batchSize}L"))
+      .withColumn("batch_id", intDiv(rn0.cast("long"), batchSize.toLong))
     val wb = Window.partitionBy(col("bucket"), col("shard"), col("batch_id"))
     batched
-      .withColumn("batch_max_tokens", max(col(tokensCol)).over(wb))
-      .withColumn("pad_tokens", col("batch_max_tokens") - col(tokensCol))
+      .withColumn("batch_max_tokens", max(qcol(tokensCol)).over(wb))
+      .withColumn("pad_tokens", col("batch_max_tokens") - qcol(tokensCol))
   }
 
   // `size` the function shadows `size` the parameter name inside

@@ -1233,40 +1233,11 @@ object PipelineExtQueries {
     // above; this pins their composition and the staged survivor flow.
     QueryDef("curation_pipeline_v3", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val model = graft.ops.Curation.QualityModel(
-        bias = -1.1, wTokens = 0.8, wStop = 2.0, wAlpha = 0.9)
-      // each staged survivor set feeds 2+ downstream consumers (sv1
-      // feeds the LM twice — ref slice + candidates — plus batching),
-      // so persist per stage or every consumer re-runs the gate regexes
-      // and the span-md5 profile (measured 7.4 s unpersisted vs ~2.5 s;
-      // same lesson as curation_pipeline's survivor-set persist)
-      val kept0 = graft.ops.Curation.classifierGate(docs, "doc_id", "text", model)
-        .select(col("doc_id"))
-      val sv0 = docs.join(kept0, Seq("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val prof = graft.ops.Dedup.spanDupProfile(sv0, "doc_id", "text",
-        k = 40, sel = "0")
-      val kept1 = prof
-        .filter(col("dup_ratio").isNull || col("dup_ratio") <= 0.5)
-        .select(col("id").as("doc_id"))
-      val sv1 = sv0.join(kept1, Seq("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lm = graft.ops.Curation.ngramLmScore(
-        sv1.filter(col("lang") === "en"), sv1)
-      val kept2 = lm
-        .filter(col("oov_rate").isNull || col("oov_rate") <= 0.9)
-        .select(col("doc_id"))
-      val sv2 = sv1.join(kept2, Seq("doc_id"))
-        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      val batched = Packing.lengthBucketBatches(sv2, "doc_id", "n_tokens",
-        bucketWidth = 32, batchSize = 8, nShards = 4,
-        shardBy = Some(pmod(col("doc_id") % 1048573 * 2654435761L, lit(4))))
-      batched.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
-          countDistinct(struct(col("bucket"), col("shard"), col("batch_id")))
-            .as("n_batches"))
-        .orderBy("lang")
+      // see Curation.pipelineV3Stages for the stage discipline (narrow
+      // eager id caches, text-free batching — the round-5 variance fix)
+      graft.ops.Curation.pipelineV3Stages(docs,
+          shardBy = Some(pmod(col("doc_id") % 1048573 * 2654435761L, lit(4))))
+        .summary.orderBy("lang")
     }, Some(s"""
       WITH gate AS (
         SELECT doc_id, lang, text FROM (

@@ -140,4 +140,20 @@ class PackingSpec extends SparkSpec {
     val sizes = a.groupBy(t => (t._2, t._3)).values.map(_.size)
     all(sizes) should be <= 4
   }
+
+  test("lengthBucketBatches accepts column names that would break SQL interpolation") {
+    import spark.implicits._
+    // dots and spaces in the caller's names: the Column-API build must
+    // resolve them as plain attributes (raw expr() SQL would parse
+    // `doc.id` as a struct access and fail on `n tokens`)
+    val docs = Seq((1L, 7L), (2L, 7L), (3L, 40L))
+      .toDF("doc.id", "n tokens")
+    val out = Packing.lengthBucketBatches(docs, "doc.id", "n tokens",
+        bucketWidth = 32, batchSize = 2, nShards = 1)
+      .collect().map(r => r.getAs[Long]("doc.id") ->
+        ((r.getAs[Long]("bucket"), r.getAs[Long]("batch_id")))).toMap
+    out(1L) shouldBe ((0L, 0L))
+    out(2L) shouldBe ((0L, 0L))
+    out(3L) shouldBe ((1L, 0L))
+  }
 }

@@ -223,6 +223,34 @@ class PlanContractSpec extends SparkSpec {
     p should include ("bloom_might_contain")
   }
 
+  test("curation_pipeline_v3: no gate/span recompute downstream of the id caches; LM explode binds tokens once") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val st = graft.ops.Curation.pipelineV3Stages(docs)
+    // InMemoryTableScanExec is a LEAF (the cached plan is not a child),
+    // so collecting over the final plan sees only the work that would
+    // RE-RUN: the span-md5 kernel and the gate regexes must both be
+    // behind the eager caches, never in the downstream plan. (AQE's
+    // wrapper is itself leaf-like — unwrap to its current plan first.)
+    val plan = st.summary.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exprStr = plan.collect { case p => p }
+      .flatMap(_.expressions.map(_.toString)).mkString
+    exprStr should not include "sampled_span_hashes"
+    exprStr should not include "regexp_extract_all"
+    plan.toString should include ("InMemoryTableScan")
+    // the LM's bigram generators must reference a BOUND token array —
+    // a split() inside the generator is re-evaluated per element by the
+    // interpreted HOF path: O(tokens²) per doc (the round-5 v3 tail)
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    gens should not be empty
+    gens.foreach(g => g.generator.toString should not include "split(")
+    st.release()
+  }
+
   test("curation_pipeline_v2 post-dedup stages read the persisted survivor set") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val run = graft.ops.Curation.pipelineV2(docs)
