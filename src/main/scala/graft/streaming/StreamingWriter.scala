@@ -137,6 +137,68 @@ object StreamingWriter {
     Option(q.lastProgress).map(_.inputRowsPerSecond).filterNot(_.isNaN)
   def processedRowsPerSecond(q: StreamingQuery): Option[Double] =
     Option(q.lastProgress).map(_.processedRowsPerSecond).filterNot(_.isNaN)
-  def stopQuery(q: StreamingQuery): Unit = if (q.isActive) q.stop()
+
+  /** The reference's streaming status map
+    * (`get_streaming_query_status`, writer.py:1211-1281), never
+    * throwing. Always carries query_id / run_id / name / is_active /
+    * status ("active" | "inactive" | "not_running" | "error"); an
+    * ACTIVE query with progress adds batch_id, rates, batch_duration
+    * and timestamp (rate fields only when actually reported — Spark
+    * encodes absence as NaN where PySpark omits the key); an INACTIVE
+    * query that died adds `error` from its exception.
+    */
+  def queryStatus(q: StreamingQuery): Map[String, Any] =
+    try {
+      if (q == null)
+        Map("status" -> "not_running",
+          "message" -> "No streaming query provided")
+      else {
+        val base = Map[String, Any](
+          "query_id" -> q.id.toString,
+          "run_id" -> q.runId.toString,
+          "name" -> q.name,
+          "is_active" -> q.isActive,
+          "status" -> (if (q.isActive) "active" else "inactive"))
+        if (q.isActive) {
+          Option(q.lastProgress).fold(base) { p =>
+            base ++ Map[String, Any](
+              "batch_id" -> p.batchId,
+              "batch_duration" -> p.batchDuration) ++
+              Some(p.inputRowsPerSecond).filterNot(_.isNaN)
+                .map("input_rows_per_second" -> (_: Any)) ++
+              Some(p.processedRowsPerSecond).filterNot(_.isNaN)
+                .map("processed_rows_per_second" -> (_: Any)) ++
+              Option(p.timestamp).map("timestamp" -> (_: Any))
+          }
+        } else {
+          val err =
+            try q.exception.map(e => "error" -> (e.toString: Any))
+            catch { case scala.util.control.NonFatal(_) => None }
+          base ++ err
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Map("status" -> "error",
+          "message" -> s"Error getting query status: ${e.getMessage}")
+    }
+
+  /** Graceful stop with optional await (reference
+    * `stop_streaming_query`, writer.py:1284-1313): a null or inactive
+    * query is already "stopped" (true); otherwise stop(), then — when a
+    * timeout is given — await termination up to that many seconds.
+    * NEVER throws: any failure returns false, so operational teardown
+    * paths can't crash the job they are cleaning up after.
+    */
+  def stopQuery(q: StreamingQuery, timeoutSeconds: Option[Long] = None): Boolean =
+    try {
+      if (q == null || !q.isActive) true
+      else {
+        q.stop()
+        timeoutSeconds.foreach(t => q.awaitTermination(t * 1000L))
+        true
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   def awaitAvailableNow(q: StreamingQuery): Unit = q.awaitTermination()
 }

@@ -106,6 +106,66 @@ class StreamingSpec extends SparkSpec {
     out.select("id").collect().map(_.getInt(0)).sorted shouldBe Array(1, 3)
   }
 
+  test("queryStatus + stopQuery mirror the reference across a query's life") {
+    // reference: get_streaming_query_status / stop_streaming_query
+    // (writer.py:1211-1313) against a LIVE micro-batch query
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Int]
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstatus").toString
+    val q = StreamingWriter.startToPath(mem.toDF().toDF("v"), s"$dir/out",
+      StreamingConfig(queryName = Some("status_probe"),
+        checkpointRoot = Some(s"$dir/cp")))
+    try {
+      mem.addData(1, 2, 3)
+      q.processAllAvailable()
+      val st = StreamingWriter.queryStatus(q)
+      st("status") shouldBe "active"
+      st("is_active") shouldBe true
+      st("query_id") shouldBe q.id.toString
+      st("run_id") shouldBe q.runId.toString
+      st("name") shouldBe "status_probe"
+      st("batch_id").asInstanceOf[Long] should be >= 0L
+      st should contain key "batch_duration"
+      st should contain key "timestamp"
+    } finally {
+      // graceful stop with await — the reference's timeout branch
+      StreamingWriter.stopQuery(q, timeoutSeconds = Some(30)) shouldBe true
+    }
+    q.isActive shouldBe false
+    val st2 = StreamingWriter.queryStatus(q)
+    st2("status") shouldBe "inactive"
+    st2("is_active") shouldBe false
+    st2.contains("error") shouldBe false // clean stop carries no error
+    // stop is idempotent / never-throwing, incl. the None contract
+    StreamingWriter.stopQuery(q) shouldBe true
+    StreamingWriter.stopQuery(null) shouldBe true
+    StreamingWriter.queryStatus(null)("status") shouldBe "not_running"
+  }
+
+  test("queryStatus surfaces the exception of a query that died") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Int]
+    val dir = java.nio.file.Files.createTempDirectory("graft_qerr").toString
+    // assert_true throws inside the batch -> the query terminates failed
+    val failing = mem.toDF().toDF("v")
+      .selectExpr("assert_true(v < 10) AS ok", "v")
+    val q = StreamingWriter.startToPath(failing, s"$dir/out",
+      StreamingConfig(checkpointRoot = Some(s"$dir/cp")))
+    mem.addData(50)
+    intercept[Exception] { q.processAllAvailable() }
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (q.isActive && System.nanoTime() < deadline) Thread.sleep(50)
+    q.isActive shouldBe false
+    val st = StreamingWriter.queryStatus(q)
+    st("status") shouldBe "inactive"
+    st should contain key "error"
+    st("error").toString.toLowerCase should include ("assert")
+    // stopping the corpse is still a success, not a throw
+    StreamingWriter.stopQuery(q, timeoutSeconds = Some(5)) shouldBe true
+  }
+
   test("streaming row_dq reports per-batch counts via observed metrics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
