@@ -106,30 +106,37 @@ final class PagerDutyNotifier(
       transport(WebhookFormats.pagerduty(n, routingKey, productId, tableName))
 }
 
-/** Builds the reference's notification messages (start / completion /
-  * failure / threshold / ignore-rule; push/spark_expectations_notify
-  * .py:42-388) and fans them out to registered plugins, honoring the
-  * low<medium<high priority filter.
-  */
 /** The reference's custom notification body
   * (spark_expectations_notify.py:80-106): the user template declares
   * which stats it wants as `'key': {}` placeholders; the rendered body
   * is `CUSTOM EMAIL\n` + a JSON object of those keys from the run's
   * stats dict (reference stats-table key names). Keys absent from the
-  * dict are skipped (the reference logs a warning); a template with NO
-  * placeholders raises, like the reference.
+  * dict are skipped with a warning, like the reference; a template
+  * with NO placeholders raises, like the reference. The JSON renders
+  * with `json.dumps`-style separators (`"k": v`, `, ` between entries
+  * — the form the reference's tests pin), at every nesting level.
   */
 object CustomBody {
   private val Placeholder = """'(\w+)': \{\}""".r
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def render(template: String, s: DqStats): String = {
     val keys = Placeholder.findAllMatchIn(template).map(_.group(1)).toSeq
     require(keys.nonEmpty, "No key words for statistics were provided.")
     val dict = statsDict(s)
-    val m = new java.util.LinkedHashMap[String, Any]
-    keys.foreach(k => dict.get(k).foreach(v => m.put(k, v)))
-    "CUSTOM EMAIL\n" + new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsString(m)
+    keys.filterNot(dict.contains).foreach(k =>
+      log.warn(s"Key '$k' not found in statistics; skipping"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def json(v: Any): String = v match {
+      case m: java.util.Map[_, _] =>
+        import scala.jdk.CollectionConverters._
+        m.entrySet().asScala
+          .map(e => s"${om.writeValueAsString(e.getKey.toString)}: ${json(e.getValue)}")
+          .mkString("{", ", ", "}")
+      case other => om.writeValueAsString(other)
+    }
+    "CUSTOM EMAIL\n" + keys.flatMap(k => dict.get(k).map(v =>
+      s"${om.writeValueAsString(k)}: ${json(v)}")).mkString("{", ", ", "}")
   }
 
   /** The stats row under the reference's snake_case stats-table names
@@ -159,6 +166,11 @@ object CustomBody {
   }
 }
 
+/** Builds the reference's notification messages (start / completion /
+  * failure / threshold / ignore-rule; push/spark_expectations_notify
+  * .py:42-388) and fans them out to registered plugins, honoring the
+  * low<medium<high priority filter.
+  */
 final class Notifier(
     plugins: Seq[NotificationPlugin],
     minPriority: String = "low",

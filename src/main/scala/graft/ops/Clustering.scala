@@ -166,8 +166,16 @@ object Clustering {
         index.groupBy(col("cluster")).agg(count(lit(1)).as("m_"))
           .filter(col("m_") > clusterCap).select(col("cluster")),
         Seq("cluster"), "left_anti")
+    // id inequality makes crash-replay idempotent: if a run dies AFTER
+    // saveSemanticIndex(append) but BEFORE the sink commit, the
+    // replayed batch joins an index already containing its own
+    // survivors — without the guard every such row self-matches
+    // (cosine = 1 >= tau) and the replay silently drops the kept
+    // corpus. Ids are unique corpus-wide, so the guard is free in
+    // normal operation.
     val dupVsIndex = b.as("x")
-      .join(capped.as("y"), col("x.cluster") === col("y.cluster"))
+      .join(capped.as("y"), col("x.cluster") === col("y.cluster") &&
+        col("x.id") =!= col("y.id"))
       .filter(Similarity.cosine(col("x.vec"), col("y.vec")) >= tau)
       .select(col("x.id").as("id")).distinct()
     val dupInBatch = b.as("x").join(b.as("y"),

@@ -107,12 +107,16 @@ object Dedup {
     */
   def exactGroupsBest(df: DataFrame, idCol: String, textCol: String,
                       scoreCol: String): DataFrame =
+    // min over (negated score, id): max score, ties to the LOWEST id —
+    // the id rides the struct UN-negated, so string/any-ordered id
+    // types work (negating the id would null out or throw on strings;
+    // only the score need be numeric)
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(
-        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"))).as("m"),
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("i"))).as("m"),
         count(lit(1)).as("n_dups"))
-      .select(col("fp"), (-col("m.ni")).as("keeper"),
-        col("m.s").as("keeper_score"), col("n_dups"))
+      .select(col("fp"), col("m.i").as("keeper"),
+        (-col("m.ns")).as("keeper_score"), col("n_dups"))
 
   /** Drop shingles whose document frequency exceeds `dfCap` from an
     * inverted index. A shingle with df=m produces m² hits in a
@@ -713,15 +717,17 @@ object Dedup {
     */
   def bestClusterMembers(clusters: DataFrame, scores: DataFrame,
                          idCol: String, scoreCol: String): DataFrame =
+    // same id-type-agnostic argmin as [[exactGroupsBest]]: negate only
+    // the (numeric) score, never the id
     clusters
       .join(scores.select(col(idCol).as("doc_id"), col(scoreCol).as("__q")),
         Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(
-        max(struct(col("__q").as("s"), (-col("doc_id")).as("ni"))).as("m"),
+        min(struct((-col("__q")).as("ns"), col("doc_id").as("i"))).as("m"),
         count(lit(1)).as("n_members"))
-      .select(col("cluster_id"), (-col("m.ni")).as("keeper"),
-        col("m.s").as("keeper_score"), col("n_members"))
+      .select(col("cluster_id"), col("m.i").as("keeper"),
+        (-col("m.ns")).as("keeper_score"), col("n_members"))
 
   /** [[dropDuplicateMembers]] with the quality-aware survivor: every
     * cluster keeps its [[bestClusterMembers]] winner instead of the

@@ -37,9 +37,11 @@ import org.apache.spark.sql.functions._
   * run exact dedup first so identical strings don't re-verify.
   *
   * Strings shorter than `maxDist+1` cannot host `maxDist+1` nonempty
-  * segments; their partners are at most `2·maxDist` chars, so that
-  * residue is a bounded-length broadcast join, not a corpus-scale
-  * cross product.
+  * segments; their partners are at most `2·maxDist` chars. That residue
+  * broadcasts the DISTINCT short texts (bounded by the content space of
+  * ≤ 2·maxDist chars, never by row count — a corpus of billions of
+  * duplicate one-char cells stays a tiny build side), pre-verifies the
+  * text pairs, and re-attaches ids with text-keyed equi-joins.
   */
 object Fuzzy {
 
@@ -109,14 +111,26 @@ object Fuzzy {
         greatest(col("id_s"), col("id_p")).as("id_b"))
 
     // residue: shorter side under parts chars ⇒ partner is at most
-    // 2e chars — both sides bounded-length, broadcast-joinable
-    val shorts = d.filter(col("l") < parts)
-      .select(col("id").as("id_s"), col("l").as("lsh"))
-    val shortPartners = d.filter(col("l") <= 2L * e)
-      .select(col("id").as("id_p"), col("l").as("lp"))
-    val shortCands = broadcast(shorts).join(shortPartners,
-        col("id_s") =!= col("id_p") &&
-          abs(col("lsh") - col("lp")) <= e)
+    // 2e chars. The broadcast build side is the DISTINCT short TEXTS,
+    // never rows: a flood of duplicate short strings (billions of
+    // single-char cells) is bounded by its content space, not its
+    // count. Matching texts pre-verify with the bounded levenshtein,
+    // then ids re-attach by equi-join on the text — both re-attach
+    // joins key on text, shuffling only the short slices.
+    val shortTexts = d.filter(col("l") < parts)
+      .select(col("t").as("ts"), col("l").as("lsh")).distinct()
+    val partnerTexts = d.filter(col("l") <= 2L * e)
+      .select(col("t").as("tp"), col("l").as("lp")).distinct()
+    val shortPairTexts = broadcast(shortTexts).join(partnerTexts,
+        abs(col("lsh") - col("lp")) <= e &&
+          levenshtein(col("ts"), col("tp"), e) >= 0)
+      .select(col("ts"), col("tp"))
+    val shortCands = shortPairTexts
+      .join(d.filter(col("l") < parts)
+        .select(col("id").as("id_s"), col("t").as("ts")), Seq("ts"))
+      .join(d.filter(col("l") <= 2L * e)
+        .select(col("id").as("id_p"), col("t").as("tp")), Seq("tp"))
+      .filter(col("id_s") =!= col("id_p"))
       .select(least(col("id_s"), col("id_p")).as("id_a"),
         greatest(col("id_s"), col("id_p")).as("id_b"))
 
@@ -155,16 +169,26 @@ object Fuzzy {
       .select(col("id_p").as("left_id"), col("id_s").as("right_id"))
 
     // short residue, both directions: any string under parts chars can
-    // only pair with strings of length <= 2e
-    def shortsOf(d: DataFrame) = d.filter(col("l") < parts)
-      .select(col("id").as("sid"), col("l").as("lsh"))
-    def partnersOf(d: DataFrame) = d.filter(col("l") <= 2L * e)
-      .select(col("id").as("pid"), col("l").as("lp"))
-    val shortCands = broadcast(shortsOf(dl)).join(partnersOf(dr),
-        abs(col("lsh") - col("lp")) <= e)
+    // only pair with strings of length <= 2e. Distinct-TEXT broadcast +
+    // id re-attach, same as the self-join (build side bounded by
+    // content space, not row count).
+    def shortDir(ds: DataFrame, dp: DataFrame): DataFrame = {
+      val shortTexts = ds.filter(col("l") < parts)
+        .select(col("t").as("ts"), col("l").as("lsh")).distinct()
+      val partnerTexts = dp.filter(col("l") <= 2L * e)
+        .select(col("t").as("tp"), col("l").as("lp")).distinct()
+      broadcast(shortTexts).join(partnerTexts,
+          abs(col("lsh") - col("lp")) <= e &&
+            levenshtein(col("ts"), col("tp"), e) >= 0)
+        .select(col("ts"), col("tp"))
+        .join(ds.filter(col("l") < parts)
+          .select(col("id").as("sid"), col("t").as("ts")), Seq("ts"))
+        .join(dp.filter(col("l") <= 2L * e)
+          .select(col("id").as("pid"), col("t").as("tp")), Seq("tp"))
+    }
+    val shortCands = shortDir(dl, dr)
       .select(col("sid").as("left_id"), col("pid").as("right_id"))
-      .unionByName(broadcast(shortsOf(dr)).join(partnersOf(dl),
-          abs(col("lsh") - col("lp")) <= e)
+      .unionByName(shortDir(dr, dl)
         .select(col("pid").as("left_id"), col("sid").as("right_id")))
 
     lShortSide.unionByName(rShortSide).unionByName(shortCands)

@@ -160,11 +160,17 @@ class NotificationsSpec extends AnyFunSuite with Matchers {
     new Notifier(Seq(sink), customBody = Some(template)).onCompletion(stats)
     val body = sink.sent.head.body
     body should startWith ("CUSTOM EMAIL\n")
-    // declared keys in template order; the unknown key silently skipped
-    body should include ("\"product_id\":\"p7\"")
-    body should include ("\"input_count\":10")
-    body should include ("\"error_percentage\":10.0")
+    // declared keys in template order, json.dumps-style separators
+    // ("k": v with a space — the form the reference's tests pin); the
+    // unknown key skipped (with a warning)
+    body should include ("\"product_id\": \"p7\"")
+    body should include ("\"input_count\": 10")
+    body should include ("\"error_percentage\": 10.0")
     body should not include "no_such_key"
+    // nested dicts render with the same spaced separators
+    val tmpl2 = "'dq_status': {}"
+    new Notifier(Seq(sink), customBody = Some(tmpl2)).onCompletion(stats)
+    sink.sent.last.body should include ("{\"run_status\": \"Passed\"}")
     // a template with no placeholders raises, like the reference
     an[IllegalArgumentException] should be thrownBy
       new Notifier(Seq(sink), customBody = Some("no placeholders here"))

@@ -146,6 +146,15 @@ class ClusteringSpec extends SparkSpec {
     // its appended copy now drops the identical-direction 20
     inc(13L) shouldBe true
     inc2(20L) shouldBe false
+
+    // crash-replay idempotence: a failure AFTER the index append but
+    // BEFORE the sink commit replays the same batch against an index
+    // that already holds its own survivors — the id guard must keep
+    // every previously-kept row kept (no self-match at cosine 1)
+    val replay = Clustering.semanticDedupIncremental(
+        batch, cents, spark.table("sem_idx_spec"), tau = 0.995)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    replay.filter(_._2).keySet shouldBe inc.filter(_._2).keySet
   }
 
   test("semanticDedup clusterCap skips pairing in over-cap clusters (all kept)") {

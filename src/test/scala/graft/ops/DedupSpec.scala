@@ -503,4 +503,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
     out shouldBe Map(2L -> ((50L, 2L)), 3L -> ((7L, 2L)), 5L -> ((1L, 1L)))
   }
+
+  test("exactGroupsBest works with STRING ids (tie to lexicographic lowest)") {
+    import spark.implicits._
+    // the argmin negates only the score, so any ordered id type works —
+    // a negated string id would be null (non-ANSI) or throw (ANSI)
+    val docs = Seq(
+      ("url-b", "same body", 10L),
+      ("url-a", "same body", 50L),
+      ("url-d", "other body", 7L),
+      ("url-c", "other body", 7L)
+    ).toDF("doc_id", "text", "q")
+    val out = Dedup.exactGroupsBest(docs, "doc_id", "text", "q")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    out shouldBe Map("url-a" -> 50L, "url-c" -> 7L)
+  }
 }

@@ -82,6 +82,34 @@ class FuzzySpec extends SparkSpec {
     expect.map(p => (p._1, p._2)) should contain((2L, 4L))
   }
 
+  test("a planted flood of duplicate short strings keeps a bounded (distinct-text) build side") {
+    // 300 copies each of three sub-(e+1)-char strings: the residue's
+    // broadcast must carry the 4 DISTINCT texts, not the 900+ rows —
+    // a row-built broadcast would OOM on a billion-cell corpus where
+    // this content-bounded one stays tiny
+    val flood = ((1L to 300L).map(i => (i, "a")) ++
+      (301L to 600L).map(i => (i, "b")) ++
+      (601L to 900L).map(i => (i, "ab")) ++
+      Seq((901L, "abcdefgh"))).toDF("doc_id", "text")
+    val e = 2
+    val out = Fuzzy.editDistancePairs(flood, "doc_id", "text", e)
+    // plan: the broadcast build side sits on a distinct-aggregate of
+    // the short texts
+    val p = out.queryExecution.executedPlan.toString
+    p should include ("BroadcastExchange")
+    p should include ("HashAggregate(keys=[ts")
+    // spot-parity (full brute force on 900 rows is 400k pairs — check
+    // structure instead): every cross-text pairing within distance
+    // exists, and a same-text group pairs all-with-all at dist 0
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.count { case (a, b, d) => a <= 300 && b <= 300 && d == 0 } shouldBe
+      (300 * 299) / 2
+    // "a" vs "b" at dist 1, "a" vs "ab" at dist 1, "ab" vs "abcdefgh" beyond e
+    got.count { case (a, b, d) => a <= 300 && b > 300 && b <= 600 && d == 1 } shouldBe
+      300 * 300
+    got.exists { case (_, b, _) => b == 901L } shouldBe false
+  }
+
   test("maxDist=0 degenerates to exact duplicate pairs") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
