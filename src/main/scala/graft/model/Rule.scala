@@ -19,7 +19,7 @@ object RuleType {
     case "row_dq"   => RowDq
     case "agg_dq"   => AggDq
     case "query_dq" => QueryDq
-    case other      => throw new IllegalArgumentException(s"unknown rule_type: $other")
+    case other      => throw new DqInvalidRuleTypeException(s"unknown rule_type: $other")
   }
 }
 
@@ -34,7 +34,7 @@ object ActionIfFailed {
     case "fail"   => Fail
     case "drop"   => Drop
     case "ignore" => Ignore
-    case other    => throw new IllegalArgumentException(s"unknown action_if_failed: $other")
+    case other    => throw new DqUserInputOrConfigInvalidException(s"unknown action_if_failed: $other")
   }
 }
 

@@ -188,7 +188,15 @@ final class Notifier(
 
   private def fanOut(n: Notification): Unit =
     if (rank.getOrElse(n.priority, 1) >= rank.getOrElse(minPriority, 0))
-      plugins.foreach(_.send(n))
+      plugins.foreach { p =>
+        // a channel failure surfaces as that channel's typed exception
+        // (reference exceptions.py:25-51), cause preserved
+        try p.send(n)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw graft.model.DqNotificationException.forChannel(p.name, e)
+        }
+      }
 
   def onStart(productId: String, table: String): Unit = if (enableOnStart)
     fanOut(Notification(

@@ -231,6 +231,10 @@ final class SparkExpectations(
   val settings: ExecutionSettings = RulesReader.executionSettings(grouped)
 
   def run(inputDf: DataFrame): DqResult = {
+    if (inputDf == null)
+      throw new graft.model.DqDataFrameNotReturnedException(
+        "error occurred while processing spark expectations due to given " +
+          "dataframe is not type of dataframe")
     val spark = inputDf.sparkSession
     val ctx   = RunContext.create(productId, targetTable)
     val streaming = inputDf.isStreaming

@@ -140,4 +140,23 @@ object RuleValidator {
 
   def validate(spark: SparkSession, rules: Seq[Rule]): Seq[Violation] =
     rules.flatMap(validateOne(spark, _))
+
+  /** Strict mode: throw the reference's per-type exception for the
+    * FIRST violation (exceptions.py:62-81 — invalid action/config maps
+    * to the user-input class, an invalid expectation to its rule-type's
+    * class). [[validate]] stays the log-and-continue form.
+    */
+  def validateOrThrow(spark: SparkSession, rules: Seq[Rule]): Unit =
+    validate(spark, rules).headOption.foreach { v =>
+      import graft.model._
+      val msg = s"rule '${v.rule.rule}': ${v.problem}"
+      if (v.problem.startsWith("invalid action_if_failed"))
+        throw new DqUserInputOrConfigInvalidException(msg)
+      v.rule.ruleType match {
+        case "row_dq"   => throw new DqInvalidRowDqExpectationException(msg)
+        case "agg_dq"   => throw new DqInvalidAggDqExpectationException(msg)
+        case "query_dq" => throw new DqInvalidQueryDqExpectationException(msg)
+        case _          => throw new DqInvalidRuleTypeException(msg)
+      }
+    }
 }
