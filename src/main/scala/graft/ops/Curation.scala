@@ -529,10 +529,15 @@ object Curation {
     if (dropFrac == 0) return scored
     // the scored frame is scanned by the histogram AND the gate —
     // persist by default so the (often expensive) score expression
-    // computes once; opt out when the caller persists upstream
-    val src = if (persistScored)
-      scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else scored
+    // computes once, and materialize EAGERLY (both consumers sit in the
+    // same final action; racing a lazy cache re-runs the score
+    // expression nondeterministically). Opt out when the caller
+    // persists upstream.
+    val src = if (persistScored) {
+      val p = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    } else scored
     val q = floor(col(scoreCol) * lit(1000000.0)).cast("long")
     val hist = src.select(q.as("__q"))
       .groupBy(col("__q")).agg(count(lit(1)).as("__c"))
@@ -590,9 +595,12 @@ object Curation {
       persistScored: Boolean = true,
       quantized: Boolean = false): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val src = if (persistScored)
-      scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else scored
+    // eager persist, same rationale as quantileGate's
+    val src = if (persistScored) {
+      val p = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    } else scored
     // quantized=true: scoreCol already holds the integer bucket (e.g.
     // TextAnalysis.qualityScoreQ) — skip the double-path floor so the
     // gate is exact end-to-end for integer-scored compositions.

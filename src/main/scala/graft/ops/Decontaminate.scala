@@ -43,10 +43,15 @@ object Decontaminate {
     // persistIndex=false opts out (matching Dedup's flag) so repeated
     // calls in a long-lived application don't accumulate executor cache;
     // the default stays true — both shingle frames feed 2-4 consumers
+    // eager materialization, like Dedup.persisted: both frames feed 2-4
+    // consumers, and a lazy cache racing them recomputes the shingle
+    // kernel nondeterministically
     def persisted(df: DataFrame): DataFrame =
-      if (persistIndex)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (persistIndex) {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      } else df
     val tEx = persisted(Dedup.shingleFpRows(train, idCol, textCol, k))
     val bEx = persisted(Dedup.shingleFpRows(bench, idCol, textCol, k))
     val bSizes = bEx.groupBy(col("id")).agg(count(lit(1)).as("nb"))

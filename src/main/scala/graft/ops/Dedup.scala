@@ -194,8 +194,20 @@ object Dedup {
     * beyond memory. Released on `spark.catalog.clearCache()` or when
     * the result is fully consumed and evicted.
     */
+  /** Persist AND eagerly materialize: every caller hands the index
+    * frame to 2+ consumers, and consumers racing a lazily-persisted
+    * cache inside one action re-run the fingerprint kernels a
+    * nondeterministic number of times (the round-5 curation_pipeline_v3
+    * variance mechanism, which applies to every multi-consumer persist).
+    * The count is the same work the first consumer would do — paid once,
+    * deterministically.
+    */
   private def persisted(ex: DataFrame, on: Boolean): DataFrame =
-    if (on) ex.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else ex
+    if (on) {
+      val p = ex.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    } else ex
 
   /** 64-bit shingle fingerprints (id, s: long), Broder-style: the ops
     * below join/aggregate on the fingerprint, so every shuffle keys on
@@ -1055,7 +1067,6 @@ object Dedup {
       spanFingerprints(df, idCol, textCol, k, sel)
         .select(col("id"), xxhash64(col("h")).as("s")),
       persistIndex)
-    if (persistIndex) ex.count()
     val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
     ex.join(dfs, Seq("s"))
       .groupBy(col("id"))
