@@ -1081,6 +1081,139 @@ object Curation {
     scoreAgainstCounts(docs, c2, contextsFromBigrams(c2), idCol, textCol)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each RAW
+    * document by how much its hashed-bigram profile looks like the
+    * TARGET distribution. Bigrams hash into `buckets` cells (md5-prefix
+    * modular — engine-portable, fixed model size regardless of vocab),
+    * and each doc pools exact long counts over its bigrams:
+    *
+    *   - `target_hits` = Σ c_target(bucket) — occurrences of the doc's
+    *     buckets in the target corpus;
+    *   - `raw_hits`    = Σ c_raw(bucket) — same against the raw corpus;
+    *   - `weight`      = target_hits / raw_hits, ONE final IEEE divide.
+    *
+    * DSIR proper sums log n-gram probability ratios; pooling the counts
+    * keeps both sums exact longs (the [[ngramLmScore]] log-free
+    * cross-engine trick) while ordering documents the same way in
+    * practice: high = target-like buckets dominate, low = buckets the
+    * target never visits. Docs without bigrams carry a NULL weight.
+    *
+    * Scale shape: both count tables are `buckets`-bounded (AQE
+    * broadcasts them under the per-doc stream's joins); the raw corpus
+    * is scanned twice (model + per-doc) rather than caching the
+    * corpus-sized bigram explode — the same trade every LM op here
+    * makes. `raw_hits >= n_bigrams >= 1` by construction (each bigram
+    * counts its own occurrence), so the divide never sees zero.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        buckets: Int = 65536): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketed(df: DataFrame, keep: Seq[String]): DataFrame =
+      bigramRows(df, keep, textCol).select(keep.map(col) :+
+        pmod(conv(substring(md5(col("bigram")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"): _*)
+    val tCounts = bucketed(target, Nil).groupBy(col("b"))
+      .agg(count(lit(1)).as("ct"))
+    val rCounts = bucketed(raw, Nil).groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"))
+    val perDoc = bucketed(raw, Seq(idCol))
+      .join(tCounts, Seq("b"), "left")
+      .join(rCounts, Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nb"),
+        sum(coalesce(col("ct"), lit(0L))).as("th"),
+        sum(col("cr")).as("rh"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("th"), lit(0L)).as("target_hits"),
+        coalesce(col("rh"), lit(0L)).as("raw_hits"),
+        when(col("rh") > 0, col("th").cast("double") / col("rh").cast("double"))
+          .as("weight"))
+  }
+
+  /** [[importanceWeights]] when the target IS a slice of the corpus
+    * (the common case: a labeled high-quality subset): both count
+    * tables ride ONE conditional aggregate over a single bigram explode
+    * — `cr = count(*)`, `ct = count_if(targetCond)` per bucket — so the
+    * corpus is scanned twice total (model + per-doc) instead of three
+    * times. Identical output to `importanceWeights(docs,
+    * docs.filter(targetCond))` (spec-pinned).
+    */
+  def importanceWeightsSelf(docs: DataFrame, targetCond: Column,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            buckets: Int = 65536): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucket(c: Column): Column =
+      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    val counts = bigramRows(docs.withColumn("__t", targetCond), Seq("__t"), textCol)
+      .select(col("__t"), bucket(col("bigram")).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"), count_if(col("__t")).as("ct"))
+    val perDoc = bigramRows(docs, Seq(idCol), textCol)
+      .select(col(idCol), bucket(col("bigram")).as("b"))
+      .join(counts, Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("ct")).as("th"),
+        sum(col("cr")).as("rh"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("th"), lit(0L)).as("target_hits"),
+        coalesce(col("rh"), lit(0L)).as("raw_hits"),
+        when(col("rh") > 0, col("th").cast("double") / col("rh").cast("double"))
+          .as("weight"))
+  }
+
+  /** Deterministic importance RESAMPLING over [[importanceWeights]]:
+    * keep each weighted doc with probability proportional to
+    * `weight / max(weight)`, realized by the portable modular hash
+    * (membership replays bit-for-bit on any engine — same mechanism as
+    * [[Sampling.temperatureSample]]). The max is a one-row aggregate
+    * cross-joined back; thresholds quantize to `floor(ratio·1e6)`
+    * longs. Docs with NULL weight (no bigrams) are dropped — no
+    * signal, no selection.
+    */
+  def importanceResample(raw: DataFrame, target: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         buckets: Int = 65536,
+                         persistWeights: Boolean = true): DataFrame =
+    importanceResampleFrom(
+      importanceWeights(raw, target, idCol, textCol, buckets),
+      idCol, persistWeights)
+
+  /** The selection step of [[importanceResample]], over any
+    * weights-shaped frame (id, ..., weight) — e.g.
+    * [[importanceWeightsSelf]]'s output.
+    */
+  def importanceResampleFrom(weights: DataFrame, idCol: String = "doc_id",
+                             persistWeights: Boolean = true): DataFrame = {
+    // the narrow (id, weight) frame feeds the max aggregate AND the
+    // membership filter — persist it (eagerly, as everywhere) or both
+    // consumers recompute the bigram explodes
+    val w0 = weights
+      .filter(col("weight").isNotNull)
+      .select(col(idCol), col("weight"))
+    val w = if (persistWeights) {
+      val p = w0.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    } else w0
+    val wmax = w.agg(max(col("weight")).as("__wmax"))
+    w.crossJoin(wmax)
+      .withColumn("__thr",
+        floor(col("weight") / col("__wmax") * lit(1000000.0)).cast("long"))
+      .filter(Sampling.hashBucket(col(idCol)) < col("__thr"))
+      .select(col(idCol), col("weight"))
+  }
+
   /** Context counts DERIVED from the bigram counts: c1(w1) = Σ_w2
     * c2(w1,w2), exactly the row count of the adjacency stream grouped
     * by w1 — but computed from the vocab-bounded c2 table instead of a

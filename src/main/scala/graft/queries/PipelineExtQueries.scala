@@ -82,6 +82,28 @@ object PipelineExtQueries {
       bthr AS (SELECT min(q) AS t FROM cum WHERE cum <= 15000),
       sel AS (SELECT z.* FROM qz z, bthr WHERE z.q >= bthr.t)"""
 
+  /** Shared CTEs of the DSIR oracles: hashed-bigram buckets (md5-prefix
+    * modular, engine-portable), target (en) and raw count tables, and
+    * the per-doc pooled sums — mirrors
+    * [[graft.ops.Curation.importanceWeights]] step for step.
+    */
+  private lazy val dsirCtesSql: String = """
+      WITH bg AS (
+        SELECT doc_id, lang,
+          unnest(list_transform(range(1, len(tk)),
+            i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)
+        WHERE len(tk) >= 2),
+      bb AS (SELECT doc_id, lang,
+          CAST(concat('0x', substr(md5(bigram), 1, 15)) AS BIGINT) % 65536 AS b
+        FROM bg),
+      ct AS (SELECT b, count(*) AS ct FROM bb WHERE lang = 'en' GROUP BY b),
+      cr AS (SELECT b, count(*) AS cr FROM bb GROUP BY b),
+      pd AS (SELECT bb.doc_id, count(*) AS nb,
+               sum(coalesce(ct.ct, 0)) AS th, sum(cr.cr) AS rh
+             FROM bb LEFT JOIN ct USING (b) JOIN cr USING (b)
+             GROUP BY bb.doc_id)"""
+
   def all: Seq[QueryDef] = Seq(
 
     // -- as-of join: each purchase ← latest prior click by the same user --
@@ -1283,6 +1305,43 @@ object PipelineExtQueries {
         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         CAST(count(DISTINCT (bucket, shard, batch_id)) AS BIGINT) AS n_batches
       FROM ob GROUP BY lang ORDER BY lang""")),
+
+    // -- DSIR-style importance weights: pooled hashed-bigram counts of
+    // each doc against the target (en) vs raw distributions — exact
+    // long sums, one final divide (Curation.importanceWeights; md5-
+    // prefix bucket hash is engine-portable) --
+    QueryDef("dsir_weights", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.importanceWeightsSelf(
+          docs, col("lang") === "en", buckets = 65536)
+        .orderBy("doc_id")
+    }, Some(s"""
+      $dsirCtesSql
+      SELECT d.doc_id,
+        CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        CAST(coalesce(th, 0) AS BIGINT) AS target_hits,
+        CAST(coalesce(rh, 0) AS BIGINT) AS raw_hits,
+        CASE WHEN rh > 0 THEN CAST(th AS DOUBLE) / CAST(rh AS DOUBLE) END AS weight
+      FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      ORDER BY d.doc_id""")),
+
+    // -- deterministic importance resampling: keep with probability
+    // proportional to weight / max(weight) via the portable modular
+    // hash (replays bit-for-bit in any engine) --
+    QueryDef("dsir_resample", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.importanceResampleFrom(
+          graft.ops.Curation.importanceWeightsSelf(
+            docs, col("lang") === "en", buckets = 65536))
+        .orderBy("doc_id")
+    }, Some(s"""
+      $dsirCtesSql,
+      w AS (SELECT doc_id, CAST(th AS DOUBLE) / CAST(rh AS DOUBLE) AS weight
+            FROM pd WHERE rh > 0),
+      mx AS (SELECT max(weight) AS wmax FROM w)
+      SELECT doc_id, weight FROM w, mx
+      WHERE $hashSql < CAST(floor(weight / wmax * 1000000.0) AS BIGINT)
+      ORDER BY doc_id""")),
 
     // -- per-source corpus health report (the release "data card"): doc
     // and token volume, PII incidence, exact-dup incidence (corpus-wide

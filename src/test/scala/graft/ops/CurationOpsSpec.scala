@@ -411,4 +411,63 @@ class CurationOpsSpec extends SparkSpec {
     // and the model actually saw batch B: "c a" exists only there
     viaModel(2L)(2) shouldBe 2L // n_hits: "c a" (from B) + "a b" (from A)
   }
+
+  test("importanceWeights: exact pooled counts against a hand-built bucket model") {
+    // buckets large enough that no two distinct bigrams collide here,
+    // so counts are per-bigram-exact
+    val raw = Seq(
+      (1L, "a b a b"),   // bigrams: "a b","b a","a b"
+      (2L, "x y"),       // bigram: "x y" — never in target
+      (3L, "a b"),       // bigram: "a b"
+      (4L, "solo")       // no bigrams -> NULL weight
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "a b a")).toDF("doc_id", "text") // "a b","b a"
+    val out = Curation.importanceWeights(raw, target, buckets = 1 << 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4))))).toMap
+    // raw counts: "a b"=3, "b a"=1, "x y"=1; target: "a b"=1, "b a"=1
+    out(1L) shouldBe ((3L, 1L + 1L + 1L, 3L + 1L + 3L, Some(3.0 / 7.0)))
+    out(2L) shouldBe ((1L, 0L, 1L, Some(0.0)))
+    out(3L) shouldBe ((1L, 1L, 3L, Some(1.0 / 3.0)))
+    out(4L) shouldBe ((0L, 0L, 0L, None))
+    // target-like docs outrank the out-of-distribution one
+    out(1L)._4.get.asInstanceOf[Double] should be >
+      out(2L)._4.get.asInstanceOf[Double]
+  }
+
+  test("importanceWeightsSelf (one-pass conditional counts) equals the two-corpus form") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b a b", "en"), (2L, "x y", "de"), (3L, "a b", "en"),
+      (4L, "solo", "de"), (5L, "b a x y b a", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val generic = Curation.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), buckets = 4096)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val self = Curation.importanceWeightsSelf(
+        docs, col("lang") === "en", buckets = 4096)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    self shouldBe generic
+  }
+
+  test("importanceResample keeps target-like docs, drops no-signal docs, replays deterministically") {
+    import org.apache.spark.sql.functions.col
+    val raw = (1L to 60L).map { i =>
+      val text = if (i % 3 == 0) "the cat sat on the mat" else "zz qq ww rr"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val target = Seq((100L, "the cat sat on the mat again")).toDF("doc_id", "text")
+    val a = Curation.importanceResample(raw, target)
+      .collect().map(_.getLong(0)).sorted
+    val b = Curation.importanceResample(raw, target)
+      .collect().map(_.getLong(0)).sorted
+    a shouldBe b // portable-hash membership replays exactly
+    // every target-like doc has weight == wmax -> threshold 1e6 -> all
+    // kept; the OOD docs have weight 0 -> threshold 0 -> none kept
+    a.toSet shouldBe (1L to 60L).filter(_ % 3 == 0).toSet
+    // docs without bigrams never surface
+    val withSolo = raw.unionByName(Seq((999L, "solo")).toDF("doc_id", "text"))
+    Curation.importanceResample(withSolo, target)
+      .filter(col("doc_id") === 999L).count() shouldBe 0L
+  }
 }
