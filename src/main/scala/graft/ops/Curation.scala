@@ -664,6 +664,52 @@ object Curation {
         (col("__qb").cast("double") / lit(1000000.0)).as("value"))
   }
 
+  /** CCNet-style head/middle/tail assignment: per `groupCol` (CCNet
+    * buckets per language), split documents into score TERCILES —
+    * `tail` = bottom third of `scoreCol`, `head` = top third (CCNet
+    * orders by model perplexity; with a goodness score like
+    * [[ngramLmScore]]'s `lm_score`, high = head). Rows with a NULL
+    * score are dropped (no model evidence — CCNet cannot bucket them
+    * either).
+    *
+    * Tercile thresholds are fully INTEGER-exact: scores quantize to
+    * `floor(score·1e6)` longs, `ceil(k·n/3)` computes as
+    * `(k·n + 2) div 3` on longs, and every comparison is long-vs-long —
+    * nothing engine-variant anywhere ([[pipelineV2Stages]]'s gate
+    * discipline). Same scale shape as [[groupQuantiles]]: one corpus
+    * aggregate into a tiny per-group histogram, windows over the
+    * histogram only, thresholds join back broadcast-sized.
+    */
+  def ccnetBuckets(scored: DataFrame, groupCol: String,
+                   scoreCol: String): DataFrame = {
+    val q = floor(col(scoreCol) * lit(1000000.0)).cast("long")
+    val src = scored.filter(col(scoreCol).isNotNull)
+    val hist = src.select(col(groupCol), q.as("__q"))
+      .groupBy(col(groupCol), col("__q")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol)).orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def intCeilThird(k: Int, n: Column): Column =
+      ((n * lit(k.toLong) + lit(2L)) - pmod(n * lit(k.toLong) + lit(2L), lit(3L))) / lit(3L)
+    val cdf = hist.select(col(groupCol), col("__q"),
+      sum(col("__c")).over(wCum).as("__cum"),
+      sum(col("__c")).over(wAll).as("__n"))
+    val thr = cdf
+      .select(col(groupCol), col("__q"), col("__cum"),
+        intCeilThird(1, col("__n")).cast("long").as("__k1"),
+        intCeilThird(2, col("__n")).cast("long").as("__k2"))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("__cum") >= col("__k1"), col("__q"))).as("__t1"),
+        min(when(col("__cum") >= col("__k2"), col("__q"))).as("__t2"))
+    src.join(thr, Seq(groupCol))
+      .withColumn("bucket",
+        when(q <= col("__t1"), lit("tail"))
+          .when(q <= col("__t2"), lit("middle"))
+          .otherwise(lit("head")))
+      .drop("__t1", "__t2")
+  }
+
   def groupPercentile(
       scored: DataFrame,
       groupCol: String,
@@ -1111,15 +1157,11 @@ object Curation {
                         textCol: String = "text",
                         buckets: Int = 65536): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def bucketed(df: DataFrame, keep: Seq[String]): DataFrame =
-      bigramRows(df, keep, textCol).select(keep.map(col) :+
-        pmod(conv(substring(md5(col("bigram")), 1, 15), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("b"): _*)
-    val tCounts = bucketed(target, Nil).groupBy(col("b"))
+    val tCounts = dsirBuckets(target, Nil, textCol, buckets).groupBy(col("b"))
       .agg(count(lit(1)).as("ct"))
-    val rCounts = bucketed(raw, Nil).groupBy(col("b"))
+    val rCounts = dsirBuckets(raw, Nil, textCol, buckets).groupBy(col("b"))
       .agg(count(lit(1)).as("cr"))
-    val perDoc = bucketed(raw, Seq(idCol))
+    val perDoc = dsirBuckets(raw, Seq(idCol), textCol, buckets)
       .join(tCounts, Seq("b"), "left")
       .join(rCounts, Seq("b"))
       .groupBy(col(idCol))
@@ -1148,15 +1190,11 @@ object Curation {
                             textCol: String = "text",
                             buckets: Int = 65536): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def bucket(c: Column): Column =
-      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"),
-        lit(buckets.toLong))
-    val counts = bigramRows(docs.withColumn("__t", targetCond), Seq("__t"), textCol)
-      .select(col("__t"), bucket(col("bigram")).as("b"))
+    val counts = dsirBuckets(docs.withColumn("__t", targetCond), Seq("__t"),
+        textCol, buckets)
       .groupBy(col("b"))
       .agg(count(lit(1)).as("cr"), count_if(col("__t")).as("ct"))
-    val perDoc = bigramRows(docs, Seq(idCol), textCol)
-      .select(col(idCol), bucket(col("bigram")).as("b"))
+    val perDoc = dsirBuckets(docs, Seq(idCol), textCol, buckets)
       .join(counts, Seq("b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("nb"),
@@ -1213,6 +1251,68 @@ object Curation {
       .filter(Sampling.hashBucket(col(idCol)) < col("__thr"))
       .select(col(idCol), col("weight"))
   }
+
+  /** Persist the DSIR bucket model ONCE as a bucketed count table
+    * `<prefix>_dsir` (b, ct, cr) — the [[saveLmModel]] index-once shape
+    * applied to importance weighting: later crawl batches score against
+    * the standing target/raw distributions without re-reading either
+    * corpus. Append new raw batches' PARTIAL counts with
+    * `append = true` (ct = 0 rows for raw-only batches);
+    * [[scoreWithDsirModel]] collapses partials at read time.
+    */
+  def saveDsirModel(raw: DataFrame, target: DataFrame, prefix: String,
+                    textCol: String = "text", buckets: Int = 65536,
+                    tableBuckets: Int = 16, append: Boolean = false): Unit = {
+    val ct = dsirBuckets(target, Nil, textCol, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cr = dsirBuckets(raw, Nil, textCol, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    ct.join(cr, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .write.mode(if (append) "append" else "overwrite")
+      .bucketBy(tableBuckets, "b").saveAsTable(s"${prefix}_dsir")
+  }
+
+  /** Score `docs` against a model persisted by [[saveDsirModel]].
+    * For documents drawn from the model's own raw corpus this equals
+    * [[importanceWeights]] exactly (spec-pinned); NEW documents may
+    * carry buckets the model never saw — those contribute 0 to both
+    * sums (left join), and a doc whose every bucket is unseen gets a
+    * NULL weight (no distribution evidence; caller policy, like the
+    * no-bigram case).
+    */
+  def scoreWithDsirModel(docs: DataFrame, prefix: String,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         buckets: Int = 65536): DataFrame = {
+    val spark = docs.sparkSession
+    val m = spark.table(s"${prefix}_dsir")
+      .groupBy(col("b"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+    val perDoc = dsirBuckets(docs, Seq(idCol), textCol, buckets)
+      .join(m, Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nb"),
+        sum(coalesce(col("ct"), lit(0L))).as("th"),
+        sum(coalesce(col("cr"), lit(0L))).as("rh"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("th"), lit(0L)).as("target_hits"),
+        coalesce(col("rh"), lit(0L)).as("raw_hits"),
+        when(col("rh") > 0, col("th").cast("double") / col("rh").cast("double"))
+          .as("weight"))
+  }
+
+  /** (keep-cols..., b) hashed-bigram bucket rows — the shared explode
+    * of the DSIR family (md5-prefix modular hash, engine-portable).
+    */
+  private def dsirBuckets(df: DataFrame, keep: Seq[String], textCol: String,
+                          buckets: Int): DataFrame =
+    bigramRows(df, keep, textCol).select(keep.map(col) :+
+      pmod(conv(substring(md5(col("bigram")), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)).as("b"): _*)
 
   /** Context counts DERIVED from the bigram counts: c1(w1) = Σ_w2
     * c2(w1,w2), exactly the row count of the adjacency stream grouped

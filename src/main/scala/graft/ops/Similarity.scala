@@ -499,4 +499,60 @@ object Similarity {
       .filter(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Margin-based cross-set pair mining (Artetxe & Schwenk 2019, the
+    * LASER bitext-mining score): a candidate pair (x ∈ A, y ∈ B) is
+    * scored by its cosine RELATIVE to each side's local neighborhood
+    * density — `margin = cos(x,y) / ((meanK(x→B) + meanK(y→A)) / 2)`,
+    * the "ratio" variant — which suppresses hub vectors that are close
+    * to everything. Each A row surfaces its best B partner when the
+    * margin clears `minMargin`.
+    *
+    * Determinism: the k-NN means fold in RANK order (one
+    * `sum(when(rank = r))` term per r, added in fixed textual order),
+    * never via `avg` — a floating sum in partition order would differ
+    * run to run and engine to engine. Cosines/ranks are the
+    * [[bruteForceTopK]] contract (ties break to the lower neighbor id).
+    *
+    * This is the exact all-pairs baseline (the oracle role); at scale,
+    * over-fetch candidates from [[ivfTopKIndexed]] per direction and
+    * feed the same margin arithmetic — the scored pair stream and the
+    * two mean tables compose from any top-k source. Requires
+    * `|A| >= k` and `|B| >= k` (the mining score is undefined on
+    * thinner sides). The scored cross product feeds three consumers, so
+    * it persists eagerly — at the oracle scale that is the point; the
+    * IVF composition replaces it outright.
+    */
+  def marginPairs(a: DataFrame, b: DataFrame, k: Int = 4,
+                  minMargin: Double = 1.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scored0 = a.select(col("id").as("qid"), col("vec").as("qv"))
+      .crossJoin(b.select(col("id").as("nid"), col("vec").as("nv")))
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+      .select(col("qid"), col("nid"), col("cosine"))
+    val scored = scored0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+    def rankedMean(part: Column, order: Column, outKey: Column,
+                   keyName: String, meanName: String): DataFrame = {
+      val w = Window.partitionBy(part).orderBy(col("cosine").desc, order)
+      val top = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+      val foldSum = (1 to k).map(r =>
+        sum(when(col("rank") === r, col("cosine")))).reduce(_ + _)
+      top.groupBy(outKey.as(keyName))
+        .agg((foldSum / lit(k.toDouble)).as(meanName))
+    }
+    val mx = rankedMean(col("qid"), col("nid"), col("qid"), "qid", "mean_q")
+    val my = rankedMean(col("nid"), col("qid"), col("nid"), "nid", "mean_n")
+    val wBest = Window.partitionBy(col("qid"))
+      .orderBy(col("margin").desc, col("nid"))
+    scored.join(mx, Seq("qid")).join(my, Seq("nid"))
+      .withColumn("margin",
+        col("cosine") / ((col("mean_q") + col("mean_n")) / lit(2.0)))
+      .withColumn("__r", row_number().over(wBest))
+      .filter(col("__r") === 1 && col("margin") >= minMargin)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        col("cosine"), col("margin"))
+  }
 }

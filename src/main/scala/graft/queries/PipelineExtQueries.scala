@@ -1220,6 +1220,57 @@ object PipelineExtQueries {
       FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
       ORDER BY d.doc_id""")),
 
+    // -- CCNet-style head/middle/tail buckets: per-language LM-score
+    // terciles over the en-trained bigram model (Curation.ccnetBuckets
+    // — fully integer-exact thresholds: quantized longs + integer
+    // ceil(k·n/3), so the assignment is engine-stable by construction) --
+    QueryDef("ccnet_buckets", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lm = graft.ops.Curation.ngramLmScore(
+        docs.filter(col("lang") === "en"), docs)
+      val scored = lm.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("lm_score"))
+      graft.ops.Curation.ccnetBuckets(scored, "lang", "lm_score")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "bucket")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      bg AS (
+        SELECT doc_id, lang,
+          unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks),
+      c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY 1),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY 1),
+      scored AS (
+        SELECT b.doc_id, count(*) AS nb,
+          sum(coalesce(c2.c2, 0)) AS hs, sum(coalesce(c1.c1, 0)) AS cs
+        FROM bg b LEFT JOIN c2 USING (bigram) LEFT JOIN c1 USING (w1)
+        GROUP BY 1),
+      lm AS (SELECT d.doc_id, d.lang,
+          CASE WHEN cs > 0 THEN CAST(hs AS DOUBLE) / CAST(cs AS DOUBLE) END AS lm_score
+        FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id),
+      src AS (SELECT doc_id, lang,
+          CAST(floor(lm_score * 1000000.0) AS BIGINT) AS q
+        FROM lm WHERE lm_score IS NOT NULL),
+      hist AS (SELECT lang, q, count(*) AS c FROM src GROUP BY lang, q),
+      cdf AS (SELECT lang, q,
+          sum(c) OVER (PARTITION BY lang ORDER BY q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+      thr AS (SELECT lang,
+          min(CASE WHEN cum >= (n * 1 + 2) // 3 THEN q END) AS t1,
+          min(CASE WHEN cum >= (n * 2 + 2) // 3 THEN q END) AS t2
+        FROM cdf GROUP BY lang)
+      SELECT s.lang,
+        CASE WHEN s.q <= thr.t1 THEN 'tail'
+             WHEN s.q <= thr.t2 THEN 'middle'
+             ELSE 'head' END AS bucket,
+        CAST(count(*) AS BIGINT) AS n_docs
+      FROM src s JOIN thr USING (lang)
+      GROUP BY 1, 2 ORDER BY lang, bucket""")),
+
     // -- IN-Spark quality-classifier training (no ML library): batch
     // IRLS/Newton (6 iterations, ONE 14-sum aggregate each + a 4x4
     // driver solve — driver round-trips are the scarce resource, so the

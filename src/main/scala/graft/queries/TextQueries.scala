@@ -438,6 +438,45 @@ object TextQueries {
               ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
       WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // -- margin-based pair mining (Artetxe & Schwenk ratio margin, the
+    // LASER bitext shape): best cross-set partner per query, scored
+    // relative to both sides' k-NN neighborhood density; k-NN means
+    // fold in RANK order so the doubles are engine-identical
+    // (Similarity.marginPairs) --
+    QueryDef("margin_pairs", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.toDoubleVec(col("embedding")).as("vec"))
+      val a = e.filter(col("id") % 2 === 0 && col("id") < 200)
+      val b = e.filter(col("id") % 2 === 1 && col("id") < 200)
+      Similarity.marginPairs(a, b, k = 4, minMargin = 1.0)
+        .orderBy("query_id")
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      a AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0 AND vec_id < 200),
+      b AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1 AND vec_id < 200),
+      scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+          ${dotSql("a.v", "b.v")} / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) AS cosine
+        FROM a, b),
+      rq AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS r FROM scored),
+      mq AS (SELECT qid,
+          (sum(cosine) FILTER (r = 1) + sum(cosine) FILTER (r = 2)
+           + sum(cosine) FILTER (r = 3) + sum(cosine) FILTER (r = 4)) / 4.0 AS mean_q
+        FROM rq WHERE r <= 4 GROUP BY qid),
+      rn AS (SELECT *, row_number() OVER (PARTITION BY nid ORDER BY cosine DESC, qid) AS r FROM scored),
+      mn AS (SELECT nid,
+          (sum(cosine) FILTER (r = 1) + sum(cosine) FILTER (r = 2)
+           + sum(cosine) FILTER (r = 3) + sum(cosine) FILTER (r = 4)) / 4.0 AS mean_n
+        FROM rn WHERE r <= 4 GROUP BY nid),
+      m AS (SELECT s.qid, s.nid, s.cosine,
+              s.cosine / ((mq.mean_q + mn.mean_n) / 2.0) AS margin
+            FROM scored s JOIN mq USING (qid) JOIN mn USING (nid)),
+      best AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY margin DESC, nid) AS br FROM m)
+      SELECT qid AS query_id, nid AS neighbor_id, cosine, margin
+      FROM best WHERE br = 1 AND margin >= 1.0
+      ORDER BY query_id""")),
+
     // ANN neighbor LISTS depend on seeded hyperplanes/centroids (no SQL
     // oracle), but recall-vs-brute-force is engine-independent: emit the
     // query count (DuckDB-checkable exactly) and a thresholded recall

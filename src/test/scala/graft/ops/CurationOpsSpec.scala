@@ -435,6 +435,25 @@ class CurationOpsSpec extends SparkSpec {
       out(2L)._4.get.asInstanceOf[Double]
   }
 
+  test("ccnetBuckets: integer-exact per-group terciles, ties collapse low, nulls dropped") {
+    import org.apache.spark.sql.functions.col
+    // group a: 7 distinct scores -> ceil(7/3)=3 tail, ceil(14/3)=5 ->
+    // middle ends at rank 5, head = top 2
+    val a = (1 to 7).map(i => (i.toLong, "a", Some(i / 10.0)))
+    // group b: all tied -> single bucket q == t1 -> everything 'tail'
+    val b = (11 to 14).map(i => (i.toLong, "b", Some(0.5)))
+    // null scores are dropped
+    val n = Seq((21L, "a", None: Option[Double]))
+    val df = (a ++ b ++ n).toDF("id", "g", "score")
+    val out = Curation.ccnetBuckets(df, "g", "score")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket")).toMap
+    (1L to 3L).foreach(i => out(i) shouldBe "tail")
+    (4L to 5L).foreach(i => out(i) shouldBe "middle")
+    (6L to 7L).foreach(i => out(i) shouldBe "head")
+    (11L to 14L).foreach(i => out(i) shouldBe "tail")
+    out.contains(21L) shouldBe false
+  }
+
   test("importanceWeightsSelf (one-pass conditional counts) equals the two-corpus form") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

@@ -363,4 +363,41 @@ class SimilaritySpec extends SparkSpec {
     // 1 on cosine: 0.99496 vs 0.99388)
     byQuery(3L) shouldBe Seq(2L, 1L)
   }
+
+  test("marginPairs equals a rank-ordered Scala margin model; exclusive partners win") {
+    val aRows = Seq((10L, Seq(1.0, 0.0)), (12L, Seq(0.0, 1.0)))
+    val bRows = Seq((1L, Seq(0.98, 0.2)), (3L, Seq(0.7, 0.7)), (5L, Seq(0.05, 1.0)))
+    val a = aRows.toDF("id", "vec")
+    val b = bRows.toDF("id", "vec")
+    val k = 2
+    def cosD(x: Seq[Double], y: Seq[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    // mean of top-k cosines, summed in RANK order (ties to lower id) —
+    // the op's deterministic fold, reproduced bit for bit
+    def meanK(x: Seq[Double], side: Seq[(Long, Seq[Double])]): Double =
+      side.map { case (i, v) => (cosD(x, v), i) }
+        .sortBy { case (c, i) => (-c, i) }.take(k)
+        .map(_._1).reduce(_ + _) / k
+    val model = aRows.map { case (qa, va) =>
+      val best = bRows.map { case (nb, vb) =>
+        val m = cosD(va, vb) / ((meanK(va, bRows) + meanK(vb, aRows)) / 2.0)
+        (nb, cosD(va, vb), m)
+      }.sortBy { case (nb, _, m) => (-m, nb) }.head
+      qa -> best
+    }.toMap
+    val got = Similarity.marginPairs(a, b, k = k, minMargin = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    got.keySet shouldBe model.filter(_._2._3 >= 1.0).keySet
+    got.foreach { case (q, (n, c, m)) =>
+      model(q) shouldBe ((n, c, m)) // exact: same fold order everywhere
+    }
+    // the margin picks each side's EXCLUSIVE partner (10->1, 12->5)
+    // over the shared mid-angle vector 3 (hub suppression)
+    got(10L)._1 shouldBe 1L
+    got(12L)._1 shouldBe 5L
+  }
 }

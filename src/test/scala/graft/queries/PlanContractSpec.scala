@@ -223,6 +223,24 @@ class PlanContractSpec extends SparkSpec {
     p should include ("bloom_might_contain")
   }
 
+  test("dsir_weights: bigram generators bind the token array; no forced broadcasts") {
+    val df = SparkEntry.queries("dsir_weights")(spark, dir)
+    // the bucket-count model tables are AQE's broadcast choice, never a
+    // hint — a forced hint would pin an unbounded raw-count build side
+    df.queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    gens should not be empty
+    // interpreted-HOF linearity: a split() inside the generator would
+    // re-evaluate the token array per element (O(tokens²) per doc)
+    gens.foreach(g => g.generator.toString should not include "split(")
+  }
+
   test("curation_pipeline_v3: no gate/span recompute downstream of the id caches; LM explode binds tokens once") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val st = graft.ops.Curation.pipelineV3Stages(docs)
