@@ -122,6 +122,12 @@ object Curation {
       tokenBudget: Long = 15000L,
       eager: Boolean = true): PipelineV2Stages = {
     val minQ = math.floor(minQuality * 1000000.0).toLong
+    // `gated` is consumed twice (the dedup kernel and the lang
+    // re-attach) inside the ONE action that materializes `deduped` —
+    // both compute the gate regexes, deterministically (no lazy cache
+    // involved, so no race; an id-cache restructure was measured
+    // SLOWER here — the regexes are cheaper than the extra join +
+    // eager action it would take to avoid them)
     val gated = docs
       .select(col(idCol), col(langCol), col(textCol))
       .filter(TA.qualityScoreQ(col(textCol)) >= minQ)
