@@ -74,6 +74,28 @@ class TextAnalysisSpec extends SparkSpec {
     dbl.foreach { case (id, d) => math.abs(got(id) - d) should be <= 3L }
   }
 
+  test("qualityScoreQ fuzz: equals the integer model on 300 random strings") {
+    val rnd = new scala.util.Random(20260814L)
+    val charset = "abcdefghijklmnopqrstuvwxyz ABCZ019.,- "
+    def randText(): String =
+      (0 until (1 + rnd.nextInt(220))).map(_ => charset(rnd.nextInt(charset.length))).mkString
+    val docs = (1L to 300L).map(i => (i, randText())).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TextAnalysis.qualityScoreQ($"text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stops = TextAnalysis.stopwords("en").toSet
+    docs.collect().foreach { row =>
+      val (id, text) = (row.getLong(0), row.getString(1))
+      val nt = text.count(_ == ' ').toLong + 1
+      val sw = text.split(" ", -1).count(stops.contains).toLong
+      val al = text.count(c => c >= 'a' && c <= 'z').toLong
+      val ln = text.length.toLong
+      val expect = math.min(400000L, nt * 4000L) +
+        math.min(300000L, sw * 1500000L / nt) +
+        (if (ln > 0) al * 300000L / ln else 0L)
+      withClue(s"text=<$text>: ") { got(id) shouldBe expect }
+    }
+  }
+
   test("codegen forms equal the token-array folds on adversarial inputs") {
     // the operators compute token stats WITHOUT materializing the token
     // array (length arithmetic + regexp_count); prove equivalence to the

@@ -223,6 +223,21 @@ class PlanContractSpec extends SparkSpec {
     p should include ("bloom_might_contain")
   }
 
+  test("ccnet_buckets: every window is group-partitioned (no corpus-wide funnel)") {
+    val df = SparkEntry.queries("ccnet_buckets")(spark, dir)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    windows should not be empty
+    // an un-partitioned window funnels everything through ONE task; the
+    // tercile cumsums must ride the per-language histogram partitions
+    windows.foreach(w => w.partitionSpec should not be empty)
+  }
+
   test("dsir_weights: bigram generators bind the token array; no forced broadcasts") {
     val df = SparkEntry.queries("dsir_weights")(spark, dir)
     // the bucket-count model tables are AQE's broadcast choice, never a
