@@ -247,6 +247,61 @@ object Curation {
       () => { kept0.unpersist(); kept1.unpersist(); () })
   }
 
+  /** Staged frames of [[pipelineV4Stages]]: `selected` the narrow
+    * cached DSIR-survivor ids; `bucketed` every scored survivor with
+    * its CCNet bucket; `kept` the head+middle slice; `summary` the
+    * per-(lang, bucket) rollup.
+    */
+  final case class PipelineV4Stages(
+      selected: DataFrame,
+      bucketed: DataFrame,
+      kept: DataFrame,
+      summary: DataFrame,
+      release: () => Unit)
+
+  /** The round-6 data-SELECTION composition: DSIR importance resampling
+    * against the `refLang` slice ([[importanceWeightsSelf]] +
+    * [[importanceResampleFrom]]) → bigram-LM scoring of the survivors
+    * (model trained on the surviving `refLang` slice, CCNet-style) →
+    * per-language head/middle/tail terciles ([[ccnetBuckets]]) → keep
+    * head+middle → per-(lang, bucket) summary.
+    *
+    * Stage discipline as in [[pipelineV3Stages]]: the survivor id set
+    * persists narrow and eager; text consumers re-scan the source and
+    * semi-join it. The summary's token counts come FREE from the LM
+    * pass: every bucketed doc has a non-null score, hence ≥ 1 bigram,
+    * hence exactly `n_bigrams + 1` tokens — no extra text scan. Every
+    * gate comparison is engine-stable (portable-hash membership,
+    * integer-exact terciles).
+    */
+  def pipelineV4Stages(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      langCol: String = "lang",
+      textCol: String = "text",
+      refLang: String = "en",
+      buckets: Int = 65536,
+      eager: Boolean = true): PipelineV4Stages = {
+    val selected = importanceResampleFrom(
+        importanceWeightsSelf(docs, col(langCol) === refLang,
+          idCol, textCol, buckets), idCol)
+      .select(col(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (eager) selected.count()
+    val sv = docs.join(selected, Seq(idCol))
+    val lm = ngramLmScore(sv.filter(col(langCol) === refLang), sv,
+      idCol, textCol)
+    val scored = lm.join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol), col("n_bigrams"), col("lm_score"))
+    val bucketed = ccnetBuckets(scored, langCol, "lm_score")
+    val kept = bucketed.filter(col("bucket") =!= "tail")
+    val summary = kept.groupBy(col(langCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams") + lit(1L)).as("total_tokens"))
+    PipelineV4Stages(selected, bucketed, kept, summary,
+      () => { selected.unpersist(); () })
+  }
+
   /** Per-source boilerplate phrases: the distinct k-token n-grams that
     * appear in at least `minDocs` documents OF THE SAME SOURCE — the
     * header/footer/navigation text a site stamps on every page (the

@@ -1394,6 +1394,63 @@ object PipelineExtQueries {
       WHERE $hashSql < CAST(floor(weight / wmax * 1000000.0) AS BIGINT)
       ORDER BY doc_id""")),
 
+    // -- the round-6 data-SELECTION composition as ONE declarative
+    // plan: DSIR resample vs the en slice → bigram-LM scoring of the
+    // survivors (model = surviving en slice) → per-language CCNet
+    // terciles → keep head+middle → per-(lang, bucket) summary
+    // (Curation.pipelineV4Stages; every gate engine-stable) --
+    QueryDef("curation_pipeline_v4", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.pipelineV4Stages(docs)
+        .summary.orderBy("lang", "bucket")
+    }, Some(s"""
+      $dsirCtesSql,
+      w AS (SELECT doc_id, CAST(th AS DOUBLE) / CAST(rh AS DOUBLE) AS weight
+            FROM pd WHERE rh > 0),
+      mx AS (SELECT max(weight) AS wmax FROM w),
+      sel AS (SELECT doc_id FROM w, mx
+              WHERE $hashSql < CAST(floor(weight / wmax * 1000000.0) AS BIGINT)),
+      s AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN sel USING (doc_id)),
+      ltoks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM s),
+      lbg AS (
+        SELECT doc_id, lang,
+          unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM ltoks),
+      lc2 AS (SELECT bigram, count(*) AS c2 FROM lbg WHERE lang = 'en' GROUP BY 1),
+      lc1 AS (SELECT w1, count(*) AS c1 FROM lbg WHERE lang = 'en' GROUP BY 1),
+      lsc AS (
+        SELECT b.doc_id, count(*) AS nb,
+          sum(coalesce(lc2.c2, 0)) AS hs, sum(coalesce(lc1.c1, 0)) AS cs
+        FROM lbg b LEFT JOIN lc2 USING (bigram) LEFT JOIN lc1 USING (w1)
+        GROUP BY 1),
+      llm AS (SELECT s.doc_id, s.lang, lsc.nb,
+          CASE WHEN cs > 0 THEN CAST(hs AS DOUBLE) / CAST(cs AS DOUBLE) END AS lm_score
+        FROM s LEFT JOIN lsc USING (doc_id)),
+      lsrc AS (SELECT doc_id, lang, nb,
+          CAST(floor(lm_score * 1000000.0) AS BIGINT) AS q
+        FROM llm WHERE lm_score IS NOT NULL),
+      lhist AS (SELECT lang, q, count(*) AS c FROM lsrc GROUP BY lang, q),
+      lcdf AS (SELECT lang, q,
+          sum(c) OVER (PARTITION BY lang ORDER BY q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(c) OVER (PARTITION BY lang) AS n FROM lhist),
+      lthr AS (SELECT lang,
+          min(CASE WHEN cum >= (n * 1 + 2) // 3 THEN q END) AS t1,
+          min(CASE WHEN cum >= (n * 2 + 2) // 3 THEN q END) AS t2
+        FROM lcdf GROUP BY lang),
+      assigned AS (
+        SELECT z.lang,
+          CASE WHEN z.q <= lthr.t1 THEN 'tail'
+               WHEN z.q <= lthr.t2 THEN 'middle'
+               ELSE 'head' END AS bucket,
+          z.nb
+        FROM lsrc z JOIN lthr USING (lang))
+      SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(nb + 1) AS BIGINT) AS total_tokens
+      FROM assigned WHERE bucket <> 'tail'
+      GROUP BY lang, bucket ORDER BY lang, bucket""")),
+
     // -- per-source corpus health report (the release "data card"): doc
     // and token volume, PII incidence, exact-dup incidence (corpus-wide
     // fingerprints), pooled bigram-LM score vs the English slice — all

@@ -469,6 +469,37 @@ class CurationOpsSpec extends SparkSpec {
     self shouldBe generic
   }
 
+  test("pipelineV4Stages: stage flow invariants hold on a mixed corpus") {
+    import org.apache.spark.sql.functions.col
+    // en docs carry VARYING amounts of out-of-model noise so LM scores
+    // spread across buckets (identical scores would put the whole lang
+    // in one tercile = all tail); de/fr score null against the en model
+    val docs = (1L to 90L).map { i =>
+      val (lang, text) =
+        if (i % 3 == 0)
+          ("en", "the cat sat on the mat" + (" zz" * (i % 7).toInt))
+        else if (i % 3 == 1) ("de", s"der hund und die katze nummer $i")
+        else ("fr", s"qq ww rr vv $i")
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val st = Curation.pipelineV4Stages(docs)
+    val selected = st.selected.collect().map(_.getLong(0)).toSet
+    val bucketed = st.bucketed.select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // bucketed docs are all DSIR survivors; kept = head+middle only
+    bucketed.map(_._1).toSet.subsetOf(selected) shouldBe true
+    bucketed.map(_._2).toSet.subsetOf(Set("head", "middle", "tail")) shouldBe true
+    val kept = st.kept.select("bucket").collect().map(_.getString(0)).toSet
+    kept should not contain "tail"
+    // the summary's token accounting: n_bigrams + 1 per doc, exact
+    val total = st.summary.agg(org.apache.spark.sql.functions.sum("total_tokens"))
+      .head().getLong(0)
+    val expect = st.kept.agg(
+      org.apache.spark.sql.functions.sum(col("n_bigrams") + 1)).head().getLong(0)
+    total shouldBe expect
+    st.release()
+  }
+
   test("importanceResample keeps target-like docs, drops no-signal docs, replays deterministically") {
     import org.apache.spark.sql.functions.col
     val raw = (1L to 60L).map { i =>
