@@ -282,9 +282,17 @@ object Curation {
       refLang: String = "en",
       buckets: Int = 65536,
       eager: Boolean = true): PipelineV4Stages = {
-    val selected = importanceResampleFrom(
-        importanceWeightsSelf(docs, col(langCol) === refLang,
-          idCol, textCol, buckets), idCol)
+    // the pipeline owns BOTH caches so release() can free them: the
+    // narrow weights frame (the resample's two consumers read it) and
+    // the survivor id set (the text consumers semi-join it)
+    val weights = importanceWeightsSelf(docs, col(langCol) === refLang,
+        idCol, textCol, buckets)
+      .filter(col("weight").isNotNull)
+      .select(col(idCol), col("weight"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (eager) weights.count()
+    val selected = importanceResampleFrom(weights, idCol,
+        persistWeights = false)
       .select(col(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (eager) selected.count()
@@ -299,7 +307,7 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bigrams") + lit(1L)).as("total_tokens"))
     PipelineV4Stages(selected, bucketed, kept, summary,
-      () => { selected.unpersist(); () })
+      () => { weights.unpersist(); selected.unpersist(); () })
   }
 
   /** Per-source boilerplate phrases: the distinct k-token n-grams that

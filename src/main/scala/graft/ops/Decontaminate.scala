@@ -40,12 +40,11 @@ object Decontaminate {
       dfCap: Int = 512,
       persistIndex: Boolean = true): DataFrame = {
     require(tau > 0 && tau <= 1, "tau out of (0,1]")
-    // persistIndex=false opts out (matching Dedup's flag) so repeated
-    // calls in a long-lived application don't accumulate executor cache;
-    // the default stays true — both shingle frames feed 2-4 consumers
-    // eager materialization, like Dedup.persisted: both frames feed 2-4
-    // consumers, and a lazy cache racing them recomputes the shingle
-    // kernel nondeterministically
+    // Both shingle frames feed 2-4 consumers: persist by default and
+    // materialize EAGERLY (like Dedup.persisted — consumers racing a
+    // lazy cache recompute the shingle kernel nondeterministically).
+    // persistIndex=false opts out, so repeated calls in a long-lived
+    // application don't accumulate executor cache.
     def persisted(df: DataFrame): DataFrame =
       if (persistIndex) {
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

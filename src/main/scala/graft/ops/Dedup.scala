@@ -184,23 +184,19 @@ object Dedup {
       .distinct()
   }
 
-  /** The shingle index feeds 4+ subtrees of the pair plan (df counts,
-    * sizes, candidate self-join, exact verify); without materialization
-    * Spark re-runs the scan+kernel+explode for each consumer — persist
-    * it once, the way every production LSH pipeline materializes its
-    * signature/index table (measured at sf0.1: dedup_simhash 16-18 s
-    * unpersisted vs 10-12 s persisted even with the cheap kernel form).
-    * A few bytes per shingle; spills to disk
-    * beyond memory. Released on `spark.catalog.clearCache()` or when
-    * the result is fully consumed and evicted.
-    */
-  /** Persist AND eagerly materialize: every caller hands the index
-    * frame to 2+ consumers, and consumers racing a lazily-persisted
-    * cache inside one action re-run the fingerprint kernels a
-    * nondeterministic number of times (the round-5 curation_pipeline_v3
-    * variance mechanism, which applies to every multi-consumer persist).
-    * The count is the same work the first consumer would do — paid once,
-    * deterministically.
+  /** Persist AND eagerly materialize the index frame. Every caller
+    * hands it to 2+ subtrees of the pair plan (df counts, sizes,
+    * candidate self-join, exact verify): unpersisted, Spark re-runs the
+    * scan+kernel+explode per consumer (measured at sf0.1:
+    * dedup_simhash 16-18 s vs 10-12 s persisted); persisted LAZILY,
+    * consumers racing the unfilled cache inside one action re-run the
+    * kernels a nondeterministic number of times (the round-5
+    * curation_pipeline_v3 variance mechanism — it applies to every
+    * multi-consumer persist). The eager count is the same work the
+    * first consumer would do — paid once, deterministically. A few
+    * bytes per shingle, spilling to disk beyond memory; released on
+    * `spark.catalog.clearCache()` or cache eviction (`on = false` opts
+    * out for long-lived applications).
     */
   private def persisted(ex: DataFrame, on: Boolean): DataFrame =
     if (on) {

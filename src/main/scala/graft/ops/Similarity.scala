@@ -524,15 +524,24 @@ object Similarity {
     * IVF composition replaces it outright.
     */
   def marginPairs(a: DataFrame, b: DataFrame, k: Int = 4,
-                  minMargin: Double = 1.0): DataFrame = {
+                  minMargin: Double = 1.0,
+                  /** opt out (matching persistIndex elsewhere) so a
+                    * long-lived application's repeated calls don't
+                    * accumulate cross-product-sized executor cache;
+                    * the three consumers then recompute the scores.
+                    */
+                  persistScored: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
     val scored0 = a.select(col("id").as("qid"), col("vec").as("qv"))
       .crossJoin(b.select(col("id").as("nid"), col("vec").as("nv")))
       .withColumn("cosine", cosine(col("qv"), col("nv")))
       .select(col("qid"), col("nid"), col("cosine"))
-    val scored = scored0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scored.count()
+    val scored = if (persistScored) {
+      val p = scored0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    } else scored0
     def rankedMean(part: Column, order: Column, outKey: Column,
                    keyName: String, meanName: String): DataFrame = {
       val w = Window.partitionBy(part).orderBy(col("cosine").desc, order)

@@ -186,17 +186,20 @@ object StreamingWriter {
   /** Graceful stop with optional await (reference
     * `stop_streaming_query`, writer.py:1284-1313): a null or inactive
     * query is already "stopped" (true); otherwise stop(), then — when a
-    * timeout is given — await termination up to that many seconds.
-    * NEVER throws: any failure returns false, so operational teardown
-    * paths can't crash the job they are cleaning up after.
+    * timeout is given — await termination up to that many seconds and
+    * report whether it actually terminated (a deliberate tightening of
+    * the reference, which ignores the await result; a teardown that
+    * believes a still-draining stream is stopped would double-hold its
+    * checkpoint/sink). NEVER throws: any failure returns false, so
+    * operational teardown paths can't crash the job they are cleaning
+    * up after.
     */
   def stopQuery(q: StreamingQuery, timeoutSeconds: Option[Long] = None): Boolean =
     try {
       if (q == null || !q.isActive) true
       else {
         q.stop()
-        timeoutSeconds.foreach(t => q.awaitTermination(t * 1000L))
-        true
+        timeoutSeconds.forall(t => q.awaitTermination(t * 1000L))
       }
     } catch { case scala.util.control.NonFatal(_) => false }
 

@@ -56,7 +56,10 @@ object PlanAudit {
         }
       } catch {
         case e: Throwable =>
-          println(f"AUDIT $name%-28s ERROR ${e.getMessage.take(60)}")
+          // getMessage may be null (bare NPE/CCE) — don't let the
+          // recovery branch kill the sweep
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          println(f"AUDIT $name%-28s ERROR ${msg.take(60)}")
       }
     }
     println(s"AUDIT_TOTAL flagged=$flagged of ${SparkEntry.queries.size}")

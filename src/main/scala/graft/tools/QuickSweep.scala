@@ -31,7 +31,8 @@ object QuickSweep {
         Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
-          println(f"SWEEP $name%-28s FAILED ${e.getMessage.take(80)}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          println(f"SWEEP $name%-28s FAILED ${msg.take(80)}")
           None
       }
     }
