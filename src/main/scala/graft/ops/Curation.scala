@@ -299,15 +299,22 @@ object Curation {
     val sv = docs.join(selected, Seq(idCol))
     val lm = ngramLmScore(sv.filter(col(langCol) === refLang), sv,
       idCol, textCol)
+    // narrow scored frame persisted HERE (not inside ccnetBuckets) so
+    // release() owns it — otherwise the tercile histogram and the
+    // assignment join each recompute the LM explodes
     val scored = lm.join(docs.select(col(idCol), col(langCol)), Seq(idCol))
       .select(col(idCol), col(langCol), col("n_bigrams"), col("lm_score"))
-    val bucketed = ccnetBuckets(scored, langCol, "lm_score")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (eager) scored.count()
+    val bucketed = ccnetBuckets(scored, langCol, "lm_score",
+      persistScored = false)
     val kept = bucketed.filter(col("bucket") =!= "tail")
     val summary = kept.groupBy(col(langCol), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bigrams") + lit(1L)).as("total_tokens"))
     PipelineV4Stages(selected, bucketed, kept, summary,
-      () => { weights.unpersist(); selected.unpersist(); () })
+      () => { weights.unpersist(); selected.unpersist()
+        scored.unpersist(); () })
   }
 
   /** Per-source boilerplate phrases: the distinct k-token n-grams that
@@ -750,9 +757,18 @@ object Curation {
     * histogram only, thresholds join back broadcast-sized.
     */
   def ccnetBuckets(scored: DataFrame, groupCol: String,
-                   scoreCol: String): DataFrame = {
+                   scoreCol: String,
+                   persistScored: Boolean = true): DataFrame = {
     val q = floor(col(scoreCol) * lit(1000000.0)).cast("long")
-    val src = scored.filter(col(scoreCol).isNotNull)
+    // the scored frame feeds the histogram AND the assignment join —
+    // persist eagerly by default (same contract/leak trade as
+    // quantileGate); opt out when the caller persists upstream
+    val src0 = scored.filter(col(scoreCol).isNotNull)
+    val src = if (persistScored) {
+      val p = src0.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    } else src0
     val hist = src.select(col(groupCol), q.as("__q"))
       .groupBy(col(groupCol), col("__q")).agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__q"))
