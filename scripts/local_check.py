@@ -30,6 +30,21 @@ def main():
         oracles = json.load(f)
 
     n_pass = n_fail = 0
+    # dtype guard: DuckDB silently widens sum(BIGINT) -> HUGEINT (int128),
+    # which pandas materializes as float and the driver's hasher formats
+    # differently from Spark's BIGINT — a value-equal result then hash-
+    # mismatches (the curation_pipeline_v2 r05/r06 red row). Fail fast on
+    # any oracle whose output schema contains a type the driver's hasher
+    # can't round-trip losslessly through pandas.
+    BAD_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+    for name in sorted(oracles):
+        try:
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle DESCRIBE error: {e}"); n_fail += 1; continue
+        bad = [(c, t) for (c, t, *_) in desc if any(b in t.upper() for b in BAD_TYPES)]
+        if bad:
+            print(f"FAIL {name}: oracle dtype guard: {bad} — add explicit CASTs"); n_fail += 1
     # an oracle with NO output dir means the Spark query THREW in Verify
     # (it logs and moves on) — that must be a failure here, not silence
     present = {d for d in os.listdir(out_dir)
@@ -61,6 +76,14 @@ def main():
         mismatched = []
         for c in g.columns:
             gc, ec = g[c], e[c]
+            # dtype-kind strictness: an int column on one side and a float
+            # on the other can be value-equal here yet hash-mismatch in the
+            # driver (formatting differs). Catch the class, not the instance.
+            kinds = {gc.dtype.kind, ec.dtype.kind}
+            if gc.dtype.kind != ec.dtype.kind and not (
+                    kinds <= {"i", "u"} or kinds == {"M", "O"}):
+                mismatched.append(f"{c}: dtype kind {gc.dtype} vs {ec.dtype}")
+                continue
             try:
                 if gc.dtype.kind in "fc" or ec.dtype.kind in "fc":
                     import numpy as np

@@ -266,9 +266,13 @@ object Curation {
     * per-language head/middle/tail terciles ([[ccnetBuckets]]) → keep
     * head+middle → per-(lang, bucket) summary.
     *
-    * Stage discipline as in [[pipelineV3Stages]]: the survivor id set
-    * persists narrow and eager; text consumers re-scan the source and
-    * semi-join it. The summary's token counts come FREE from the LM
+    * Stage discipline as in [[pipelineV3Stages]], minus one barrier:
+    * the narrow WEIGHTS frame persists eagerly (its lineage is the
+    * fused one-explode DSIR plan), and the survivor id set derives
+    * from that cache lazily — a trivial filter + one-row max attach —
+    * so text consumers re-scan the source and semi-join the derived
+    * ids without a second materialization stop. The summary's token
+    * counts come FREE from the LM
     * pass: every bucketed doc has a non-null score, hence ≥ 1 bigram,
     * hence exactly `n_bigrams + 1` tokens — no extra text scan. Every
     * gate comparison is engine-stable (portable-hash membership,
@@ -282,9 +286,14 @@ object Curation {
       refLang: String = "en",
       buckets: Int = 65536,
       eager: Boolean = true): PipelineV4Stages = {
-    // the pipeline owns BOTH caches so release() can free them: the
-    // narrow weights frame (the resample's two consumers read it) and
-    // the survivor id set (the text consumers semi-join it)
+    // the pipeline owns its caches so release() can free them. Only TWO
+    // frames persist: the narrow weights (the resample's max aggregate
+    // and membership filter both read it, and its lineage — the fused
+    // one-explode DSIR plan — is the expensive part) and the narrow
+    // scored frame below. `selected` is deliberately NOT cached: its
+    // lineage past the weights cache is a trivial filter + one-row max
+    // attach, so each text consumer re-deriving it costs a cache scan,
+    // cheaper than another eager materialization barrier.
     val weights = importanceWeightsSelf(docs, col(langCol) === refLang,
         idCol, textCol, buckets)
       .filter(col("weight").isNotNull)
@@ -294,8 +303,6 @@ object Curation {
     val selected = importanceResampleFrom(weights, idCol,
         persistWeights = false)
       .select(col(idCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    if (eager) selected.count()
     val sv = docs.join(selected, Seq(idCol))
     val lm = ngramLmScore(sv.filter(col(langCol) === refLang), sv,
       idCol, textCol)
@@ -313,8 +320,7 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bigrams") + lit(1L)).as("total_tokens"))
     PipelineV4Stages(selected, bucketed, kept, summary,
-      () => { weights.unpersist(); selected.unpersist()
-        scored.unpersist(); () })
+      () => { weights.unpersist(); scored.unpersist(); () })
   }
 
   /** Per-source boilerplate phrases: the distinct k-token n-grams that
@@ -1263,28 +1269,44 @@ object Curation {
   }
 
   /** [[importanceWeights]] when the target IS a slice of the corpus
-    * (the common case: a labeled high-quality subset): both count
-    * tables ride ONE conditional aggregate over a single bigram explode
-    * — `cr = count(*)`, `ct = count_if(targetCond)` per bucket — so the
-    * corpus is scanned twice total (model + per-doc) instead of three
-    * times. Identical output to `importanceWeights(docs,
-    * docs.filter(targetCond))` (spec-pinned).
+    * (the common case: a labeled high-quality subset), fused to ONE
+    * bigram explode: the explode aggregates once into per-(doc, bucket)
+    * partial counts `nbb`; the bucket model derives from the partials
+    * (`cr = Σ nbb`, `ct = Σ nbb·[target]` per bucket — exactly the
+    * conditional counts, since `targetCond` is constant per doc), and
+    * the per-doc pools re-read the SAME partials joined to the model
+    * (`th = Σ nbb·ct`, `rh = Σ nbb·cr` — each bigram occurrence
+    * contributes its bucket's count, with multiplicity).
+    *
+    * The single physical explode needs NO cache: both consumers sit on
+    * the identical `Exchange(id, target, bucket)` subtree, which AQE's
+    * stage reuse executes once per action. That identity is why the
+    * not-null id filter below is EXPLICIT on the shared input rather
+    * than left to constraint inference — inference adds it only under
+    * the join branch, splitting the canonical form and silently
+    * doubling the corpus scan. (Consequence, documented: a null-id doc
+    * contributes to neither the model nor the output.) Identical output
+    * to `importanceWeights(docs, docs.filter(targetCond))` on non-null
+    * ids (spec-pinned).
     */
   def importanceWeightsSelf(docs: DataFrame, targetCond: Column,
                             idCol: String = "doc_id",
                             textCol: String = "text",
                             buckets: Int = 65536): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val counts = dsirBuckets(docs.withColumn("__t", targetCond), Seq("__t"),
-        textCol, buckets)
-      .groupBy(col("b"))
-      .agg(count(lit(1)).as("cr"), count_if(col("__t")).as("ct"))
-    val perDoc = dsirBuckets(docs, Seq(idCol), textCol, buckets)
-      .join(counts, Seq("b"))
+    val partials = dsirBuckets(
+        docs.filter(col(idCol).isNotNull).withColumn("__t", targetCond),
+        Seq(idCol, "__t"), textCol, buckets)
+      .groupBy(col(idCol), col("__t"), col("b"))
+      .agg(count(lit(1)).as("__nbb"))
+    val model = partials.groupBy(col("b"))
+      .agg(sum(col("__nbb")).as("cr"),
+        sum(when(col("__t"), col("__nbb")).otherwise(lit(0L))).as("ct"))
+    val perDoc = partials.join(model, Seq("b"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("nb"),
-        sum(col("ct")).as("th"),
-        sum(col("cr")).as("rh"))
+      .agg(sum(col("__nbb")).as("nb"),
+        sum(col("__nbb") * col("ct")).as("th"),
+        sum(col("__nbb") * col("cr")).as("rh"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("nb"), lit(0L)).as("n_bigrams"),

@@ -220,7 +220,7 @@ object AnalyticsQueries {
 
     // JSON property extraction + filtered rollup over the events table
     QueryDef("q_events_json", (s, dir) => {
-      val ev = Tables.loadEvents(s, dir)
+      val ev = Tables.spread(Tables.loadEvents(s, dir))
       ev.select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .filter(col("k") >= 50)

@@ -47,7 +47,7 @@ object EngineExtQueries {
     // -- 96 rules in one projection + one aggregate (mask chunking) --------
     QueryDef("dq_wide_rules", (s, dir) => {
       import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
+      val li = Tables.loadSpread(s, dir, "lineitem")
       val masked = MaskedRowDqEvaluator.run(li, wideRules)
       ErrorWriter.summarizeMasked(masked, wideRules)._2
         .map(x => (x.rule, x.failedRowCount))
@@ -164,7 +164,7 @@ object EngineExtQueries {
     // division rounding differs between Spark and DuckDB. The five
     // metrics here are exact-arithmetic in both engines.
     QueryDef("profile_stats", (s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      val li = Tables.loadSpread(s, dir, "lineitem")
       graft.ops.Profile.profile(li,
           Seq("l_quantity", "l_extendedprice", "l_discount"), withSketches = false)
         .filter(col("metric") =!= "mean")
@@ -191,7 +191,7 @@ object EngineExtQueries {
     // agree across the halves so only count/sum drift — which pins the
     // tolerance filter from BOTH sides
     QueryDef("profile_drift", (s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      val li = Tables.loadSpread(s, dir, "lineitem")
       val cols = Seq("l_quantity", "l_extendedprice")
       val baseline = graft.ops.Profile.profile(
         li.filter(col("l_orderkey") % 4 === 0), cols, withSketches = false)

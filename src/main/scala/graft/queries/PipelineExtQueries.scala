@@ -34,8 +34,10 @@ object PipelineExtQueries {
     s"""(least(CAST(400000 AS BIGINT), CAST(len($toks) AS BIGINT) * 4000)
        + least(CAST(300000 AS BIGINT),
            (CAST($hits AS BIGINT) * 1500000) // CAST(len($toks) AS BIGINT))
-       + (CAST(length(regexp_replace($src, '[^a-z]', '', 'g')) AS BIGINT) * 300000)
-           // CAST(length($src) AS BIGINT))"""
+       + CASE WHEN length($src) > 0
+           THEN (CAST(length(regexp_replace($src, '[^a-z]', '', 'g')) AS BIGINT) * 300000)
+             // CAST(length($src) AS BIGINT)
+           ELSE 0 END)"""
   }
 
   /** Shared CTE chain of the v2 curation composition (quality gate →
@@ -673,12 +675,13 @@ object PipelineExtQueries {
     // oracle-checked operator above; this pins their composition
     // (rescoring on the DEDUPED text, mix-then-budget order) --
     QueryDef("curation_pipeline_v2", (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
       val run = graft.ops.Curation.pipelineV2(docs)
       run.summary.orderBy("lang")
     }, Some(s"""
       $v2CtesSql
-      SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       FROM sel GROUP BY lang ORDER BY lang""")),
 
     // -- per-stage survivor counts of the v2 composition (the round-5
@@ -686,7 +689,7 @@ object PipelineExtQueries {
     // row per pipeline stage, so a future engine divergence pins to
     // the exact gate that flipped a document --
     QueryDef("v2_stage_counts", (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
       val st = graft.ops.Curation.pipelineV2Stages(docs)
       def cnt(df: org.apache.spark.sql.DataFrame, stage: String) =
         df.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
@@ -891,7 +894,7 @@ object PipelineExtQueries {
           sum(c) OVER (PARTITION BY source ORDER BY q
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
           sum(c) OVER (PARTITION BY source) AS n FROM hist),
-      qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS quantile),
+      qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS quantile),
       sel AS (SELECT source, quantile, min(q) AS qb FROM cdf, qs
               WHERE cum >= CAST(ceil(quantile * n) AS BIGINT)
               GROUP BY source, quantile)
@@ -1044,7 +1047,7 @@ object PipelineExtQueries {
     // slice to keep the oracle's pair count bounded; the operator
     // itself never goes all-pairs at any size --
     QueryDef("edit_dist_join", (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
         .filter(col("doc_id") % 3 === 0)
       graft.ops.Fuzzy.editDistancePairs(docs, "doc_id", "text", maxDist = 4)
         .orderBy("id_a", "id_b")
@@ -1225,7 +1228,7 @@ object PipelineExtQueries {
     // — fully integer-exact thresholds: quantized longs + integer
     // ceil(k·n/3), so the assignment is engine-stable by construction) --
     QueryDef("ccnet_buckets", (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
       val lm = graft.ops.Curation.ngramLmScore(
         docs.filter(col("lang") === "en"), docs)
       val scored = lm.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -1380,7 +1383,7 @@ object PipelineExtQueries {
     // proportional to weight / max(weight) via the portable modular
     // hash (replays bit-for-bit in any engine) --
     QueryDef("dsir_resample", (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
       graft.ops.Curation.importanceResampleFrom(
           graft.ops.Curation.importanceWeightsSelf(
             docs, col("lang") === "en", buckets = 65536))
@@ -1400,7 +1403,7 @@ object PipelineExtQueries {
     // terciles → keep head+middle → per-(lang, bucket) summary
     // (Curation.pipelineV4Stages; every gate engine-stable) --
     QueryDef("curation_pipeline_v4", (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
       graft.ops.Curation.pipelineV4Stages(docs)
         .summary.orderBy("lang", "bucket")
     }, Some(s"""
@@ -1507,7 +1510,7 @@ object PipelineExtQueries {
         .orderBy("bin")
     }, Some("""
       SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin,
-        CAST(floor(n_chars / 100.0) AS BIGINT) * 100.0 AS bin_lo,
+        CAST(CAST(floor(n_chars / 100.0) AS BIGINT) * 100.0 AS DOUBLE) AS bin_lo,
         CAST(count(*) AS BIGINT) AS n,
         CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_pos,
         CAST(count(*) FILTER (lang = 'en') AS DOUBLE) / count(*) AS pos_rate

