@@ -1329,7 +1329,7 @@ object Curation {
                          idCol: String = "doc_id",
                          textCol: String = "text",
                          buckets: Int = 65536,
-                         persistWeights: Boolean = true): DataFrame =
+                         persistWeights: Boolean = false): DataFrame =
     importanceResampleFrom(
       importanceWeights(raw, target, idCol, textCol, buckets),
       idCol, persistWeights)
@@ -1339,10 +1339,15 @@ object Curation {
     * [[importanceWeightsSelf]]'s output.
     */
   def importanceResampleFrom(weights: DataFrame, idCol: String = "doc_id",
-                             persistWeights: Boolean = true): DataFrame = {
+                             persistWeights: Boolean = false): DataFrame = {
     // the narrow (id, weight) frame feeds the max aggregate AND the
-    // membership filter — persist it (eagerly, as everywhere) or both
-    // consumers recompute the bigram explodes
+    // membership filter. No cache by default: the two consumers carry
+    // canonically identical weights subtrees, so within one action
+    // AQE's stage reuse computes the expensive exchanges once (measured
+    // equal to the persisted form) and nothing leaks. Opt in to the
+    // persist only when the SAME weights frame spans multiple actions
+    // and its lineage is not already cached (then the caller owns the
+    // unpersist via its own handle, as [[pipelineV4Stages]] does).
     val w0 = weights
       .filter(col("weight").isNotNull)
       .select(col(idCol), col("weight"))

@@ -377,7 +377,8 @@ object PipelineExtQueries {
     // end-to-end with exact integer outputs.
     QueryDef("curation_pipeline", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      graft.ops.Curation.pipeline(docs).summary.orderBy("lang")
+      val run = graft.ops.Curation.pipeline(docs)
+      Tables.materializeAndRelease(run.summary.orderBy("lang"), run.release)
     }, Some(s"""
       WITH scored AS (
         SELECT doc_id, lang, text, len($sqlTokens) AS n_tokens,
@@ -677,7 +678,7 @@ object PipelineExtQueries {
     QueryDef("curation_pipeline_v2", (s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
       val run = graft.ops.Curation.pipelineV2(docs)
-      run.summary.orderBy("lang")
+      Tables.materializeAndRelease(run.summary.orderBy("lang"), run.release)
     }, Some(s"""
       $v2CtesSql
       SELECT lang, count(*) AS n_docs,
@@ -694,12 +695,14 @@ object PipelineExtQueries {
       def cnt(df: org.apache.spark.sql.DataFrame, stage: String) =
         df.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
           .withColumn("stage", lit(stage))
-      cnt(st.gated, "1_gate")
-        .unionByName(cnt(st.deduped, "2_dedup"))
-        .unionByName(cnt(st.mixed, "3_mix"))
-        .unionByName(cnt(st.budgeted, "4_budget"))
-        .select(col("stage"), col("lang"), col("n_docs"))
-        .orderBy("stage", "lang")
+      Tables.materializeAndRelease(
+        cnt(st.gated, "1_gate")
+          .unionByName(cnt(st.deduped, "2_dedup"))
+          .unionByName(cnt(st.mixed, "3_mix"))
+          .unionByName(cnt(st.budgeted, "4_budget"))
+          .select(col("stage"), col("lang"), col("n_docs"))
+          .orderBy("stage", "lang"),
+        st.release)
     }, Some(s"""
       $v2CtesSql
       SELECT stage, lang, n_docs FROM (
@@ -1231,12 +1234,18 @@ object PipelineExtQueries {
       val docs = Tables.loadSpread(s, dir, "documents")
       val lm = graft.ops.Curation.ngramLmScore(
         docs.filter(col("lang") === "en"), docs)
+      // own the scored persist HERE (persistScored = false below) so the
+      // summary can materialize and the cache release before returning
       val scored = lm.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("lm_score"))
-      graft.ops.Curation.ccnetBuckets(scored, "lang", "lm_score")
-        .groupBy(col("lang"), col("bucket"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang", "bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Tables.materializeAndRelease(
+        graft.ops.Curation.ccnetBuckets(scored, "lang", "lm_score",
+            persistScored = false)
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "bucket"),
+        () => { scored.unpersist(); () })
     }, Some("""
       WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
       bg AS (
@@ -1311,9 +1320,9 @@ object PipelineExtQueries {
       val docs = Tables.load(s, dir, "documents")
       // see Curation.pipelineV3Stages for the stage discipline (narrow
       // eager id caches, text-free batching — the round-5 variance fix)
-      graft.ops.Curation.pipelineV3Stages(docs,
-          shardBy = Some(pmod(col("doc_id") % 1048573 * 2654435761L, lit(4))))
-        .summary.orderBy("lang")
+      val st = graft.ops.Curation.pipelineV3Stages(docs,
+        shardBy = Some(pmod(col("doc_id") % 1048573 * 2654435761L, lit(4))))
+      Tables.materializeAndRelease(st.summary.orderBy("lang"), st.release)
     }, Some(s"""
       WITH gate AS (
         SELECT doc_id, lang, text FROM (
@@ -1404,8 +1413,9 @@ object PipelineExtQueries {
     // (Curation.pipelineV4Stages; every gate engine-stable) --
     QueryDef("curation_pipeline_v4", (s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
-      graft.ops.Curation.pipelineV4Stages(docs)
-        .summary.orderBy("lang", "bucket")
+      val st = graft.ops.Curation.pipelineV4Stages(docs)
+      Tables.materializeAndRelease(
+        st.summary.orderBy("lang", "bucket"), st.release)
     }, Some(s"""
       $dsirCtesSql,
       w AS (SELECT doc_id, CAST(th AS DOUBLE) / CAST(rh AS DOUBLE) AS weight

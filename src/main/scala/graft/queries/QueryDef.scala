@@ -46,6 +46,21 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Materialize a SMALL (driver-bounded — per-language/per-stage
+    * summary rows) frame, then release the pipeline caches backing it.
+    * The rows come back as a LocalRelation, so the returned frame
+    * survives the unpersist without recompute and the QueryDef leaks no
+    * executor cache into embedding callers — the collect is bounded by
+    * the summary's group count, same class as the other documented
+    * driver-side sites.
+    */
+  def materializeAndRelease(df: DataFrame, release: () => Unit): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.collect()
+    release()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** The events table's `ts` precision depends on the testdata
     * generation: earlier rounds shipped TIMESTAMP(NANOS) parquet (which
     * Spark rejects by default — read as raw longs via the legacy conf

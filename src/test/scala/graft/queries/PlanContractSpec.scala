@@ -224,7 +224,20 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("ccnet_buckets: every window is group-partitioned (no corpus-wide funnel)") {
-    val df = SparkEntry.queries("ccnet_buckets")(spark, dir)
+    // the registered QueryDef materializes its summary (leak-free
+    // LocalRelation), so pin the contract on the operator composition
+    // the QueryDef runs internally
+    val docs = graft.queries.Tables.load(spark, dir, "documents")
+    val lm = graft.ops.Curation.ngramLmScore(
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en"), docs)
+    val scored = lm.join(
+        docs.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang")), Seq("doc_id"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("lm_score"))
+    val df = graft.ops.Curation.ccnetBuckets(scored, "lang", "lm_score",
+      persistScored = false)
     val plan = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
