@@ -530,7 +530,19 @@ object Similarity {
                     * accumulate cross-product-sized executor cache;
                     * the three consumers then recompute the scores.
                     */
-                  persistScored: Boolean = true): DataFrame = {
+                  persistScored: Boolean = true): DataFrame =
+    marginPairsRun(a, b, k, minMargin, persistScored).pairs
+
+  /** [[marginPairs]] with ownership of its scored-cross-product cache:
+    * embedding callers materialize `pairs` (one best-partner row per
+    * query — far smaller than the cache backing it), then `release()`.
+    */
+  final case class MarginRun(pairs: DataFrame, release: () => Unit)
+
+  /** See [[marginPairs]]. */
+  def marginPairsRun(a: DataFrame, b: DataFrame, k: Int = 4,
+                     minMargin: Double = 1.0,
+                     persistScored: Boolean = true): MarginRun = {
     require(k > 0, "k must be positive")
     val scored0 = a.select(col("id").as("qid"), col("vec").as("qv"))
       .crossJoin(b.select(col("id").as("nid"), col("vec").as("nv")))
@@ -542,21 +554,88 @@ object Similarity {
       p.count()
       p
     } else scored0
-    def rankedMean(part: Column, order: Column, outKey: Column,
-                   keyName: String, meanName: String): DataFrame = {
+    def ranked(part: Column, order: Column, keyName: String): DataFrame = {
       val w = Window.partitionBy(part).orderBy(col("cosine").desc, order)
-      val top = scored.withColumn("rank", row_number().over(w))
+      scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
-      val foldSum = (1 to k).map(r =>
-        sum(when(col("rank") === r, col("cosine")))).reduce(_ + _)
-      top.groupBy(outKey.as(keyName))
-        .agg((foldSum / lit(k.toDouble)).as(meanName))
+        .select(part.as(keyName), col("rank"), col("cosine"))
     }
-    val mx = rankedMean(col("qid"), col("nid"), col("qid"), "qid", "mean_q")
-    val my = rankedMean(col("nid"), col("qid"), col("nid"), "nid", "mean_n")
+    val mx = rankedMean(ranked(col("qid"), col("nid"), "qid"), k, "qid", "mean_q")
+    val my = rankedMean(ranked(col("nid"), col("qid"), "nid"), k, "nid", "mean_n")
+    val pairs = bestByMargin(scored, mx, my, minMargin)
+    MarginRun(pairs, () => { if (persistScored) scored.unpersist(); () })
+  }
+
+  /** The IVF scale tier of [[marginPairs]]: identical rank-ordered
+    * margin arithmetic, but the candidate pair stream and both k-NN
+    * neighborhood means come from [[ivfTopKIndexed]] probes instead of
+    * the |A|x|B| cross product — each direction over-fetches
+    * `k + overfetch` neighbors (the margin re-orders candidates by
+    * neighborhood density, so the best-margin partner is not always the
+    * best-cosine one; the over-fetch buys back that reordering). Output
+    * schema matches [[marginPairs]]; the result is approximate exactly
+    * where the IVF probe is (cell-local candidates, recall bounded by
+    * the `margin_pairs_ivf` oracle row).
+    *
+    * Scale shape: two cell-keyed equi-joins (no cross join, no
+    * broadcast hint — [[ivfTopKIndexed]]'s contract), per-query windows
+    * over candidate lists bounded by `nprobe` cells, and two
+    * `|A|`-/`|B|`-row mean tables. Nothing is cached — the candidate
+    * frames each feed one mean and (A-side) the pair stream, and their
+    * shared subtrees dedupe under AQE stage reuse within the action.
+    * Ids must be distinct across A and B (the probe drops
+    * identical-id pairs, the index contract). A query whose probed
+    * cells yield fewer than `k` neighbors carries no mean and is
+    * dropped — no neighborhood evidence, no mining score.
+    */
+  def marginPairsIvf(a: DataFrame, b: DataFrame, k: Int = 4,
+                     minMargin: Double = 1.0, overfetch: Int = 4,
+                     nlist: Int = 16, nprobe: Int = 4,
+                     iters: Int = 3): DataFrame = {
+    require(k > 0 && overfetch >= 0, "k must be positive, overfetch >= 0")
+    val idxB = buildIvfIndex(b, nlist, iters)
+    val idxA = buildIvfIndex(a, nlist, iters)
+    val candAB = ivfTopKIndexed(a, idxB, k + overfetch, nprobe)
+    val candBA = ivfTopKIndexed(b, idxA, k + overfetch, nprobe)
+    val mx = rankedMean(
+      candAB.select(col("query_id").as("qid"), col("rank"), col("cosine")),
+      k, "qid", "mean_q")
+    val my = rankedMean(
+      candBA.select(col("query_id").as("nid"), col("rank"), col("cosine")),
+      k, "nid", "mean_n")
+    val pairs = candAB.select(col("query_id").as("qid"),
+      col("neighbor_id").as("nid"), col("cosine"))
+    bestByMargin(pairs, mx, my, minMargin)
+  }
+
+  /** Mean of the top-`k` cosines of a ranked candidate frame
+    * (`keyName`, rank, cosine), folded in RANK order — one
+    * `sum(when(rank = r))` term per r in fixed textual order, never
+    * `avg`, so the double is engine- and partition-order-identical
+    * (the [[marginPairs]] determinism contract). A key with fewer than
+    * `k` ranked rows folds a null term and yields a NULL mean.
+    */
+  private def rankedMean(cand: DataFrame, k: Int, keyName: String,
+                         meanName: String): DataFrame = {
+    val foldSum = (1 to k).map(r =>
+      sum(when(col("rank") === r, col("cosine")))).reduce(_ + _)
+    cand.filter(col("rank") <= k)
+      .groupBy(col(keyName))
+      .agg((foldSum / lit(k.toDouble)).as(meanName))
+  }
+
+  /** The shared mining tail of [[marginPairs]]/[[marginPairsIvf]]:
+    * attach both neighborhood means to the candidate (qid, nid, cosine)
+    * stream, score the ratio margin, and keep each query's best partner
+    * above `minMargin`. NULL margins (a side without a full-k
+    * neighborhood) never win: the window orders nulls last and the
+    * final predicate drops them.
+    */
+  private def bestByMargin(pairs: DataFrame, mx: DataFrame, my: DataFrame,
+                           minMargin: Double): DataFrame = {
     val wBest = Window.partitionBy(col("qid"))
       .orderBy(col("margin").desc, col("nid"))
-    scored.join(mx, Seq("qid")).join(my, Seq("nid"))
+    pairs.join(mx, Seq("qid")).join(my, Seq("nid"))
       .withColumn("margin",
         col("cosine") / ((col("mean_q") + col("mean_n")) / lit(2.0)))
       .withColumn("__r", row_number().over(wBest))

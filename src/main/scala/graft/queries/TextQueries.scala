@@ -449,8 +449,8 @@ object TextQueries {
           Similarity.toDoubleVec(col("embedding")).as("vec"))
       val a = e.filter(col("id") % 2 === 0 && col("id") < 200)
       val b = e.filter(col("id") % 2 === 1 && col("id") < 200)
-      Similarity.marginPairs(a, b, k = 4, minMargin = 1.0)
-        .orderBy("query_id")
+      val run = Similarity.marginPairsRun(a, b, k = 4, minMargin = 1.0)
+      Tables.materializeAndRelease(run.pairs.orderBy("query_id"), run.release)
     }, Some(s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       a AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0 AND vec_id < 200),
@@ -476,6 +476,41 @@ object TextQueries {
       SELECT qid AS query_id, nid AS neighbor_id, cosine, margin
       FROM best WHERE br = 1 AND margin >= 1.0
       ORDER BY query_id""")),
+
+    // -- the margin miner's IVF scale tier: same rank-ordered margin
+    // arithmetic fed by ivfTopKIndexed over-fetch per direction instead
+    // of the cross product. Best-partner agreement with the exact miner
+    // is centroid-seed dependent (no SQL oracle), so — like the
+    // sim_topk_* rows — emit the exactly-checkable query count plus a
+    // thresholded recall flag (measured 0.72-0.83 across SFs vs the
+    // exact marginPairs best partners; 0.5 leaves safe margin) --
+    QueryDef("margin_pairs_ivf", (s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.toDoubleVec(col("embedding")).as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = e.filter(col("id") % 2 === 0 && col("id") < 200)
+      val b = e.filter(col("id") % 2 === 1 && col("id") < 200)
+      val run = Similarity.marginPairsRun(a, b, k = 4, minMargin = 0.0)
+      val exact = run.pairs.select("query_id", "neighbor_id")
+      val approx = Similarity.marginPairsIvf(a, b, k = 4, minMargin = 0.0,
+          overfetch = 4, nlist = 8, nprobe = 4)
+        .select("query_id", "neighbor_id")
+      // ONE job over both miners: exact pairs are unique per query, so a
+      // left join marks partner agreement and a single aggregate yields
+      // totals (the annRecallRow shape)
+      val c = exact
+        .join(approx.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("total"), count(col("hit")).as("hits"))
+        .head()
+      run.release(); e.unpersist()
+      Seq((c.getLong(0), 4L, c.getLong(1) >= 0.5 * c.getLong(0)))
+        .toDF("n_queries", "k", "recall_ok")
+    }, Some("""
+      SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 200) AS n_queries,
+             CAST(4 AS BIGINT) AS k, true AS recall_ok""")),
 
     // ANN neighbor LISTS depend on seeded hyperplanes/centroids (no SQL
     // oracle), but recall-vs-brute-force is engine-independent: emit the

@@ -400,4 +400,36 @@ class SimilaritySpec extends SparkSpec {
     got(10L)._1 shouldBe 1L
     got(12L)._1 shouldBe 5L
   }
+
+  test("marginPairsIvf with exhaustive probes equals the exact miner bit for bit") {
+    // deterministic 6-dim vectors, disjoint even/odd id spaces
+    def vec(seed: Long): Seq[Double] =
+      (0 until 6).map(j => (((seed * 31 + j * 2654435761L) % 1009L).toDouble / 1009.0) * 2.0 - 1.0)
+    val a = (0L until 24L by 2).map(i => (i, vec(i))).toDF("id", "vec")
+    val b = (1L until 24L by 2).map(i => (i, vec(i * 7))).toDF("id", "vec")
+    val exact = Similarity.marginPairs(a, b, k = 4, minMargin = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // probe every cell and over-fetch the whole other side: the IVF
+    // candidate stream then IS the full top-k universe, so the identical
+    // rank-ordered margin arithmetic must reproduce the exact miner
+    // exactly (same folds, same doubles)
+    val ivf = Similarity.marginPairsIvf(a, b, k = 4, minMargin = 0.0,
+        overfetch = 12, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    ivf shouldBe exact
+  }
+
+  test("marginPairsIvf plan: no cross join, no broadcast hint") {
+    def vec(seed: Long): Seq[Double] =
+      (0 until 6).map(j => (((seed * 31 + j * 2654435761L) % 1009L).toDouble / 1009.0) * 2.0 - 1.0)
+    val a = (0L until 40L by 2).map(i => (i, vec(i))).toDF("id", "vec")
+    val b = (1L until 40L by 2).map(i => (i, vec(i * 7))).toDF("id", "vec")
+    val df = Similarity.marginPairsIvf(a, b, k = 4, nlist = 4, nprobe = 2)
+    df.queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+    val physical = df.queryExecution.executedPlan.toString
+    physical should not include "CartesianProduct"
+    physical should not include "BroadcastNestedLoopJoin"
+  }
 }
