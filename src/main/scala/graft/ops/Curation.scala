@@ -297,11 +297,13 @@ object Curation {
     val weights = importanceWeightsSelf(docs, col(langCol) === refLang,
         idCol, textCol, buckets)
       .filter(col("weight").isNotNull)
-      .select(col(idCol), col("weight"))
+      // carry the exact count columns: the integer resample gate below
+      // decides membership by cross-multiplication on them (two more
+      // longs per row — still narrow)
+      .select(col(idCol), col("target_hits"), col("raw_hits"), col("weight"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (eager) weights.count()
-    val selected = importanceResampleFrom(weights, idCol,
-        persistWeights = false)
+    val selected = importanceResampleExact(weights, idCol)
       .select(col(idCol))
     val sv = docs.join(selected, Seq(idCol))
     val lm = ngramLmScore(sv.filter(col(langCol) === refLang), sv,
@@ -1361,6 +1363,46 @@ object Curation {
       .withColumn("__thr",
         floor(col("weight") / col("__wmax") * lit(1000000.0)).cast("long"))
       .filter(Sampling.hashBucket(col(idCol)) < col("__thr"))
+      .select(col(idCol), col("weight"))
+  }
+
+  /** [[importanceResampleFrom]] with a fully INTEGER gate — the
+    * preferred form whenever the weights frame still carries its exact
+    * count columns (`target_hits`, `raw_hits`), i.e. anything
+    * [[importanceWeights]]-shaped. The double path quantizes
+    * `floor(1e6·(th/rh)/(th_m/rh_m))` through an IEEE divide chain that
+    * is engine-stable only while both engines mirror the same parse
+    * tree; here the SAME gate is decided without any division:
+    *
+    *   hash < ⌊1e6·(th·rh_m)/(rh·th_m)⌋  ⟺
+    *   (hash+1)·rh·th_m ≤ 1e6·th·rh_m
+    *
+    * with the products exact in decimal(38,0) (≤ ~1e30 at 100 TB count
+    * magnitudes — far inside both Spark's decimal and an int128
+    * engine's range). The reference pair (th_m, rh_m) is the max-weight
+    * doc's, chosen by (weight, th, rh) descending — and if several docs
+    * tie on the exact maximal RATIO, any of them yields the equivalent
+    * comparison, so the tie-break only has to be deterministic, not
+    * ratio-exact. Same output schema/rows as the double gate except on
+    * last-ulp boundaries (equivalence spec-pinned on non-boundary
+    * data).
+    */
+  def importanceResampleExact(weights: DataFrame,
+                              idCol: String = "doc_id"): DataFrame = {
+    val w = weights.filter(col("weight").isNotNull)
+      .select(col(idCol), col("target_hits"), col("raw_hits"), col("weight"))
+    val mx = w
+      .orderBy(col("weight").desc, col("target_hits").desc,
+        col("raw_hits").desc)
+      .limit(1)
+      .select(col("target_hits").as("__thm"), col("raw_hits").as("__rhm"))
+    val dec = "decimal(38,0)"
+    w.crossJoin(mx)
+      .filter(
+        (Sampling.hashBucket(col(idCol)) + lit(1L)).cast(dec)
+          * col("raw_hits").cast(dec) * col("__thm").cast(dec)
+          <= lit(1000000L).cast(dec) * col("target_hits").cast(dec)
+            * col("__rhm").cast(dec))
       .select(col(idCol), col("weight"))
   }
 

@@ -219,8 +219,9 @@ object Sampling {
   def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
                         alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha out of (0,1]")
+    if (alpha == 0.5) return temperatureSampleHalf(df, strataCol, idCol)
     def weight(n: Column): Column =
-      if (alpha == 0.5) sqrt(n) else if (alpha == 1.0) n else pow(n, lit(alpha))
+      if (alpha == 1.0) n else pow(n, lit(alpha))
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).cast("double").as("__n"))
       .withColumn("__w", weight(col("__n")))
@@ -232,5 +233,48 @@ object Sampling {
     df.join(thresholds, Seq(strataCol))
       .filter(hashBucket(col(idCol)) < col("__thr"))
       .drop("__thr")
+  }
+
+  /** The alpha = 0.5 temperature gate with INTEGER-exact thresholds:
+    * the per-stratum keep fraction is `√(n_min/n_s)` (the scale factor
+    * `min_s n/√n` collapses to `√n_min`), so the quantized threshold is
+    * exactly `⌊1e6·√(n_min/n_s)⌋ = isqrt((10¹²·n_min) div n_s)` — no
+    * IEEE sqrt/divide chain anywhere, hence no last-ulp gate risk (the
+    * general-alpha path mirrors the oracle's parse tree instead, which
+    * agrees only as long as both engines' libm trees match). Counts are
+    * one aggregate collected to the driver (≤ #strata rows) where the
+    * exact BigInt isqrt is free; thresholds compile to a CASE chain, so
+    * the corpus side is a single shuffle-free filtered scan — the
+    * [[stratifiedSample]] shape, one join lighter than the general
+    * path.
+    */
+  private def temperatureSampleHalf(df: DataFrame, strataCol: String,
+                                    idCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0) -> r.getLong(1))
+    if (counts.isEmpty) return df.filter(lit(false))
+    val nMin = counts.map(_._2).min
+    // null strata drop (the general path's inner join did the same):
+    // a null key never matches the CASE chain and falls to threshold 0
+    val thr = counts.filter(_._1 != null).map { case (s, n) =>
+      s -> isqrt(BigInt(Buckets) * BigInt(Buckets) * nMin / n)
+    }
+    val thrCol = thr.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+      when(col(strataCol) === lit(s), lit(t)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < thrCol)
+  }
+
+  /** Exact integer square root: ⌊√x⌋. Seeded by the double sqrt, then
+    * corrected — the double is within one ulp, so the loops run at most
+    * a couple of steps.
+    */
+  private[ops] def isqrt(x: BigInt): Long = {
+    require(x >= 0, "isqrt of negative")
+    if (x < 2) return x.toLong
+    var r = BigInt(math.sqrt(x.doubleValue).toLong)
+    while (r * r > x) r -= 1
+    while ((r + 1) * (r + 1) <= x) r += 1
+    r.toLong
   }
 }

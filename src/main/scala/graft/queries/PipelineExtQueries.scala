@@ -68,12 +68,11 @@ object PipelineExtQueries {
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                ${qualityQSql("text")} AS q2
              FROM dd1),
-      c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM dd GROUP BY lang),
-      w AS (SELECT lang, n, sqrt(n) AS wt FROM c),
-      sc AS (SELECT min(n / wt) AS scale FROM w),
+      c AS (SELECT lang, count(*) AS n FROM dd GROUP BY lang),
+      cm AS (SELECT min(n) AS nmin FROM c),
       thr AS (SELECT lang,
-          CAST(floor(least(CAST(1.0 AS DOUBLE), sc.scale * wt / n) * 1000000) AS BIGINT) AS t
-          FROM w, sc),
+          CAST(floor(sqrt(CAST((1000000000000 * cm.nmin) // c.n AS DOUBLE))) AS BIGINT) AS t
+          FROM c, cm),
       mixed AS (SELECT dd.* FROM dd JOIN thr USING(lang)
                 WHERE $hashSql < thr.t),
       qz AS (SELECT doc_id, lang, n_tokens, q2 AS q FROM mixed),
@@ -744,9 +743,10 @@ object PipelineExtQueries {
 
     // -- temperature-flattened language mix (alpha = 0.5): share ∝
     // sqrt(count), realized by deterministic hash downsampling — the
-    // multilingual rebalance (Sampling.temperatureSample); sqrt/min/
-    // mul/div are all correctly-rounded IEEE, so thresholds match
-    // bit-for-bit across engines --
+    // multilingual rebalance (Sampling.temperatureSample). Thresholds
+    // are INTEGER-exact on both sides: floor(1e6*sqrt(nmin/n)) =
+    // isqrt((10^12*nmin) div n); the oracle's floor(sqrt(double)) is
+    // exact because the radicand <= 1e12 sits far below 2^52 --
     QueryDef("mix_temperature", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Sampling.temperatureSample(
@@ -755,13 +755,11 @@ object PipelineExtQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }, Some(s"""
-      WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
-                 FROM documents GROUP BY lang),
-      w AS (SELECT lang, n, sqrt(n) AS wt FROM c),
-      sc AS (SELECT min(n / wt) AS scale FROM w),
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      cm AS (SELECT min(n) AS nmin FROM c),
       thr AS (SELECT lang,
-          CAST(floor(least(CAST(1.0 AS DOUBLE), sc.scale * wt / n) * 1000000) AS BIGINT) AS t
-          FROM w, sc)
+          CAST(floor(sqrt(CAST((1000000000000 * cm.nmin) // c.n AS DOUBLE))) AS BIGINT) AS t
+          FROM c, cm)
       SELECT d.doc_id, d.lang, d.source FROM documents d JOIN thr USING(lang)
       WHERE $hashSql < thr.t ORDER BY doc_id""")),
 
@@ -1393,17 +1391,20 @@ object PipelineExtQueries {
     // hash (replays bit-for-bit in any engine) --
     QueryDef("dsir_resample", (s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
-      graft.ops.Curation.importanceResampleFrom(
+      graft.ops.Curation.importanceResampleExact(
           graft.ops.Curation.importanceWeightsSelf(
             docs, col("lang") === "en", buckets = 65536))
         .orderBy("doc_id")
     }, Some(s"""
       $dsirCtesSql,
-      w AS (SELECT doc_id, CAST(th AS DOUBLE) / CAST(rh AS DOUBLE) AS weight
+      w AS (SELECT doc_id, th, rh,
+            CAST(th AS DOUBLE) / CAST(rh AS DOUBLE) AS weight
             FROM pd WHERE rh > 0),
-      mx AS (SELECT max(weight) AS wmax FROM w)
+      mx AS (SELECT th AS thm, rh AS rhm FROM w
+             ORDER BY weight DESC, th DESC, rh DESC LIMIT 1)
       SELECT doc_id, weight FROM w, mx
-      WHERE $hashSql < CAST(floor(weight / wmax * 1000000.0) AS BIGINT)
+      WHERE CAST($hashSql + 1 AS HUGEINT) * CAST(rh AS HUGEINT) * CAST(thm AS HUGEINT)
+        <= CAST(1000000 AS HUGEINT) * CAST(th AS HUGEINT) * CAST(rhm AS HUGEINT)
       ORDER BY doc_id""")),
 
     // -- the round-6 data-SELECTION composition as ONE declarative
@@ -1418,11 +1419,14 @@ object PipelineExtQueries {
         st.summary.orderBy("lang", "bucket"), st.release)
     }, Some(s"""
       $dsirCtesSql,
-      w AS (SELECT doc_id, CAST(th AS DOUBLE) / CAST(rh AS DOUBLE) AS weight
+      w AS (SELECT doc_id, th, rh,
+            CAST(th AS DOUBLE) / CAST(rh AS DOUBLE) AS weight
             FROM pd WHERE rh > 0),
-      mx AS (SELECT max(weight) AS wmax FROM w),
+      mx AS (SELECT th AS thm, rh AS rhm FROM w
+             ORDER BY weight DESC, th DESC, rh DESC LIMIT 1),
       sel AS (SELECT doc_id FROM w, mx
-              WHERE $hashSql < CAST(floor(weight / wmax * 1000000.0) AS BIGINT)),
+              WHERE CAST($hashSql + 1 AS HUGEINT) * CAST(rh AS HUGEINT) * CAST(thm AS HUGEINT)
+                <= CAST(1000000 AS HUGEINT) * CAST(th AS HUGEINT) * CAST(rhm AS HUGEINT)),
       s AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN sel USING (doc_id)),
       ltoks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM s),
       lbg AS (

@@ -520,4 +520,28 @@ class CurationOpsSpec extends SparkSpec {
     Curation.importanceResample(withSolo, target)
       .filter(col("doc_id") === 999L).count() shouldBe 0L
   }
+
+  test("importanceResampleExact equals the double gate on off-boundary weights") {
+    import org.apache.spark.sql.functions.col
+    // a varied corpus: mixed target-likeness, repeated phrases, OOD docs
+    // — weight ratios land off the 1e-6 quantization boundaries, where
+    // the integer cross-multiplied gate and the IEEE divide chain must
+    // select the SAME rows
+    val phrases = Seq("the cat sat on the mat", "a dog ran in the park",
+      "zz qq ww rr tt", "the dog sat on a mat near the park",
+      "numbers one two three four", "the the the cat cat")
+    val docs = (1L to 240L).map { i =>
+      val t = phrases((i % phrases.size).toInt) +
+        (if (i % 5 == 0) " the cat" else "") + s" tail${i % 7}"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val w = Curation.importanceWeightsSelf(docs,
+      col("doc_id") % 3 === 0, buckets = 1024)
+    val exact = Curation.importanceResampleExact(w)
+      .collect().map(_.getLong(0)).sorted
+    val dbl = Curation.importanceResampleFrom(w)
+      .collect().map(_.getLong(0)).sorted
+    exact shouldBe dbl
+    exact should not be empty
+  }
 }

@@ -139,6 +139,47 @@ class SamplingSpec extends SparkSpec {
     Sampling.temperatureSample(df, "lang", "id", 1.0).count() shouldBe 1000
   }
 
+  test("temperatureSample(alpha=0.5) integer thresholds equal the IEEE form off-boundary") {
+    // irregular stratum sizes (non-squares, no boundary collisions):
+    // the retired double chain floor(min(n/sqrt(n))*sqrt(n)/n * 1e6)
+    // must agree with the shipped isqrt((1e12*nmin) div n) gate
+    val sizes = Map("a" -> 7321L, "b" -> 911L, "c" -> 2489L, "d" -> 353L)
+    val rows = sizes.toSeq.flatMap { case (s, n) =>
+      val base = s.hashCode.abs.toLong % 1000 * 100000L
+      (0L until n).map(i => (base + i, s))
+    }
+    val df = rows.toDF("id", "lang")
+    val got = Sampling.temperatureSample(df, "lang", "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val nMin = sizes.values.min
+    val ieeeThr = sizes.view.mapValues { n =>
+      math.floor(math.min(1.0,
+        math.sqrt(nMin.toDouble) * math.sqrt(n.toDouble) / n.toDouble)
+        * 1000000.0).toLong
+    }.toMap
+    val intThr = sizes.view.mapValues { n =>
+      Sampling.isqrt(BigInt(1000000000000L) * nMin / n)
+    }.toMap
+    intThr shouldBe ieeeThr // off-boundary: the two formulas coincide
+    val expect = rows.filter { case (id, s) => bucket(id) < intThr(s) }
+      .map(_._1).toSet
+    got shouldBe expect
+  }
+
+  test("isqrt is exact across magnitudes and near-square boundaries") {
+    val cases = Seq(BigInt(0), BigInt(1), BigInt(2), BigInt(3), BigInt(4),
+      BigInt(999999), BigInt(1000000000000L),
+      BigInt(1000000L) * 1000000L - 1, BigInt(1000000L) * 1000000L,
+      BigInt(1000000L) * 1000000L + 1,
+      BigInt("999999999999999999"), BigInt(Long.MaxValue)) ++
+      (1 to 50).map(i => BigInt(i) * i) ++
+      (1 to 50).map(i => BigInt(i) * i - 1).filter(_ >= 0)
+    cases.foreach { x =>
+      val r = BigInt(Sampling.isqrt(x))
+      assert(r * r <= x && (r + 1) * (r + 1) > x, s"isqrt($x) = $r")
+    }
+  }
+
   test("repeatFactors hits the target mix by repetition only") {
     val current = Map("web" -> 8000L, "code" -> 1000L, "books" -> 1000L)
     val target = Map("web" -> 0.5, "code" -> 0.25, "books" -> 0.25)

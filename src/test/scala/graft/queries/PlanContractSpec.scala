@@ -152,10 +152,17 @@ class PlanContractSpec extends SparkSpec {
   test("temperatureSample corpus side is one scan with no forced hint and no sort-merge") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val out = graft.ops.Sampling.temperatureSample(
+    // alpha = 0.5 (the integer-exact path): thresholds compile to a
+    // CASE chain, so the corpus side is a JOIN-FREE filtered scan
+    val half = graft.ops.Sampling.temperatureSample(
       docs.select(col("doc_id"), col("lang")), "lang", "doc_id", 0.5)
-    // the threshold side is <= #strata rows: the corpus must join it
-    // broadcast, never shuffle itself on the stratum
+    val hp = half.queryExecution.executedPlan.toString
+    hp should not include "Join"
+    hp should not include "Exchange"
+    // general alpha keeps the threshold join — <= #strata rows, so the
+    // corpus must join it broadcast, never shuffle itself on the stratum
+    val out = graft.ops.Sampling.temperatureSample(
+      docs.select(col("doc_id"), col("lang")), "lang", "doc_id", 0.3)
     out.queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
     val p = out.queryExecution.executedPlan.toString
     p should not include "SortMergeJoin"
@@ -301,12 +308,15 @@ class PlanContractSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val run = graft.ops.Curation.pipelineV2(docs)
     val p = run.summary.queryExecution.executedPlan.toString
-    // the mix thresholds, budget histogram, and final summary must all
-    // consume the cached deduped frame, not re-run dedup + rescoring:
-    // every path from the summary root down hits an InMemoryTableScan
-    // (plan toString re-prints the cached subtree under each consumer,
-    // so parquet-scan string counts are not meaningful here)
-    ("InMemoryTableScan".r.findAllMatchIn(p).size) should be >= 3
+    // the budget histogram and final summary must consume the cached
+    // deduped frame, not re-run dedup + rescoring: every path from the
+    // summary root down hits an InMemoryTableScan (plan toString
+    // re-prints the cached subtree under each consumer, so parquet-scan
+    // string counts are not meaningful here). The mix THRESHOLDS no
+    // longer appear in this lazy plan at all — the integer-exact
+    // temperature gate collects its per-stratum counts from the same
+    // cache eagerly and compiles them to a CASE chain.
+    ("InMemoryTableScan".r.findAllMatchIn(p).size) should be >= 2
     run.release()
   }
 
