@@ -295,7 +295,7 @@ object Curation {
     // attach, so each text consumer re-deriving it costs a cache scan,
     // cheaper than another eager materialization barrier.
     val weights = importanceWeightsSelf(docs, col(langCol) === refLang,
-        idCol, textCol, buckets)
+        idCol, textCol, buckets, attachMissing = false)
       .filter(col("weight").isNotNull)
       // carry the exact count columns: the integer resample gate below
       // decides membership by cross-multiplication on them (two more
@@ -1294,7 +1294,16 @@ object Curation {
   def importanceWeightsSelf(docs: DataFrame, targetCond: Column,
                             idCol: String = "doc_id",
                             textCol: String = "text",
-                            buckets: Int = 65536): DataFrame = {
+                            buckets: Int = 65536,
+                            /** emit a (0, 0, 0, NULL) row for docs
+                              * without bigrams (the reporting
+                              * contract). Pass false when a downstream
+                              * gate drops NULL weights anyway — the
+                              * no-bigram re-attach is a whole extra
+                              * corpus-id scan + join producing only
+                              * rows the gate discards.
+                              */
+                            attachMissing: Boolean = true): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val partials = dsirBuckets(
         docs.filter(col(idCol).isNotNull).withColumn("__t", targetCond),
@@ -1309,13 +1318,15 @@ object Curation {
       .agg(sum(col("__nbb")).as("nb"),
         sum(col("__nbb") * col("ct")).as("th"),
         sum(col("__nbb") * col("cr")).as("rh"))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
-        coalesce(col("th"), lit(0L)).as("target_hits"),
-        coalesce(col("rh"), lit(0L)).as("raw_hits"),
-        when(col("rh") > 0, col("th").cast("double") / col("rh").cast("double"))
-          .as("weight"))
+    val base = if (attachMissing)
+      docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    else perDoc
+    base.select(col(idCol),
+      coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+      coalesce(col("th"), lit(0L)).as("target_hits"),
+      coalesce(col("rh"), lit(0L)).as("raw_hits"),
+      when(col("rh") > 0, col("th").cast("double") / col("rh").cast("double"))
+        .as("weight"))
   }
 
   /** Deterministic importance RESAMPLING over [[importanceWeights]]:
