@@ -593,8 +593,19 @@ object Similarity {
                      nlist: Int = 16, nprobe: Int = 4,
                      iters: Int = 3): DataFrame = {
     require(k > 0 && overfetch >= 0, "k must be positive, overfetch >= 0")
-    val idxB = buildIvfIndex(b, nlist, iters)
-    val idxA = buildIvfIndex(a, nlist, iters)
+    // ONE centroid training over both sides: the cells only partition
+    // the shared embedding space, so either direction probes them
+    // equally well, and the second Lloyd run (iters more driver-side
+    // aggregates) buys nothing
+    val cents = ivfCentroids(a.unionByName(b), nlist, iters)
+    val idxB = IvfIndex(cents,
+      b.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        nearestCell(col("vec"), cents).as("cell"),
+        quantizeCol(col("vec")).as("qcv")), nlist)
+    val idxA = IvfIndex(cents,
+      a.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        nearestCell(col("vec"), cents).as("cell"),
+        quantizeCol(col("vec")).as("qcv")), nlist)
     val candAB = ivfTopKIndexed(a, idxB, k + overfetch, nprobe)
     val candBA = ivfTopKIndexed(b, idxA, k + overfetch, nprobe)
     val mx = rankedMean(
