@@ -115,10 +115,9 @@ object Similarity {
     *
     * This is the exact all-pairs baseline (same shape and oracle role
     * as [[bruteForceTopK]], label predicate pushed below the top-k);
-    * at 100 TB mine hard negatives by over-fetching `m·k` candidates
-    * from [[ivfTopKIndexed]] and filtering label mismatches after — the
-    * IVF probe join does not lose the label column, so the composition
-    * is a filter away.
+    * the 100 TB path is [[hardNegativeTopKIvf]] — the same label
+    * filter below the same top-k, over the IVF probe join's cell-local
+    * candidates instead of the cross product.
     */
   def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
@@ -126,6 +125,38 @@ object Similarity {
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
       col("label").as("cl"))
     val scored = q.crossJoin(c)
+      .filter(col("ql") =!= col("cl"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("ql").as("query_label"),
+        col("neighbor_id"), col("cl").as("neighbor_label"),
+        col("rank"), col("cosine"))
+  }
+
+  /** The IVF scale tier of [[hardNegativeTopK]]: the label predicate
+    * is pushed below the top-k exactly as in the exact miner, but the
+    * candidate pool is the probe join's cell-local stream instead of
+    * the cross product — the index corpus KEEPS its label column, so
+    * the composition really is "a filter away" from the IVF probe.
+    * Same output schema; approximate exactly where the probe is
+    * (recall bounded by the `hard_negatives_ivf` oracle row). Scale
+    * shape: one cell-keyed equi-join, no cross join, no broadcast
+    * hint, per-query candidate lists bounded by the probed cells.
+    */
+  def hardNegativeTopKIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+                          nlist: Int = 16, nprobe: Int = 4,
+                          iters: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cents = ivfCentroids(corpus, nlist, iters)
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      col("label").as("cl"), nearestCell(col("vec"), cents).as("cell"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      col("label").as("ql"),
+      explode(probeCells(col("vec"), cents, nprobe)).as("cell"))
+    val scored = q.join(c, Seq("cell"))
       .filter(col("ql") =!= col("cl"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))

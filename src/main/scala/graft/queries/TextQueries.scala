@@ -477,6 +477,38 @@ object TextQueries {
       FROM best WHERE br = 1 AND margin >= 1.0
       ORDER BY query_id""")),
 
+    // -- the hard-negative miner's IVF scale tier: same label filter
+    // below the same top-k, over the probe join's cell-local
+    // candidates (Similarity.hardNegativeTopKIvf). Neighbor lists are
+    // centroid-seed dependent (no SQL oracle) so emit the exact query
+    // count + a thresholded recall flag vs the exact miner (measured
+    // 0.52-0.58 across SFs — the sim_topk_ivf probe recall, as
+    // expected; 0.4 leaves safe margin) --
+    QueryDef("hard_negatives_ivf", (s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.toDoubleVec(col("embedding")).as("vec"),
+          col("label").cast("long").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = e.filter(col("id") < 40)
+      val exact = Similarity.hardNegativeTopK(q, e, k = 3)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.hardNegativeTopKIvf(q, e, k = 3)
+        .select("query_id", "neighbor_id")
+      val c = exact
+        .join(approx.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("total"), count(col("hit")).as("hits"),
+          countDistinct(col("query_id")).as("nq"))
+        .head()
+      e.unpersist()
+      Seq((c.getLong(2), 3L, c.getLong(1) >= 0.4 * c.getLong(0)))
+        .toDF("n_queries", "k", "recall_ok")
+    }, Some("""
+      SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 40) AS n_queries,
+             CAST(3 AS BIGINT) AS k, true AS recall_ok""")),
+
     // -- the margin miner's IVF scale tier: same rank-ordered margin
     // arithmetic fed by ivfTopKIndexed over-fetch per direction instead
     // of the cross product. Best-partner agreement with the exact miner

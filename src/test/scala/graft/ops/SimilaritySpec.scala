@@ -421,6 +421,24 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe exact
   }
 
+  test("hardNegativeTopKIvf with exhaustive probes equals the exact miner bit for bit") {
+    def vec(seed: Long): Seq[Double] =
+      (0 until 6).map(j => (((seed * 31 + j * 2654435761L) % 1009L).toDouble / 1009.0) * 2.0 - 1.0)
+    val corpus = (0L until 30L).map(i => (i, vec(i * 3 + 1), i % 3))
+      .toDF("id", "vec", "label")
+    val q = corpus.filter(col("id") < 10)
+    val exact = Similarity.hardNegativeTopK(q, corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._3))
+    // probing every cell makes the candidate pool the full corpus, so
+    // the same label-filter-below-top-k must reproduce the exact miner
+    val ivf = Similarity.hardNegativeTopKIvf(q, corpus, k = 3,
+        nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._3))
+    ivf shouldBe exact
+  }
+
   test("marginPairsIvf plan: no cross join, no broadcast hint") {
     def vec(seed: Long): Seq[Double] =
       (0 until 6).map(j => (((seed * 31 + j * 2654435761L) % 1009L).toDouble / 1009.0) * 2.0 - 1.0)
