@@ -638,7 +638,20 @@ object Similarity {
         nearestCell(col("vec"), cents).as("cell"),
         quantizeCol(col("vec")).as("qcv")), nlist)
     val candAB = ivfTopKIndexed(a, idxB, k + overfetch, nprobe)
-    val candBA = ivfTopKIndexed(b, idxA, k + overfetch, nprobe)
+    // the B→A direction only has to cover B rows that actually appear
+    // as candidates — |A|·(k+overfetch) at most, not |B|. In the
+    // standing deployment (small new batch A mined against a corpus B)
+    // that is the difference between probing a batch-sized slice and
+    // probing the whole corpus; the mean values are unchanged (each
+    // covered row still ranks over ALL of A). At oracle scale (|A| ≈
+    // |B|) the candidate-id derivation re-runs the A-probe once —
+    // measured well under a second — a cost the corpus-scale saving
+    // dwarfs; nothing is cached (the frame is bounded but a lazy
+    // persist would outlive the action, the leak class this round
+    // removed elsewhere).
+    val needed = candAB.select(col("neighbor_id").as("id")).distinct()
+    val candBA = ivfTopKIndexed(b.join(needed, Seq("id"), "left_semi"),
+      idxA, k + overfetch, nprobe)
     val mx = rankedMean(
       candAB.select(col("query_id").as("qid"), col("rank"), col("cosine")),
       k, "qid", "mean_q")
