@@ -30,21 +30,6 @@ def main():
         oracles = json.load(f)
 
     n_pass = n_fail = 0
-    # dtype guard: DuckDB silently widens sum(BIGINT) -> HUGEINT (int128),
-    # which pandas materializes as float and the driver's hasher formats
-    # differently from Spark's BIGINT — a value-equal result then hash-
-    # mismatches (the curation_pipeline_v2 r05/r06 red row). Fail fast on
-    # any oracle whose output schema contains a type the driver's hasher
-    # can't round-trip losslessly through pandas.
-    BAD_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
-    for name in sorted(oracles):
-        try:
-            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: oracle DESCRIBE error: {e}"); n_fail += 1; continue
-        bad = [(c, t) for (c, t, *_) in desc if any(b in t.upper() for b in BAD_TYPES)]
-        if bad:
-            print(f"FAIL {name}: oracle dtype guard: {bad} — add explicit CASTs"); n_fail += 1
     # an oracle with NO output dir means the Spark query THREW in Verify
     # (it logs and moves on) — that must be a failure here, not silence
     present = {d for d in os.listdir(out_dir)
@@ -54,6 +39,26 @@ def main():
     for name in sorted(expected - present):
         print(f"FAIL {name}: no output (query failed in Verify)")
         n_fail += 1
+    # dtype guard: DuckDB silently widens sum(BIGINT) -> HUGEINT (int128),
+    # which pandas materializes as float and the driver's hasher formats
+    # differently from Spark's BIGINT — a value-equal result then hash-
+    # mismatches (the curation_pipeline_v2 r05/r06 red row). Fail fast on
+    # any oracle (of the run's scope) whose output schema contains a type
+    # the driver's hasher can't round-trip losslessly through pandas. A
+    # DESCRIBE failure is counted HERE only; the compare loop skips the
+    # name so one defect is one failure.
+    BAD_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+    guard_failed = set()
+    for name in sorted(expected):
+        try:
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle DESCRIBE error: {e}")
+            n_fail += 1; guard_failed.add(name); continue
+        bad = [(c, t) for (c, t, *_) in desc if any(b in t.upper() for b in BAD_TYPES)]
+        if bad:
+            print(f"FAIL {name}: oracle dtype guard: {bad} — add explicit CASTs")
+            n_fail += 1; guard_failed.add(name)
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
@@ -64,6 +69,8 @@ def main():
         got = pd.concat([pd.read_parquet(p) for p in sorted(files)], ignore_index=True)
         if name not in oracles:
             print(f"SKIP {name}: no oracle ({len(got)} rows)"); continue
+        if name in guard_failed:
+            continue
         try:
             exp = con.execute(oracles[name]).fetchdf()
         except Exception as e:

@@ -1371,8 +1371,14 @@ object Curation {
     } else w0
     val wmax = w.agg(max(col("weight")).as("__wmax"))
     w.crossJoin(wmax)
+      // __wmax = 0 (no doc has any target affinity) must select nothing
+      // — and must not reach the divide: ANSI mode (the Spark 4
+      // default) raises DIVIDE_BY_ZERO instead of yielding the NaN the
+      // legacy mode floor'd to 0
       .withColumn("__thr",
-        floor(col("weight") / col("__wmax") * lit(1000000.0)).cast("long"))
+        when(col("__wmax") > 0,
+          floor(col("weight") / col("__wmax") * lit(1000000.0)).cast("long"))
+          .otherwise(lit(0L)))
       .filter(Sampling.hashBucket(col(idCol)) < col("__thr"))
       .select(col(idCol), col("weight"))
   }
@@ -1409,7 +1415,11 @@ object Curation {
       .select(col("target_hits").as("__thm"), col("raw_hits").as("__rhm"))
     val dec = "decimal(38,0)"
     w.crossJoin(mx)
-      .filter(
+      // __thm > 0 guards the degenerate no-target corpus: with every
+      // target_hits = 0 the cross-multiplied test collapses to 0 <= 0
+      // (keep ALL), where the ratio gate's 0/0 threshold kept NOTHING —
+      // zero target affinity must select zero documents
+      .filter(col("__thm") > 0 &&
         (Sampling.hashBucket(col(idCol)) + lit(1L)).cast(dec)
           * col("raw_hits").cast(dec) * col("__thm").cast(dec)
           <= lit(1000000L).cast(dec) * col("target_hits").cast(dec)

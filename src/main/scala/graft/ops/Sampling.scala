@@ -235,46 +235,33 @@ object Sampling {
       .drop("__thr")
   }
 
-  /** The alpha = 0.5 temperature gate with INTEGER-exact thresholds:
-    * the per-stratum keep fraction is `√(n_min/n_s)` (the scale factor
-    * `min_s n/√n` collapses to `√n_min`), so the quantized threshold is
-    * exactly `⌊1e6·√(n_min/n_s)⌋ = isqrt((10¹²·n_min) div n_s)` — no
-    * IEEE sqrt/divide chain anywhere, hence no last-ulp gate risk (the
-    * general-alpha path mirrors the oracle's parse tree instead, which
-    * agrees only as long as both engines' libm trees match). Counts are
-    * one aggregate collected to the driver (≤ #strata rows) where the
-    * exact BigInt isqrt is free; thresholds compile to a CASE chain, so
-    * the corpus side is a single shuffle-free filtered scan — the
-    * [[stratifiedSample]] shape, one join lighter than the general
-    * path.
+  /** The alpha = 0.5 temperature gate with an INTEGER-exact membership
+    * test and no square root anywhere: the per-stratum keep fraction is
+    * `√(n_min/n_s)` (the scale factor `min_s n/√n` collapses to
+    * `√n_min`), whose quantized threshold is
+    * `⌊1e6·√(n_min/n_s)⌋ = isqrt((10¹²·n_min) div n_s)` — and
+    * `hash < isqrt(y div n)` for integers is exactly
+    * `(hash+1)² · n_s ≤ 10¹² · n_min`, a pure cross-multiplied
+    * comparison (the [[graft.ops.Curation.importanceResampleExact]]
+    * trick). Products run in decimal(38,0) so the identity holds to
+    * ~1e32-count strata, far past any corpus. No IEEE sqrt/divide chain
+    * means no last-ulp gate risk (the general-alpha path mirrors the
+    * oracle's parse tree instead, which agrees only while both engines'
+    * libm trees match); staying join-based keeps the op lazy and
+    * cardinality-safe (thresholds per stratum ride a broadcast join,
+    * not a driver collect or a CASE chain).
     */
   private def temperatureSampleHalf(df: DataFrame, strataCol: String,
                                     idCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.get(0) -> r.getLong(1))
-    if (counts.isEmpty) return df.filter(lit(false))
-    val nMin = counts.map(_._2).min
-    // null strata drop (the general path's inner join did the same):
-    // a null key never matches the CASE chain and falls to threshold 0
-    val thr = counts.filter(_._1 != null).map { case (s, n) =>
-      s -> isqrt(BigInt(Buckets) * BigInt(Buckets) * nMin / n)
-    }
-    val thrCol = thr.foldLeft(lit(0L)) { case (acc, (s, t)) =>
-      when(col(strataCol) === lit(s), lit(t)).otherwise(acc)
-    }
-    df.filter(hashBucket(col(idCol)) < thrCol)
-  }
-
-  /** Exact integer square root: ⌊√x⌋. Seeded by the double sqrt, then
-    * corrected — the double is within one ulp, so the loops run at most
-    * a couple of steps.
-    */
-  private[ops] def isqrt(x: BigInt): Long = {
-    require(x >= 0, "isqrt of negative")
-    if (x < 2) return x.toLong
-    var r = BigInt(math.sqrt(x.doubleValue).toLong)
-    while (r * r > x) r -= 1
-    while ((r + 1) * (r + 1) <= x) r += 1
-    r.toLong
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val h1 = (hashBucket(col(idCol)) + lit(1L)).cast(dec)
+    df.join(counts, Seq(strataCol))
+      .crossJoin(nMin)
+      .filter(h1 * h1 * col("__n").cast(dec)
+        <= lit(Buckets).cast(dec) * lit(Buckets).cast(dec)
+          * col("__nmin").cast(dec))
+      .drop("__n", "__nmin")
   }
 }

@@ -357,8 +357,15 @@ object Similarity {
     * scans 8× smaller candidate vectors with no per-query requantize.
     */
   def buildIvfIndex(corpus: DataFrame, nlist: Int = 16, iters: Int = 3,
-                    seed: Long = 42L): IvfIndex = {
-    val cents = ivfCentroids(corpus, nlist, iters, seed)
+                    seed: Long = 42L): IvfIndex =
+    buildIvfIndexWith(corpus, ivfCentroids(corpus, nlist, iters, seed))
+
+  /** [[buildIvfIndex]] against PRE-TRAINED centroids — index a second
+    * corpus (or a new batch) into an existing cell layout without
+    * re-running Lloyd (the [[marginPairsIvf]] shared-training shape).
+    */
+  def buildIvfIndexWith(corpus: DataFrame,
+                        cents: Array[Seq[Double]]): IvfIndex = {
     IvfIndex(cents,
       corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
         nearestCell(col("vec"), cents).as("cell"),
@@ -556,12 +563,15 @@ object Similarity {
     */
   def marginPairs(a: DataFrame, b: DataFrame, k: Int = 4,
                   minMargin: Double = 1.0,
-                  /** opt out (matching persistIndex elsewhere) so a
-                    * long-lived application's repeated calls don't
-                    * accumulate cross-product-sized executor cache;
-                    * the three consumers then recompute the scores.
+                  /** the handle-less wrapper defaults to NO cache — a
+                    * cross-product-sized persist with no release is the
+                    * leak class the QueryDefs shed this round, and the
+                    * scored frame's consumers dedupe their shared
+                    * exchanges under AQE stage reuse within one action.
+                    * Callers spanning multiple actions opt in via
+                    * [[marginPairsRun]], which owns the unpersist.
                     */
-                  persistScored: Boolean = true): DataFrame =
+                  persistScored: Boolean = false): DataFrame =
     marginPairsRun(a, b, k, minMargin, persistScored).pairs
 
   /** [[marginPairs]] with ownership of its scored-cross-product cache:
@@ -629,14 +639,8 @@ object Similarity {
     // equally well, and the second Lloyd run (iters more driver-side
     // aggregates) buys nothing
     val cents = ivfCentroids(a.unionByName(b), nlist, iters)
-    val idxB = IvfIndex(cents,
-      b.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-        nearestCell(col("vec"), cents).as("cell"),
-        quantizeCol(col("vec")).as("qcv")), nlist)
-    val idxA = IvfIndex(cents,
-      a.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-        nearestCell(col("vec"), cents).as("cell"),
-        quantizeCol(col("vec")).as("qcv")), nlist)
+    val idxB = buildIvfIndexWith(b, cents)
+    val idxA = buildIvfIndexWith(a, cents)
     val candAB = ivfTopKIndexed(a, idxB, k + overfetch, nprobe)
     // the B→A direction only has to cover B rows that actually appear
     // as candidates — |A|·(k+overfetch) at most, not |B|. In the

@@ -70,11 +70,10 @@ object PipelineExtQueries {
              FROM dd1),
       c AS (SELECT lang, count(*) AS n FROM dd GROUP BY lang),
       cm AS (SELECT min(n) AS nmin FROM c),
-      thr AS (SELECT lang,
-          CAST(floor(sqrt(CAST((1000000000000 * cm.nmin) // c.n AS DOUBLE))) AS BIGINT) AS t
-          FROM c, cm),
-      mixed AS (SELECT dd.* FROM dd JOIN thr USING(lang)
-                WHERE $hashSql < thr.t),
+      mixed AS (SELECT dd.* FROM dd JOIN c USING(lang), cm
+                WHERE CAST($hashSql + 1 AS HUGEINT) * CAST($hashSql + 1 AS HUGEINT)
+                    * CAST(c.n AS HUGEINT)
+                  <= CAST(1000000000000 AS HUGEINT) * CAST(cm.nmin AS HUGEINT)),
       qz AS (SELECT doc_id, lang, n_tokens, q2 AS q FROM mixed),
       hist AS (SELECT q, sum(n_tokens) AS tk FROM qz GROUP BY q),
       cum AS (SELECT q, sum(tk) OVER (ORDER BY q DESC
@@ -744,9 +743,9 @@ object PipelineExtQueries {
     // -- temperature-flattened language mix (alpha = 0.5): share ∝
     // sqrt(count), realized by deterministic hash downsampling — the
     // multilingual rebalance (Sampling.temperatureSample). Thresholds
-    // are INTEGER-exact on both sides: floor(1e6*sqrt(nmin/n)) =
-    // isqrt((10^12*nmin) div n); the oracle's floor(sqrt(double)) is
-    // exact because the radicand <= 1e12 sits far below 2^52 --
+    // are INTEGER-exact on both sides with NO sqrt anywhere:
+    // hash < isqrt((10^12*nmin) div n) is exactly the cross-multiplied
+    // (hash+1)^2 * n <= 10^12 * nmin, run in decimal(38,0)/HUGEINT --
     QueryDef("mix_temperature", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Sampling.temperatureSample(
@@ -756,12 +755,12 @@ object PipelineExtQueries {
         .orderBy("doc_id")
     }, Some(s"""
       WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-      cm AS (SELECT min(n) AS nmin FROM c),
-      thr AS (SELECT lang,
-          CAST(floor(sqrt(CAST((1000000000000 * cm.nmin) // c.n AS DOUBLE))) AS BIGINT) AS t
-          FROM c, cm)
-      SELECT d.doc_id, d.lang, d.source FROM documents d JOIN thr USING(lang)
-      WHERE $hashSql < thr.t ORDER BY doc_id""")),
+      cm AS (SELECT min(n) AS nmin FROM c)
+      SELECT d.doc_id, d.lang, d.source FROM documents d JOIN c USING(lang), cm
+      WHERE CAST($hashSql + 1 AS HUGEINT) * CAST($hashSql + 1 AS HUGEINT)
+          * CAST(c.n AS HUGEINT)
+        <= CAST(1000000000000 AS HUGEINT) * CAST(cm.nmin AS HUGEINT)
+      ORDER BY doc_id""")),
 
     // -- epoch-repeat materialization toward a UNIFORM language mix:
     // the upsampling dual of mix_temperature — the most over-represented
@@ -1403,7 +1402,8 @@ object PipelineExtQueries {
       mx AS (SELECT th AS thm, rh AS rhm FROM w
              ORDER BY weight DESC, th DESC, rh DESC LIMIT 1)
       SELECT doc_id, weight FROM w, mx
-      WHERE CAST($hashSql + 1 AS HUGEINT) * CAST(rh AS HUGEINT) * CAST(thm AS HUGEINT)
+      WHERE thm > 0
+        AND CAST($hashSql + 1 AS HUGEINT) * CAST(rh AS HUGEINT) * CAST(thm AS HUGEINT)
         <= CAST(1000000 AS HUGEINT) * CAST(th AS HUGEINT) * CAST(rhm AS HUGEINT)
       ORDER BY doc_id""")),
 
@@ -1425,7 +1425,8 @@ object PipelineExtQueries {
       mx AS (SELECT th AS thm, rh AS rhm FROM w
              ORDER BY weight DESC, th DESC, rh DESC LIMIT 1),
       sel AS (SELECT doc_id FROM w, mx
-              WHERE CAST($hashSql + 1 AS HUGEINT) * CAST(rh AS HUGEINT) * CAST(thm AS HUGEINT)
+              WHERE thm > 0
+                AND CAST($hashSql + 1 AS HUGEINT) * CAST(rh AS HUGEINT) * CAST(thm AS HUGEINT)
                 <= CAST(1000000 AS HUGEINT) * CAST(th AS HUGEINT) * CAST(rhm AS HUGEINT)),
       s AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN sel USING (doc_id)),
       ltoks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM s),

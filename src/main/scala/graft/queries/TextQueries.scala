@@ -537,8 +537,12 @@ object TextQueries {
           Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("total"), count(col("hit")).as("hits"))
         .head()
+      // n_queries comes from the query SIDE, not the surviving-pair
+      // count: a query whose best margin lands negative is dropped by
+      // the miner, and the oracle's count(*) must still match
+      val nq = a.count()
       run.release(); e.unpersist()
-      Seq((c.getLong(0), 4L, c.getLong(1) >= 0.5 * c.getLong(0)))
+      Seq((nq, 4L, c.getLong(1) >= 0.5 * c.getLong(0)))
         .toDF("n_queries", "k", "recall_ok")
     }, Some("""
       SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 200) AS n_queries,

@@ -30,13 +30,15 @@ object ProfileV4 {
       spark.catalog.clearCache()
       val docs = Tables.load(spark, sfDir, "documents")
       import org.apache.spark.storage.StorageLevel
-      val weights = Curation.importanceWeightsSelf(docs, col("lang") === "en")
+      // mirror pipelineV4Stages exactly: attachMissing=false weights
+      // carrying the exact count columns, integer resample gate
+      val weights = Curation.importanceWeightsSelf(docs, col("lang") === "en",
+          attachMissing = false)
         .filter(col("weight").isNotNull)
-        .select(col("doc_id"), col("weight"))
+        .select(col("doc_id"), col("target_hits"), col("raw_hits"), col("weight"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       t("weights materialize") { weights.count() }
-      val selected = Curation.importanceResampleFrom(weights, "doc_id",
-          persistWeights = false)
+      val selected = Curation.importanceResampleExact(weights)
         .select(col("doc_id"))
       val sv = docs.join(selected, Seq("doc_id"))
       val lm0 = t("lm build") {

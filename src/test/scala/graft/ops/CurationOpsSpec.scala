@@ -521,6 +521,18 @@ class CurationOpsSpec extends SparkSpec {
       .filter(col("doc_id") === 999L).count() shouldBe 0L
   }
 
+  test("importanceResampleExact: a corpus with zero target affinity selects nothing") {
+    import org.apache.spark.sql.functions.col
+    // every doc is OOD vs the target condition -> all target_hits = 0
+    // -> the max-weight reference pair is (0, rh). The cross-multiplied
+    // gate must NOT collapse to 0 <= 0 (keep all); the ratio gate's
+    // 0-threshold semantics (keep none) are the contract.
+    val docs = (1L to 40L).map(i => (i, "zz qq ww rr tt yy")).toDF("doc_id", "text")
+    val w = Curation.importanceWeightsSelf(docs, col("doc_id") < 0, buckets = 256)
+    Curation.importanceResampleExact(w).count() shouldBe 0L
+    Curation.importanceResampleFrom(w).count() shouldBe 0L // double gate agrees
+  }
+
   test("importanceResampleExact equals the double gate on off-boundary weights") {
     import org.apache.spark.sql.functions.col
     // a varied corpus: mixed target-likeness, repeated phrases, OOD docs

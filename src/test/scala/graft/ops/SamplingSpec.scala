@@ -139,10 +139,19 @@ class SamplingSpec extends SparkSpec {
     Sampling.temperatureSample(df, "lang", "id", 1.0).count() shouldBe 1000
   }
 
-  test("temperatureSample(alpha=0.5) integer thresholds equal the IEEE form off-boundary") {
-    // irregular stratum sizes (non-squares, no boundary collisions):
-    // the retired double chain floor(min(n/sqrt(n))*sqrt(n)/n * 1e6)
-    // must agree with the shipped isqrt((1e12*nmin) div n) gate
+  test("temperatureSample(alpha=0.5) cross-multiplied gate equals the IEEE/isqrt forms off-boundary") {
+    // irregular stratum sizes (non-squares, no boundary collisions).
+    // Three formulations must agree: the retired IEEE double chain
+    // floor(min(n/sqrt(n))*sqrt(n)/n * 1e6), the exact threshold
+    // isqrt((1e12*nmin) div n), and the shipped division-free gate
+    // (hash+1)^2 * n <= 1e12 * nmin.
+    def isqrt(x: BigInt): BigInt = {
+      if (x < 2) return x
+      var r = BigInt(math.sqrt(x.doubleValue).toLong)
+      while (r * r > x) r -= 1
+      while ((r + 1) * (r + 1) <= x) r += 1
+      r
+    }
     val sizes = Map("a" -> 7321L, "b" -> 911L, "c" -> 2489L, "d" -> 353L)
     val rows = sizes.toSeq.flatMap { case (s, n) =>
       val base = s.hashCode.abs.toLong % 1000 * 100000L
@@ -158,26 +167,17 @@ class SamplingSpec extends SparkSpec {
         * 1000000.0).toLong
     }.toMap
     val intThr = sizes.view.mapValues { n =>
-      Sampling.isqrt(BigInt(1000000000000L) * nMin / n)
+      isqrt(BigInt(1000000000000L) * nMin / n).toLong
     }.toMap
     intThr shouldBe ieeeThr // off-boundary: the two formulas coincide
-    val expect = rows.filter { case (id, s) => bucket(id) < intThr(s) }
+    val expectThr = rows.filter { case (id, s) => bucket(id) < intThr(s) }
       .map(_._1).toSet
-    got shouldBe expect
-  }
-
-  test("isqrt is exact across magnitudes and near-square boundaries") {
-    val cases = Seq(BigInt(0), BigInt(1), BigInt(2), BigInt(3), BigInt(4),
-      BigInt(999999), BigInt(1000000000000L),
-      BigInt(1000000L) * 1000000L - 1, BigInt(1000000L) * 1000000L,
-      BigInt(1000000L) * 1000000L + 1,
-      BigInt("999999999999999999"), BigInt(Long.MaxValue)) ++
-      (1 to 50).map(i => BigInt(i) * i) ++
-      (1 to 50).map(i => BigInt(i) * i - 1).filter(_ >= 0)
-    cases.foreach { x =>
-      val r = BigInt(Sampling.isqrt(x))
-      assert(r * r <= x && (r + 1) * (r + 1) > x, s"isqrt($x) = $r")
-    }
+    val expectGate = rows.filter { case (id, s) =>
+      val h1 = BigInt(bucket(id) + 1)
+      h1 * h1 * sizes(s) <= BigInt(1000000000000L) * nMin
+    }.map(_._1).toSet
+    expectGate shouldBe expectThr // the cross-multiplied identity
+    got shouldBe expectThr
   }
 
   test("repeatFactors hits the target mix by repetition only") {

@@ -152,13 +152,15 @@ class PlanContractSpec extends SparkSpec {
   test("temperatureSample corpus side is one scan with no forced hint and no sort-merge") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    // alpha = 0.5 (the integer-exact path): thresholds compile to a
-    // CASE chain, so the corpus side is a JOIN-FREE filtered scan
+    // alpha = 0.5 (the division-free integer gate): per-stratum counts
+    // join broadcast, the one-row n_min attaches as a broadcast cross —
+    // the corpus itself never shuffles and nothing sort-merges
     val half = graft.ops.Sampling.temperatureSample(
       docs.select(col("doc_id"), col("lang")), "lang", "doc_id", 0.5)
+    half.queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
     val hp = half.queryExecution.executedPlan.toString
-    hp should not include "Join"
-    hp should not include "Exchange"
+    hp should not include "SortMergeJoin"
+    hp should include ("BroadcastHashJoin")
     // general alpha keeps the threshold join — <= #strata rows, so the
     // corpus must join it broadcast, never shuffle itself on the stratum
     val out = graft.ops.Sampling.temperatureSample(
