@@ -66,9 +66,18 @@ object TextAnalysis {
   def stopwordRatio(text: Column): Column =
     stopwordHits(text, "en").cast("double") / tokenCount(text)
 
-  /** Ratio of [a-z] characters to total length. */
+  /** Ratio of [a-z] characters to total length; 0 for an EMPTY text —
+    * the guard matters under ANSI mode (the Spark 4 default), where the
+    * bare divide raises DIVIDE_BY_ZERO instead of NaN. (The other
+    * ratio denominators need no guard: `tokenCount` is >= 1 by
+    * construction on any input.) Mirrors [[qualityScoreQ]]'s `ln > 0`
+    * branch; an oracle over a corpus WITH empty documents must carry
+    * the matching CASE.
+    */
   def alphaRatio(text: Column): Column =
-    length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text)
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text))
+      .otherwise(lit(0.0))
 
   /** Composite quality score in [0,1]: length saturation + stopword
     * presence + alphabetic density. The exact op order is part of the

@@ -41,6 +41,25 @@ class TextAnalysisSpec extends SparkSpec {
     scores(0) should be > scores(2) // English text beats gibberish
   }
 
+  test("empty text scores without DIVIDE_BY_ZERO under ANSI; alphaRatio = 0") {
+    // ANSI mode (the Spark 4 default) raises on x/0 even for doubles —
+    // an empty document must flow through every ratio, not crash the
+    // corpus scan. tokenCount's +1 construction covers the token-based
+    // denominators; alphaRatio's length(text) needs its explicit guard.
+    val docs = Seq((1L, ""), (2L, "the fox")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        TextAnalysis.alphaRatio($"text").as("ar"),
+        TextAnalysis.qualityScore($"text").as("q"),
+        TextAnalysis.avgTokenLen($"text").as("atl"),
+        TextAnalysis.stopwordRatio($"text").as("sr"),
+        TextAnalysis.qualityScoreQ($"text").as("qq"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    got(1L).getDouble(1) shouldBe 0.0 // alphaRatio of empty
+    got(1L).getDouble(2) should (be >= 0.0 and be <= 1.0)
+    got(1L).getLong(5) shouldBe 4000L // qualityScoreQ: 1 empty token * 4000
+    got(2L).getDouble(1) should be > 0.0
+  }
+
   test("qualityScoreQ equals the exact-integer model on adversarial inputs") {
     val docs = Seq(
       (1L, "the quick fox and the dog"),
