@@ -105,6 +105,52 @@ object Decontaminate {
     train.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Per-document contamination SCORE (the GPT-3 appendix-C shape):
+    * for every training document, the fraction of its distinct k-gram
+    * shingles that appear anywhere in the benchmark union —
+    * `|sh(train) ∩ ∪sh(bench)| / |sh(train)|` — plus a `tau` flag.
+    * Complements [[containmentPairs]] (which asks "does this train doc
+    * CONTAIN a specific benchmark item": bench-normalized, per pair);
+    * this is train-normalized and per document, the form reported as a
+    * dataset-card contamination statistic and thresholded when the
+    * pipeline wants "mostly-eval" documents gone rather than exact
+    * embeddings.
+    *
+    * Scale shape: ONE pass — the train shingle stream left-joins the
+    * distinct bench shingle set (bounded by the benchmark corpus, so
+    * AQE broadcasts it) and a single per-doc aggregate counts total
+    * and hit shingles together; no self-join, no df cap needed (each
+    * bench shingle is distinct, so a train shingle row matches at most
+    * once — join output is EXACTLY the train shingle stream). The only
+    * exchange is the per-doc count, keyed on the id the corpus is
+    * already keyed by. Docs too short to shingle score 0.
+    */
+  def contaminationScore(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      tau: Double = 0.5): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau out of (0,1]")
+    val tEx = Dedup.shingleFpRows(train, idCol, textCol, k)
+    val bSet = Dedup.shingleFpRows(bench, idCol, textCol, k)
+      .select(col("s")).distinct().withColumn("__hit", lit(1))
+    val counts = tEx.join(bSet, Seq("s"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hits"))
+    train.select(col(idCol).as("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id").as("train_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("overlap",
+        when(col("n_shingles") > 0,
+          col("n_hits").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged", col("overlap") >= tau)
+  }
+
   /** [[decontaminate]] behind a Bloom-filter prefilter — the SAME exact
     * result (spec- and oracle-pinned), reached without ever shuffling
     * the training corpus on shingles.

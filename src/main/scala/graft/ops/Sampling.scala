@@ -264,4 +264,63 @@ object Sampling {
           * col("__nmin").cast(dec))
       .drop("__n", "__nmin")
   }
+
+  /** EXPLICIT-target mixture sampling — the "30% code / 50% web / 20%
+    * books" recipe — as one distributed integer-exact gate (the fully
+    * declarative sibling of [[mixFractions]], whose driver-side map
+    * needs the counts collected first). `shares` gives each stratum's
+    * target weight as an integer (shares normalize, so (3,5,2) ≡
+    * (30,50,20)); the mix is reached by downsampling only — the
+    * BINDING stratum (minimal n_s/share_s, the one that runs out
+    * first) is kept whole and every other stratum keeps
+    * `n_b·share_s/(share_b·n_s)` of its rows, deterministically via
+    * [[hashBucket]]. A stratum with share 0 — or absent from `shares`
+    * — drops entirely (the decontamination-style "not in the recipe"
+    * case).
+    *
+    * Integer-exact end to end: the binding stratum is the argmin of a
+    * RATIONAL, decided by cross-multiplied long comparisons over the
+    * tiny counts frame (ties break to the smallest stratum value — any
+    * tied stratum yields the identical thresholds, so the tie-break
+    * only needs determinism); membership `hash < ⌊1e6·n_b·share_s /
+    * (share_b·n_s)⌋` is decided division-free as `(hash+1)·share_b·n_s
+    * ≤ 1e6·n_b·share_s` (the [[temperatureSampleHalf]] /
+    * importanceResampleExact identity — the ≥1e6 cap is subsumed: when
+    * the ratio clears 1 the inequality holds for every hash). Products
+    * run in decimal(38,0), good past 1e18-row strata.
+    *
+    * Scale shape: counts, binding-stratum election, and thresholds are
+    * aggregates/joins over ≤ #strata rows (the election self-join is
+    * #strata², still tiny) — AQE broadcasts them — so the corpus is
+    * ONE scan with a pushed filter: no corpus shuffle, no collect, no
+    * CASE-chain recompile per run.
+    */
+  def mixtureSelect(df: DataFrame, strataCol: String, idCol: String,
+                    shares: Map[String, Long]): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ >= 0) &&
+      shares.values.exists(_ > 0), "bad target shares")
+    val dec = "decimal(38,0)"
+    val num = shares.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit(w)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n")).withColumn("__num", num)
+      .filter(col("__num") > 0)
+    // binding stratum b: ∀o present: n_b·num_o ≤ n_o·num_b (argmin of
+    // n/num by cross-multiplication), smallest stratum among ties
+    val binding = counts.as("c").join(counts.as("o"),
+        col("c.__n").cast(dec) * col("o.__num").cast(dec)
+          > col("o.__n").cast(dec) * col("c.__num").cast(dec),
+        "left_anti")
+      .orderBy(col(strataCol)).limit(1)
+      .select(col("__n").as("__nb"), col("__num").as("__numb"))
+    val h1 = (hashBucket(col(idCol)) + lit(1L)).cast(dec)
+    df.join(counts.select(col(strataCol), col("__n"), col("__num")),
+        Seq(strataCol))
+      .crossJoin(binding)
+      .filter(h1 * col("__numb").cast(dec) * col("__n").cast(dec)
+        <= lit(Buckets).cast(dec) * col("__nb").cast(dec)
+          * col("__num").cast(dec))
+      .drop("__n", "__num", "__nb", "__numb")
+  }
 }

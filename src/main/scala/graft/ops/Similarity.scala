@@ -168,6 +168,82 @@ object Similarity {
         col("rank"), col("cosine"))
   }
 
+  /** k-NN majority-vote label classification over embeddings — the
+    * standard "is this embedding space any good" probe (label a query
+    * by the majority label of its k nearest corpus neighbors). This is
+    * the exact all-pairs baseline (same shape and oracle role as
+    * [[bruteForceTopK]]); the 100 TB path is [[knnClassifyIvf]] — the
+    * identical vote over the IVF probe join's cell-local candidates.
+    *
+    * Determinism: neighbor rank ties break to the lower neighbor id
+    * (the [[bruteForceTopK]] contract) and vote ties break to the
+    * SMALLEST winning label, so the prediction is a pure function of
+    * the input — engine-portable and oracle-checkable exactly.
+    *
+    * Output: (query_id, true_label, predicted_label, votes, correct).
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      col("label").as("true_label"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      col("label").as("cl"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    majorityVote(topKOf(scored, k))
+  }
+
+  /** The IVF scale tier of [[knnClassify]]: the same rank-k cut and the
+    * same majority vote, but candidates come from the probe join's
+    * cell-local stream instead of the cross product (the
+    * [[hardNegativeTopKIvf]] skeleton, vote instead of label filter).
+    * Scale shape: one cell-keyed equi-join, no cross join, no broadcast
+    * hint; approximate exactly where the probe is — prediction
+    * AGREEMENT with the exact classifier is pinned by the
+    * `knn_classify_ivf` oracle row. Agreement tracks how decisive the
+    * votes are: on clustered data a missed neighbor rarely flips a
+    * majority, while on near-uniform embeddings (the synthetic
+    * worst case) it tracks plain probe recall — raise `nprobe` to
+    * buy it back.
+    */
+  def knnClassifyIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+                     nlist: Int = 16, nprobe: Int = 4,
+                     iters: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cents = ivfCentroids(corpus, nlist, iters)
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      col("label").as("cl"), nearestCell(col("vec"), cents).as("cell"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      col("label").as("true_label"),
+      explode(probeCells(col("vec"), cents, nprobe)).as("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    majorityVote(topKOf(scored, k))
+  }
+
+  private def topKOf(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Collapse ranked (query_id, true_label, cl) neighbor rows into one
+    * prediction per query: count votes per candidate label, keep the
+    * (votes DESC, label ASC) winner.
+    */
+  private def majorityVote(nn: DataFrame): DataFrame = {
+    val votes = nn.groupBy(col("query_id"), col("true_label"), col("cl"))
+      .agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("cl"))
+    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("cl").as("predicted_label"), col("votes"),
+        (col("cl") === col("true_label")).as("correct"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed) as a plane-major
     * matrix — same RNG draw order as the round-1 literal-column form,
     * so bucket assignments are unchanged.

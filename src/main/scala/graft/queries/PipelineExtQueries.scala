@@ -253,6 +253,32 @@ object PipelineExtQueries {
                             THEN 500000 ELSE 200000 END
       ORDER BY doc_id""")),
 
+    // -- explicit-target mixture sampling (Sampling.mixtureSelect): the
+    // "3 parts en, 1 part each de/es/fr, no zh" recipe as one
+    // integer-exact distributed gate — binding stratum elected by
+    // cross-multiplied long comparisons, membership division-free
+    // ((hash+1)·num_b·n_s <= 1e6·n_b·num_s), zh dropped by share 0 --
+    QueryDef("mixture_select", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.mixtureSelect(docs.select(col("doc_id"), col("lang")),
+          strataCol = "lang", idCol = "doc_id",
+          shares = Map("en" -> 3L, "de" -> 1L, "es" -> 1L, "fr" -> 1L))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH c AS (SELECT lang, count(*) AS n,
+               CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 1
+                         WHEN 'es' THEN 1 WHEN 'fr' THEN 1 ELSE 0 END AS num
+             FROM documents GROUP BY lang),
+      cc AS (SELECT * FROM c WHERE num > 0),
+      b AS (SELECT n AS nb, num AS numb FROM cc x
+            WHERE NOT EXISTS (SELECT 1 FROM cc o WHERE x.n * o.num > o.n * x.num)
+            ORDER BY lang LIMIT 1)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN cc ON d.lang = cc.lang CROSS JOIN b
+      WHERE ($hashSql + 1) * b.numb * cc.n <= 1000000 * b.nb * cc.num
+      ORDER BY doc_id""")),
+
     // -- deterministic fixed-N per stratum (eval-set picker) -------------
     QueryDef("sample_per_source", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -366,6 +392,39 @@ object PipelineExtQueries {
       FROM t, b
       WHERE CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.5
       ORDER BY train_id, bench_id""")),
+
+    // -- per-document contamination score (Decontaminate
+    // .contaminationScore, the GPT-3 appendix-C statistic):
+    // train-normalized overlap of each train doc's shingles against the
+    // bench UNION — one pass, no self-join (vs containmentPairs'
+    // per-bench-pair containment above) --
+    QueryDef("contamination_score", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Decontaminate.contaminationScore(
+          train = docs.filter(col("doc_id") % 10 =!= 0),
+          bench = docs.filter(col("doc_id") % 10 === 0),
+          idCol = "doc_id", textCol = "text", k = 3, tau = 0.5)
+        .orderBy("train_id")
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents),
+      b AS (SELECT DISTINCT unnest(sh) AS g FROM docs WHERE doc_id % 10 = 0),
+      t AS (SELECT doc_id, unnest(sh) AS g FROM docs WHERE doc_id % 10 <> 0),
+      counts AS (SELECT t.doc_id, count(*) AS n_sh, count(b.g) AS n_hit
+                 FROM t LEFT JOIN b ON t.g = b.g GROUP BY t.doc_id)
+      SELECT d.doc_id AS train_id,
+        CAST(coalesce(c.n_sh, 0) AS BIGINT) AS n_shingles,
+        CAST(coalesce(c.n_hit, 0) AS BIGINT) AS n_hits,
+        CASE WHEN coalesce(c.n_sh, 0) > 0
+          THEN CAST(c.n_hit AS DOUBLE) / c.n_sh ELSE 0.0 END AS overlap,
+        CASE WHEN coalesce(c.n_sh, 0) > 0
+          THEN CAST(c.n_hit AS DOUBLE) / c.n_sh ELSE 0.0 END >= 0.5 AS flagged
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+      LEFT JOIN counts c ON d.doc_id = c.doc_id
+      ORDER BY train_id""")),
 
     // -- the whole curation pipeline as ONE declarative plan -------------
     // quality-gate → exact-dedup → decontaminate vs the eval split →

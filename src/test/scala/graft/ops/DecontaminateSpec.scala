@@ -91,4 +91,30 @@ class DecontaminateSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     kept shouldBe Set(2L)
   }
+
+  test("contaminationScore: train-normalized overlap vs the bench union") {
+    // doc 3 IS a benchmark item verbatim (overlap 1.0); doc 1 embeds it
+    // in a big page (train-normalized overlap is LOW — the pair-level
+    // containment above flags it instead); doc 4 is too short to shingle
+    val t = train.union(Seq(
+      (3L, benchText), (4L, "too short")).toDF("doc_id", "text"))
+    val got = Decontaminate.contaminationScore(t, bench, "doc_id", "text",
+        k = 3, tau = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val bs = shingleSet(benchText)
+    def expect(text: String) = {
+      val ts = shingleSet(text)
+      (ts.size.toLong, (ts & bs).size.toLong,
+        if (ts.nonEmpty) (ts & bs).size.toDouble / ts.size else 0.0)
+    }
+    Seq(1L -> contaminated, 2L -> clean, 3L -> benchText).foreach {
+      case (id, text) =>
+        val (n, h, ov) = expect(text)
+        got(id) shouldBe ((n, h, ov, ov >= 0.5))
+    }
+    got(3L)._4 shouldBe true   // verbatim benchmark: flagged
+    got(1L)._4 shouldBe false  // embedded-in-big-page: per-doc score low
+    got(4L) shouldBe ((0L, 0L, 0.0, false)) // unshingleable scores 0
+  }
 }

@@ -212,6 +212,54 @@ class SamplingSpec extends SparkSpec {
     out.select("lang").distinct().collect().map(_.getString(0)).toSeq shouldBe Seq("a")
   }
 
+  test("mixtureSelect hits explicit target shares by integer-exact downsampling") {
+    // 6000 web / 1500 code / 500 books, target 2:1:1 -> books is binding
+    // (500/1 < 1500/1 < 6000/2): books kept whole, code keeps 500/1500,
+    // web keeps 2*500/6000
+    val df = (0L until 8000L).map { i =>
+      (i, if (i < 6000) "web" else if (i < 7500) "code" else "books")
+    }.toDF("id", "lang")
+    val shares = Map("web" -> 2L, "code" -> 1L, "books" -> 1L)
+    val kept = Sampling.mixtureSelect(df, "lang", "id", shares)
+      .select("id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = Map("web" -> 6000L, "code" -> 1500L, "books" -> 500L)
+    // independent arithmetic: keep iff (h+1)*num_b*n_s <= 1e6*n_b*num_s
+    val expect = (0L until 8000L).flatMap { i =>
+      val s = if (i < 6000) "web" else if (i < 7500) "code" else "books"
+      val lhs = BigInt(bucket(i) + 1) * shares("books") * n(s)
+      val rhs = BigInt(1000000L) * n("books") * shares(s)
+      if (lhs <= rhs) Some((i, s)) else None
+    }.toSet
+    kept.toSet shouldBe expect
+    val byLang = kept.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    byLang("books") shouldBe 500L // binding stratum: kept whole
+    // realized mix tracks 2:1:1 within hash quantization noise
+    byLang("web").toDouble / byLang("books") shouldBe 2.0 +- 0.1
+    byLang("code").toDouble / byLang("books") shouldBe 1.0 +- 0.1
+  }
+
+  test("mixtureSelect drops strata with share 0 or absent from the recipe") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "lang")
+    val kept = Sampling.mixtureSelect(df, "lang", "id",
+        Map("s0" -> 1L, "s1" -> 1L, "s2" -> 0L))
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    kept shouldBe Set("s0", "s1")
+    val kept2 = Sampling.mixtureSelect(df, "lang", "id", Map("s1" -> 5L))
+      .select("id", "lang").collect()
+    kept2.map(_.getString(1)).toSet shouldBe Set("s1")
+    kept2.length shouldBe 100 // sole recipe stratum is binding: kept whole
+  }
+
+  test("mixtureSelect is deterministic across partitionings") {
+    val df = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("id", "lang")
+    val shares = Map("s0" -> 3L, "s1" -> 2L, "s2" -> 1L, "s3" -> 1L)
+    val a = Sampling.mixtureSelect(df, "lang", "id", shares)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.mixtureSelect(df.repartition(13), "lang", "id", shares)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    a shouldBe b
+  }
+
   test("temperatureSample is deterministic across partitionings") {
     val df = (0L until 5000L).map(i => (i, s"s${i % 5}")).toDF("id", "lang")
     val a = Sampling.temperatureSample(df, "lang", "id", 0.5)

@@ -439,6 +439,53 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe exact
   }
 
+  test("knnClassify: majority vote with deterministic tie-breaks") {
+    // query 0 at the origin of a fan: neighbors 1,2 (label 7) and 3,4,5
+    // (label 2); k=4 takes 1,2,3,4 -> vote 2:2 tie -> smallest label 2
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0), 7L),
+      (1L, Seq(0.99, 0.01), 7L),
+      (2L, Seq(0.98, 0.02), 7L),
+      (3L, Seq(0.97, 0.03), 2L),
+      (4L, Seq(0.96, 0.04), 2L),
+      (5L, Seq(0.0, 1.0), 2L)).toDF("id", "vec", "label")
+    val q = corpus.filter($"id" === 0)
+    val r4 = Similarity.knnClassify(q, corpus, k = 4).head()
+    r4.getLong(0) shouldBe 0L
+    r4.getLong(1) shouldBe 7L          // true_label
+    r4.getLong(2) shouldBe 2L          // vote tie 2:2 -> smallest label
+    r4.getLong(3) shouldBe 2L          // votes
+    r4.getBoolean(4) shouldBe false
+    val r3 = Similarity.knnClassify(q, corpus, k = 3).head()
+    r3.getLong(2) shouldBe 7L          // 1,2 (label 7) beat 3 (label 2)
+    r3.getLong(3) shouldBe 2L
+    r3.getBoolean(4) shouldBe true
+  }
+
+  test("knnClassifyIvf with exhaustive probes reproduces the exact classifier") {
+    def vec(seed: Long): Seq[Double] =
+      (0 until 6).map(j => (((seed * 31 + j * 2654435761L) % 1009L).toDouble / 1009.0) * 2.0 - 1.0)
+    val corpus = (0L until 60L).map(i => (i, vec(i), i % 5)).toDF("id", "vec", "label")
+    val q = corpus.filter(col("id") < 12)
+    val exact = Similarity.knnClassify(q, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val ivf = Similarity.knnClassifyIvf(q, corpus, k = 5, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    ivf shouldBe exact
+  }
+
+  test("knnClassifyIvf plan: no cross join, no broadcast hint") {
+    def vec(seed: Long): Seq[Double] =
+      (0 until 6).map(j => (((seed * 31 + j * 2654435761L) % 1009L).toDouble / 1009.0) * 2.0 - 1.0)
+    val corpus = (0L until 40L).map(i => (i, vec(i), i % 5)).toDF("id", "vec", "label")
+    val df = Similarity.knnClassifyIvf(corpus.filter(col("id") < 8), corpus,
+      k = 3, nlist = 4, nprobe = 2)
+    df.queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+    val physical = df.queryExecution.executedPlan.toString
+    physical should not include "CartesianProduct"
+    physical should not include "BroadcastNestedLoopJoin"
+  }
+
   test("marginPairsIvf plan: no cross join, no broadcast hint") {
     def vec(seed: Long): Seq[Double] =
       (0 until 6).map(j => (((seed * 31 + j * 2654435761L) % 1009L).toDouble / 1009.0) * 2.0 - 1.0)
