@@ -289,6 +289,14 @@ object Sampling {
     * the ratio clears 1 the inequality holds for every hash). Products
     * run in decimal(38,0), good past 1e18-row strata.
     *
+    * Training mixes are usually specified in TOKENS, not documents:
+    * pass `weightCol` (e.g. a token count) and the strata masses — the
+    * binding election and every threshold — become weight SUMS instead
+    * of row counts. Membership stays per-row by id hash, so the
+    * realized token share matches the target in expectation (docs are
+    * dropped whole; the quantization is one document's tokens, noise
+    * at corpus scale) while the gate itself stays integer-exact.
+    *
     * Scale shape: counts, binding-stratum election, and thresholds are
     * aggregates/joins over ≤ #strata rows (the election self-join is
     * #strata², still tiny) — AQE broadcasts them — so the corpus is
@@ -296,16 +304,19 @@ object Sampling {
     * CASE-chain recompile per run.
     */
   def mixtureSelect(df: DataFrame, strataCol: String, idCol: String,
-                    shares: Map[String, Long]): DataFrame = {
+                    shares: Map[String, Long],
+                    weightCol: Option[String] = None): DataFrame = {
     require(shares.nonEmpty && shares.values.forall(_ >= 0) &&
       shares.values.exists(_ > 0), "bad target shares")
     val dec = "decimal(38,0)"
     val num = shares.foldLeft(lit(0L)) { case (acc, (s, w)) =>
       when(col(strataCol) === s, lit(w)).otherwise(acc)
     }
+    val mass = weightCol.map(w => sum(col(w).cast("long")))
+      .getOrElse(count(lit(1)))
     val counts = df.groupBy(col(strataCol))
-      .agg(count(lit(1)).as("__n")).withColumn("__num", num)
-      .filter(col("__num") > 0)
+      .agg(mass.as("__n")).withColumn("__num", num)
+      .filter(col("__num") > 0 && col("__n") > 0)
     // binding stratum b: ∀o present: n_b·num_o ≤ n_o·num_b (argmin of
     // n/num by cross-multiplication), smallest stratum among ties
     val binding = counts.as("c").join(counts.as("o"),

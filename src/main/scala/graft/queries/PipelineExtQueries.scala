@@ -279,6 +279,32 @@ object PipelineExtQueries {
       WHERE ($hashSql + 1) * b.numb * cc.n <= 1000000 * b.nb * cc.num
       ORDER BY doc_id""")),
 
+    // -- the token-weighted mixture gate: same recipe, strata masses =
+    // sum(n_chars) instead of row counts (training mixes are specified
+    // in tokens; n_chars is the deterministic proxy in this corpus) --
+    QueryDef("mixture_select_tokens", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.mixtureSelect(
+          docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          strataCol = "lang", idCol = "doc_id",
+          shares = Map("en" -> 3L, "de" -> 1L, "es" -> 1L, "fr" -> 1L),
+          weightCol = Some("n_chars"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n,
+               CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 1
+                         WHEN 'es' THEN 1 WHEN 'fr' THEN 1 ELSE 0 END AS num
+             FROM documents GROUP BY lang),
+      cc AS (SELECT * FROM c WHERE num > 0 AND n > 0),
+      b AS (SELECT n AS nb, num AS numb FROM cc x
+            WHERE NOT EXISTS (SELECT 1 FROM cc o WHERE x.n * o.num > o.n * x.num)
+            ORDER BY lang LIMIT 1)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN cc ON d.lang = cc.lang CROSS JOIN b
+      WHERE ($hashSql + 1) * b.numb * cc.n <= 1000000 * b.nb * cc.num
+      ORDER BY doc_id""")),
+
     // -- deterministic fixed-N per stratum (eval-set picker) -------------
     QueryDef("sample_per_source", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")

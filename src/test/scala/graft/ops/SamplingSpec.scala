@@ -250,6 +250,24 @@ class SamplingSpec extends SparkSpec {
     kept2.length shouldBe 100 // sole recipe stratum is binding: kept whole
   }
 
+  test("mixtureSelect weightCol: binding and thresholds by mass, not rows") {
+    // equal ROW counts but web docs carry 10x the tokens: by rows the
+    // 1:1 target would keep both whole; by mass web must shed 90%
+    val df = (0L until 2000L).map { i =>
+      val lang = if (i < 1000) "web" else "books"
+      (i, lang, if (lang == "web") 100L else 10L)
+    }.toDF("id", "lang", "toks")
+    val shares = Map("web" -> 1L, "books" -> 1L)
+    val kept = Sampling.mixtureSelect(df, "lang", "id", shares, Some("toks"))
+      .select("id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    byLang("books") shouldBe 1000L // binding by mass: kept whole
+    // web threshold = 1e6*10000/100000 = 100000 -> ~10% of rows
+    val expectWeb = (0L until 1000L).count(bucket(_) + 1 <= 100000L).toLong
+    byLang("web") shouldBe expectWeb
+    byLang("web").toDouble / 1000 shouldBe 0.1 +- 0.03
+  }
+
   test("mixtureSelect is deterministic across partitionings") {
     val df = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("id", "lang")
     val shares = Map("s0" -> 3L, "s1" -> 2L, "s2" -> 1L, "s3" -> 1L)
