@@ -325,6 +325,62 @@ object Curation {
       () => { weights.unpersist(); scored.unpersist(); () })
   }
 
+  /** Staged frames of [[pipelineV5Stages]]: `clean` the decontaminated
+    * (id, lang, n_tokens) survivors; `mixed` the token-weighted mixture
+    * selection; `summary` the per-language rollup.
+    */
+  final case class PipelineV5Stages(
+      clean: DataFrame,
+      mixed: DataFrame,
+      summary: DataFrame,
+      release: () => Unit)
+
+  /** The round-7 MIX composition: per-document contamination gate
+    * against the eval split ([[Decontaminate.contaminationScore]],
+    * drop `overlap >= tau`) → token-weighted explicit-target language
+    * mixture ([[Sampling.mixtureSelect]] with `weightCol`) →
+    * per-language doc/token summary. Every stage is the oracle-checked
+    * operator; composing them pins column contracts, the
+    * flag-polarity join, and the weighted gate end-to-end with exact
+    * integer outputs.
+    *
+    * Stage discipline (the v3/v4 narrow-persist pattern): ONE cache —
+    * the narrow `clean` frame (id, lang, n_tokens; its lineage is the
+    * shingle-join contamination pass) — persisted eagerly because the
+    * mixture gate reads it twice (strata masses + membership) through
+    * exchanges AQE cannot dedupe (an aggregate and a join-probe side);
+    * everything downstream is tiny. `release()` owns the cache.
+    * Token counts come from [[TextAnalysis.tokenCount]] — integer
+    * length arithmetic, no array materialization.
+    */
+  def pipelineV5Stages(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      langCol: String = "lang",
+      textCol: String = "text",
+      shares: Map[String, Long] =
+        Map("en" -> 3L, "de" -> 1L, "es" -> 1L, "fr" -> 1L),
+      tau: Double = 0.5,
+      eager: Boolean = true): PipelineV5Stages = {
+    val train = docs.filter(col(idCol) % 10 =!= 0)
+    val bench = docs.filter(col(idCol) % 10 === 0)
+    val unflagged = Decontaminate
+      .contaminationScore(train, bench, idCol, textCol, k = 3, tau = tau)
+      .filter(!col("flagged")).select(col("train_id").as(idCol))
+    val clean = train.join(unflagged, Seq(idCol))
+      .select(col(idCol), col(langCol),
+        TA.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (eager) clean.count()
+    val mixed = Sampling.mixtureSelect(clean, langCol, idCol, shares,
+      weightCol = Some("n_tokens"))
+    val summary = mixed.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+    PipelineV5Stages(clean, mixed, summary,
+      () => { clean.unpersist(); () })
+  }
+
   /** Per-source boilerplate phrases: the distinct k-token n-grams that
     * appear in at least `minDocs` documents OF THE SAME SOURCE — the
     * header/footer/navigation text a site stamps on every page (the

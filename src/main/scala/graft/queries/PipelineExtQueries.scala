@@ -1497,6 +1497,47 @@ object PipelineExtQueries {
     // survivors (model = surviving en slice) → per-language CCNet
     // terciles → keep head+middle → per-(lang, bucket) summary
     // (Curation.pipelineV4Stages; every gate engine-stable) --
+    // -- the round-7 MIX composition (Curation.pipelineV5Stages):
+    // contamination gate vs the eval split → token-weighted
+    // explicit-target language mixture → per-language summary. Every
+    // stage is the oracle-checked operator above; the composition pins
+    // the flag-polarity join and the weighted gate end-to-end --
+    QueryDef("curation_pipeline_v5", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val st = graft.ops.Curation.pipelineV5Stages(docs)
+      Tables.materializeAndRelease(st.summary.orderBy("lang"), st.release)
+    }, Some(s"""
+      WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents),
+      b AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 10 = 0),
+      t AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 10 <> 0),
+      hits AS (SELECT t.doc_id, count(*) AS n_sh, count(b.g) AS n_hit
+               FROM t LEFT JOIN b ON t.g = b.g GROUP BY t.doc_id),
+      clean AS (
+        SELECT d.doc_id, d.lang,
+          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 10 <> 0
+          AND NOT (coalesce(h.n_sh, 0) > 0
+                   AND CAST(h.n_hit AS DOUBLE) / h.n_sh >= 0.5)),
+      c AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n,
+              CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 1
+                        WHEN 'es' THEN 1 WHEN 'fr' THEN 1 ELSE 0 END AS num
+            FROM clean GROUP BY lang),
+      cc AS (SELECT * FROM c WHERE num > 0 AND n > 0),
+      bnd AS (SELECT n AS nb, num AS numb FROM cc x
+              WHERE NOT EXISTS (SELECT 1 FROM cc o WHERE x.n * o.num > o.n * x.num)
+              ORDER BY lang LIMIT 1)
+      SELECT cl.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(cl.n_tokens) AS BIGINT) AS total_tokens
+      FROM clean cl JOIN cc ON cl.lang = cc.lang CROSS JOIN bnd
+      WHERE (((cl.doc_id % 1048573) * 2654435761) % 1000000 + 1) * bnd.numb * cc.n
+            <= 1000000 * bnd.nb * cc.num
+      GROUP BY cl.lang ORDER BY cl.lang""")),
+
     QueryDef("curation_pipeline_v4", (s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
       val st = graft.ops.Curation.pipelineV4Stages(docs)

@@ -500,6 +500,36 @@ class CurationOpsSpec extends SparkSpec {
     st.release()
   }
 
+  test("pipelineV5Stages: contamination gate feeds the weighted mixture, caches released") {
+    import org.apache.spark.sql.functions.col
+    // eval split = doc_id % 10 == 0. Doc 13 repeats eval doc 10's text
+    // verbatim (overlap 1.0 -> gated); other train docs are unrelated.
+    val evalText = "what is the capital of france the capital of france is paris"
+    // per-doc-unique shingles so ambient overlap with the bench is 0
+    val docs = ((1L to 29L).filterNot(Set(10L, 13L, 20L)).map { i =>
+      val lang = Seq("en", "de", "fr")((i % 3).toInt)
+      (i, lang, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")
+    } :+ (10L, "en", evalText) :+ (20L, "de", "benchzwanzig eins zwei drei vier") :+
+      (13L, "en", evalText)).toDF("doc_id", "lang", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val st = Curation.pipelineV5Stages(docs,
+      shares = Map("en" -> 1L, "de" -> 1L, "fr" -> 1L))
+    val clean = st.clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    clean should not contain 13L       // contaminated: gated out
+    clean should not contain 10L       // eval split: never train
+    clean should contain (11L)
+    // mixed ⊆ clean, and the summary's token accounting is exact
+    val mixed = st.mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    mixed.subsetOf(clean) shouldBe true
+    val total = st.summary.agg(org.apache.spark.sql.functions.sum("total_tokens"))
+      .head().getLong(0)
+    val expect = st.mixed.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .head().getLong(0)
+    total shouldBe expect
+    st.release()
+    spark.sparkContext.getPersistentRDDs.keySet shouldBe before
+  }
+
   test("importanceResample keeps target-like docs, drops no-signal docs, replays deterministically") {
     import org.apache.spark.sql.functions.col
     val raw = (1L to 60L).map { i =>
