@@ -334,4 +334,68 @@ object Sampling {
           * col("__num").cast(dec))
       .drop("__n", "__num", "__nb", "__numb")
   }
+
+  /** [[mixtureSelect]]'s gate reified as a standing RECIPE: the
+    * (strata, thr) table with `thr = min(1e6, ⌊1e6·n_b·share_s /
+    * (share_b·n_s)⌋)` — `hashBucket(id) < thr` then reproduces the
+    * selection exactly (the division-free membership identity run in
+    * reverse; `div` on decimal(38,0) products keeps the floor exact).
+    * ≤ #strata rows: persist it once per training run
+    * ([[saveMixtureRecipe]]) and apply statelessly to any later slice
+    * or stream of the same corpus — the mixture analogue of the DSIR
+    * bucket model.
+    */
+  def mixtureThresholds(df: DataFrame, strataCol: String,
+                        shares: Map[String, Long],
+                        weightCol: Option[String] = None): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ >= 0) &&
+      shares.values.exists(_ > 0), "bad target shares")
+    val dec = "decimal(38,0)"
+    val num = shares.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit(w)).otherwise(acc)
+    }
+    val mass = weightCol.map(w => sum(col(w).cast("long")))
+      .getOrElse(count(lit(1)))
+    val counts = df.groupBy(col(strataCol))
+      .agg(mass.as("__n")).withColumn("__num", num)
+      .filter(col("__num") > 0 && col("__n") > 0)
+    val binding = counts.as("c").join(counts.as("o"),
+        col("c.__n").cast(dec) * col("o.__num").cast(dec)
+          > col("o.__n").cast(dec) * col("c.__num").cast(dec),
+        "left_anti")
+      .orderBy(col(strataCol)).limit(1)
+      .select(col("__n").as("__nb"), col("__num").as("__numb"))
+    counts.crossJoin(binding)
+      .withColumn("thr", least(lit(Buckets), expr(
+        s"""CAST((CAST($Buckets AS $dec) * CAST(__nb AS $dec) * CAST(__num AS $dec))
+            div (CAST(__numb AS $dec) * CAST(__n AS $dec)) AS BIGINT)""")))
+      .select(col(strataCol), col("thr"))
+  }
+
+  /** Apply a [[mixtureThresholds]] recipe: stateless per row (an
+    * equi-join against the ≤ #strata-row recipe plus a hash compare),
+    * so it composes with Structured Streaming micro-batches and with
+    * any later corpus slice without recomputing strata masses. Strata
+    * absent from the recipe drop (share 0 / not in the mix).
+    */
+  def mixtureGateWith(df: DataFrame, thresholds: DataFrame,
+                      strataCol: String, idCol: String): DataFrame =
+    df.join(thresholds, Seq(strataCol))
+      .filter(hashBucket(col(idCol)) < col("thr"))
+      .drop("thr")
+
+  /** Persist a mixture recipe as the standing table `${prefix}_mixture`
+    * (the [[graft.ops.Curation.saveDsirModel]] convention — tiny, so no
+    * bucketing). Recompute per training run, not per batch.
+    */
+  def saveMixtureRecipe(df: DataFrame, strataCol: String,
+                        shares: Map[String, Long], prefix: String,
+                        weightCol: Option[String] = None): Unit =
+    mixtureThresholds(df, strataCol, shares, weightCol)
+      .write.mode("overwrite").saveAsTable(s"${prefix}_mixture")
+
+  /** Load a [[saveMixtureRecipe]] recipe. */
+  def mixtureRecipe(spark: org.apache.spark.sql.SparkSession,
+                    prefix: String): DataFrame =
+    spark.table(s"${prefix}_mixture")
 }

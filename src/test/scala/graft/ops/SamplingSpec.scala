@@ -278,6 +278,28 @@ class SamplingSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("mixtureThresholds + mixtureGateWith reproduce mixtureSelect exactly") {
+    val df = (0L until 3000L).map { i =>
+      (i, s"s${i % 3}", 1L + i % 7)
+    }.toDF("id", "lang", "toks")
+    val shares = Map("s0" -> 4L, "s1" -> 2L, "s2" -> 1L)
+    for (w <- Seq(None, Some("toks"))) {
+      val direct = Sampling.mixtureSelect(df, "lang", "id", shares, w)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val thr = Sampling.mixtureThresholds(df, "lang", shares, w)
+      val gated = Sampling.mixtureGateWith(df, thr, "lang", "id")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      gated shouldBe direct // hash < floor(A/B) <=> (hash+1)*B <= A
+    }
+    // the binding stratum's threshold is the full bucket range
+    val t = Sampling.mixtureThresholds(df, "lang", shares)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // equal masses -> the LARGEST share runs out first: s0 is binding
+    t("s0") shouldBe 1000000L
+    t("s1") shouldBe 500000L  // 1e6 * (1000*2) / (4*1000)
+    t("s2") shouldBe 250000L
+  }
+
   test("temperatureSample is deterministic across partitionings") {
     val df = (0L until 5000L).map(i => (i, s"s${i % 5}")).toDF("id", "lang")
     val a = Sampling.temperatureSample(df, "lang", "id", 0.5)
