@@ -223,6 +223,26 @@ object Similarity {
     majorityVote(topKOf(scored, k))
   }
 
+  /** Vote a prediction from ANY (query_id, neighbor_id) top-k stream —
+    * the composition point that turns every retrieval tier into a
+    * classifier: feed it [[bruteForceTopK]] (== [[knnClassify]],
+    * spec-pinned), [[ivfTopKIndexed]]/[[ivfTopKIndexedQ8]] over a
+    * PERSISTED index (classification without re-embedding or
+    * re-training — the production serving shape), or [[srpLshTopK]].
+    * Labels attach by equi-join on the ids both sides are already
+    * keyed by; the vote itself is the [[knnClassify]] contract
+    * (votes DESC, label ASC).
+    */
+  def knnClassifyFrom(neighbors: DataFrame, queryLabels: DataFrame,
+                      corpusLabels: DataFrame): DataFrame = {
+    val nn = neighbors
+      .join(corpusLabels.select(col("id").as("neighbor_id"),
+        col("label").as("cl")), Seq("neighbor_id"))
+      .join(queryLabels.select(col("id").as("query_id"),
+        col("label").as("true_label")), Seq("query_id"))
+    majorityVote(nn)
+  }
+
   private def topKOf(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

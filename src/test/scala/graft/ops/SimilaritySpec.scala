@@ -474,6 +474,30 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe exact
   }
 
+  test("knnClassifyFrom composes any top-k source into the same vote") {
+    def vec(seed: Long): Seq[Double] =
+      (0 until 6).map(j => (((seed * 31 + j * 2654435761L) % 1009L).toDouble / 1009.0) * 2.0 - 1.0)
+    val corpus = (0L until 50L).map(i => (i, vec(i), i % 4)).toDF("id", "vec", "label")
+    val labels = corpus.select("id", "label")
+    val q = corpus.filter(col("id") < 10)
+    val direct = Similarity.knnClassify(q, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // over the exact top-k stream
+    val viaBrute = Similarity.knnClassifyFrom(
+        Similarity.bruteForceTopK(q, corpus, k = 5), labels, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    viaBrute shouldBe direct
+    // over a persisted-and-reloaded index with exhaustive probes: the
+    // production serving path reproduces the exact classifier
+    val idx = Similarity.buildIvfIndex(corpus, nlist = 4)
+    Similarity.saveIvfIndex(idx, "knn_from_spec", buckets = 2)
+    val loaded = Similarity.loadIvfIndex(spark, "knn_from_spec")
+    val viaIndex = Similarity.knnClassifyFrom(
+        Similarity.ivfTopKIndexed(q, loaded, k = 5, nprobe = 4), labels, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    viaIndex shouldBe direct
+  }
+
   test("knnClassifyIvf plan: no cross join, no broadcast hint") {
     def vec(seed: Long): Seq[Double] =
       (0 until 6).map(j => (((seed * 31 + j * 2654435761L) % 1009L).toDouble / 1009.0) * 2.0 - 1.0)
