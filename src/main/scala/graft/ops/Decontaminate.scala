@@ -183,6 +183,21 @@ object Decontaminate {
       fpp: Double = 0.01): DataFrame =
     bloomGate(bench, idCol, textCol, k, tau, dfCap, fpp).clean(train)
 
+  /** [[contaminationScore]] behind a Bloom prefilter — identical
+    * output (see [[BloomGate.score]] for the exactness argument and
+    * the scale shape). One-shot form; hold a [[bloomGate]] to score
+    * many batches against one sketch.
+    */
+  def contaminationScoreBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      tau: Double = 0.5,
+      fpp: Double = 0.01): DataFrame =
+    bloomGate(bench, idCol, textCol, k, tau, fpp = fpp).score(train)
+
   /** A PREBUILT Bloom decontamination gate: the benchmark shingle set
     * folded once into the driver-held sketch, reusable across many
     * train batches — the build-once/probe-many shape
@@ -217,6 +232,47 @@ object Decontaminate {
             dfCap, persistIndex = false)
           .select(col("train_id").as(idCol)).distinct()
         train.join(bad, Seq(idCol), "left_anti")
+    }
+
+    /** [[Decontaminate.contaminationScore]] behind the sketch — the
+      * SAME rows exactly (spec-pinned): Bloom has no false negatives,
+      * so every true hit shingle reaches the exact semi-join, and a
+      * false-positive shingle fails there (it is not in the bench set)
+      * before it can touch a count. The 100 TB win over the plain
+      * score: the bench shingle set no longer meets the whole train
+      * shingle stream — only the Bloom-hit slice (volume tracks the
+      * contamination rate + the deterministic fp rate) shuffles into
+      * the exact join; the per-doc `n_shingles` side is a join-free
+      * scan→aggregate. Per-doc n_shingles still requires shingling
+      * every doc — that pass is inherent to the statistic.
+      */
+    def score(train: DataFrame): DataFrame = {
+      val tEx = Dedup.shingleFpRows(train, idCol, textCol, k)
+      val nSh = tEx.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+      val nHits = sketch match {
+        case None =>
+          // empty benchmark: nothing can hit; an empty keyed frame
+          // keeps the assembly below uniform
+          nSh.filter(lit(false)).select(col("id"), col("n_shingles").as("n_hits"))
+        case Some((bytes, numBits, numHashes)) =>
+          import graft.functions.BloomFunctions
+          val bSet = Dedup.shingleFpRows(bench, idCol, textCol, k)
+            .select(col("s")).distinct()
+          tEx.filter(BloomFunctions.bloomMightContain(col("s"), bytes, numBits, numHashes))
+            .join(bSet, Seq("s"), "left_semi")
+            .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+      }
+      train.select(col(idCol).as("id"))
+        .join(nSh, Seq("id"), "left")
+        .join(nHits, Seq("id"), "left")
+        .select(col("id").as("train_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("overlap",
+          when(col("n_shingles") > 0,
+            col("n_hits").cast("double") / col("n_shingles"))
+            .otherwise(lit(0.0)))
+        .withColumn("flagged", col("overlap") >= tau)
     }
   }
 

@@ -452,6 +452,38 @@ object PipelineExtQueries {
       LEFT JOIN counts c ON d.doc_id = c.doc_id
       ORDER BY train_id""")),
 
+    // -- the score's Bloom scale tier: identical rows (no false
+    // negatives; false positives die in the exact semi-join), the bench
+    // set only ever meets the Bloom-hit shingle slice — so the oracle
+    // is contamination_score's, verbatim --
+    QueryDef("contamination_score_bloom", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Decontaminate.contaminationScoreBloom(
+          train = docs.filter(col("doc_id") % 10 =!= 0),
+          bench = docs.filter(col("doc_id") % 10 === 0),
+          idCol = "doc_id", textCol = "text", k = 3, tau = 0.5)
+        .orderBy("train_id")
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents),
+      b AS (SELECT DISTINCT unnest(sh) AS g FROM docs WHERE doc_id % 10 = 0),
+      t AS (SELECT doc_id, unnest(sh) AS g FROM docs WHERE doc_id % 10 <> 0),
+      counts AS (SELECT t.doc_id, count(*) AS n_sh, count(b.g) AS n_hit
+                 FROM t LEFT JOIN b ON t.g = b.g GROUP BY t.doc_id)
+      SELECT d.doc_id AS train_id,
+        CAST(coalesce(c.n_sh, 0) AS BIGINT) AS n_shingles,
+        CAST(coalesce(c.n_hit, 0) AS BIGINT) AS n_hits,
+        CASE WHEN coalesce(c.n_sh, 0) > 0
+          THEN CAST(c.n_hit AS DOUBLE) / c.n_sh ELSE 0.0 END AS overlap,
+        CASE WHEN coalesce(c.n_sh, 0) > 0
+          THEN CAST(c.n_hit AS DOUBLE) / c.n_sh ELSE 0.0 END >= 0.5 AS flagged
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+      LEFT JOIN counts c ON d.doc_id = c.doc_id
+      ORDER BY train_id""")),
+
     // -- the whole curation pipeline as ONE declarative plan -------------
     // quality-gate → exact-dedup → decontaminate vs the eval split →
     // pack into 256-token sequences per language → per-language summary.

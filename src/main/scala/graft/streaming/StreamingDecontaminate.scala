@@ -43,4 +43,32 @@ object StreamingDecontaminate {
     checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
     w.start()
   }
+
+  /** The SCORED form: `onBatch` receives every micro-batch row with
+    * its per-document contamination statistics
+    * ([[graft.ops.Decontaminate.BloomGate.score]] — exact behind the
+    * sketch prefilter) instead of the pre-gated survivors: the
+    * dataset-card/monitoring shape (alert on a contamination-rate
+    * spike; route by overlap band) where [[start]] is the drop gate.
+    * One sketch serves the whole stream; scoring is per-document
+    * against the fixed benchmark, so per-batch scores equal the batch
+    * run (spec-pinned).
+    */
+  def startScored(stream: DataFrame, bench: DataFrame,
+                  idCol: String, textCol: String,
+                  k: Int = 3, tau: Double = 0.5,
+                  fpp: Double = 0.01,
+                  checkpoint: Option[String] = None,
+                  queryName: String = "graft_streaming_contamination_score")
+                 (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val gate = Decontaminate.bloomGate(bench, idCol, textCol, k, tau, fpp = fpp)
+    var w = stream.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        onBatch(gate.score(batch), batchId)
+      }
+    checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
+    w.start()
+  }
 }

@@ -117,4 +117,20 @@ class DecontaminateSpec extends SparkSpec {
     got(1L)._4 shouldBe false  // embedded-in-big-page: per-doc score low
     got(4L) shouldBe ((0L, 0L, 0.0, false)) // unshingleable scores 0
   }
+
+  test("contaminationScoreBloom equals the plain score; empty bench scores all zero") {
+    val t = train.union(Seq((3L, benchText), (4L, "too short")).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    rows(Decontaminate.contaminationScoreBloom(t, bench, "doc_id", "text")) shouldBe
+      rows(Decontaminate.contaminationScore(t, bench, "doc_id", "text"))
+    // empty benchmark: the sketch-less path still emits the full schema
+    val emptyBench = bench.filter(col("doc_id") < 0)
+    val z = rows(Decontaminate.contaminationScoreBloom(t, emptyBench, "doc_id", "text"))
+    z.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    z.values.foreach { case (_, h, ov, fl) =>
+      h shouldBe 0L; ov shouldBe 0.0; fl shouldBe false
+    }
+  }
 }

@@ -67,6 +67,35 @@ class StreamingDecontaminateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed scores equal the batch contaminationScore over all batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      val body =
+        if (i % 4 == 0) s"prefix words then $benchText and a tail section $i"
+        else s"unrelated content number $i about spark plans and shuffles only"
+      (i, body)
+    }
+    val bench = Seq((1000L, benchText)).toDF("doc_id", "text")
+    val batchScores = Decontaminate.contaminationScore(
+        docs.toDF("doc_id", "text"), bench, "doc_id", "text", k = 3, tau = 0.5)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Any]]
+    val q = StreamingDecontaminate.startScored(
+        mem.toDF().toDF("doc_id", "text"), bench, "doc_id", "text",
+        k = 3, tau = 0.5) { (scored, _) =>
+      scored.collect().foreach(r => got(r.getLong(0)) = r.toSeq)
+    }
+    try {
+      mem.addData(docs.take(15): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(15): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    got.toMap shouldBe batchScores
+  }
+
   test("gate reuse: one sketch build serves many clean() calls with exact results") {
     import spark.implicits._
     val docsA = Seq((1L, s"contains $benchText inside"),
