@@ -335,6 +335,52 @@ object Sampling {
       .drop("__n", "__num", "__nb", "__numb")
   }
 
+  /** Deterministic WEIGHTED interleaving of strata into a training
+    * order (the "2 parts web, 1 part code per batch window" schedule,
+    * the HF-interleave shape made reproducible): within each shard,
+    * stratum `s`'s rank-`rn` row lands at integer key `rn·(L/w_s)`
+    * (L = lcm of the weights, so keys are exact longs) and the shard's
+    * stream reads in `(key, stratum, rn)` order — any contiguous
+    * window of it then carries the strata in ≈ `w` proportion, and
+    * equal keys break to the smaller stratum value, so the order is a
+    * pure function of the input (oracle-checkable).
+    *
+    * Sharding is the scale lever (same key layout as [[shardShuffle]]):
+    * a GLOBAL per-stratum sequence number would serialize a corpus
+    * through one window task, while per-(shard, stratum) ranks keep
+    * every window partition bounded by corpus/nShards — grow `nShards`
+    * with the corpus; each shard individually respects the mix, so a
+    * trainer consuming shards in any order still sees the target
+    * ratio. One exchange (the window shuffle); strata absent from
+    * `weights` are dropped (not in the schedule).
+    *
+    * Output: input columns + `shard`, `pos` (the in-shard interleave
+    * key — consume ordered by `(shard, pos, strata, rank)`).
+    */
+  def interleaveShards(df: DataFrame, strataCol: String, idCol: String,
+                       weights: Map[String, Long],
+                       nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = weights.values.reduce((a, b) => a / gcd(a, b) * b)
+    val stride = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit(lcm / w)).otherwise(acc)
+    }
+    val shard = pmod(pmod(col(idCol), lit(FoldPrime)) * lit(2246822519L),
+      lit(nShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col(strataCol))
+      .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__stride", stride)
+      .filter(col("__stride") > 0)
+      .withColumn("shard", shard)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("pos", col("rank") * col("__stride"))
+      .drop("__stride")
+  }
+
   /** [[mixtureSelect]]'s gate reified as a standing RECIPE: the
     * (strata, thr) table with `thr = min(1e6, ⌊1e6·n_b·share_s /
     * (share_b·n_s)⌋)` — `hashBucket(id) < thr` then reproduces the

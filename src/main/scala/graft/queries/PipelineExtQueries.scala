@@ -305,6 +305,30 @@ object PipelineExtQueries {
       WHERE ($hashSql + 1) * b.numb * cc.n <= 1000000 * b.nb * cc.num
       ORDER BY doc_id""")),
 
+    // -- deterministic weighted interleaving into a training order
+    // (Sampling.interleaveShards): per-(shard, lang) ranks keyed at
+    // rank·(lcm/w) so any contiguous window carries the 2:1:1:1:1 mix;
+    // windows stay bounded by corpus/nShards --
+    QueryDef("interleave_shards", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.interleaveShards(docs.select(col("doc_id"), col("lang")),
+          strataCol = "lang", idCol = "doc_id",
+          weights = Map("en" -> 2L, "de" -> 1L, "es" -> 1L,
+            "fr" -> 1L, "zh" -> 1L),
+          nShards = 4)
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id, lang, shard, rank,
+        rank * (CASE lang WHEN 'en' THEN 1 ELSE 2 END) AS pos
+      FROM (
+        SELECT doc_id, lang,
+          ((doc_id % 1048573) * 2246822519) % 4 AS shard,
+          row_number() OVER (
+            PARTITION BY ((doc_id % 1048573) * 2246822519) % 4, lang
+            ORDER BY $hashSql, doc_id) AS rank
+        FROM documents)
+      ORDER BY doc_id""")),
+
     // -- deterministic fixed-N per stratum (eval-set picker) -------------
     QueryDef("sample_per_source", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")

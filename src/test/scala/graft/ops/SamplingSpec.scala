@@ -300,6 +300,48 @@ class SamplingSpec extends SparkSpec {
     t("s2") shouldBe 250000L
   }
 
+  test("interleaveShards: window mix tracks the weights, order is deterministic") {
+    val df = (0L until 6000L).map(i => (i, if (i % 3 == 0) "code" else "web"))
+      .toDF("id", "lang") // web:code row ratio 2:1
+    val weights = Map("web" -> 3L, "code" -> 1L)
+    val out = Sampling.interleaveShards(df, "lang", "id", weights, nShards = 1)
+      .select("id", "lang", "rank", "pos")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // key arithmetic: lcm(3,1)=3; web stride 1, code stride 3
+    out.foreach { case (_, lang, rank, pos) =>
+      pos shouldBe rank * (if (lang == "web") 1L else 3L)
+    }
+    // consume in (pos, lang, rank) order: every prefix window holds
+    // web:code within one stride of 3:1
+    val ordered = out.sortBy(t => (t._4, t._2, t._3))
+    var web = 0L; var code = 0L
+    ordered.take(2000).foreach { t =>
+      if (t._2 == "web") web += 1 else code += 1
+      if (web + code >= 8) {
+        val ratio = web.toDouble / math.max(code, 1L)
+        ratio should be >= 2.0; ratio should be <= 4.5
+      }
+    }
+    // deterministic across partitionings
+    val again = Sampling.interleaveShards(df.repartition(7), "lang", "id",
+        weights, nShards = 1)
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    again.toSeq shouldBe out.map(t => (t._1, t._4)).sorted.toSeq
+  }
+
+  test("interleaveShards drops strata missing from the schedule, bounds windows by shard") {
+    val df = (0L until 900L).map(i => (i, s"s${i % 3}")).toDF("id", "lang")
+    val out = Sampling.interleaveShards(df, "lang", "id",
+        Map("s0" -> 1L, "s1" -> 1L), nShards = 8)
+      .select("lang", "shard", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.map(_._1).toSet shouldBe Set("s0", "s1")
+    // ranks restart per (shard, stratum): max rank ~ 300/8, never 300
+    val maxRank = out.map(_._3).max
+    maxRank should be < 60L
+    out.map(_._2).toSet.size shouldBe 8
+  }
+
   test("temperatureSample is deterministic across partitionings") {
     val df = (0L until 5000L).map(i => (i, s"s${i % 5}")).toDF("id", "lang")
     val a = Sampling.temperatureSample(df, "lang", "id", 0.5)
