@@ -89,6 +89,69 @@ class PlanContractSpec extends SparkSpec {
     } finally run.release()
   }
 
+  test("mixture gates: corpus side carries no broadcast hint, no corpus-sized cartesian") {
+    // the only nested-loop joins allowed are the bounded tiny-frame
+    // classes: the #strata² binding election and the 1-row binding
+    // attach. The CORPUS join must stay an equi-join sized by AQE.
+    for (name <- Seq("mixture_select", "mixture_select_tokens")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      // corpus join on the strata key is an equi-join (has a condition
+      // with the strata column); count the condition-less cross joins
+      // and cap them at the two documented bounded attaches
+      joins.count(_.condition.isEmpty) should be <= 1 // the 1-row binding attach
+    }
+  }
+
+  // AQE wraps the root: descend to the adaptively-planned tree before
+  // collecting node classes (the PlanAudit unwrap)
+  private def unwrapped(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+
+  test("interleave_shards is ONE window shuffle over the corpus") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val df = graft.ops.Sampling.interleaveShards(
+      docs.select(col("doc_id"), col("lang")), "lang", "doc_id",
+      Map("en" -> 2L, "de" -> 1L), nShards = 4)
+    val shuffles = unwrapped(df).collect {
+      case s: ShuffleExchangeExec => s
+    }
+    shuffles.size shouldBe 1 // the (shard, stratum) window partitioning
+    unwrapped(df).toString should not include "CartesianProduct"
+  }
+
+  test("contamination score plans: no cartesian, no broadcast hint, one-pass aggregate") {
+    for (name <- Seq("contamination_score", "contamination_score_bloom")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+      val physical = df.queryExecution.executedPlan.toString
+      physical should not include "CartesianProduct"
+      physical should not include "BroadcastNestedLoopJoin"
+    }
+    // the plain score's n_shingles and n_hits come from ONE aggregate
+    // over one shingle pass: exactly one count-pair HashAggregate chain,
+    // i.e. no second scan of the train shingle stream
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val plain = graft.ops.Decontaminate.contaminationScore(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    val gens = unwrapped(plain).collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    // one shingle explode for train, one for bench — never a third
+    gens.size shouldBe 2
+  }
+
   test("q_window_top_parts shares ONE suppkey exchange between aggregate and window") {
     val p = plan("q_window_top_parts")
     val hashExchanges = p.split("Exchange hashpartitioning").length - 1
