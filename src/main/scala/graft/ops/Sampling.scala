@@ -361,10 +361,18 @@ object Sampling {
                        weights: Map[String, Long],
                        nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      "weights must be positive")
+    // the 1e6 bound keeps lcm·rank inside Long for any real corpus
+    // (mix recipes are small integer ratios; lcm of k values ≤ 1e6
+    // stays ≤ 1e6^k only in theory — the explicit lcm check below is
+    // the real guard)
+    require(weights.nonEmpty && weights.values.forall(w => w > 0 && w <= 1000000L),
+      "weights must be in [1, 1e6]")
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val lcm = weights.values.reduce((a, b) => a / gcd(a, b) * b)
+    val lcm = weights.values.reduce { (a, b) =>
+      val l = a / gcd(a, b) * b
+      require(l <= 1000000000L, "weight lcm too large — reduce the ratio terms")
+      l
+    }
     val stride = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
       when(col(strataCol) === s, lit(lcm / w)).otherwise(acc)
     }
