@@ -361,9 +361,17 @@ object Curation {
       shares: Map[String, Long] =
         Map("en" -> 3L, "de" -> 1L, "es" -> 1L, "fr" -> 1L),
       tau: Double = 0.5,
+      /** eval split: `id % benchMod == 0` ([[pipeline]]'s convention);
+        * callers with a real held-out benchmark pass it via
+        * `benchDf` instead.
+        */
+      benchMod: Int = 10,
+      benchDf: Option[DataFrame] = None,
       eager: Boolean = true): PipelineV5Stages = {
-    val train = docs.filter(col(idCol) % 10 =!= 0)
-    val bench = docs.filter(col(idCol) % 10 === 0)
+    val train = benchDf.map(_ => docs)
+      .getOrElse(docs.filter(col(idCol) % benchMod =!= 0))
+    val bench = benchDf
+      .getOrElse(docs.filter(col(idCol) % benchMod === 0))
     val unflagged = Decontaminate
       .contaminationScore(train, bench, idCol, textCol, k = 3, tau = tau)
       .filter(!col("flagged")).select(col("train_id").as(idCol))

@@ -299,23 +299,74 @@ object Sampling {
     *
     * Scale shape: counts, binding-stratum election, and thresholds are
     * aggregates/joins over ≤ #strata rows (the election self-join is
-    * #strata², still tiny) — AQE broadcasts them — so the corpus is
-    * ONE scan with a pushed filter: no corpus shuffle, no collect, no
-    * CASE-chain recompile per run.
+    * #strata², still tiny) — AQE broadcasts them — so the corpus
+    * itself never shuffles and nothing collects. The input IS read
+    * twice (the strata-mass aggregate and the membership join probe —
+    * different exchange shapes, so AQE cannot dedupe them): persist a
+    * narrow projection first when the lineage above it is expensive
+    * (what [[graft.ops.Curation.pipelineV5Stages]] does), or
+    * precompute the recipe once with [[mixtureThresholds]] and apply
+    * it in one pass via [[mixtureGateWith]].
+    *
+    * Weight hygiene: a NULL or negative `weightCol` value would
+    * silently skew (or vanish) its stratum's mass, so both fail the
+    * job loudly at the tiny counts frame ([[raise_error]] — zero
+    * corpus-side cost).
     */
   def mixtureSelect(df: DataFrame, strataCol: String, idCol: String,
                     shares: Map[String, Long],
                     weightCol: Option[String] = None): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (counts, binding) =
+      mixtureCountsAndBinding(df, strataCol, shares, weightCol)
+    val h1 = (hashBucket(col(idCol)) + lit(1L)).cast(dec)
+    df.join(counts.select(col(strataCol), col("__n"), col("__num")),
+        Seq(strataCol))
+      .crossJoin(binding)
+      .filter(h1 * col("__numb").cast(dec) * col("__n").cast(dec)
+        <= lit(Buckets).cast(dec) * col("__nb").cast(dec)
+          * col("__num").cast(dec))
+      .drop("__n", "__num", "__nb", "__numb")
+  }
+
+  /** The strata-mass table and binding-stratum election shared by
+    * [[mixtureSelect]] and [[mixtureThresholds]] — ONE implementation
+    * so the persisted recipe can never diverge from the direct gate
+    * (their bit-exact equality is the recipe's whole contract,
+    * spec-pinned). Returns (counts(strata, __n, __num),
+    * binding(__nb, __numb)); both are ≤ #strata-row frames.
+    */
+  private def mixtureCountsAndBinding(
+      df: DataFrame, strataCol: String, shares: Map[String, Long],
+      weightCol: Option[String]): (DataFrame, DataFrame) = {
     require(shares.nonEmpty && shares.values.forall(_ >= 0) &&
       shares.values.exists(_ > 0), "bad target shares")
     val dec = "decimal(38,0)"
     val num = shares.foldLeft(lit(0L)) { case (acc, (s, w)) =>
       when(col(strataCol) === s, lit(w)).otherwise(acc)
     }
-    val mass = weightCol.map(w => sum(col(w).cast("long")))
-      .getOrElse(count(lit(1)))
-    val counts = df.groupBy(col(strataCol))
-      .agg(mass.as("__n")).withColumn("__num", num)
+    val counts0 = weightCol match {
+      case None =>
+        df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      case Some(w) =>
+        // loud weight hygiene, evaluated on the tiny counts frame:
+        // NULLs (sum skips them -> mass undercounts) and negatives
+        // (sign flips break the cross-multiplied election) both fail
+        // the job instead of skewing the mix silently
+        df.groupBy(col(strataCol))
+          .agg(sum(col(w).cast("long")).as("__n"),
+            count(lit(1)).as("__rows"), count(col(w)).as("__nonnull"),
+            min(col(w).cast("long")).as("__minw"))
+          .select(col(strataCol),
+            when(col("__rows") =!= col("__nonnull"),
+              raise_error(concat(lit(s"NULL $w weight in stratum "),
+                col(strataCol).cast("string"))))
+              .when(col("__minw") < 0,
+                raise_error(concat(lit(s"negative $w weight in stratum "),
+                  col(strataCol).cast("string"))))
+              .otherwise(col("__n")).as("__n"))
+    }
+    val counts = counts0.withColumn("__num", num)
       .filter(col("__num") > 0 && col("__n") > 0)
     // binding stratum b: ∀o present: n_b·num_o ≤ n_o·num_b (argmin of
     // n/num by cross-multiplication), smallest stratum among ties
@@ -325,14 +376,7 @@ object Sampling {
         "left_anti")
       .orderBy(col(strataCol)).limit(1)
       .select(col("__n").as("__nb"), col("__num").as("__numb"))
-    val h1 = (hashBucket(col(idCol)) + lit(1L)).cast(dec)
-    df.join(counts.select(col(strataCol), col("__n"), col("__num")),
-        Seq(strataCol))
-      .crossJoin(binding)
-      .filter(h1 * col("__numb").cast(dec) * col("__n").cast(dec)
-        <= lit(Buckets).cast(dec) * col("__nb").cast(dec)
-          * col("__num").cast(dec))
-      .drop("__n", "__num", "__nb", "__numb")
+    (counts, binding)
   }
 
   /** Deterministic WEIGHTED interleaving of strata into a training
@@ -354,13 +398,18 @@ object Sampling {
     * ratio. One exchange (the window shuffle); strata absent from
     * `weights` are dropped (not in the schedule).
     *
-    * Output: input columns + `shard`, `pos` (the in-shard interleave
-    * key — consume ordered by `(shard, pos, strata, rank)`).
+    * Output: input columns + `shard`, `rank` (the per-(shard, stratum)
+    * sequence number), and `pos` (the in-shard interleave key) —
+    * consume ordered by `(shard, pos, strata, rank)`.
     */
   def interleaveShards(df: DataFrame, strataCol: String, idCol: String,
                        weights: Map[String, Long],
                        nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    // withColumn would silently REPLACE these — fail loudly instead
+    // (e.g. shardShuffle output fed back in would lose its shard/pos)
+    Seq("shard", "rank", "pos").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column"))
     // the 1e6 bound keeps lcm·rank inside Long for any real corpus
     // (mix recipes are small integer ratios; lcm of k values ≤ 1e6
     // stays ≤ 1e6^k only in theory — the explicit lcm check below is
@@ -385,7 +434,13 @@ object Sampling {
       .filter(col("__stride") > 0)
       .withColumn("shard", shard)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("pos", col("rank") * col("__stride"))
+      // rank·stride would WRAP under non-ANSI Long overflow (a corpus
+      // too large for its nShards) and silently corrupt the training
+      // order — fail the job instead; one compare per row, codegen'd
+      .withColumn("pos",
+        when(col("rank") > lit(Long.MaxValue) / col("__stride"),
+          raise_error(lit("interleaveShards rank*stride overflows Long — raise nShards or reduce the weight ratio")))
+          .otherwise(col("rank") * col("__stride")))
       .drop("__stride")
   }
 
@@ -402,23 +457,9 @@ object Sampling {
   def mixtureThresholds(df: DataFrame, strataCol: String,
                         shares: Map[String, Long],
                         weightCol: Option[String] = None): DataFrame = {
-    require(shares.nonEmpty && shares.values.forall(_ >= 0) &&
-      shares.values.exists(_ > 0), "bad target shares")
     val dec = "decimal(38,0)"
-    val num = shares.foldLeft(lit(0L)) { case (acc, (s, w)) =>
-      when(col(strataCol) === s, lit(w)).otherwise(acc)
-    }
-    val mass = weightCol.map(w => sum(col(w).cast("long")))
-      .getOrElse(count(lit(1)))
-    val counts = df.groupBy(col(strataCol))
-      .agg(mass.as("__n")).withColumn("__num", num)
-      .filter(col("__num") > 0 && col("__n") > 0)
-    val binding = counts.as("c").join(counts.as("o"),
-        col("c.__n").cast(dec) * col("o.__num").cast(dec)
-          > col("o.__n").cast(dec) * col("c.__num").cast(dec),
-        "left_anti")
-      .orderBy(col(strataCol)).limit(1)
-      .select(col("__n").as("__nb"), col("__num").as("__numb"))
+    val (counts, binding) =
+      mixtureCountsAndBinding(df, strataCol, shares, weightCol)
     counts.crossJoin(binding)
       .withColumn("thr", least(lit(Buckets), expr(
         s"""CAST((CAST($Buckets AS $dec) * CAST(__nb AS $dec) * CAST(__num AS $dec))

@@ -268,6 +268,31 @@ class SamplingSpec extends SparkSpec {
     byLang("web").toDouble / 1000 shouldBe 0.1 +- 0.03
   }
 
+  test("mixtureSelect fails loudly on NULL or negative weights") {
+    val nulls = Seq((1L, "a", Some(5L)), (2L, "a", None), (3L, "b", Some(4L)))
+      .toDF("id", "lang", "toks")
+    val e1 = intercept[Exception] {
+      Sampling.mixtureSelect(nulls, "lang", "id",
+        Map("a" -> 1L, "b" -> 1L), Some("toks")).collect()
+    }
+    e1.getMessage should include ("NULL toks weight")
+    val negs = Seq((1L, "a", 5L), (2L, "a", -2L), (3L, "b", 4L))
+      .toDF("id", "lang", "toks")
+    val e2 = intercept[Exception] {
+      Sampling.mixtureSelect(negs, "lang", "id",
+        Map("a" -> 1L, "b" -> 1L), Some("toks")).collect()
+    }
+    e2.getMessage should include ("negative toks weight")
+  }
+
+  test("interleaveShards rejects inputs that already carry its output columns") {
+    val df = (0L until 20L).map(i => (i, "a")).toDF("id", "lang")
+    val once = Sampling.interleaveShards(df, "lang", "id", Map("a" -> 1L), 2)
+    intercept[IllegalArgumentException] {
+      Sampling.interleaveShards(once, "lang", "id", Map("a" -> 1L), 2)
+    }.getMessage should include ("already has")
+  }
+
   test("mixtureSelect is deterministic across partitionings") {
     val df = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("id", "lang")
     val shares = Map("s0" -> 3L, "s1" -> 2L, "s2" -> 1L, "s3" -> 1L)
