@@ -379,6 +379,38 @@ object Sampling {
     (counts, binding)
   }
 
+  /** Leakage-safe deterministic train/val/test assignment: the split
+    * label is a pure function of `groupCol`'s hash, so every row of a
+    * group — a near-dup cluster id from [[Dedup.connectedComponents]],
+    * a source domain, an author — lands in the SAME split, and
+    * near-duplicates can never straddle train/test (the eval-leakage
+    * mode row-level splitting invites). `splits` are (label, ppm)
+    * bands over the 1e6 hash buckets in the given order; they must sum
+    * to ≤ 1e6 (a remainder falls in the LAST band, so (train 900000,
+    * val 50000, test 50000) is exact).
+    *
+    * Scale shape: one hash + CASE per row, no shuffle, no lookup
+    * table — composes with any downstream gate and holds under
+    * incremental ingestion (a new row of an old group joins its
+    * group's split forever). `groupCol` must be NUMERIC (the
+    * [[hashBucket]] contract — its engine-portable formula is modular
+    * arithmetic); map string keys through a deterministic numeric
+    * hash first, accepting that the mapping is then engine-specific.
+    */
+  def splitByGroup(df: DataFrame, groupCol: String,
+                   splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).forall(_ > 0) &&
+      splits.map(_._2).sum <= Buckets, "split ppm bands must be positive and sum to <= 1e6")
+    require(splits.map(_._1).distinct.size == splits.size, "duplicate split labels")
+    val h = hashBucket(col(groupCol))
+    val cuts = splits.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+    val named = splits.map(_._1).zip(cuts) // (label, upper cut), band order
+    val label = named.init.foldRight(lit(named.last._1): Column) {
+      case ((name, cut), acc) => when(h < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Deterministic WEIGHTED interleaving of strata into a training
     * order (the "2 parts web, 1 part code per batch window" schedule,
     * the HF-interleave shape made reproducible): within each shard,

@@ -329,6 +329,25 @@ object PipelineExtQueries {
         FROM documents)
       ORDER BY doc_id""")),
 
+    // -- leakage-safe 90/5/5 split: the label is a pure function of the
+    // GROUP hash (here: doc families of 10 adjacent ids standing in
+    // for near-dup clusters / domains), so grouped documents can never
+    // straddle train/test (Sampling.splitByGroup) --
+    QueryDef("split_by_group", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.splitByGroup(
+          docs.select(col("doc_id"),
+            expr("doc_id div 10").as("family")),
+          groupCol = "family",
+          splits = Seq(("train", 900000L), ("val", 50000L), ("test", 50000L)))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, doc_id // 10 AS family,
+        CASE WHEN ((doc_id // 10 % 1048573) * 2654435761) % 1000000 < 900000 THEN 'train'
+             WHEN ((doc_id // 10 % 1048573) * 2654435761) % 1000000 < 950000 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""")),
+
     // -- deterministic fixed-N per stratum (eval-set picker) -------------
     QueryDef("sample_per_source", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")

@@ -325,6 +325,30 @@ class SamplingSpec extends SparkSpec {
     t("s2") shouldBe 250000L
   }
 
+  test("splitByGroup: whole groups share a label, bands hit their ppm, remainder to last") {
+    val df = (0L until 9000L).map(i => (i, i / 3)).toDF("id", "grp")
+    val out = Sampling.splitByGroup(df, "grp",
+        Seq(("train", 800000L), ("val", 100000L), ("test", 100000L)))
+      .select("id", "grp", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // leakage-safety: every row of a group carries the same label
+    out.groupBy(_._2).values.foreach(g => g.map(_._3).distinct.length shouldBe 1)
+    // labels follow the band arithmetic exactly
+    out.foreach { case (_, g, s) =>
+      val b = bucket(g)
+      val expect = if (b < 800000L) "train" else if (b < 900000L) "val" else "test"
+      s shouldBe expect
+    }
+    val frac = out.groupBy(_._3).view.mapValues(_.size / 9000.0).toMap
+    frac("train") shouldBe 0.8 +- 0.03
+    frac("val") shouldBe 0.1 +- 0.03
+    // under-1e6 bands: the remainder joins the LAST label
+    val loose = Sampling.splitByGroup(df, "grp",
+        Seq(("a", 100000L), ("b", 100000L)))
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    loose shouldBe Set("a", "b")
+  }
+
   test("interleaveShards: window mix tracks the weights, order is deterministic") {
     val df = (0L until 6000L).map(i => (i, if (i % 3 == 0) "code" else "web"))
       .toDF("id", "lang") // web:code row ratio 2:1
