@@ -768,6 +768,63 @@ object Curation {
       .drop("__thr")
   }
 
+  /** Per-GROUP token cap: within each group (domain, source, language),
+    * keep the highest-scored documents whose cumulative tokens fit
+    * `capPerGroup` — the domain-cap stage of web curation (a handful of
+    * template-heavy domains otherwise dominate the corpus; cf.
+    * RefinedWeb's per-domain limits, Penedo et al. 2023 — public-paper
+    * semantics, no reference analogue). Bucket-atomic over the
+    * quantized score exactly like [[tokenBudgetGate]]: the threshold is
+    * each group's smallest score bucket whose descending cumulative
+    * token total still fits, so membership is engine-portable integer
+    * arithmetic, not a per-row running sum.
+    *
+    * Scale shape: [[tokenBudgetGate]] lifted per group with every stage
+    * still bounded — one corpus aggregate into a per-(group, bucket)
+    * token histogram (map-side partials), a cumsum window over the
+    * histogram partitioned BY GROUP (never a corpus-wide funnel; each
+    * partition holds <= 1e6 bucket rows regardless of group size — a
+    * hot domain costs the same as a cold one), and a keyed join of the
+    * tiny per-group threshold table back onto the scan (AQE broadcasts
+    * it; no hint forced). A per-group row-number window over documents
+    * would funnel each domain through one task — this never touches
+    * row granularity after the histogram.
+    *
+    * Groups whose TOP bucket alone overflows the cap keep nothing
+    * (inner join against a threshold-less group drops it), matching
+    * [[tokenBudgetGate]]'s nothing-fits contract.
+    */
+  def groupTokenCap(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      capPerGroup: Long,
+      persistScored: Boolean = true,
+      quantized: Boolean = false): DataFrame = {
+    require(capPerGroup > 0, "capPerGroup must be positive")
+    val src = if (persistScored) {
+      val p = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    } else scored
+    val q = if (quantized) col(scoreCol).cast("long")
+    else floor(col(scoreCol) * lit(1000000.0)).cast("long")
+    val hist = src.select(col(groupCol), q.as("__q"),
+        col(tokensCol).cast("long").as("__tk"))
+      .groupBy(col(groupCol), col("__q")).agg(sum(col("__tk")).as("__t"))
+    val wDesc = Window.partitionBy(col(groupCol)).orderBy(col("__q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thresholds = hist
+      .select(col(groupCol), col("__q"),
+        sum(col("__t")).over(wDesc).as("__cum"))
+      .filter(col("__cum") <= capPerGroup)
+      .groupBy(col(groupCol)).agg(min(col("__q")).as("__thr"))
+    src.join(thresholds, Seq(groupCol))
+      .filter(q >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Per-group quantile VALUES over the quantized score domain: for
     * each group and each requested `q`, the smallest quantized bucket
     * whose cumulative count reaches `ceil(q·n)` — the inverse of

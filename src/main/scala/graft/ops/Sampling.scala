@@ -38,6 +38,20 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < lit((frac * Buckets).toLong))
   }
 
+  /** [[hashBucket]] for STRING keys (domains, authors, URLs):
+    * the first 8 hex digits of md5 read as an integer, mod 1e6 —
+    * engine-portable because md5 is, unlike `xxhash64` or JVM
+    * `hashCode`. SQL equivalent (DuckDB):
+    * `list_reduce(list_transform(range(1,9),
+    *    i -> strpos('0123456789abcdef', substr(md5(s),i,1)) - 1),
+    *    (a,b) -> a*16 + b) % 1000000`.
+    * Still a codegen'd per-row scalar (md5 of a short key), zero
+    * shuffles — but ~30x the cost of the integral fold, so prefer
+    * [[hashBucket]] when a stable numeric id exists.
+    */
+  def stringBucket(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(Buckets))
+
   /** Per-stratum fractions: keep ~`fractions(stratum)` of each stratum
     * (`default` for strata not in the map). One scan, no shuffle, no
     * per-stratum jobs — the stratum→threshold lookup compiles to a CASE
@@ -393,22 +407,60 @@ object Sampling {
     * table — composes with any downstream gate and holds under
     * incremental ingestion (a new row of an old group joins its
     * group's split forever). `groupCol` must be NUMERIC (the
-    * [[hashBucket]] contract — its engine-portable formula is modular
-    * arithmetic); map string keys through a deterministic numeric
-    * hash first, accepting that the mapping is then engine-specific.
+    * [[hashBucket]] contract); use [[splitByGroupStr]] for string
+    * group keys — both mappings are engine-portable.
     */
   def splitByGroup(df: DataFrame, groupCol: String,
-                   splits: Seq[(String, Long)]): DataFrame = {
+                   splits: Seq[(String, Long)]): DataFrame =
+    splitByBucket(df, hashBucket(col(groupCol)), splits)
+
+  /** [[splitByGroup]] for STRING group keys (domain, author, URL
+    * prefix) via [[stringBucket]] — same leakage-safety and band
+    * contract, still engine-portable (md5). */
+  def splitByGroupStr(df: DataFrame, groupCol: String,
+                      splits: Seq[(String, Long)]): DataFrame =
+    splitByBucket(df, stringBucket(col(groupCol)), splits)
+
+  private def splitByBucket(df: DataFrame, h: Column,
+                            splits: Seq[(String, Long)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).forall(_ > 0) &&
       splits.map(_._2).sum <= Buckets, "split ppm bands must be positive and sum to <= 1e6")
     require(splits.map(_._1).distinct.size == splits.size, "duplicate split labels")
-    val h = hashBucket(col(groupCol))
     val cuts = splits.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
     val named = splits.map(_._1).zip(cuts) // (label, upper cut), band order
     val label = named.init.foldRight(lit(named.last._1): Column) {
       case ((name, cut), acc) => when(h < cut, lit(name)).otherwise(acc)
     }
     df.withColumn("split", label)
+  }
+
+  /** Eval-leakage AUDIT: given near-duplicate pairs from any dedup
+    * tier ([[Dedup.ngramJaccardPairs]], [[Dedup.minhashLshPairs]],
+    * [[Dedup.duplicateSpanPairs]], ...) and a split-labeled corpus
+    * (e.g. [[splitByGroup]]'s output), count duplicate pairs per
+    * unordered split-label pair. Off-diagonal rows ARE the leakage —
+    * a (train, test) row says test documents have near-duplicates in
+    * the training split, the contamination mode that inflates evals;
+    * diagonal rows measure residual intra-split duplication. Label
+    * pairs are normalized (least, greatest) so the count is
+    * independent of pair orientation.
+    *
+    * Scale shape: `labels` joins in twice on the id keys — two linear
+    * keyed shuffles over the (tiny) pairs stream, no self-join, then a
+    * #splits²-bounded aggregate. When pairs is small relative to the
+    * label frame (the common case) AQE broadcasts it; no hint forced.
+    */
+  def splitLeakageAudit(pairs: DataFrame, labels: DataFrame,
+                        idCol: String = "doc_id", splitCol: String = "split",
+                        aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val lab = labels.select(col(idCol), col(splitCol))
+    val both = pairs.select(col(aCol), col(bCol))
+      .join(lab.select(col(idCol).as(aCol), col(splitCol).as("__sa")), aCol)
+      .join(lab.select(col(idCol).as(bCol), col(splitCol).as("__sb")), bCol)
+    both.groupBy(
+        least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
   }
 
   /** Deterministic WEIGHTED interleaving of strata into a training

@@ -348,6 +348,60 @@ object PipelineExtQueries {
              ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
 
+    // -- string-keyed leakage-safe split: the group key is the DOMAIN
+    // (source) string, bucketed through the md5-prefix portable hash —
+    // every doc of a domain shares a split (Sampling.splitByGroupStr) --
+    QueryDef("split_by_domain", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.splitByGroupStr(
+          docs.select(col("doc_id"), col("source")),
+          groupCol = "source",
+          splits = Seq(("train", 800000L), ("heldout", 200000L)))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, source,
+        CASE WHEN list_reduce(list_transform(range(1,9),
+            i -> strpos('0123456789abcdef', substr(md5(source),i,1)) - 1),
+            (a,b) -> a*16 + b) % 1000000 < 800000
+          THEN 'train' ELSE 'heldout' END AS split
+      FROM documents ORDER BY doc_id""")),
+
+    // -- eval-leakage AUDIT: near-dup pairs (3-gram Jaccard >= 0.8, the
+    // dedup_ngram tier) joined to a ROW-level 90/5/5 hash split; an
+    // off-diagonal (train, test) row counts test docs whose near-dup
+    // lives in train — the contamination splitByGroup prevents when fed
+    // cluster ids (Sampling.splitLeakageAudit) --
+    QueryDef("split_leakage_audit", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val labeled = Sampling.splitByGroup(
+          docs.select(col("doc_id")), groupCol = "doc_id",
+          splits = Seq(("train", 900000L), ("val", 50000L), ("test", 50000L)))
+      val pairs = graft.ops.Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", k = 3, tau = 0.8)
+      Sampling.splitLeakageAudit(pairs, labeled)
+        .orderBy("split_a", "split_b")
+    }, Some(s"""
+      WITH docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM docs a, docs b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      lab AS (SELECT doc_id,
+        CASE WHEN $hashSql < 900000 THEN 'train'
+             WHEN $hashSql < 950000 THEN 'val'
+             ELSE 'test' END AS split FROM documents)
+      SELECT least(sa.split, sb.split) AS split_a,
+        greatest(sa.split, sb.split) AS split_b,
+        CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs p JOIN lab sa ON p.id_a = sa.doc_id
+                   JOIN lab sb ON p.id_b = sb.doc_id
+      GROUP BY 1, 2 ORDER BY split_a, split_b""")),
+
     // -- deterministic fixed-N per stratum (eval-set picker) -------------
     QueryDef("sample_per_source", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1033,6 +1087,37 @@ object PipelineExtQueries {
               FROM hist),
       thr AS (SELECT min(q) AS t FROM cum WHERE cum <= 15000)
       SELECT z.doc_id, z.score, z.n_tokens FROM qz z, thr
+      WHERE z.q >= thr.t ORDER BY z.doc_id""")),
+
+    // -- per-DOMAIN token cap (the RefinedWeb domain-limit stage): each
+    // source keeps its best-scored docs up to 800 tokens, bucket-atomic
+    // over the quantized score; the cumsum window partitions by group,
+    // never a corpus-wide funnel (Curation.groupTokenCap) --
+    QueryDef("group_token_cap", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("source"),
+        TA.qualityScore(col("text")).as("score"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Curation.groupTokenCap(scored, "source", "score",
+          "n_tokens", capPerGroup = 800L)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH s AS (
+        SELECT doc_id, source,
+          least(CAST(1.0 AS DOUBLE), CAST(len($sqlTokens) AS DOUBLE) / 100.0) * 0.4
+            + least(CAST(1.0 AS DOUBLE), (CAST($enHits AS DOUBLE) / len($sqlTokens)) * 5.0) * 0.3
+            + CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3 AS score,
+          CAST(len($sqlTokens) AS BIGINT) AS n_tokens
+        FROM documents),
+      qz AS (SELECT doc_id, source, score, n_tokens,
+             CAST(floor(score * 1000000.0) AS BIGINT) AS q FROM s),
+      hist AS (SELECT source, q, sum(n_tokens) AS t FROM qz GROUP BY source, q),
+      cum AS (SELECT source, q, sum(t) OVER (PARTITION BY source ORDER BY q DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM hist),
+      thr AS (SELECT source, min(q) AS t FROM cum WHERE cum <= 800 GROUP BY source)
+      SELECT z.doc_id, z.source, z.score, z.n_tokens
+      FROM qz z JOIN thr ON z.source = thr.source
       WHERE z.q >= thr.t ORDER BY z.doc_id""")),
 
     // -- per-group quantile values (median/p90/p99 of the score per

@@ -349,6 +349,56 @@ class SamplingSpec extends SparkSpec {
     loose shouldBe Set("a", "b")
   }
 
+  test("splitLeakageAudit: orientation-normalized counts per split pair") {
+    val labels = Seq((1L, "train"), (2L, "train"), (3L, "test"),
+        (4L, "val"), (5L, "test")).toDF("doc_id", "split")
+    // (1,3) and (3,2): both are train<->test regardless of orientation;
+    // (1,2) intra-train; (4,5) val<->test
+    val pairs = Seq((1L, 3L), (3L, 2L), (1L, 2L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val out = Sampling.splitLeakageAudit(pairs, labels)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    out shouldBe Set(("test", "train", 2L), ("train", "train", 1L),
+      ("test", "val", 1L))
+  }
+
+  test("stringBucket matches the documented md5-prefix formula; splitByGroupStr groups hold") {
+    // independent Scala computation of the documented formula
+    def strBucket(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+      md.foldLeft(0L)((a, b) => a * 256 + (b & 0xff)) % 1000000L
+    }
+    val keys = Seq("web-crawl-7", "github", "arxiv.org", "", "ünïcødé")
+    val got = keys.toDF("k")
+      .select(col("k"), Sampling.stringBucket(col("k")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach(k => got(k) shouldBe strBucket(k))
+    // grouped rows share a label
+    val df = (0L until 600L).map(i => (i, s"domain${i % 7}")).toDF("id", "dom")
+    val out = Sampling.splitByGroupStr(df, "dom",
+        Seq(("train", 800000L), ("heldout", 200000L)))
+      .select("dom", "split").collect().map(r => (r.getString(0), r.getString(1)))
+    out.groupBy(_._1).values.foreach(g => g.map(_._2).distinct.length shouldBe 1)
+  }
+
+  test("splitByGroup keyed on dedup clusters: the leakage audit reads zero cross-split pairs") {
+    // the end-to-end contract the op exists for: near-dup pairs ->
+    // connected components -> cluster-keyed split -> audit all-diagonal
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.connectedComponents(pairs)
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 20L, 30L, 31L).toDF("doc_id")
+    val keyed = corpus.join(clusters, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+    val labeled = Sampling.splitByGroup(keyed, "grp",
+      Seq(("train", 700000L), ("val", 150000L), ("test", 150000L)))
+    val audit = Sampling.splitLeakageAudit(pairs, labeled)
+    audit.filter(col("split_a") =!= col("split_b")).count() shouldBe 0L
+    // sanity: the audit saw every pair
+    audit.agg(sum(col("n_pairs"))).collect()(0).getLong(0) shouldBe 4L
+  }
+
   test("interleaveShards: window mix tracks the weights, order is deterministic") {
     val df = (0L until 6000L).map(i => (i, if (i % 3 == 0) "code" else "web"))
       .toDF("id", "lang") // web:code row ratio 2:1

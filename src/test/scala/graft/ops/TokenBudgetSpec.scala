@@ -38,6 +38,34 @@ class TokenBudgetSpec extends SparkSpec {
       .count() shouldBe 50L
   }
 
+  test("groupTokenCap caps each group independently at bucket granularity") {
+    // group a: scores 1.0/0.9/0.8 at 100 tokens each, cap 250 → top 2;
+    // group b: single doc over cap → nothing; group c: all fit
+    val df = Seq(
+      (1L, "a", 1.0, 100L), (2L, "a", 0.9, 100L), (3L, "a", 0.8, 100L),
+      (4L, "b", 1.0, 400L),
+      (5L, "c", 0.5, 50L), (6L, "c", 0.4, 50L))
+      .toDF("id", "grp", "score", "tokens")
+    val kept = Curation.groupTokenCap(df, "grp", "score", "tokens",
+        capPerGroup = 250L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 2L, 5L, 6L)
+  }
+
+  test("groupTokenCap with one group equals tokenBudgetGate") {
+    val rows = (1 to 10).map(i => (i.toLong, "only", i / 10.0, 100L))
+    val df = rows.toDF("id", "grp", "score", "tokens")
+    val grouped = Curation.groupTokenCap(df, "grp", "score", "tokens",
+        capPerGroup = 350L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val global = Curation.tokenBudgetGate(
+        df.select($"id", $"score", $"tokens"), "score", "tokens",
+        budget = 350L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    grouped shouldBe global
+    grouped shouldBe Array(8L, 9L, 10L)
+  }
+
   test("tokenBudgetGate quantized=true consumes integer buckets directly") {
     // pre-quantized long scores (the qualityScoreQ contract): same
     // selection as the double path fed score/1e6

@@ -129,6 +129,50 @@ class PlanContractSpec extends SparkSpec {
     unwrapped(df).toString should not include "CartesianProduct"
   }
 
+  test("split_by_group is a shuffle-free codegen projection") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Tables.load(spark, dir, "documents")
+    val df = graft.ops.Sampling.splitByGroup(
+      docs.select(col("doc_id"), expr("doc_id div 10").as("family")),
+      "family", Seq(("train", 900000L), ("val", 50000L), ("test", 50000L)))
+    unwrapped(df).collect { case s: ShuffleExchangeExec => s } shouldBe empty
+    // the "*(1)" stage marker = the whole label CASE runs codegen'd
+    // inside the scan stage
+    unwrapped(df).toString should include("*(1) Project")
+  }
+
+  test("split_leakage_audit: label joins never cartesian; no forced broadcast") {
+    val df = SparkEntry.queries("split_leakage_audit")(spark, dir)
+    df.queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+    val physical = df.queryExecution.executedPlan.toString
+    physical should not include "BroadcastNestedLoopJoin"
+    // the only cartesian allowed is the ngram tier's documented capped
+    // candidate join — the audit's own label joins are keyed
+    physical should not include "CartesianProduct"
+  }
+
+  test("group_token_cap: window rides the per-group histogram, threshold join is keyed") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("source"),
+      graft.ops.TextAnalysis.qualityScore(col("text")).as("score"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val df = graft.ops.Curation.groupTokenCap(scored, "source", "score",
+      "n_tokens", capPerGroup = 800L, persistScored = false)
+    val plan = unwrapped(df)
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    windows should not be empty
+    // the cumsum must partition by group — a corpus-wide funnel would
+    // serialize the histogram through one task
+    windows.foreach(w => w.partitionSpec should not be empty)
+    // per-group thresholds attach by key, never the 1-row cross join
+    // the corpus-level gate uses
+    plan.toString should not include "CartesianProduct"
+    plan.toString should not include "BroadcastNestedLoopJoin"
+  }
+
   test("contamination score plans: no cartesian, no broadcast hint, one-pass aggregate") {
     for (name <- Seq("contamination_score", "contamination_score_bloom")) {
       val df = SparkEntry.queries(name)(spark, dir)
