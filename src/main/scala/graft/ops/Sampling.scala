@@ -52,6 +52,13 @@ object Sampling {
   def stringBucket(s: Column): Column =
     pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(Buckets))
 
+  /** [[hashSample]] over a STRING key (sample by URL/domain/author
+    * without materializing a numeric id). */
+  def hashSampleStr(df: DataFrame, keyCol: String, frac: Double): DataFrame = {
+    require(frac >= 0 && frac <= 1, "fraction out of [0,1]")
+    df.filter(stringBucket(col(keyCol)) < lit((frac * Buckets).toLong))
+  }
+
   /** Per-stratum fractions: keep ~`fractions(stratum)` of each stratum
     * (`default` for strata not in the map). One scan, no shuffle, no
     * per-stratum jobs — the stratum→threshold lookup compiles to a CASE
@@ -420,6 +427,20 @@ object Sampling {
   def splitByGroupStr(df: DataFrame, groupCol: String,
                       splits: Seq[(String, Long)]): DataFrame =
     splitByBucket(df, stringBucket(col(groupCol)), splits)
+
+  /** Deterministic k-FOLD assignment by group hash: `fold` in
+    * [0, k) with each group's every row in the same fold — the
+    * cross-validation companion of [[splitByGroup]] (leakage-safe for
+    * the same reason: near-dup clusters never straddle folds). The
+    * fold is `(bucket·k) div 1e6` — pure integer arithmetic, so folds
+    * are equal-width bands of the same portable hash and any engine
+    * reproduces the assignment. Zero shuffles.
+    */
+  def foldByGroup(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, "k folds out of [2, 1000]")
+    df.withColumn("fold",
+      floor(hashBucket(col(groupCol)) * lit(k.toLong) / lit(Buckets)).cast("int"))
+  }
 
   private def splitByBucket(df: DataFrame, h: Column,
                             splits: Seq[(String, Long)]): DataFrame = {

@@ -348,6 +348,20 @@ object PipelineExtQueries {
              ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
 
+    // -- k-fold assignment by group hash: equal-width bands of the
+    // portable bucket, whole families share a fold — leakage-safe
+    // cross-validation (Sampling.foldByGroup) --
+    QueryDef("fold_assign", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.foldByGroup(
+          docs.select(col("doc_id"), expr("doc_id div 10").as("family")),
+          groupCol = "family", k = 5)
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, doc_id // 10 AS family,
+        CAST((((doc_id // 10 % 1048573) * 2654435761) % 1000000) * 5 // 1000000 AS INT) AS fold
+      FROM documents ORDER BY doc_id""")),
+
     // -- string-keyed leakage-safe split: the group key is the DOMAIN
     // (source) string, bucketed through the md5-prefix portable hash —
     // every doc of a domain shares a split (Sampling.splitByGroupStr) --

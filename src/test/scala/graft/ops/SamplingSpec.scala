@@ -362,6 +362,31 @@ class SamplingSpec extends SparkSpec {
       ("test", "val", 1L))
   }
 
+  test("foldByGroup: whole groups share a fold, folds are the exact band arithmetic") {
+    val df = (0L until 5000L).map(i => (i, i / 5)).toDF("id", "grp")
+    val out = Sampling.foldByGroup(df, "grp", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    out.groupBy(_._2).values.foreach(g => g.map(_._3).distinct.length shouldBe 1)
+    out.foreach { case (_, g, f) =>
+      f shouldBe ((bucket(g) * 4L) / 1000000L).toInt
+    }
+    // every fold is populated and roughly balanced
+    val sizes = out.groupBy(_._3).view.mapValues(_.size).toMap
+    sizes.keySet shouldBe Set(0, 1, 2, 3)
+    sizes.values.foreach(_.toDouble / 5000 shouldBe 0.25 +- 0.05)
+  }
+
+  test("hashSampleStr: deterministic membership by the md5-prefix bucket") {
+    val df = (0L until 2000L).map(i => (i, s"user${i % 97}")).toDF("id", "author")
+    val kept = Sampling.hashSampleStr(df, "author", 0.5)
+      .select("author").distinct().collect().map(_.getString(0)).toSet
+    // membership is per-KEY: an author is fully in or fully out
+    val again = Sampling.hashSampleStr(df, "author", 0.5)
+      .select("author").distinct().collect().map(_.getString(0)).toSet
+    again shouldBe kept
+    kept.size.toDouble / 97 shouldBe 0.5 +- 0.15
+  }
+
   test("stringBucket matches the documented md5-prefix formula; splitByGroupStr groups hold") {
     // independent Scala computation of the documented formula
     def strBucket(s: String): Long = {
