@@ -389,6 +389,98 @@ object Curation {
       () => { clean.unpersist(); () })
   }
 
+  /** Stage handles of [[pipelineV6Stages]]: `labeled` the narrow
+    * split-labeled corpus, `audit` the cross-split leakage counts,
+    * `capped` the domain-cap survivors, `summary` the per-split
+    * governance rollup. `release()` owns both caches.
+    */
+  final case class PipelineV6Stages(
+      labeled: DataFrame,
+      audit: DataFrame,
+      capped: DataFrame,
+      summary: DataFrame,
+      release: () => Unit)
+
+  /** The round-7 GOVERNANCE composition: near-dup pairs
+    * ([[Dedup.ngramJaccardPairs]]) → duplicate-cluster closure
+    * ([[Dedup.connectedComponents]]) → CLUSTER-keyed train/val/test
+    * split ([[Sampling.splitByGroup]] — so near-duplicates can never
+    * straddle splits) → the split-leakage audit
+    * ([[Sampling.splitLeakageAudit]]) proving exactly that → a
+    * per-(split, domain) token cap ([[groupTokenCap]] on the quantized
+    * quality score) → one per-split summary row: docs, distinct
+    * families, cap survivors and their tokens, and `n_cross_pairs` —
+    * which the composition guarantees is ZERO for every split, a fact
+    * the DuckDB oracle derives independently (the cross-engine proof
+    * of leakage safety, not an assumption).
+    *
+    * Stage discipline (the v3/v4/v5 narrow-persist pattern): TWO eager
+    * caches — the pair list (id_a, id_b; consumed by the cluster
+    * contraction AND the audit) and the labeled narrow frame (id,
+    * source, grp, split, n_tokens, q; consumed by the audit's two
+    * label joins, the cap, and the summary base). Both are id-set
+    * sized, never document text. `release()` owns both.
+    *
+    * Scale shape: every stage is the already-audited operator — the
+    * pair tier is df-capped, the closure is the union-find
+    * contraction, the split is a codegen projection, the audit is two
+    * keyed joins, the cap windows over per-group histograms. Nothing
+    * quadratic, nothing corpus-wide-windowed.
+    */
+  def pipelineV6Stages(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      srcCol: String = "source",
+      textCol: String = "text",
+      splits: Seq[(String, Long)] =
+        Seq(("train", 900000L), ("val", 50000L), ("test", 50000L)),
+      k: Int = 3,
+      tau: Double = 0.8,
+      capPerDomain: Long = 800L,
+      eager: Boolean = true): PipelineV6Stages = {
+    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, k, tau)
+      .select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (eager) pairs.count()
+    val clusters = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val labeled = Sampling.splitByGroup(
+      docs.select(col(idCol), col(srcCol),
+          TA.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+          TA.qualityScoreQ(col(textCol)).as("q"))
+        .join(clusters, Seq(idCol), "left")
+        .withColumn("grp", coalesce(col("cluster_id"), col(idCol)))
+        .drop("cluster_id"),
+      "grp", splits)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (eager) labeled.count()
+    val audit = Sampling.splitLeakageAudit(pairs, labeled, idCol)
+    val capped = groupTokenCap(
+        labeled.withColumn("__ss", concat_ws("|", col("split"), col(srcCol))),
+        "__ss", "q", "n_tokens", capPerDomain,
+        persistScored = false, quantized = true)
+      .drop("__ss")
+    val cross = audit.filter(col("split_a") =!= col("split_b"))
+    val crossPerSplit = cross
+      .select(col("split_a").as("split"), col("n_pairs"))
+      .union(cross.select(col("split_b").as("split"), col("n_pairs")))
+      .groupBy(col("split")).agg(sum(col("n_pairs")).as("n_cross_pairs"))
+    val summary = labeled.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_families"))
+      .join(capped.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tokens")).as("kept_tokens")),
+        Seq("split"), "left")
+      .join(crossPerSplit, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_families"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("n_cross_pairs"), lit(0L)).as("n_cross_pairs"))
+    PipelineV6Stages(labeled, audit, capped, summary,
+      () => { pairs.unpersist(); labeled.unpersist(); () })
+  }
+
   /** Per-source boilerplate phrases: the distinct k-token n-grams that
     * appear in at least `minDocs` documents OF THE SAME SOURCE — the
     * header/footer/navigation text a site stamps on every page (the

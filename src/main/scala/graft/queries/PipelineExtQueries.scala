@@ -1712,6 +1712,74 @@ object PipelineExtQueries {
             <= 1000000 * bnd.nb * cc.num
       GROUP BY cl.lang ORDER BY cl.lang""")),
 
+    // -- the round-7 GOVERNANCE composition (Curation.pipelineV6Stages):
+    // near-dup pairs → cluster closure → CLUSTER-keyed 90/5/5 split →
+    // leakage audit (n_cross_pairs, provably 0 — the oracle derives it
+    // independently) → per-(split, domain) token cap → summary --
+    QueryDef("curation_pipeline_v6", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val st = graft.ops.Curation.pipelineV6Stages(docs)
+      Tables.materializeAndRelease(st.summary.orderBy("split"), st.release)
+    }, Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents),
+      prs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                UNION SELECT id_b, id_a FROM prs),
+      reach AS (SELECT src AS id, src AS r FROM edges
+                UNION SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+      comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      lab AS (
+        SELECT d.doc_id, d.source,
+          CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+          ${qualityQSql("d.text")} AS q,
+          coalesce(c.cluster_id, d.doc_id) AS grp
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      lab2 AS (
+        SELECT *, CASE
+          WHEN ((grp % 1048573) * 2654435761) % 1000000 < 900000 THEN 'train'
+          WHEN ((grp % 1048573) * 2654435761) % 1000000 < 950000 THEN 'val'
+          ELSE 'test' END AS split
+        FROM lab),
+      hist AS (SELECT split, source, q, sum(n_tokens) AS t
+               FROM lab2 GROUP BY split, source, q),
+      cum AS (SELECT split, source, q,
+                sum(t) OVER (PARTITION BY split, source ORDER BY q DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM hist),
+      thr AS (SELECT split, source, min(q) AS t FROM cum
+              WHERE cum <= 800 GROUP BY split, source),
+      keepr AS (SELECT l.* FROM lab2 l
+                JOIN thr ON l.split = thr.split AND l.source = thr.source
+                WHERE l.q >= thr.t),
+      cr AS (SELECT a.split AS sa, b.split AS sb FROM prs p
+             JOIN lab2 a ON p.id_a = a.doc_id
+             JOIN lab2 b ON p.id_b = b.doc_id
+             WHERE a.split <> b.split),
+      cps AS (SELECT split, CAST(count(*) AS BIGINT) AS n_cross FROM (
+                SELECT sa AS split FROM cr UNION ALL SELECT sb FROM cr)
+              GROUP BY split),
+      base AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT grp) AS BIGINT) AS n_families
+               FROM lab2 GROUP BY split),
+      kept AS (SELECT split, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+               FROM keepr GROUP BY split)
+      SELECT b.split, b.n_docs, b.n_families,
+        coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        coalesce(k.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+        coalesce(c.n_cross, CAST(0 AS BIGINT)) AS n_cross_pairs
+      FROM base b LEFT JOIN kept k ON b.split = k.split
+                  LEFT JOIN cps c ON b.split = c.split
+      ORDER BY b.split""")),
+
     QueryDef("curation_pipeline_v4", (s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
       val st = graft.ops.Curation.pipelineV4Stages(docs)

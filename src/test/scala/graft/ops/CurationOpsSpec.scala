@@ -530,6 +530,40 @@ class CurationOpsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.keySet shouldBe before
   }
 
+  test("pipelineV6Stages: cluster-keyed split audits to zero leakage, caches released") {
+    import org.apache.spark.sql.functions.col
+    // docs 1/2 and 3/4 are verbatim near-dup pairs (Jaccard 1.0); the
+    // rest are per-doc-unique so no ambient pairs form
+    val dup1 = "the quick brown fox jumps over the lazy dog again and again"
+    val dup2 = "colorless green ideas sleep furiously in the long quiet night"
+    val docs = ((5L to 40L).map { i =>
+      (i, s"src${i % 3}", s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i")
+    } :+ (1L, "src0", dup1) :+ (2L, "src1", dup1) :+
+      (3L, "src2", dup2) :+ (4L, "src0", dup2)).toDF("doc_id", "source", "text")
+    val st = Curation.pipelineV6Stages(docs, capPerDomain = 100L)
+    // near-dup pairs share a family, hence a split — even across sources
+    val lab = st.labeled.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    lab(1L) shouldBe lab(2L)
+    lab(3L) shouldBe lab(4L)
+    st.audit.where(col("split_a") =!= col("split_b")).count() shouldBe 0L
+    // the summary's cross-pair column is all-zero and the cap bound holds
+    val sm = st.summary.collect()
+    sm.foreach(r => r.getAs[Long]("n_cross_pairs") shouldBe 0L)
+    sm.foreach(r => r.getAs[Long]("n_kept") should be <= r.getAs[Long]("n_docs"))
+    // capped survivors respect the per-(split, domain) token cap
+    st.capped.groupBy(col("split"), col("source"))
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .collect().foreach(r => r.getAs[Long]("t") should be <= 100L)
+    // release() owns the two pipeline caches (the union-find's internal
+    // localCheckpoints are per-level RDDs the closure manages itself,
+    // so exact persistent-set equality is not the contract here)
+    st.labeled.storageLevel.useMemory shouldBe true
+    st.release()
+    st.labeled.storageLevel.useMemory shouldBe false
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+
   test("importanceResample keeps target-like docs, drops no-signal docs, replays deterministically") {
     import org.apache.spark.sql.functions.col
     val raw = (1L to 60L).map { i =>
