@@ -392,7 +392,7 @@ object Curation {
   /** Stage handles of [[pipelineV6Stages]]: `labeled` the narrow
     * split-labeled corpus, `audit` the cross-split leakage counts,
     * `capped` the domain-cap survivors, `summary` the per-split
-    * governance rollup. `release()` owns both caches.
+    * governance rollup. `release()` owns the three caches.
     */
   final case class PipelineV6Stages(
       labeled: DataFrame,
@@ -414,12 +414,15 @@ object Curation {
     * the DuckDB oracle derives independently (the cross-engine proof
     * of leakage safety, not an assumption).
     *
-    * Stage discipline (the v3/v4/v5 narrow-persist pattern): TWO eager
-    * caches — the pair list (id_a, id_b; consumed by the cluster
-    * contraction AND the audit) and the labeled narrow frame (id,
-    * source, grp, split, n_tokens, q; consumed by the audit's two
-    * label joins, the cap, and the summary base). Both are id-set
-    * sized, never document text. `release()` owns both.
+    * Stage discipline (the v3/v4/v5 narrow-persist pattern): THREE
+    * eager caches — the pair list (id_a, id_b; consumed by the cluster
+    * contraction AND the audit), the labeled narrow frame (id, source,
+    * grp, split, n_tokens, q; consumed by the audit's two label joins,
+    * the cap, and the summary base), and the audit result itself
+    * (<= (#splits+1)² rows, three consumers). All id-set sized or
+    * smaller, never document text; `release()` owns all three. The
+    * pair tier runs with `persistIndex=false` — its internal shingle
+    * index would be an unowned corpus-scale cache here.
     *
     * Scale shape: every stage is the already-audited operator — the
     * pair tier is df-capped, the closure is the union-find
@@ -438,7 +441,11 @@ object Curation {
       tau: Double = 0.8,
       capPerDomain: Long = 800L,
       eager: Boolean = true): PipelineV6Stages = {
-    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, k, tau)
+    // persistIndex=false: the pair list itself is the cache here; the
+    // tier's internal shingle-index persist would be dead weight the
+    // moment pairs materializes, with no release handle to own it
+    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, k, tau,
+        persistIndex = false)
       .select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (eager) pairs.count()
@@ -454,7 +461,13 @@ object Curation {
       "grp", splits)
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (eager) labeled.count()
+    // the audit is <= (#splits+1)^2 rows but its subtree (two label
+    // joins + aggregate) feeds THREE consumers (returned handle + both
+    // union branches of the per-split cross counts) — persist the tiny
+    // result, owned by release()
     val audit = Sampling.splitLeakageAudit(pairs, labeled, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (eager) audit.count()
     val capped = groupTokenCap(
         labeled.withColumn("__ss", concat_ws("|", col("split"), col(srcCol))),
         "__ss", "q", "n_tokens", capPerDomain,
@@ -478,7 +491,7 @@ object Curation {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         coalesce(col("n_cross_pairs"), lit(0L)).as("n_cross_pairs"))
     PipelineV6Stages(labeled, audit, capped, summary,
-      () => { pairs.unpersist(); labeled.unpersist(); () })
+      () => { pairs.unpersist(); labeled.unpersist(); audit.unpersist(); () })
   }
 
   /** Per-source boilerplate phrases: the distinct k-token n-grams that

@@ -452,7 +452,10 @@ object Sampling {
     val label = named.init.foldRight(lit(named.last._1): Column) {
       case ((name, cut), acc) => when(h < cut, lit(name)).otherwise(acc)
     }
-    df.withColumn("split", label)
+    // a NULL group key yields a NULL split (the foldByGroup convention),
+    // NOT a silent fall-through into the last band — null-keyed rows
+    // would otherwise all pile into the (usually smallest) final label
+    df.withColumn("split", when(h.isNotNull, label))
   }
 
   /** Eval-leakage AUDIT: given near-duplicate pairs from any dedup
@@ -466,6 +469,13 @@ object Sampling {
     * pairs are normalized (least, greatest) so the count is
     * independent of pair orientation.
     *
+    * A pair endpoint MISSING from `labels` (or labeled NULL) surfaces
+    * as the literal split `(unlabeled)` rather than silently dropping
+    * the pair — an audit that discards exactly the rows it cannot
+    * vouch for would report zero leakage it never saw (pairs computed
+    * over the raw corpus vs labels over a gated subset is the natural
+    * pipeline order).
+    *
     * Scale shape: `labels` joins in twice on the id keys — two linear
     * keyed shuffles over the (tiny) pairs stream, no self-join, then a
     * #splits²-bounded aggregate. When pairs is small relative to the
@@ -475,9 +485,14 @@ object Sampling {
                         idCol: String = "doc_id", splitCol: String = "split",
                         aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     val lab = labels.select(col(idCol), col(splitCol))
+    val unk = lit("(unlabeled)")
     val both = pairs.select(col(aCol), col(bCol))
-      .join(lab.select(col(idCol).as(aCol), col(splitCol).as("__sa")), aCol)
-      .join(lab.select(col(idCol).as(bCol), col(splitCol).as("__sb")), bCol)
+      .join(lab.select(col(idCol).as(aCol), col(splitCol).as("__sa")),
+        Seq(aCol), "left")
+      .join(lab.select(col(idCol).as(bCol), col(splitCol).as("__sb")),
+        Seq(bCol), "left")
+      .select(coalesce(col("__sa"), unk).as("__sa"),
+        coalesce(col("__sb"), unk).as("__sb"))
     both.groupBy(
         least(col("__sa"), col("__sb")).as("split_a"),
         greatest(col("__sa"), col("__sb")).as("split_b"))

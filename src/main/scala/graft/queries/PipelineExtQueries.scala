@@ -1109,28 +1109,25 @@ object PipelineExtQueries {
     // never a corpus-wide funnel (Curation.groupTokenCap) --
     QueryDef("group_token_cap", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+      // quantized integer score end to end (qualityScoreQ): no double
+      // ever reaches the bucket comparison, the pipelineV2 discipline
       val scored = docs.select(col("doc_id"), col("source"),
-        TA.qualityScore(col("text")).as("score"),
+        TA.qualityScoreQ(col("text")).as("q"),
         TA.tokenCount(col("text")).cast("long").as("n_tokens"))
-      graft.ops.Curation.groupTokenCap(scored, "source", "score",
-          "n_tokens", capPerGroup = 800L)
+      graft.ops.Curation.groupTokenCap(scored, "source", "q",
+          "n_tokens", capPerGroup = 800L, quantized = true)
         .orderBy("doc_id")
     }, Some(s"""
-      WITH s AS (
-        SELECT doc_id, source,
-          least(CAST(1.0 AS DOUBLE), CAST(len($sqlTokens) AS DOUBLE) / 100.0) * 0.4
-            + least(CAST(1.0 AS DOUBLE), (CAST($enHits AS DOUBLE) / len($sqlTokens)) * 5.0) * 0.3
-            + CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3 AS score,
+      WITH qz AS (
+        SELECT doc_id, source, ${qualityQSql("text")} AS q,
           CAST(len($sqlTokens) AS BIGINT) AS n_tokens
         FROM documents),
-      qz AS (SELECT doc_id, source, score, n_tokens,
-             CAST(floor(score * 1000000.0) AS BIGINT) AS q FROM s),
       hist AS (SELECT source, q, sum(n_tokens) AS t FROM qz GROUP BY source, q),
       cum AS (SELECT source, q, sum(t) OVER (PARTITION BY source ORDER BY q DESC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
               FROM hist),
       thr AS (SELECT source, min(q) AS t FROM cum WHERE cum <= 800 GROUP BY source)
-      SELECT z.doc_id, z.source, z.score, z.n_tokens
+      SELECT z.doc_id, z.source, z.q, z.n_tokens
       FROM qz z JOIN thr ON z.source = thr.source
       WHERE z.q >= thr.t ORDER BY z.doc_id""")),
 

@@ -360,6 +360,21 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     out shouldBe Set(("test", "train", 2L), ("train", "train", 1L),
       ("test", "val", 1L))
+    // an endpoint MISSING from labels surfaces as '(unlabeled)', never
+    // a silently dropped pair — the audit must count what it can't vouch for
+    val holey = Sampling.splitLeakageAudit(
+        Seq((1L, 9L), (9L, 8L)).toDF("id_a", "id_b"), labels)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    holey shouldBe Set(("(unlabeled)", "train", 1L), ("(unlabeled)", "(unlabeled)", 1L))
+  }
+
+  test("splitByGroup: NULL group key yields NULL split, not the last band") {
+    val df = Seq((1L, Some(5L)), (2L, None)).toDF("id", "grp")
+    val out = Sampling.splitByGroup(df, "grp",
+        Seq(("train", 900000L), ("test", 100000L)))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    out(1L).isDefined shouldBe true
+    out(2L) shouldBe None
   }
 
   test("foldByGroup: whole groups share a fold, folds are the exact band arithmetic") {
