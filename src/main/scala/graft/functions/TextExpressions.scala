@@ -192,6 +192,77 @@ object TextKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** Per-document n-gram repetition CHAR MASSES in one pass — the raw
+    * integers behind the Gopher/MassiveText character-level repetition
+    * filters ("fraction of characters in the most frequent n-gram",
+    * "fraction of characters in duplicated n-grams"). Returns
+    * `[top_c, top_chars, dup_chars, all_chars]` (all longs):
+    *
+    *   - `top_c` / `top_chars`: occurrence count and character length
+    *     of the doc's most frequent n-gram, ties broken by the
+    *     byte-lexicographically LARGEST gram (matches both Spark's
+    *     `max(struct(c, g))` and a DuckDB `ORDER BY c DESC, g DESC`
+    *     window — UTF8String and DuckDB's default collation are both
+    *     raw-byte orderings, so the tie-break is engine-independent
+    *     even off-ASCII);
+    *   - `dup_chars`: Σ c·chars(g) over grams occurring ≥ 2 times
+    *     (occurrence-mass form — positions under overlapping duplicated
+    *     grams count once per OCCURRENCE, the order-free definition
+    *     both engines can compute without positional cover marking);
+    *   - `all_chars`: Σ c·chars(g) over all grams (the denominator).
+    *
+    * chars(g) counts CODEPOINTS (DuckDB `length()` semantics), the
+    * joining single spaces included. Tokenizer contract matches
+    * [[distinctShingles]]. Docs with fewer than n tokens return all
+    * zeros. Per-doc hash map is bounded by document length — the same
+    * class as the shingle kernels; callers get a pure scan-side
+    * projection with ZERO shuffles.
+    */
+  def ngramCharStats(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array(0L, 0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, java.lang.Long]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val g = sb.toString
+      val prev = counts.get(g)
+      counts.put(g, if (prev eq null) java.lang.Long.valueOf(1L)
+                    else java.lang.Long.valueOf(prev.longValue + 1L))
+      i += 1
+    }
+    var topC = 0L
+    var topG: UTF8String = null
+    var topChars = 0L
+    var dup = 0L
+    var all = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c: Long = e.getValue.longValue
+      val g = e.getKey
+      val chars = g.codePointCount(0, g.length).toLong
+      all += c * chars
+      if (c >= 2L) dup += c * chars
+      if (c > topC) {
+        topC = c; topChars = chars; topG = UTF8String.fromString(g)
+      } else if (c == topC) {
+        val gu = UTF8String.fromString(g)
+        if (topG == null || gu.compareTo(topG) > 0) {
+          topChars = chars; topG = gu
+        }
+      }
+    }
+    new GenericArrayData(Array(topC, topChars, dup, all))
+  }
 }
 
 /** array<string> of a document's distinct k-shingles — the scan-side
@@ -249,6 +320,24 @@ final case class SampledSpanHashes(child: Expression, k: Int, sel: String)
       t => s"graft.functions.TextKernel.sampledSpanHashes($t, $k, $selRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): SampledSpanHashes =
+    copy(child = newChild)
+}
+
+/** array<long> `[top_c, top_chars, dup_chars, all_chars]` of a
+  * document's n-gram repetition char masses (Gopher-style repetition
+  * filter integers — see [[TextKernel.ngramCharStats]]). Null text
+  * yields null.
+  */
+final case class NgramCharStats(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_char_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.ngramCharStats(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.ngramCharStats($t, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NgramCharStats =
     copy(child = newChild)
 }
 

@@ -215,4 +215,48 @@ object TextAnalysis {
             (col("n_tokens") - k + 1))
           .otherwise(lit(0.0)).as(s"dup_${k}gram_frac"))
   }
+
+  /** Gopher/MassiveText CHARACTER-level repetition signals, integer-exact
+    * and zero-shuffle. For each `n` in `topNs`: `top{n}_ppm` — ppm of the
+    * document's characters covered by its most frequent n-gram
+    * (`top_c · top_chars · 10⁶ div len(text)`; Gopher's "fraction of
+    * characters contained in the most frequently-occurring n-gram",
+    * Rae et al. 2021 §A1.1, computed for n = 2..4 there). For each `n`
+    * in `dupNs`: `dup{n}_ppm` — ppm of the document's n-gram OCCURRENCE
+    * char mass carried by duplicated n-grams
+    * (`dup_chars · 10⁶ div all_chars`; Gopher's "fraction of characters
+    * inside duplicate n-grams" for n = 5..10, in the order-free
+    * occurrence-mass form — see [[graft.functions.TextKernel
+    * .ngramCharStats]] for the tie-break and double-counting contract).
+    *
+    * All fractions are ppm LONGS (numerator·10⁶ integer-divided), so the
+    * gate thresholds and the DuckDB oracle compare integers — the same
+    * last-ulp-proof discipline as [[qualityScoreQ]]. Everything computes
+    * in ONE scan-side codegen projection: per-doc kernels, no explode,
+    * no groupBy, no window — at 100 TB this runs at scan speed with
+    * map-side-only tasks.
+    */
+  def gopherRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 10)): org.apache.spark.sql.DataFrame = {
+    def statsCol(n: Int): Column =
+      org.apache.spark.sql.classic.GraftExpressionBridge.column(
+        graft.functions.NgramCharStats(
+          org.apache.spark.sql.classic.GraftExpressionBridge.expression(col(textCol)), n))
+    val ns = (topNs ++ dupNs).distinct.sorted
+    val withStats = df.select(
+      col(idCol) +: length(col(textCol)).cast("long").as("doc_chars") +:
+        ns.map(n => statsCol(n).as(s"s$n")): _*)
+    val topCols = topNs.map { n =>
+      when(col("doc_chars") > 0,
+        expr(s"element_at(s$n, 1) * element_at(s$n, 2) * 1000000L DIV doc_chars"))
+        .otherwise(lit(0L)).as(s"top${n}_ppm")
+    }
+    val dupCols = dupNs.map { n =>
+      when(expr(s"element_at(s$n, 4)") > 0,
+        expr(s"element_at(s$n, 3) * 1000000L DIV element_at(s$n, 4)"))
+        .otherwise(lit(0L)).as(s"dup${n}_ppm")
+    }
+    withStats.select(col(idCol) +: (topCols ++ dupCols): _*)
+  }
 }

@@ -453,6 +453,51 @@ object PipelineExtQueries {
              ELSE CAST(0 AS DOUBLE) END AS dup_3gram_frac
       FROM agg a LEFT JOIN sh USING (doc_id) ORDER BY doc_id""")),
 
+    // -- Gopher CHARACTER-level repetition fractions (integer ppm). ------
+    // The op's production defaults are Gopher's n = 2..4 (top) and
+    // 5..10 (dup), but the synthetic corpus — random words — has ZERO
+    // duplicated 5-grams at every SF (verified in DuckDB), so the
+    // oracle row exercises dup at n = 2/3 (349 and 27 of 500 docs
+    // non-zero at sf0.01) where the arithmetic actually bites; large-n
+    // behavior and the tie-break contract are spec-pinned on crafted
+    // docs instead.
+    QueryDef("text_gopher", (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      TA.gopherRepetition(docs, "doc_id", "text",
+          topNs = Seq(2, 3), dupNs = Seq(2, 3))
+        .orderBy("doc_id")
+    }, Some {
+      def ncte(n: Int) = s"""
+      g$n AS (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - $n + 2, 1)),
+          i -> array_to_string(string_split(text,' ')[i:i+$n-1], ' '))) AS g
+        FROM documents),
+      c$n AS (SELECT doc_id, g, count(*) AS c, length(g) AS lg
+              FROM g$n GROUP BY doc_id, g),
+      top$n AS (SELECT doc_id, c AS top_c, lg AS top_chars FROM (
+          SELECT doc_id, c, lg,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+          FROM c$n) WHERE rn = 1),
+      d$n AS (SELECT doc_id,
+                CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c*lg END), 0) AS BIGINT) AS dup_chars,
+                CAST(SUM(c*lg) AS BIGINT) AS all_chars
+              FROM c$n GROUP BY doc_id)"""
+      s"""
+      WITH ${ncte(2).trim}, ${ncte(3).trim}
+      SELECT d.doc_id,
+        CAST(COALESCE((t2.top_c * t2.top_chars * 1000000) // length(d.text), 0) AS BIGINT) AS top2_ppm,
+        CAST(COALESCE((t3.top_c * t3.top_chars * 1000000) // length(d.text), 0) AS BIGINT) AS top3_ppm,
+        CAST(COALESCE(CASE WHEN d2.all_chars > 0 THEN (d2.dup_chars * 1000000) // d2.all_chars END, 0) AS BIGINT) AS dup2_ppm,
+        CAST(COALESCE(CASE WHEN d3.all_chars > 0 THEN (d3.dup_chars * 1000000) // d3.all_chars END, 0) AS BIGINT) AS dup3_ppm
+      FROM documents d
+      LEFT JOIN top2 t2 USING (doc_id)
+      LEFT JOIN top3 t3 USING (doc_id)
+      LEFT JOIN d2 USING (doc_id)
+      LEFT JOIN d3 USING (doc_id)
+      ORDER BY doc_id"""
+    }),
+
     // -- PII redaction (emails/phones planted deterministically: the -----
     // corpus itself is PII-free, so each doc gets a synthetic contact
     // line derived from its id; both engines then scrub with the SAME

@@ -216,4 +216,60 @@ class TextAnalysisSpec extends SparkSpec {
     got(1L)._6 should be > 0.5
     got(2L)._6 shouldBe 0.0
   }
+
+  test("gopherRepetition: ppm masses match a naive reference, incl. large n") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b c"), // dup at every n up to 9
+      (2L, "w x y z q r s t u v"),     // all grams unique
+      (3L, "a a a a a a a a a a a a"), // total repetition
+      (4L, "a b"),                     // shorter than most n
+      (5L, "one two three four five one two three four five six"))
+      .toDF("doc_id", "text")
+    val ns = Seq(2, 5, 10)
+    val got = TextAnalysis.gopherRepetition(docs, "doc_id", "text",
+        topNs = ns, dupNs = ns)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.collect().foreach { row =>
+      val (id, text) = (row.getLong(0), row.getString(1))
+      val toks = text.split(" ", -1)
+      ns.zipWithIndex.foreach { case (n, i) =>
+        val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val expTop =
+          if (counts.isEmpty) 0L
+          else {
+            // tie-break: count desc, then LARGEST gram byte-lexicographically
+            val (g, c) = counts.maxBy { case (g, c) => (c, g) }
+            c * g.length * 1000000L / text.length
+          }
+        val all = counts.map { case (g, c) => c * g.length }.sum
+        val dup = counts.collect { case (g, c) if c >= 2 => c * g.length }.sum
+        val expDup = if (all > 0) dup * 1000000L / all else 0L
+        got(id).getLong(1 + i) shouldBe expTop
+        got(id).getLong(1 + ns.size + i) shouldBe expDup
+      }
+    }
+    // the fully-repeated doc saturates; the unique doc has zero dup mass
+    got(3L).getLong(1 + ns.size) shouldBe 1000000L    // dup2_ppm
+    got(2L).getLong(1 + ns.size) shouldBe 0L
+  }
+
+  test("gopherRepetition: top-gram tie-break is (count, then largest gram)") {
+    import org.apache.spark.sql.functions.col
+    // "b c" and "a b" both occur twice at n=2; largest-gram tie-break
+    // must pick "b c" (3 chars, same as "a b" — craft a LENGTH tie-break
+    // case too: "zz y" vs "a b", both twice, different char lengths)
+    val docs = Seq(
+      (1L, "a b c a b c"),        // ties: "a b"=2, "b c"=2 -> picks "b c"
+      (2L, "zz y x zz y x"))      // ties: "zz y"=2 > "y x"=2... largest is "zz y"
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(docs, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: text len 11; top gram "b c" (3 chars, count 2) -> 2*3*1e6/11
+    out(1L) shouldBe 2L * 3L * 1000000L / 11L
+    // doc 2: text len 13; candidates with c=2: "zz y" (4), "y x" (3);
+    // byte-largest is "zz y" -> 2*4*1e6/13
+    out(2L) shouldBe 2L * 4L * 1000000L / 13L
+  }
 }
