@@ -81,6 +81,27 @@ object VectorKernel {
     ab / (math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble))
   }
 
+  /** Dense matrix-vector product: out(j) = strict left-to-right fold of
+    * vec·planes(j) — one double loop per output dim, the exact element
+    * order of a DuckDB `list_reduce` left fold, so ±1-signed projections
+    * (x·(+1.0) == x, x·(−1.0) == −x, both IEEE-exact) are bit-identical
+    * across engines.
+    */
+  def matVec(vec: ArrayData, planes: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Any](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(vec.numElements(), plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vec.getDouble(i) * plane(i); i += 1 }
+      out(p) = s
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** SRP bucket id: bit i set iff dot(vec, planes(i)) > 0. */
   def srpBucket(vec: ArrayData, planes: Array[Array[Double]]): Int = {
     var bucket = 0
@@ -165,6 +186,25 @@ final case class VecCosineI8(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernel.cosineI8($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosineI8 =
     copy(left = l, right = r)
+}
+
+/** Matrix-vector projection of a vector against a fixed plane matrix
+  * (array<double> of `planes.length` dims) — the dimensionality-reduction
+  * kernel. Same reference-object design as [[SrpBucket]]; see
+  * [[VectorKernel.matVec]] for the cross-engine fold contract.
+  */
+final case class VecProject(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_project"
+  override def nullSafeEval(input: Any): Any =
+    VectorKernel.matVec(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernel.matVec($v, $p)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): VecProject =
+    copy(child = newChild)
 }
 
 /** SRP-LSH bucket of a vector against a fixed hyperplane matrix

@@ -273,6 +273,79 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** ±1 sign matrix derived from md5 — the PORTABLE counterpart of
+    * [[hyperplanes]]: sign(j,i) = +1 iff the first hex digit of
+    * `md5("<tag>:<j>:<i>")` is even. md5 is the one hash Spark, DuckDB
+    * and `java.security.MessageDigest` share bit-for-bit (the
+    * [[graft.ops.Sampling.stringBucket]] convention), so a DuckDB
+    * oracle re-derives the whole matrix independently. Rademacher ±1
+    * entries satisfy the JL lemma the same as Gaussians (Achlioptas
+    * 2003, "Database-friendly random projections").
+    */
+  def rademacherPlanes(dOut: Int, dIn: Int, tag: String = "rp"): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dOut) { j =>
+      Array.tabulate(dIn) { i =>
+        md.reset()
+        val d = md.digest(s"$tag:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first hex digit = high nibble of byte 0
+        if (((d(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Johnson-Lindenstrauss dimensionality reduction: (id, vec[dIn]) →
+    * (id, vec[dOut]) through the md5-portable Rademacher matrix. ONE
+    * codegen kernel call per row ([[graft.functions.VecProject]]), a
+    * pure scan-side projection — zero shuffles, and downstream ANN
+    * arithmetic shrinks by dIn/dOut (64→16 = 4x fewer multiplies per
+    * scored candidate, 4x smaller shuffle payloads). Cosine is NOT
+    * exactly preserved (JL distorts), so the production shape is
+    * [[rpRerankTopK]]: over-fetch in the reduced space, re-rank the
+    * small candidate set exactly.
+    */
+  def randomProject(df: DataFrame, dIn: Int, dOut: Int, tag: String = "rp"): DataFrame = {
+    val planes = rademacherPlanes(dOut, dIn, tag)
+    df.select(col("id"),
+      fromExpr(graft.functions.VecProject(toExpr(col("vec")), planes)).as("vec"))
+  }
+
+  /** Brute-force top-k in the REDUCED space — the recall-measurement
+    * baseline for [[randomProject]] (same oracle role as the LSH/IVF
+    * tiers' probe stages; production pairs it with IVF bucketing over
+    * the projected vectors, which composes because both are (id, vec)
+    * → (id, vec) shapes).
+    */
+  def rpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             dIn: Int, dOut: Int, tag: String = "rp"): DataFrame =
+    bruteForceTopK(randomProject(queries, dIn, dOut, tag),
+      randomProject(corpus, dIn, dOut, tag), k)
+
+  /** Reduced-space over-fetch + EXACT re-rank: generate `k·overFetch`
+    * candidates per query with cheap dOut-dim scores, then score only
+    * those candidates at full dimension and keep the exact top-k. The
+    * coarse-then-refine shape of every production ANN stack (IVF-PQ,
+    * ScaNN): recall approaches exact as overFetch grows while full-dim
+    * work stays O(k·overFetch) per query instead of O(|corpus|). The
+    * re-rank join is keyed on candidate ids (linear, no cross join);
+    * full-dim vectors travel ONLY for candidate rows.
+    */
+  def rpRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   dIn: Int, dOut: Int, overFetch: Int = 4,
+                   tag: String = "rp"): DataFrame = {
+    val cands = rpTopK(queries, corpus, k * overFetch, dIn, dOut, tag)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = cands
+      .join(queries.select(col("id").as("query_id"), col("vec").as("qv")), Seq("query_id"))
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cv")), Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** SRP bucket id: one sign bit per hyperplane. One codegen kernel
     * call per row (graft.functions.SrpBucket) instead of numPlanes
     * interpreted HOF dots over literal arrays.

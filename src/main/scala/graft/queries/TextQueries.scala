@@ -45,7 +45,8 @@ object TextQueries {
     * count is exactly oracle-checkable; recall@5 against the exact
     * top-k must clear a safe-margin threshold.
     */
-  private def annRecallRow(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def annRecallRow(s: org.apache.spark.sql.SparkSession, dir: String,
+      minRecall: Double = 0.4)
       (ann: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
         org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -68,7 +69,7 @@ object TextQueries {
       .head()
     e.unpersist()
     val (total, hits, nq) = (c.getLong(0), c.getLong(1), c.getLong(2))
-    Seq((nq, 5L, hits >= 0.4 * total))
+    Seq((nq, 5L, hits >= minRecall * total))
       .toDF("n_queries", "k", "recall_ok")
   }
 
@@ -640,6 +641,43 @@ object TextQueries {
     // scoring kernel
     QueryDef("sim_topk_q8_lsh", (s, dir) =>
       annRecallRow(s, dir)((q, e) => Similarity.srpLshTopKQ8(q, e, k = 5)),
+      Some(annRecallOracle)),
+
+    // -- JL random projection: the md5-portable Rademacher matrix is ----
+    // re-derived INDEPENDENTLY by the oracle (sign(j,i) = parity of the
+    // first hex digit of md5('rp:j:i')), and the projected coordinates
+    // are strict left folds of ±float terms — bit-identical across
+    // engines, so this is a full-hash row pinning the VecProject kernel
+    QueryDef("emb_project", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.toDoubleVec(col("embedding")).as("vec"))
+      val proj = Similarity.randomProject(e, dIn = 64, dOut = 4)
+      proj.select(col("id").as("vec_id") +:
+          (0 until 4).map(j => element_at(col("vec"), j + 1).as(s"p$j")): _*)
+        .orderBy("vec_id")
+    }, Some {
+      def pj(j: Int) =
+        s"""list_reduce(list_transform(range(1, 65), i ->
+           CASE WHEN substring(md5('rp:$j:' || CAST(i-1 AS VARCHAR)), 1, 1)
+                     IN ('0','2','4','6','8','a','c','e')
+                THEN CAST(embedding[i] AS DOUBLE)
+                ELSE -CAST(embedding[i] AS DOUBLE) END), (a,b) -> a+b) AS p$j"""
+      s"""
+      SELECT vec_id, ${(0 until 4).map(pj).mkString(", ")}
+      FROM embeddings ORDER BY vec_id"""
+    }),
+
+    // reduced-space over-fetch + exact re-rank (the coarse-then-refine
+    // production ANN shape). The synthetic embeddings are near-uniform
+    // random — all 500 pairwise cosines sit within ~±0.125 of 0, so JL
+    // reordering of the tiny top-k gaps is inherent to the DATA, not
+    // the op (measured 0.46-0.85 across SFs at dOut=48/overFetch=8;
+    // clustered-data recall is spec-pinned at 1.0). 0.3 leaves the
+    // sim_topk_ivf-style safe margin.
+    QueryDef("sim_topk_rp", (s, dir) =>
+      annRecallRow(s, dir, minRecall = 0.3)((q, e) =>
+        Similarity.rpRerankTopK(q, e, k = 5, dIn = 64, dOut = 48, overFetch = 8)),
       Some(annRecallOracle)),
 
     // nearest-centroid corpus sharding against DETERMINISTIC seeds (the

@@ -55,6 +55,18 @@ object RecallCheck {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     println(f"[recall] ivf     recall=${(exact intersect ivf).size.toDouble / exact.size}%.3f")
+    for (dOut <- Seq(8, 16, 32)) {
+      val rp = Similarity.rpTopK(q, e, k = 5, dIn = 64, dOut = dOut)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[recall] rp d=$dOut%-2d  recall=${(exact intersect rp).size.toDouble / exact.size}%.3f")
+      for (of <- Seq(2, 4, 8)) {
+        val rr = Similarity.rpRerankTopK(q, e, k = 5, dIn = 64, dOut = dOut, overFetch = of)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"[recall] rp d=$dOut%-2d of=$of%-2d rerank recall=${(exact intersect rr).size.toDouble / exact.size}%.3f")
+      }
+    }
     spark.stop()
   }
 }

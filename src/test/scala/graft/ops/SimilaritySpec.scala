@@ -521,4 +521,59 @@ class SimilaritySpec extends SparkSpec {
     physical should not include "CartesianProduct"
     physical should not include "BroadcastNestedLoopJoin"
   }
+
+  test("rademacherPlanes: ±1 entries, deterministic, md5-derived") {
+    val p = Similarity.rademacherPlanes(dOut = 3, dIn = 8)
+    p.length shouldBe 3
+    p.foreach(_.foreach(v => math.abs(v) shouldBe 1.0))
+    p shouldBe Similarity.rademacherPlanes(dOut = 3, dIn = 8)
+    // independent derivation: first hex digit of md5("rp:j:i")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (j <- 0 until 3; i <- 0 until 8) {
+      val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expected = if ("02468ace".contains(hex.head)) 1.0 else -1.0
+      p(j)(i) shouldBe expected
+    }
+  }
+
+  test("randomProject matches a driver-side matrix multiply") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 2.0, -3.0, 0.5)),
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(-1.5, 4.0, 2.25, -0.125)))
+    val df = vecs.toDF("id", "vec")
+    val got = Similarity.randomProject(df, dIn = 4, dOut = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val planes = Similarity.rademacherPlanes(dOut = 2, dIn = 4)
+    vecs.foreach { case (id, v) =>
+      val exp = planes.map(row => v.zip(row).foldLeft(0.0) { case (s, (x, m)) => s + x * m })
+      got(id) shouldBe exp.toSeq
+    }
+  }
+
+  test("rpRerankTopK: exact recall on clustered data, rerank beats plain rp") {
+    // three tight clusters in 16 dims: top-k within a cluster is
+    // unambiguous, so the coarse-then-refine path must find it all
+    def base(c: Int): Array[Double] =
+      Array.tabulate(16)(j => if (j % 3 == c) 1.0 else 0.05 * ((j + c) % 5))
+    val rows = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      val b = base(c)
+      (i, b.zipWithIndex.map { case (x, j) =>
+        x + 0.01 * (((i * 31 + j) % 7).toDouble - 3.0) }.toSeq)
+    }
+    val e = rows.toDF("id", "vec")
+    val q = e.filter(col("id") < 6)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, k = 4))
+    val rerank = pairs(Similarity.rpRerankTopK(q, e, k = 4, dIn = 16, dOut = 8, overFetch = 4))
+    val plain = pairs(Similarity.rpTopK(q, e, k = 4, dIn = 16, dOut = 8))
+    val rRecall = (exact intersect rerank).size.toDouble / exact.size
+    val pRecall = (exact intersect plain).size.toDouble / exact.size
+    rRecall shouldBe 1.0
+    rRecall should be >= pRecall
+  }
 }
