@@ -263,6 +263,74 @@ object TextKernel {
     }
     new GenericArrayData(Array(topC, topChars, dup, all))
   }
+
+  private def md5Bucket(md: java.security.MessageDigest, s: String, dim: Int): Int = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 8 hex digits = first 4 bytes big-endian, value in [0, 2^32)
+    // — the Sampling.stringBucket convention, DuckDB-reproducible as
+    // CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT) % dim
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v % dim).toInt
+  }
+
+  /** Dense hashed term-frequency vector: each k-token shingle (k=1 =
+    * unigrams) buckets through the md5-prefix portable hash into `dim`
+    * bins; the value is the occurrence COUNT (exact integers carried
+    * as doubles — lossless far beyond any document length). The
+    * classical hashing-trick featurizer: text → fixed-dim vector with
+    * no vocabulary state, so the output plugs straight into the
+    * (id, vec) ANN stack. Keep `dim` small (≤ ~1024) — the output is
+    * dense; the sparse large-dim path is [[shingleBuckets]].
+    */
+  def hashTf(text: UTF8String, dim: Int, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val out = new Array[Double](dim)
+    if (toks.length >= k) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + k <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(md5Bucket(md, sb.toString, dim)) += 1.0
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** md5-prefix bucket id of every k-token shingle position
+    * (non-distinct, in order) — the SPARSE hashed-TF stream for large
+    * `dim`: explode → groupBy (id, bucket) gives exact per-bucket
+    * counts without materializing a dim-wide dense array per row.
+    */
+  def shingleBuckets(text: UTF8String, dim: Int, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    val out = new Array[Any](toks.length - k + 1)
+    var i = 0
+    while (i + k <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = md5Bucket(md, sb.toString, dim).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** array<string> of a document's distinct k-shingles — the scan-side
@@ -338,6 +406,41 @@ final case class NgramCharStats(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.ngramCharStats($t, $n)")
   override protected def withNewChildInternal(newChild: Expression): NgramCharStats =
+    copy(child = newChild)
+}
+
+/** array<double> dense hashed-TF vector of a document (see
+  * [[TextKernel.hashTf]]). Null text yields null.
+  */
+final case class HashTfVec(child: Expression, dim: Int, k: Int)
+    extends UnaryExpression {
+  require(dim >= 1 && dim <= 65536, "dense hashed-TF dim out of range")
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hash_tf_vec"
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.hashTf(input.asInstanceOf[UTF8String], dim, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.hashTf($t, $dim, $k)")
+  override protected def withNewChildInternal(newChild: Expression): HashTfVec =
+    copy(child = newChild)
+}
+
+/** array<long> of per-position k-shingle md5 buckets (see
+  * [[TextKernel.shingleBuckets]]). Null text yields null; explode
+  * drops it.
+  */
+final case class ShingleBuckets(child: Expression, dim: Int, k: Int)
+    extends UnaryExpression {
+  require(dim >= 1, "bucket count must be >= 1")
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_buckets"
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.shingleBuckets(input.asInstanceOf[UTF8String], dim, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.shingleBuckets($t, $dim, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleBuckets =
     copy(child = newChild)
 }
 

@@ -825,6 +825,60 @@ object TextQueries {
         AND ${dotSql("a.v", "b.v")} / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) >= 0.45
       ORDER BY id_a, id_b""")),
 
+    // -- hashing-trick text featurizer: exact nonzero (doc_id, dim, ----
+    // cnt) triples pin the HashTfVec kernel (md5-prefix buckets,
+    // integer counts) against an independent derivation; the dense
+    // vector output is the (id, vec) shape the whole ANN stack consumes
+    QueryDef("text_hash_embed", (s, dir) => {
+      val v = graft.ops.Embedding.hashTfVectors(
+        Tables.loadSpread(s, dir, "documents"), "doc_id", "text", dim = 64)
+      v.select(col("id").as("doc_id"),
+          posexplode(col("vec")).as(Seq("dim", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(col("doc_id"), col("dim").cast("long").as("dim"),
+          col("cnt").cast("long").as("cnt"))
+        .orderBy("doc_id", "dim")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      SELECT doc_id,
+        CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64 AS BIGINT) AS dim,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY doc_id, dim ORDER BY doc_id, dim""")),
+
+    // -- sparse-cosine near-dup over hashed 3-shingle counts, integer-
+    // exact (dot² · 100 >= 81 · ∥a∥² · ∥b∥², all long shingle counts —
+    // no sqrt, no float boundary). dfCap = 50 structurally bounds the
+    // bucket self-join AND actually bites at sf0.1 (max df 54), so the
+    // capped path is what the oracle hashes, not just dead insurance
+    QueryDef("hash_embed_neardup", (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      graft.ops.Embedding.hashedShingleNearDup(docs, "doc_id", "text",
+          dim = 65536, k = 3, tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L)
+        .orderBy("id_a", "id_b")
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+        FROM documents),
+      tb AS (SELECT doc_id,
+        CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 65536 AS BIGINT) AS d
+        FROM sh),
+      v AS (SELECT doc_id, d, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY doc_id, d),
+      norms AS (SELECT doc_id, CAST(SUM(c*c) AS BIGINT) AS nn FROM v GROUP BY doc_id),
+      kept AS (SELECT d FROM v GROUP BY d HAVING count(*) <= 50),
+      vk AS (SELECT v.* FROM v JOIN kept USING (d)),
+      dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+               FROM vk a JOIN vk b ON a.d = b.d AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+      SELECT dd.id_a, dd.id_b, dd.dot, na.nn AS norm_a, nb.nn AS norm_b
+      FROM dots dd
+      JOIN norms na ON na.doc_id = dd.id_a
+      JOIN norms nb ON nb.doc_id = dd.id_b
+      WHERE dd.dot * dd.dot * 100 >= 81 * na.nn * nb.nn
+      ORDER BY id_a, id_b""")),
+
     // resize plumbing end-to-end: the stub codec writes an 8-byte (w,h)
     // big-endian header + the payload truncated/zero-padded to w*h, so
     // output length, decoded header, and body prefix are all exact.

@@ -67,4 +67,71 @@ class EmbeddingSpec extends SparkSpec {
     val top = Similarity.bruteForceTopK(emb.filter(col("id") < 3), emb, k = 3)
     top.groupBy("query_id").count().collect().foreach(_.getLong(1) shouldBe 3L)
   }
+
+  private def md5BucketRef(s: String, dim: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v % dim).toInt
+  }
+
+  test("hashTfVectors: exact counts at md5-prefix buckets") {
+    val docs = Seq((1L, "a b a c"), (2L, ""), (3L, "zz")).toDF("doc_id", "text")
+    val got = Embedding.hashTfVectors(docs, "doc_id", "text", dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    got(1L).sum shouldBe 4.0 // four tokens, counts preserved
+    got(1L)(md5BucketRef("a", 16)) shouldBe 2.0
+    got(1L)(md5BucketRef("b", 16)) should be >= 1.0
+    // empty text still tokenizes to one empty token (split contract)
+    got(2L).sum shouldBe 1.0
+    got(2L)(md5BucketRef("", 16)) should be >= 1.0
+    got(3L)(md5BucketRef("zz", 16)) should be >= 1.0
+    // shingle mode: k=2 over 4 tokens = 3 shingles
+    val g2 = Embedding.hashTfVectors(docs, "doc_id", "text", dim = 16, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    g2(1L).sum shouldBe 3.0
+    g2(1L)(md5BucketRef("a b", 16)) should be >= 1.0
+    g2(3L).sum shouldBe 0.0 // shorter than k
+  }
+
+  test("hashedShingleNearDup: integer cosine² gate matches naive arithmetic") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+      (3L, "completely different words in this one entirely"),
+      (4L, "the quick brown fox jumps over the lazy dog today"))   // exact dup of 1
+      .toDF("doc_id", "text")
+    val out = Embedding.hashedShingleNearDup(docs, "doc_id", "text",
+        dim = 65536, k = 3, tauSqNum = 64L, tauSqDen = 100L, dfCap = 100L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    out.keySet shouldBe Set((1L, 2L), (1L, 4L), (2L, 4L))
+    // naive reference for the (1,2) pair
+    def counts(t: String) = t.split(" ").sliding(3).map(_.mkString(" "))
+      .toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (c1, c2) = (counts("the quick brown fox jumps over the lazy dog today"),
+      counts("the quick brown fox jumps over the lazy dog tonight"))
+    val dot = c1.map { case (g, c) => c * c2.getOrElse(g, 0L) }.sum
+    val n1 = c1.values.map(c => c * c).sum
+    val n2 = c2.values.map(c => c * c).sum
+    out((1L, 2L)) shouldBe ((dot, n1, n2))
+    dot * dot * 100L should be >= 64L * n1 * n2
+    // exact dup: dot == both norms (identical count vectors)
+    out((1L, 4L)) shouldBe ((n1, n1, n1))
+  }
+
+  test("hashedShingleNearDup: dfCap drops flooded buckets, never inflates") {
+    // 30 docs all sharing one hot shingle + two true near-dups
+    val hot = (10L until 40L).map(i => (i, s"common shared phrase unique$i tail$i"))
+    val dups = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"))
+    val docs = (hot ++ dups).toDF("doc_id", "text")
+    val capped = Embedding.hashedShingleNearDup(docs, "doc_id", "text",
+      dim = 65536, k = 3, tauSqNum = 81L, tauSqDen = 100L, dfCap = 5L)
+    val got = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the true dup pair survives (its shingles are rare), the hot-
+    // shingle crowd generates no candidate mass at all
+    got shouldBe Set((1L, 2L))
+  }
 }
