@@ -264,6 +264,47 @@ object TextKernel {
     new GenericArrayData(Array(topC, topChars, dup, all))
   }
 
+  /** Segment one word with a trained BPE merge table ([[graft.ops
+    * .Curation.bpeTrain]]'s output, rank order): the word becomes a
+    * '|'-delimited padded symbol string and each merge applies as
+    * `replace("|l|r|" → "|lr|")` — the EXACT string semantics the
+    * trainer (and its SQL oracle) used, so encoding a fresh word
+    * reproduces the segmentation the training state reached.
+    */
+  def bpeSegmentWord(word: String, merges: Array[Array[String]]): Array[String] = {
+    val cps = word.codePoints().toArray
+    if (cps.isEmpty) return Array.empty[String]
+    val sb = new java.lang.StringBuilder("|")
+    var i = 0
+    while (i < cps.length) {
+      sb.appendCodePoint(cps(i)); sb.append('|'); i += 1
+    }
+    var w = sb.toString
+    var m = 0
+    while (m < merges.length) {
+      val l = merges(m)(0); val r = merges(m)(1)
+      w = w.replace("|" + l + "|" + r + "|", "|" + l + r + "|")
+      m += 1
+    }
+    w.substring(1, w.length - 1).split("\\|", -1)
+  }
+
+  /** Number of BPE symbols a document encodes to under a trained merge
+    * table — Σ over (non-empty) whitespace tokens of the segmented
+    * symbol count. The scan-side "token budget under MY tokenizer"
+    * measurement; per-row cost O(numMerges · word length).
+    */
+  def bpeTokenCount(text: UTF8String, merges: Array[Array[String]]): Long = {
+    val toks = text.toString.split(" ", -1)
+    var total = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) total += bpeSegmentWord(toks(i), merges).length.toLong
+      i += 1
+    }
+    total
+  }
+
   private def md5Bucket(md: java.security.MessageDigest, s: String, dim: Int): Int = {
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -406,6 +447,24 @@ final case class NgramCharStats(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.ngramCharStats($t, $n)")
   override protected def withNewChildInternal(newChild: Expression): NgramCharStats =
+    copy(child = newChild)
+}
+
+/** LongType count of BPE symbols a document encodes to under a fixed
+  * merge table (see [[TextKernel.bpeTokenCount]]). The merge table
+  * rides as one reference object. Null text yields null.
+  */
+final case class BpeTokenCount(child: Expression, merges: Array[Array[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.bpeTokenCount(input.asInstanceOf[UTF8String], merges)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("merges", merges, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.bpeTokenCount($t, $m)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
 }
 

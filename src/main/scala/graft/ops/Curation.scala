@@ -657,6 +657,84 @@ object Curation {
       .groupBy(col("pair"))
       .agg(sum(col("tf")).as("n"))
 
+  /** Full BPE merge TRAINING (Sennrich et al. 2016): `numMerges`
+    * iterations of count-adjacent-symbol-pairs → merge the argmax —
+    * the loop [[bpePairStats]] is one step of.
+    *
+    * Scale contract: the corpus is scanned ONCE ([[vocabulary]]'s
+    * (token, tf) aggregate — vocab ≪ corpus at any scale); the merge
+    * loop runs DRIVER-SIDE over the deterministic top-`maxVocab`
+    * dictionary, the same design as every production BPE trainer (the
+    * word-frequency dictionary, not the corpus, is the training set —
+    * driver state is bounded by maxVocab · max word length, independent
+    * of corpus size; the documented-bounded collect class).
+    *
+    * Cross-engine exactness: word state is a '|'-delimited padded
+    * symbol string and each merge is
+    * `replace("|l|r|" → "|lr|")` — left-to-right non-overlapping, the
+    * exact semantics SQL `replace()` shares, so a DuckDB oracle
+    * unrolling the same iterations reproduces every merge decision
+    * bit-for-bit (including the back-to-back-repeat convention).
+    * Argmax ties break by (count desc, left asc, right asc) in RAW
+    * BYTE order (UTF8String / DuckDB binary collation).
+    * Output: (rank, left_sym, right_sym, pair_count).
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               maxVocab: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.unsafe.types.UTF8String
+    def byteLt(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    val dict = vocabulary(docs, idCol, textCol)
+      .orderBy(col("tf").desc, col("token"))
+      .limit(maxVocab)
+      .select("token", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(String, Long)] = dict.map { case (t, tf) =>
+      val cps = t.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      ("|" + cps.mkString("|") + "|", tf)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 0
+    var continueLoop = true
+    while (rank < numMerges && continueLoop) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (w, tf) =>
+        val syms = w.substring(1, w.length - 1).split("\\|", -1)
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + tf)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continueLoop = false
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null) best = e
+          else {
+            val ((bl, br), bn) = best
+            val ((el, er), en) = e
+            if (en > bn ||
+                (en == bn && (byteLt(el, bl) ||
+                  (el == bl && byteLt(er, br))))) best = e
+          }
+        }
+        val ((l, r), n) = best
+        out += ((rank.toLong, l, r, n))
+        words = words.map { case (w, tf) =>
+          (w.replace(s"|$l|$r|", s"|$l$r|"), tf)
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
   /** Top-`topN` characteristic terms per document by idf-weighted term
     * frequency: score = tf × (N / df). The weighting is log-free so the
     * score is a pure IEEE divide-then-multiply over exact integers —

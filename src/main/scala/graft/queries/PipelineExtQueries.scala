@@ -82,6 +82,41 @@ object PipelineExtQueries {
       bthr AS (SELECT min(q) AS t FROM cum WHERE cum <= 15000),
       sel AS (SELECT z.* FROM qz z, bthr WHERE z.q >= bthr.t)"""
 
+  /** Unrolled BPE-training CTEs (`numMerges` iterations): word states
+    * as '|'-delimited padded symbol strings, pair counts weighted by
+    * token frequency, argmax with (n desc, l, r) byte-order tie-break,
+    * `replace()` rewrite — mirrors [[graft.ops.Curation.bpeTrain]]
+    * decision for decision (both engines' replace is left-to-right
+    * non-overlapping). Exposes b1..b{n} (the merges) and w{n} (final
+    * word states).
+    */
+  private def bpeCtes(n: Int): String = {
+    val blocks = (1 to n).map { it =>
+      val prev = s"w${it - 1}"
+      s"""
+      p$it AS (
+        SELECT split_part(pr, '|', 1) AS l, split_part(pr, '|', 2) AS r,
+               CAST(SUM(tf) AS BIGINT) AS n
+        FROM (
+          SELECT tf, unnest(list_transform(range(1, greatest(len(sy), 1)),
+            i -> sy[i] || '|' || sy[i+1])) AS pr
+          FROM (SELECT tf, string_split(substr(w, 2, length(w) - 2), '|') AS sy FROM $prev)
+        ) GROUP BY 1, 2),
+      b$it AS (
+        SELECT l, r, n FROM (
+          SELECT l, r, n, row_number() OVER (ORDER BY n DESC, l, r) AS rn FROM p$it)
+        WHERE rn = 1),
+      w$it AS (
+        SELECT replace(w, '|' || b.l || '|' || b.r || '|', '|' || b.l || b.r || '|') AS w, tf
+        FROM $prev, b$it b)"""
+    }
+    s"""tok0 AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      v0 AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok0
+             WHERE length(token) > 0 GROUP BY token),
+      w0 AS (SELECT '|' || array_to_string(string_split(token, ''), '|') || '|' AS w, tf FROM v0),
+      ${blocks.mkString(",")}"""
+  }
+
   /** Shared CTEs of the DSIR oracles: hashed-bigram buckets (md5-prefix
     * modular, engine-portable), target (en) and raw count tables, and
     * the per-doc pooled sums — mirrors
@@ -805,6 +840,56 @@ object PipelineExtQueries {
         FROM tf)
       SELECT pair, CAST(sum(tf) AS BIGINT) AS n
       FROM pairs GROUP BY pair ORDER BY n DESC, pair""")),
+
+    // -- full BPE merge training: the DuckDB oracle UNROLLS the same ----
+    // numMerges iterations (pair count over the padded '|'-delimited
+    // word states → argmax with byte-order tie-break → replace()
+    // rewrite — replace is left-to-right non-overlapping in BOTH
+    // engines, so every merge decision reproduces bit-for-bit)
+    QueryDef("bpe_train", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.bpeTrain(docs, numMerges = 6)
+        .orderBy("rank")
+    }, Some(s"""
+      WITH ${bpeCtes(6)}
+      SELECT * FROM (${(1 to 6).map(it =>
+        s"SELECT CAST(${it - 1} AS BIGINT) AS rank, l AS left_sym, r AS right_sym, n AS pair_count FROM b$it")
+        .mkString(" UNION ALL ")})
+      ORDER BY rank""")),
+
+    // -- encode under the trained table: documents re-tokenized by the
+    // 6-merge BPE (the BpeTokenCount scan-side kernel); the oracle
+    // re-derives the merge table AND applies the same six replaces to
+    // every token
+    QueryDef("bpe_encode", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val merges = graft.ops.Curation.bpeTrain(docs, numMerges = 6)
+        .orderBy("rank").collect()
+        .map(r => Array(r.getString(1), r.getString(2)))
+      docs.select(col("doc_id"),
+          org.apache.spark.sql.classic.GraftExpressionBridge.column(
+            graft.functions.BpeTokenCount(
+              org.apache.spark.sql.classic.GraftExpressionBridge.expression(col("text")),
+              merges)).as("n_bpe"))
+        .orderBy("doc_id")
+    }, Some {
+      val padded = "'|' || array_to_string(string_split(token, ''), '|') || '|'"
+      val replaced = (1 to 6).foldLeft(padded) { (acc, it) =>
+        s"replace($acc, '|' || b$it.l || '|' || b$it.r || '|', '|' || b$it.l || b$it.r || '|')"
+      }
+      s"""
+      WITH ${bpeCtes(6)},
+      tok2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      enc AS (
+        SELECT doc_id, len(string_split(substr(w6, 2, length(w6) - 2), '|')) AS nsym
+        FROM (SELECT doc_id, $replaced AS w6
+              FROM tok2, b1, b2, b3, b4, b5, b6
+              WHERE length(token) > 0)),
+      sums AS (SELECT doc_id, CAST(SUM(nsym) AS BIGINT) AS n_bpe FROM enc GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(s.n_bpe, 0) AS BIGINT) AS n_bpe
+      FROM documents d LEFT JOIN sums s USING (doc_id)
+      ORDER BY doc_id"""
+    }),
 
     // -- deterministic training order: shard + in-shard position, both
     // pure functions of doc_id (Sampling.shardShuffle) --

@@ -620,4 +620,52 @@ class CurationOpsSpec extends SparkSpec {
     exact shouldBe dbl
     exact should not be empty
   }
+
+  test("bpeTrain reproduces the classic Sennrich example by hand") {
+    // low x5, lower x2, newest x6, widest x3 — pair counts give
+    // (e,s)=9 (tie with (s,t)=9, broken left-asc), then (es,t)=9,
+    // then (l,o)=7 (tie with (o,w), left-asc), then (lo,w)=7
+    val docs = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Curation.bpeTrain(docs, numMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    merges shouldBe Array(
+      (0L, "e", "s", 9L),
+      (1L, "es", "t", 9L),
+      (2L, "l", "o", 7L),
+      (3L, "lo", "w", 7L))
+  }
+
+  test("bpeSegmentWord applies trained merges; replace convention pinned") {
+    val merges = Array(Array("e", "s"), Array("es", "t"),
+      Array("l", "o"), Array("lo", "w"))
+    graft.functions.TextKernel.bpeSegmentWord("lowest", merges).toSeq shouldBe
+      Seq("low", "est")
+    graft.functions.TextKernel.bpeSegmentWord("widest", merges).toSeq shouldBe
+      Seq("w", "i", "d", "est")
+    // back-to-back repeats follow the left-to-right non-overlapping
+    // replace convention BOTH engines share (java String.replace ==
+    // SQL replace — '|a|a|a|a|' -> '|aa|a|a|', verified in DuckDB)
+    graft.functions.TextKernel.bpeSegmentWord("aaaa",
+      Array(Array("a", "a"))).toSeq shouldBe Seq("aa", "a", "a")
+    // encode count over a doc: empty tokens skipped
+    graft.functions.TextKernel.bpeTokenCount(
+      org.apache.spark.unsafe.types.UTF8String.fromString("lowest  widest"),
+      merges) shouldBe 6L
+  }
+
+  test("bpeTrain: maxVocab cap keeps the highest-tf words deterministically") {
+    val docs = Seq((1L, (Seq.fill(10)("aa") ++ Seq.fill(2)("zz")).mkString(" ")))
+      .toDF("doc_id", "text")
+    // cap to 1 word: only "aa" (tf 10) trains, so the single merge is (a,a,10)
+    val merges = Curation.bpeTrain(docs, numMerges = 1, maxVocab = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    merges shouldBe Array(("a", "a", 10L))
+    // numMerges beyond exhaustion stops early instead of looping
+    val all = Curation.bpeTrain(docs, numMerges = 50)
+    all.count() should be < 50L
+  }
 }
