@@ -494,6 +494,76 @@ object Curation {
       () => { pairs.unpersist(); labeled.unpersist(); audit.unpersist(); () })
   }
 
+  /** Stage handles of [[pipelineV7Stages]]: `keptIds` the narrow gated
+    * id set (the one eager cache, owned by `release()`), `merges` the
+    * driver-side trained BPE table (bounded by maxVocab — see
+    * [[bpeTrain]]), `encoded` per-kept-doc BPE token counts, `summary`
+    * the per-source rollup.
+    */
+  final case class PipelineV7Stages(
+      keptIds: DataFrame,
+      merges: Array[Array[String]],
+      encoded: DataFrame,
+      summary: DataFrame,
+      release: () => Unit)
+
+  /** The TOKENIZER composition: Gopher repetition gate
+    * ([[TextAnalysis.gopherRepetition]] — drop documents whose top
+    * bigram covers more than `maxTopBigramPpm` ppm of their
+    * characters) → train a BPE merge table on the CLEAN survivors
+    * ([[bpeTrain]] — repetition-heavy docs would otherwise dominate
+    * the pair counts and waste merges on boilerplate) → re-tokenize
+    * the survivors under the trained table
+    * ([[graft.functions.BpeTokenCount]], scan-side) → one row per
+    * source: docs seen / kept / dropped and total BPE tokens — the
+    * "what does my corpus cost under MY tokenizer" rollup.
+    *
+    * Stage discipline (the v3/v6 narrow-persist pattern): ONE eager
+    * cache, the gated id SET (never document text); the vocabulary
+    * scan and the encode scan each re-read the corpus and semi-join
+    * the ids. The merge table itself is driver-side but bounded by
+    * maxVocab — the documented collect class — and rides into the
+    * encode kernel as a reference object. Scale shape: gate and
+    * encode are zero-shuffle codegen projections; training is one
+    * vocab aggregate + the bounded driver loop; the summary is two
+    * source-keyed aggregates.
+    */
+  def pipelineV7Stages(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      srcCol: String = "source",
+      textCol: String = "text",
+      maxTopBigramPpm: Long = 100000L,
+      numMerges: Int = 6,
+      eager: Boolean = true): PipelineV7Stages = {
+    val ppm = TA.gopherRepetition(docs, idCol, textCol,
+      topNs = Seq(2), dupNs = Seq.empty)
+    val keptIds = ppm.filter(col("top2_ppm") <= maxTopBigramPpm)
+      .select(col(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (eager) keptIds.count()
+    val kept = docs.join(keptIds, Seq(idCol), "left_semi")
+    val merges = bpeTrain(kept, numMerges, idCol, textCol)
+      .orderBy("rank").collect()
+      .map(r => Array(r.getString(1), r.getString(2)))
+    val encoded = kept.select(col(idCol), col(srcCol),
+      org.apache.spark.sql.classic.GraftExpressionBridge.column(
+        graft.functions.BpeTokenCount(
+          org.apache.spark.sql.classic.GraftExpressionBridge.expression(col(textCol)),
+          merges)).as("n_bpe"))
+    val summary = docs.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(encoded.groupBy(col(srcCol))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_bpe")).as("bpe_tokens")),
+        Seq(srcCol), "left")
+      .select(col(srcCol), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+    PipelineV7Stages(keptIds, merges, encoded, summary,
+      () => { keptIds.unpersist(); () })
+  }
+
   /** Per-source boilerplate phrases: the distinct k-token n-grams that
     * appear in at least `minDocs` documents OF THE SAME SOURCE — the
     * header/footer/navigation text a site stamps on every page (the

@@ -90,7 +90,7 @@ object PipelineExtQueries {
     * non-overlapping). Exposes b1..b{n} (the merges) and w{n} (final
     * word states).
     */
-  private def bpeCtes(n: Int): String = {
+  private def bpeCtes(n: Int, from: String = "documents"): String = {
     val blocks = (1 to n).map { it =>
       val prev = s"w${it - 1}"
       s"""
@@ -110,7 +110,7 @@ object PipelineExtQueries {
         SELECT replace(w, '|' || b.l || '|' || b.r || '|', '|' || b.l || b.r || '|') AS w, tf
         FROM $prev, b$it b)"""
     }
-    s"""tok0 AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    s"""tok0 AS (SELECT unnest(string_split(text, ' ')) AS token FROM $from),
       v0 AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok0
              WHERE length(token) > 0 GROUP BY token),
       w0 AS (SELECT '|' || array_to_string(string_split(token, ''), '|') || '|' AS w, tf FROM v0),
@@ -1906,6 +1906,57 @@ object PipelineExtQueries {
       FROM base b LEFT JOIN kept k ON b.split = k.split
                   LEFT JOIN cps c ON b.split = c.split
       ORDER BY b.split""")),
+
+    // -- v7: the TOKENIZER composition — Gopher top-bigram repetition
+    // gate -> BPE training on the clean survivors -> re-tokenize under
+    // the trained table -> per-source docs/tokens rollup. The oracle
+    // re-derives the gate (integer ppm), every merge decision (the
+    // unrolled bpeCtes chain over the GATED corpus), and the encode
+    // replaces, end to end
+    QueryDef("curation_pipeline_v7", (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val st = graft.ops.Curation.pipelineV7Stages(docs)
+      Tables.materializeAndRelease(st.summary.orderBy("source"), st.release)
+    }, Some {
+      val encReplaced = (1 to 6).foldLeft(
+        "'|' || array_to_string(string_split(token, ''), '|') || '|'") { (acc, it) =>
+        s"replace($acc, '|' || b$it.l || '|' || b$it.r || '|', '|' || b$it.l || b$it.r || '|')"
+      }
+      s"""
+      WITH g2 AS (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text,' ')), 1)),
+          i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS g
+        FROM documents),
+      c2 AS (SELECT doc_id, g, count(*) AS c, length(g) AS lg
+             FROM g2 GROUP BY doc_id, g),
+      top2 AS (SELECT doc_id, c AS top_c, lg AS top_chars FROM (
+          SELECT doc_id, c, lg,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+          FROM c2) WHERE rn = 1),
+      kdocs AS (
+        SELECT d.* FROM documents d LEFT JOIN top2 t USING (doc_id)
+        WHERE COALESCE((t.top_c * t.top_chars * 1000000) // length(d.text), 0) <= 100000),
+      ${bpeCtes(6, "kdocs")},
+      ktok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM kdocs),
+      enc AS (
+        SELECT doc_id, len(string_split(substr(w6e, 2, length(w6e) - 2), '|')) AS nsym
+        FROM (SELECT doc_id, $encReplaced AS w6e
+              FROM ktok, b1, b2, b3, b4, b5, b6
+              WHERE length(token) > 0)),
+      dsum AS (SELECT doc_id, CAST(SUM(nsym) AS BIGINT) AS n_bpe FROM enc GROUP BY doc_id),
+      ksum AS (SELECT k.source, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(SUM(COALESCE(ds.n_bpe, 0)) AS BIGINT) AS bpe_tokens
+               FROM kdocs k LEFT JOIN dsum ds USING (doc_id) GROUP BY k.source),
+      allsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY source)
+      SELECT a.source, a.n_docs,
+        COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        a.n_docs - COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_dropped,
+        COALESCE(k.bpe_tokens, CAST(0 AS BIGINT)) AS bpe_tokens
+      FROM allsrc a LEFT JOIN ksum k USING (source)
+      ORDER BY a.source"""
+    }),
 
     QueryDef("curation_pipeline_v4", (s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")

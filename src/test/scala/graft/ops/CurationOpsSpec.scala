@@ -657,6 +657,37 @@ class CurationOpsSpec extends SparkSpec {
       merges) shouldBe 6L
   }
 
+  test("pipelineV7Stages: gate feeds training, merges reflect survivors only") {
+    // doc 3 is pure repetition ("spam spam ...") — its top bigram covers
+    // nearly all characters, so the gate drops it; were it kept, BPE
+    // would spend the first merges on s-p/sp-a/spa-m instead of the
+    // clean corpus's vocabulary
+    val docs = Seq(
+      (1L, "sa", (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")),
+      (2L, "sb", (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (3L, "sa", Seq.fill(40)("spam").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    // note these tiny docs are word-repetitious by construction, and
+    // the occurrence-mass ppm exceeds 1e6 under overlap: doc1 ~1.05e6,
+    // doc2 ~0.90e6, doc3 ~1.76e6 — the 1.2e6 gate separates them
+    val st = Curation.pipelineV7Stages(docs, maxTopBigramPpm = 1200000L,
+      numMerges = 4)
+    try {
+      st.keptIds.collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+      // trained on the CLEAN survivors -> the classic Sennrich merges
+      st.merges.map(m => (m(0), m(1))).toSeq shouldBe
+        Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+      val sum = st.summary.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      // sa: 2 docs, 1 kept (the spam doc dropped); newest/widest ->
+      // n,e,w,est / w,i,d,est = 4 symbols each
+      sum("sa") shouldBe ((2L, 1L, 1L, 6L * 4L + 3L * 4L))
+      // sb: low -> "low" 1 symbol, lower -> low,e,r 3 symbols
+      sum("sb") shouldBe ((1L, 1L, 0L, 5L * 1L + 2L * 3L))
+    } finally st.release()
+  }
+
   test("bpeTrain: maxVocab cap keeps the highest-tf words deterministically") {
     val docs = Seq((1L, (Seq.fill(10)("aa") ++ Seq.fill(2)("zz")).mkString(" ")))
       .toDF("doc_id", "text")
