@@ -751,12 +751,26 @@ object Curation {
     */
   def bpeTrain(docs: DataFrame, numMerges: Int,
                idCol: String = "doc_id", textCol: String = "text",
-               maxVocab: Int = 1 << 20): DataFrame = {
-    val spark = docs.sparkSession
+               maxVocab: Int = 1 << 20): DataFrame =
+    bpeTrainFromVocab(vocabulary(docs, idCol, textCol), numMerges, maxVocab)
+
+  /** [[bpeTrain]] from a STANDING (token, tf, ...) vocabulary table —
+    * the incremental-ingest form: maintain the dictionary with
+    * [[updateVocabulary]] as batches arrive (corpus history is never
+    * re-scanned), re-derive the merge table from the standing counts
+    * whenever the tokenizer should refresh. Because
+    * `vocabulary(A ∪ B) == updateVocabulary(vocabulary(A), B)` (the
+    * spec-pinned partial-aggregate identity), a refresh trained from
+    * the folded table is EXACTLY the table a from-scratch train over
+    * the full corpus would produce.
+    */
+  def bpeTrainFromVocab(vocab: DataFrame, numMerges: Int,
+                        maxVocab: Int = 1 << 20): DataFrame = {
+    val spark = vocab.sparkSession
     import org.apache.spark.unsafe.types.UTF8String
     def byteLt(a: String, b: String): Boolean =
       UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
-    val dict = vocabulary(docs, idCol, textCol)
+    val dict = vocab
       .orderBy(col("tf").desc, col("token"))
       .limit(maxVocab)
       .select("token", "tf").collect()
@@ -804,6 +818,22 @@ object Curation {
     import spark.implicits._
     out.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
+
+  /** Persist a trained merge table ([[bpeTrain]] output) as a standing
+    * table — the persisted-model pattern ([[Sampling.saveMixtureRecipe]],
+    * the minhash index): train once on the curated corpus, apply
+    * everywhere (batch or streaming) without retraining.
+    */
+  def saveBpeTable(merges: DataFrame, prefix: String): Unit =
+    merges.write.mode("overwrite").saveAsTable(s"${prefix}_bpe_merges")
+
+  /** Load a [[saveBpeTable]] merge table into the kernel-ready form
+    * (rank order). */
+  def loadBpeTable(spark: org.apache.spark.sql.SparkSession,
+                   prefix: String): Array[Array[String]] =
+    spark.table(s"${prefix}_bpe_merges")
+      .orderBy("rank").collect()
+      .map(r => Array(r.getString(1), r.getString(2)))
 
   /** Top-`topN` characteristic terms per document by idf-weighted term
     * frequency: score = tf × (N / df). The weighting is log-free so the

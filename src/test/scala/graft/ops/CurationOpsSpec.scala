@@ -688,6 +688,30 @@ class CurationOpsSpec extends SparkSpec {
     } finally st.release()
   }
 
+  test("bpeTrainFromVocab: incremental fold == from-scratch train; save/load round-trips") {
+    val a = Seq((1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val scratch = Curation.bpeTrain(a.union(b), numMerges = 4)
+      .orderBy("rank").collect().map(_.toSeq)
+    // standing vocabulary folded batch by batch, merges re-derived from it
+    val folded = Curation.bpeTrainFromVocab(
+        Curation.updateVocabulary(Curation.vocabulary(a), b), numMerges = 4)
+      .orderBy("rank").collect().map(_.toSeq)
+    folded shouldBe scratch
+    // persisted-model round trip
+    val merges = Curation.bpeTrain(a.union(b), numMerges = 4)
+    Curation.saveBpeTable(merges, "bpespec")
+    try {
+      val loaded = Curation.loadBpeTable(spark, "bpespec")
+      loaded.map(m => (m(0), m(1))).toSeq shouldBe
+        Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+      graft.functions.TextKernel.bpeSegmentWord("lowest", loaded).toSeq shouldBe
+        Seq("low", "est")
+    } finally spark.sql("DROP TABLE IF EXISTS bpespec_bpe_merges")
+  }
+
   test("bpeTrain: maxVocab cap keeps the highest-tf words deterministically") {
     val docs = Seq((1L, (Seq.fill(10)("aa") ++ Seq.fill(2)("zz")).mkString(" ")))
       .toDF("doc_id", "text")
