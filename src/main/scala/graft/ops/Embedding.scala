@@ -114,29 +114,101 @@ object Embedding {
     * capping only loses candidate mass, never inflates a cosine.
     * Output: (id_a, id_b, dot, norm_a, norm_b), id_a < id_b.
     */
+  /** A standing hashed-shingle count index: `v` the (id, d, c) sparse
+    * vectors, `norms` the per-doc squared norms (derived from `v`, so
+    * one cache covers both). `release()` owns the persist.
+    */
+  final case class ShingleTfIndex(v: DataFrame, norms: DataFrame,
+                                  release: () => Unit)
+
+  /** Build the sparse hashed-shingle index a corpus side of
+    * [[hashedShingleNearDup]]/[[hashedShingleNearDupIncremental]]
+    * queries against. The (id, bucket, count) frame persists eagerly
+    * (multi-consumer — see the Dedup inverted-index discipline);
+    * norms derive from the cached frame, never a second corpus scan.
+    */
+  def buildShingleTfIndex(df: DataFrame, idCol: String, textCol: String,
+                          dim: Int = 65536, k: Int = 3,
+                          persist: Boolean = true): ShingleTfIndex = {
+    val buckets = df.select(col(idCol).as("id"),
+      explode(fromExpr(graft.functions.ShingleBuckets(toExpr(col(textCol)), dim, k)))
+        .as("d"))
+    val v0 = buckets.groupBy(col("id"), col("d")).agg(count(lit(1)).as("c"))
+    val v = if (persist) {
+      val p = v0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    } else v0
+    val norms = v.groupBy(col("id")).agg(sum(col("c") * col("c")).as("nn"))
+    ShingleTfIndex(v, norms, () => { if (persist) v.unpersist(); () })
+  }
+
+  /** Persist a [[ShingleTfIndex]] as a catalog table BUCKETED BY the
+    * shingle bucket `d` — the incremental probe's join key, so a new
+    * batch joins the standing corpus WITHOUT reshuffling it (the
+    * minhash-index contract). Norms re-derive from the table on load.
+    */
+  def saveShingleTfIndex(index: ShingleTfIndex, prefix: String,
+                         buckets: Int = 16): Unit =
+    index.v.write.mode("overwrite")
+      .bucketBy(buckets, "d").saveAsTable(s"${prefix}_stf")
+
+  /** Load a [[saveShingleTfIndex]] index (unpersisted — the table scan
+    * IS the cache; release() is a no-op). */
+  def loadShingleTfIndex(spark: org.apache.spark.sql.SparkSession,
+                         prefix: String): ShingleTfIndex = {
+    val v = spark.table(s"${prefix}_stf")
+    ShingleTfIndex(v,
+      v.groupBy(col("id")).agg(sum(col("c") * col("c")).as("nn")),
+      () => ())
+  }
+
+  /** Incremental [[hashedShingleNearDup]]: near-dup pairs of a NEW
+    * batch against a standing corpus index — corpus history is never
+    * re-shingled, cost scales with |batch| + the touched index slice.
+    * `dfCap` applies to the CORPUS-side document frequency (hot-dim
+    * pruning is a property of the standing index, so a replayed batch
+    * meets the same candidate set). Same integer-exact cosine gate;
+    * output (id_new, id_corpus, dot, norm_new, norm_corpus).
+    */
+  def hashedShingleNearDupIncremental(batch: DataFrame, index: ShingleTfIndex,
+                                      idCol: String, textCol: String,
+                                      dim: Int = 65536, k: Int = 3,
+                                      tauSqNum: Long = 81L, tauSqDen: Long = 100L,
+                                      dfCap: Long = 1000L): DataFrame = {
+    val b = buildShingleTfIndex(batch, idCol, textCol, dim, k, persist = false)
+    val kept = index.v.groupBy(col("d")).agg(count(lit(1)).as("dfd"))
+      .filter(col("dfd") <= dfCap).select(col("d"))
+    val dots = index.v.join(kept, Seq("d"))
+      .select(col("d"), col("id").as("id_corpus"), col("c").as("cc"))
+      .join(b.v.select(col("d"), col("id").as("id_new"), col("c").as("cb")), Seq("d"))
+      .groupBy(col("id_new"), col("id_corpus"))
+      .agg(sum(col("cc") * col("cb")).as("dot"))
+    dots
+      .join(b.norms.select(col("id").as("id_new"), col("nn").as("norm_new")), Seq("id_new"))
+      .join(index.norms.select(col("id").as("id_corpus"), col("nn").as("norm_corpus")),
+        Seq("id_corpus"))
+      .filter(col("dot") * col("dot") * lit(tauSqDen) >=
+        lit(tauSqNum) * col("norm_new") * col("norm_corpus"))
+      .select(col("id_new"), col("id_corpus"), col("dot"),
+        col("norm_new"), col("norm_corpus"))
+  }
+
   def hashedShingleNearDup(df: DataFrame, idCol: String, textCol: String,
                            dim: Int = 65536, k: Int = 3,
                            tauSqNum: Long = 81L, tauSqDen: Long = 100L,
                            dfCap: Long = 1000L,
                            persistIndex: Boolean = true): DataFrame = {
     require(tauSqNum >= 0 && tauSqDen > 0, "tau² must be a nonneg rational")
-    val buckets = df.select(col(idCol).as("id"),
-      explode(fromExpr(graft.functions.ShingleBuckets(toExpr(col(textCol)), dim, k)))
-        .as("d"))
     // the (id, bucket, count) index feeds FOUR subtrees (norms, df cap,
-    // both sides of the candidate self-join) — persist it eagerly or
-    // Spark re-runs scan+kernel+aggregate per consumer (the Dedup
-    // inverted-index discipline; measured 4.6 → 1.9 s at sf0.1).
-    // Narrow (3 longs/row), bounded by Σ distinct shingles; released
-    // on clearCache (persistIndex=false opts out).
-    val v0 = buckets.groupBy(col("id"), col("d"))
-      .agg(count(lit(1)).as("c"))
-    val v = if (persistIndex) {
-      val p = v0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
-    } else v0
-    val norms = v.groupBy(col("id")).agg(sum(col("c") * col("c")).as("nn"))
+    // both sides of the candidate self-join) — buildShingleTfIndex
+    // persists it eagerly or Spark re-runs scan+kernel+aggregate per
+    // consumer (the Dedup inverted-index discipline; measured
+    // 4.6 → 1.9 s at sf0.1). Narrow (3 longs/row); released on
+    // clearCache (persistIndex=false opts out).
+    val idx = buildShingleTfIndex(df, idCol, textCol, dim, k, persist = persistIndex)
+    val v = idx.v
+    val norms = idx.norms
     val kept = v.groupBy(col("d")).agg(count(lit(1)).as("dfd"))
       .filter(col("dfd") <= dfCap).select(col("d"))
     val vk = v.join(kept, Seq("d"))

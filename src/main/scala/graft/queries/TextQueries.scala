@@ -879,6 +879,46 @@ object TextQueries {
       WHERE dd.dot * dd.dot * 100 >= 81 * na.nn * nb.nn
       ORDER BY id_a, id_b""")),
 
+    // -- incremental hashed near-dup: a NEW batch (odd ids) probes the
+    // standing even-id corpus index; corpus history is never
+    // re-shingled, dfCap is a property of the INDEX side, same
+    // integer-exact cosine gate
+    QueryDef("hash_neardup_incremental", (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val idx = graft.ops.Embedding.buildShingleTfIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        dim = 65536, k = 3)
+      graft.ops.Embedding.hashedShingleNearDupIncremental(
+          docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text",
+          dim = 65536, k = 3, tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L)
+        .orderBy("id_new", "id_corpus")
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+        FROM documents),
+      tb AS (SELECT doc_id,
+        CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 65536 AS BIGINT) AS d
+        FROM sh),
+      v AS (SELECT doc_id, d, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY doc_id, d),
+      cv AS (SELECT * FROM v WHERE doc_id % 2 = 0),
+      bv AS (SELECT * FROM v WHERE doc_id % 2 = 1),
+      norms AS (SELECT doc_id, CAST(SUM(c*c) AS BIGINT) AS nn FROM v GROUP BY doc_id),
+      kept AS (SELECT d FROM cv GROUP BY d HAVING count(*) <= 50),
+      dots AS (SELECT b.doc_id AS id_new, a.doc_id AS id_corpus,
+                 CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+               FROM (SELECT cv.* FROM cv JOIN kept USING (d)) a
+               JOIN (SELECT bv.* FROM bv JOIN kept USING (d)) b ON a.d = b.d
+               GROUP BY 1, 2)
+      SELECT dd.id_new, dd.id_corpus, dd.dot,
+        na.nn AS norm_new, nb.nn AS norm_corpus
+      FROM dots dd
+      JOIN norms na ON na.doc_id = dd.id_new
+      JOIN norms nb ON nb.doc_id = dd.id_corpus
+      WHERE dd.dot * dd.dot * 100 >= 81 * na.nn * nb.nn
+      ORDER BY id_new, id_corpus""")),
+
     // resize plumbing end-to-end: the stub codec writes an 8-byte (w,h)
     // big-endian header + the payload truncated/zero-padded to w*h, so
     // output length, decoded header, and body prefix are all exact.

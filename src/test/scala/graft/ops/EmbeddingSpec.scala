@@ -121,6 +121,66 @@ class EmbeddingSpec extends SparkSpec {
     out((1L, 4L)) shouldBe ((n1, n1, n1))
   }
 
+  test("incremental hashed near-dup == cross-parity slice of the full run") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "the quick brown fox jumps over the lazy dog tonight",
+      "completely different words in this one entirely",
+      "the quick brown fox jumps over the lazy dog today really",
+      "yet more unrelated filler content goes right here now")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val idx = Embedding.buildShingleTfIndex(corpus, "doc_id", "text",
+      dim = 65536, k = 3)
+    try {
+      val inc = Embedding.hashedShingleNearDupIncremental(batch, idx,
+          "doc_id", "text", dim = 65536, k = 3,
+          tauSqNum = 25L, tauSqDen = 100L, dfCap = 100L)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      // reference: the FULL self-run restricted to (odd, even) pairs
+      val full = Embedding.hashedShingleNearDup(docs, "doc_id", "text",
+          dim = 65536, k = 3, tauSqNum = 25L, tauSqDen = 100L, dfCap = 100L,
+          persistIndex = false)
+        .collect().flatMap { r =>
+          val (a, b, dot) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          if (a % 2 == 1 && b % 2 == 0) Some((a, b) -> dot)
+          else if (b % 2 == 1 && a % 2 == 0) Some((b, a) -> dot)
+          else None
+        }.toMap
+      inc shouldBe full
+      inc should not be empty
+    } finally idx.release()
+  }
+
+  test("shingleTf index save/load round-trips and serves the incremental probe") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different corpus document right here"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") === 1L)
+    val built = Embedding.buildShingleTfIndex(corpus, "doc_id", "text",
+      dim = 65536, k = 3)
+    try {
+      Embedding.saveShingleTfIndex(built, "stfspec")
+      val loaded = Embedding.loadShingleTfIndex(spark, "stfspec")
+      val viaBuilt = Embedding.hashedShingleNearDupIncremental(batch, built,
+        "doc_id", "text", tauSqNum = 25L, tauSqDen = 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val viaLoaded = Embedding.hashedShingleNearDupIncremental(batch, loaded,
+        "doc_id", "text", tauSqNum = 25L, tauSqDen = 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      viaLoaded shouldBe viaBuilt
+      viaBuilt should not be empty
+    } finally {
+      built.release()
+      spark.sql("DROP TABLE IF EXISTS stfspec_stf")
+    }
+  }
+
   test("hashedShingleNearDup: dfCap drops flooded buckets, never inflates") {
     // 30 docs all sharing one hot shingle + two true near-dups
     val hot = (10L until 40L).map(i => (i, s"common shared phrase unique$i tail$i"))
