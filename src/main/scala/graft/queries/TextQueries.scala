@@ -879,6 +879,34 @@ object TextQueries {
       WHERE dd.dot * dd.dot * 100 >= 81 * na.nn * nb.nn
       ORDER BY id_a, id_b""")),
 
+    // -- text -> hashTf -> IVF, end to end: similarity search over raw
+    // documents with NO model encoder and NO embedding column. The
+    // hashed count vectors carry real token structure (unlike the
+    // near-uniform synthetic embeddings), so IVF probe recall vs the
+    // exact scan is high — measured 0.75-0.90 across SFs; 0.5 leaves
+    // the standard safe margin
+    QueryDef("hash_embed_topk", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val e = graft.ops.Embedding.hashTfVectors(docs, "doc_id", "text", dim = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = e.filter(col("id") < 20)
+      val exact = Similarity.bruteForceTopK(q, e, k = 5)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.ivfTopK(q, e, k = 5)
+        .select("query_id", "neighbor_id")
+      val c = exact
+        .join(approx.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("total"), count(col("hit")).as("hits"),
+          countDistinct(col("query_id")).as("nq"))
+        .head()
+      e.unpersist()
+      Seq((c.getLong(2), 5L, c.getLong(1) >= 0.5 * c.getLong(0)))
+        .toDF("n_queries", "k", "recall_ok")
+    }, Some("""
+      SELECT (SELECT count(*) FROM documents WHERE doc_id < 20) AS n_queries,
+             CAST(5 AS BIGINT) AS k, true AS recall_ok""")),
+
     // -- incremental hashed near-dup: a NEW batch (odd ids) probes the
     // standing even-id corpus index; corpus history is never
     // re-shingled, dfCap is a property of the INDEX side, same
