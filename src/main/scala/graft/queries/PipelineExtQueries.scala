@@ -1907,6 +1907,55 @@ object PipelineExtQueries {
                   LEFT JOIN cps c ON b.split = c.split
       ORDER BY b.split""")),
 
+    // -- per-language BPE fertility (symbols per whitespace token, ppm)
+    // under the corpus-trained table — THE tokenizer-quality metric a
+    // mixture decision reads (a language the tokenizer fragments pays
+    // more sequence length per word). Integer end to end
+    QueryDef("bpe_fertility", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val merges = graft.ops.Curation.bpeTrain(docs, numMerges = 6)
+        .orderBy("rank").collect()
+        .map(r => Array(r.getString(1), r.getString(2)))
+      docs.select(col("lang"),
+          org.apache.spark.sql.classic.GraftExpressionBridge.column(
+            graft.functions.BpeTokenCount(
+              org.apache.spark.sql.classic.GraftExpressionBridge.expression(col("text")),
+              merges)).as("n_bpe"),
+          TA.tokenCount(col("text")).cast("long").as("n_ws"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("bpe_tokens"),
+          sum(col("n_ws")).as("ws_tokens"))
+        .select(col("lang"), col("n_docs"), col("bpe_tokens"), col("ws_tokens"),
+          expr("bpe_tokens * 1000000L DIV ws_tokens").as("fertility_ppm"))
+        .orderBy("lang")
+    }, Some {
+      val encReplaced = (1 to 6).foldLeft(
+        "'|' || array_to_string(string_split(token, ''), '|') || '|'") { (acc, it) =>
+        s"replace($acc, '|' || b$it.l || '|' || b$it.r || '|', '|' || b$it.l || b$it.r || '|')"
+      }
+      s"""
+      WITH ${bpeCtes(6)},
+      ltok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      enc AS (
+        SELECT doc_id, lang, len(string_split(substr(w6e, 2, length(w6e) - 2), '|')) AS nsym
+        FROM (SELECT doc_id, lang, $encReplaced AS w6e
+              FROM ltok, b1, b2, b3, b4, b5, b6
+              WHERE length(token) > 0)),
+      dsum AS (SELECT doc_id, lang, CAST(SUM(nsym) AS BIGINT) AS n_bpe
+               FROM enc GROUP BY doc_id, lang),
+      ws AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+             FROM documents)
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(COALESCE(ds.n_bpe, 0)) AS BIGINT) AS bpe_tokens,
+        CAST(SUM(w.n_ws) AS BIGINT) AS ws_tokens,
+        (CAST(SUM(COALESCE(ds.n_bpe, 0)) AS BIGINT) * 1000000) // CAST(SUM(w.n_ws) AS BIGINT) AS fertility_ppm
+      FROM documents d
+      LEFT JOIN dsum ds USING (doc_id)
+      JOIN ws w ON w.doc_id = d.doc_id
+      GROUP BY d.lang ORDER BY d.lang"""
+    }),
+
     // -- v7: the TOKENIZER composition — Gopher top-bigram repetition
     // gate -> BPE training on the clean survivors -> re-tokenize under
     // the trained table -> per-source docs/tokens rollup. The oracle
