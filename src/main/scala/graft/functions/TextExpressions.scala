@@ -270,10 +270,19 @@ object TextKernel {
     * `replace("|l|r|" → "|lr|")` — the EXACT string semantics the
     * trainer (and its SQL oracle) used, so encoding a fresh word
     * reproduces the segmentation the training state reached.
+    *
+    * Delimiter contract: '|' is the symbol separator, so a word
+    * CONTAINING '|' cannot ride the replace pipeline (phantom empty
+    * symbols). Such words return their raw codepoints unmerged — a
+    * total, conservative answer that matches the trainer, which
+    * excludes '|'-carrying tokens from the dictionary (no merge can
+    * ever target them).
     */
   def bpeSegmentWord(word: String, merges: Array[Array[String]]): Array[String] = {
     val cps = word.codePoints().toArray
     if (cps.isEmpty) return Array.empty[String]
+    if (word.indexOf('|') >= 0)
+      return cps.map(cp => new String(Character.toChars(cp)))
     val sb = new java.lang.StringBuilder("|")
     var i = 0
     while (i < cps.length) {
@@ -324,6 +333,12 @@ object TextKernel {
     * no vocabulary state, so the output plugs straight into the
     * (id, vec) ANN stack. Keep `dim` small (≤ ~1024) — the output is
     * dense; the sparse large-dim path is [[shingleBuckets]].
+    *
+    * EMPTY shingles (only possible at k=1: the empty tokens the
+    * `split(" ", -1)` contract keeps) are SKIPPED — otherwise every
+    * empty or trailing-space document would share phantom mass at
+    * md5("")'s bucket and empty docs would be mutual cosine-1.0
+    * neighbors (the [[bpeTokenCount]] convention).
     */
   def hashTf(text: UTF8String, dim: Int, k: Int): ArrayData = {
     val toks = text.toString.split(" ", -1)
@@ -340,7 +355,7 @@ object TextKernel {
           sb.append(toks(i + j))
           j += 1
         }
-        out(md5Bucket(md, sb.toString, dim)) += 1.0
+        if (sb.length > 0) out(md5Bucket(md, sb.toString, dim)) += 1.0
         i += 1
       }
     }
@@ -351,13 +366,15 @@ object TextKernel {
     * (non-distinct, in order) — the SPARSE hashed-TF stream for large
     * `dim`: explode → groupBy (id, bucket) gives exact per-bucket
     * counts without materializing a dim-wide dense array per row.
+    * Empty shingles skipped (the [[hashTf]] convention; only possible
+    * at k=1).
     */
   def shingleBuckets(text: UTF8String, dim: Int, k: Int): ArrayData = {
     val toks = text.toString.split(" ", -1)
     if (toks.length < k) return new GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
     val sb = new java.lang.StringBuilder
-    val out = new Array[Any](toks.length - k + 1)
+    val out = new java.util.ArrayList[Any](toks.length - k + 1)
     var i = 0
     while (i + k <= toks.length) {
       sb.setLength(0)
@@ -367,10 +384,10 @@ object TextKernel {
         sb.append(toks(i + j))
         j += 1
       }
-      out(i) = md5Bucket(md, sb.toString, dim).toLong
+      if (sb.length > 0) out.add(md5Bucket(md, sb.toString, dim).toLong)
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
 }
 

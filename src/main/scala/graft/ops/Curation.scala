@@ -543,9 +543,7 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (eager) keptIds.count()
     val kept = docs.join(keptIds, Seq(idCol), "left_semi")
-    val merges = bpeTrain(kept, numMerges, idCol, textCol)
-      .orderBy("rank").collect()
-      .map(r => Array(r.getString(1), r.getString(2)))
+    val merges = collectMerges(bpeTrain(kept, numMerges, idCol, textCol))
     val encoded = kept.select(col(idCol), col(srcCol),
       org.apache.spark.sql.classic.GraftExpressionBridge.column(
         graft.functions.BpeTokenCount(
@@ -770,7 +768,13 @@ object Curation {
     import org.apache.spark.unsafe.types.UTF8String
     def byteLt(a: String, b: String): Boolean =
       UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    // delimiter contract: '|' separates symbols in the word-state
+    // strings, so '|'-carrying tokens cannot ride the replace pipeline
+    // — exclude them from the dictionary (the oracle mirrors with
+    // NOT LIKE '%|%'; [[graft.functions.TextKernel.bpeSegmentWord]]
+    // returns such words' raw codepoints, so no merge targets them)
     val dict = vocab
+      .filter(!col("token").contains("|"))
       .orderBy(col("tf").desc, col("token"))
       .limit(maxVocab)
       .select("token", "tf").collect()
@@ -827,13 +831,19 @@ object Curation {
   def saveBpeTable(merges: DataFrame, prefix: String): Unit =
     merges.write.mode("overwrite").saveAsTable(s"${prefix}_bpe_merges")
 
+  /** Collect a merge table into the kernel-ready rank-ordered form —
+    * the ONE place that knows [[bpeTrain]]'s output column positions
+    * (rank, left_sym, right_sym, pair_count). Bounded by numMerges.
+    */
+  def collectMerges(merges: DataFrame): Array[Array[String]] =
+    merges.orderBy("rank").collect()
+      .map(r => Array(r.getString(1), r.getString(2)))
+
   /** Load a [[saveBpeTable]] merge table into the kernel-ready form
     * (rank order). */
   def loadBpeTable(spark: org.apache.spark.sql.SparkSession,
                    prefix: String): Array[Array[String]] =
-    spark.table(s"${prefix}_bpe_merges")
-      .orderBy("rank").collect()
-      .map(r => Array(r.getString(1), r.getString(2)))
+    collectMerges(spark.table(s"${prefix}_bpe_merges"))
 
   /** Top-`topN` characteristic terms per document by idf-weighted term
     * frequency: score = tf × (N / df). The weighting is log-free so the

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-generation plumbing for retrieval/RAG ingestion: chunk →
@@ -96,24 +96,6 @@ object Embedding {
     df.select(col(idCol).as("id"),
       fromExpr(graft.functions.HashTfVec(toExpr(col(textCol)), dim, k)).as("vec"))
 
-  /** Near-duplicate pairs by cosine over hashed k-shingle counts — the
-    * inverted-index sparse-cosine tier, INTEGER-EXACT end to end:
-    * cosine(a,b) ≥ τ is decided as `dot²·tauSqDen ≥ tauSqNum·∥a∥²·∥b∥²`
-    * where dot and both squared norms are exact long shingle-count
-    * sums (no square root, no float boundary — the last-ulp-proof
-    * discipline of the other gates).
-    *
-    * Scale shape: per-position buckets stream from the scan-side
-    * [[graft.functions.ShingleBuckets]] kernel; counts, norms and the
-    * candidate self-join are keyed linear shuffles on (id, bucket) /
-    * bucket / id. `dfCap` drops buckets shared by more than `dfCap`
-    * documents BEFORE the self-join (the [[Dedup]] inverted-index
-    * discipline), structurally bounding join fan-out to
-    * Σ_kept C(df,2) ≤ #buckets·dfCap² — hot boilerplate shingles can
-    * never go quadratic. Norms are over the FULL vector (uncapped), so
-    * capping only loses candidate mass, never inflates a cosine.
-    * Output: (id_a, id_b, dot, norm_a, norm_b), id_a < id_b.
-    */
   /** A standing hashed-shingle count index: `v` the (id, d, c) sparse
     * vectors, `norms` the per-doc squared norms (derived from `v`, so
     * one cache covers both). `release()` owns the persist.
@@ -171,29 +153,70 @@ object Embedding {
     * meets the same candidate set). Same integer-exact cosine gate;
     * output (id_new, id_corpus, dot, norm_new, norm_corpus).
     */
+  /** The integer cosine-≥-τ gate, overflow-safe: the comparands are
+    * exact integer products carried in decimal(38,0) — dot ≤ 10⁹-
+    * shingle documents stay within 38 digits with room to spare,
+    * where the former long form wrapped past ~3·10⁹ dot mass (and
+    * Spark wraps silently while DuckDB errors — the one divergence
+    * class an "integer-exact" gate cannot carry). The DuckDB oracles
+    * mirror with HUGEINT casts (int128 ⊃ decimal(38,0) range).
+    */
+  private def cosineGate(dot: Column, tauSqNum: Long, tauSqDen: Long,
+                         normA: Column, normB: Column): Column = {
+    val dec = "decimal(38,0)"
+    dot.cast(dec) * dot.cast(dec) * lit(tauSqDen).cast(dec) >=
+      lit(tauSqNum).cast(dec) * normA.cast(dec) * normB.cast(dec)
+  }
+
   def hashedShingleNearDupIncremental(batch: DataFrame, index: ShingleTfIndex,
                                       idCol: String, textCol: String,
                                       dim: Int = 65536, k: Int = 3,
                                       tauSqNum: Long = 81L, tauSqDen: Long = 100L,
-                                      dfCap: Long = 1000L): DataFrame = {
-    val b = buildShingleTfIndex(batch, idCol, textCol, dim, k, persist = false)
+                                      dfCap: Long = 1000L,
+                                      persistBatch: Boolean = true): DataFrame = {
+    // the batch index feeds TWO subtrees (the dot join and its norms) —
+    // same multi-consumer persist rationale as the corpus side; owned
+    // by the clearCache-per-query harness (persistBatch=false opts out)
+    val b = buildShingleTfIndex(batch, idCol, textCol, dim, k, persist = persistBatch)
     val kept = index.v.groupBy(col("d")).agg(count(lit(1)).as("dfd"))
       .filter(col("dfd") <= dfCap).select(col("d"))
     val dots = index.v.join(kept, Seq("d"))
       .select(col("d"), col("id").as("id_corpus"), col("c").as("cc"))
       .join(b.v.select(col("d"), col("id").as("id_new"), col("c").as("cb")), Seq("d"))
+      // a replayed batch may contain ids the index already absorbed —
+      // a self-pair is cosine 1.0 by construction and must not be
+      // reported as a near-duplicate (the minhashLshIncremental rule)
+      .filter(col("id_new") =!= col("id_corpus"))
       .groupBy(col("id_new"), col("id_corpus"))
       .agg(sum(col("cc") * col("cb")).as("dot"))
     dots
       .join(b.norms.select(col("id").as("id_new"), col("nn").as("norm_new")), Seq("id_new"))
       .join(index.norms.select(col("id").as("id_corpus"), col("nn").as("norm_corpus")),
         Seq("id_corpus"))
-      .filter(col("dot") * col("dot") * lit(tauSqDen) >=
-        lit(tauSqNum) * col("norm_new") * col("norm_corpus"))
+      .filter(cosineGate(col("dot"), tauSqNum, tauSqDen,
+        col("norm_new"), col("norm_corpus")))
       .select(col("id_new"), col("id_corpus"), col("dot"),
         col("norm_new"), col("norm_corpus"))
   }
 
+  /** Near-duplicate pairs by cosine over hashed k-shingle counts — the
+    * inverted-index sparse-cosine tier, INTEGER-EXACT end to end:
+    * cosine(a,b) ≥ τ is decided as `dot²·tauSqDen ≥ tauSqNum·∥a∥²·∥b∥²`
+    * over exact integer shingle-count products (decimal(38,0) carried,
+    * overflow-safe — see [[cosineGate]]; no square root, no float
+    * boundary — the last-ulp-proof discipline of the other gates).
+    *
+    * Scale shape: per-position buckets stream from the scan-side
+    * [[graft.functions.ShingleBuckets]] kernel; counts, norms and the
+    * candidate self-join are keyed linear shuffles on (id, bucket) /
+    * bucket / id. `dfCap` drops buckets shared by more than `dfCap`
+    * documents BEFORE the self-join (the [[Dedup]] inverted-index
+    * discipline), structurally bounding join fan-out to
+    * Σ_kept C(df,2) ≤ #buckets·dfCap² — hot boilerplate shingles can
+    * never go quadratic. Norms are over the FULL vector (uncapped), so
+    * capping only loses candidate mass, never inflates a cosine.
+    * Output: (id_a, id_b, dot, norm_a, norm_b), id_a < id_b.
+    */
   def hashedShingleNearDup(df: DataFrame, idCol: String, textCol: String,
                            dim: Int = 65536, k: Int = 3,
                            tauSqNum: Long = 81L, tauSqDen: Long = 100L,
@@ -220,8 +243,8 @@ object Embedding {
     dots
       .join(norms.select(col("id").as("id_a"), col("nn").as("norm_a")), Seq("id_a"))
       .join(norms.select(col("id").as("id_b"), col("nn").as("norm_b")), Seq("id_b"))
-      .filter(col("dot") * col("dot") * lit(tauSqDen) >=
-        lit(tauSqNum) * col("norm_a") * col("norm_b"))
+      .filter(cosineGate(col("dot"), tauSqNum, tauSqDen,
+        col("norm_a"), col("norm_b")))
       .select(col("id_a"), col("id_b"), col("dot"), col("norm_a"), col("norm_b"))
   }
 }

@@ -112,7 +112,7 @@ object PipelineExtQueries {
     }
     s"""tok0 AS (SELECT unnest(string_split(text, ' ')) AS token FROM $from),
       v0 AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok0
-             WHERE length(token) > 0 GROUP BY token),
+             WHERE length(token) > 0 AND token NOT LIKE '%|%' GROUP BY token),
       w0 AS (SELECT '|' || array_to_string(string_split(token, ''), '|') || '|' AS w, tf FROM v0),
       ${blocks.mkString(",")}"""
   }
@@ -863,9 +863,8 @@ object PipelineExtQueries {
     // every token
     QueryDef("bpe_encode", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val merges = graft.ops.Curation.bpeTrain(docs, numMerges = 6)
-        .orderBy("rank").collect()
-        .map(r => Array(r.getString(1), r.getString(2)))
+      val merges = graft.ops.Curation.collectMerges(
+        graft.ops.Curation.bpeTrain(docs, numMerges = 6))
       docs.select(col("doc_id"),
           org.apache.spark.sql.classic.GraftExpressionBridge.column(
             graft.functions.BpeTokenCount(
@@ -1913,9 +1912,8 @@ object PipelineExtQueries {
     // more sequence length per word). Integer end to end
     QueryDef("bpe_fertility", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val merges = graft.ops.Curation.bpeTrain(docs, numMerges = 6)
-        .orderBy("rank").collect()
-        .map(r => Array(r.getString(1), r.getString(2)))
+      val merges = graft.ops.Curation.collectMerges(
+        graft.ops.Curation.bpeTrain(docs, numMerges = 6))
       docs.select(col("lang"),
           org.apache.spark.sql.classic.GraftExpressionBridge.column(
             graft.functions.BpeTokenCount(

@@ -46,15 +46,19 @@ object TextQueries {
     * top-k must clear a safe-margin threshold.
     */
   private def annRecallRow(s: org.apache.spark.sql.SparkSession, dir: String,
-      minRecall: Double = 0.4)
+      minRecall: Double = 0.4,
+      vectors: Option[org.apache.spark.sql.DataFrame] = None)
       (ann: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
         org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    // the vector frame feeds brute force + the ANN op (and, for IVF,
+    // the (id, vec) frame feeds brute force + the ANN op (and, for IVF,
     // every Lloyd training pass) — persist the one small projection
-    // instead of re-scanning parquet per consumer
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec"))
+    // instead of re-computing it per consumer. Default source: the
+    // embeddings table; pass `vectors` for any other (id, vec) frame
+    // (e.g. hashTfVectors over documents).
+    val e = vectors.getOrElse(
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = e.filter(col("id") < 20)
     val exact = Similarity.bruteForceTopK(q, e, k = 5).select("query_id", "neighbor_id")
@@ -843,7 +847,8 @@ object TextQueries {
       SELECT doc_id,
         CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64 AS BIGINT) AS dim,
         CAST(count(*) AS BIGINT) AS cnt
-      FROM tok GROUP BY doc_id, dim ORDER BY doc_id, dim""")),
+      FROM tok WHERE length(t) > 0
+      GROUP BY doc_id, dim ORDER BY doc_id, dim""")),
 
     // -- sparse-cosine near-dup over hashed 3-shingle counts, integer-
     // exact (dot² · 100 >= 81 · ∥a∥² · ∥b∥², all long shingle counts —
@@ -876,7 +881,8 @@ object TextQueries {
       FROM dots dd
       JOIN norms na ON na.doc_id = dd.id_a
       JOIN norms nb ON nb.doc_id = dd.id_b
-      WHERE dd.dot * dd.dot * 100 >= 81 * na.nn * nb.nn
+      WHERE CAST(dd.dot AS HUGEINT) * CAST(dd.dot AS HUGEINT) * 100
+            >= 81 * CAST(na.nn AS HUGEINT) * CAST(nb.nn AS HUGEINT)
       ORDER BY id_a, id_b""")),
 
     // -- text -> hashTf -> IVF, end to end: similarity search over raw
@@ -885,25 +891,12 @@ object TextQueries {
     // near-uniform synthetic embeddings), so IVF probe recall vs the
     // exact scan is high — measured 0.75-0.90 across SFs; 0.5 leaves
     // the standard safe margin
-    QueryDef("hash_embed_topk", (s, dir) => {
-      import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-      val e = graft.ops.Embedding.hashTfVectors(docs, "doc_id", "text", dim = 64)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val q = e.filter(col("id") < 20)
-      val exact = Similarity.bruteForceTopK(q, e, k = 5)
-        .select("query_id", "neighbor_id")
-      val approx = Similarity.ivfTopK(q, e, k = 5)
-        .select("query_id", "neighbor_id")
-      val c = exact
-        .join(approx.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
-        .agg(count(lit(1)).as("total"), count(col("hit")).as("hits"),
-          countDistinct(col("query_id")).as("nq"))
-        .head()
-      e.unpersist()
-      Seq((c.getLong(2), 5L, c.getLong(1) >= 0.5 * c.getLong(0)))
-        .toDF("n_queries", "k", "recall_ok")
-    }, Some("""
+    QueryDef("hash_embed_topk", (s, dir) =>
+      annRecallRow(s, dir, minRecall = 0.5,
+        vectors = Some(graft.ops.Embedding.hashTfVectors(
+          Tables.load(s, dir, "documents"), "doc_id", "text", dim = 64)))(
+        (q, e) => Similarity.ivfTopK(q, e, k = 5)),
+      Some("""
       SELECT (SELECT count(*) FROM documents WHERE doc_id < 20) AS n_queries,
              CAST(5 AS BIGINT) AS k, true AS recall_ok""")),
 
@@ -944,7 +937,8 @@ object TextQueries {
       FROM dots dd
       JOIN norms na ON na.doc_id = dd.id_new
       JOIN norms nb ON nb.doc_id = dd.id_corpus
-      WHERE dd.dot * dd.dot * 100 >= 81 * na.nn * nb.nn
+      WHERE CAST(dd.dot AS HUGEINT) * CAST(dd.dot AS HUGEINT) * 100
+            >= 81 * CAST(na.nn AS HUGEINT) * CAST(nb.nn AS HUGEINT)
       ORDER BY id_new, id_corpus""")),
 
     // resize plumbing end-to-end: the stub codec writes an 8-byte (w,h)

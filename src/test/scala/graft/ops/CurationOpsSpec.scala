@@ -651,6 +651,16 @@ class CurationOpsSpec extends SparkSpec {
     // SQL replace — '|a|a|a|a|' -> '|aa|a|a|', verified in DuckDB)
     graft.functions.TextKernel.bpeSegmentWord("aaaa",
       Array(Array("a", "a"))).toSeq shouldBe Seq("aa", "a", "a")
+    // delimiter contract: a '|'-carrying word returns raw codepoints
+    // unmerged (the trainer excludes such tokens, so no merge can
+    // target them) — total, no phantom empty symbols
+    graft.functions.TextKernel.bpeSegmentWord("a|b",
+      Array(Array("a", "b"))).toSeq shouldBe Seq("a", "|", "b")
+    // and the trainer ignores '|' tokens entirely
+    val pipey = Seq((1L, "a|b a|b a|b aa aa aa aa")).toDF("doc_id", "text")
+    val m = Curation.bpeTrain(pipey, numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    m.toSeq shouldBe Seq(("a", "a"))
     // encode count over a doc: empty tokens skipped
     graft.functions.TextKernel.bpeTokenCount(
       org.apache.spark.unsafe.types.UTF8String.fromString("lowest  widest"),

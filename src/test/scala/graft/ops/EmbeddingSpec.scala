@@ -83,9 +83,9 @@ class EmbeddingSpec extends SparkSpec {
     got(1L).sum shouldBe 4.0 // four tokens, counts preserved
     got(1L)(md5BucketRef("a", 16)) shouldBe 2.0
     got(1L)(md5BucketRef("b", 16)) should be >= 1.0
-    // empty text still tokenizes to one empty token (split contract)
-    got(2L).sum shouldBe 1.0
-    got(2L)(md5BucketRef("", 16)) should be >= 1.0
+    // empty tokens are SKIPPED (phantom-mass rule): an empty document
+    // gets the zero vector, never shared mass at md5("")'s bucket
+    got(2L).sum shouldBe 0.0
     got(3L)(md5BucketRef("zz", 16)) should be >= 1.0
     // shingle mode: k=2 over 4 tokens = 3 shingles
     val g2 = Embedding.hashTfVectors(docs, "doc_id", "text", dim = 16, k = 2)
@@ -179,6 +179,37 @@ class EmbeddingSpec extends SparkSpec {
       built.release()
       spark.sql("DROP TABLE IF EXISTS stfspec_stf")
     }
+  }
+
+  test("incremental near-dup: replayed ids already in the index yield no self-pair") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different corpus document right here"))
+      .toDF("doc_id", "text")
+    val idx = Embedding.buildShingleTfIndex(docs, "doc_id", "text",
+      dim = 65536, k = 3)
+    try {
+      // the batch IS a slice of the indexed corpus (a replay)
+      val out = Embedding.hashedShingleNearDupIncremental(
+          docs.filter(col("doc_id") === 0L), idx, "doc_id", "text",
+          tauSqNum = 25L, tauSqDen = 100L)
+        .collect()
+      out shouldBe empty // the only candidate is the identity pair
+    } finally idx.release()
+  }
+
+  test("integer cosine gate survives norms past the Long-overflow line") {
+    // two identical docs of 60k repeated shingles: norm ≈ 3.6e9·k²,
+    // dot = norm, so dot²·100 ≈ 1e21 — far past Long.MaxValue (9.2e18).
+    // The decimal(38,0) gate must still classify them as duplicates
+    // (cosine exactly 1.0) instead of wrapping.
+    val big = (Seq.fill(60000)("w") :+ "tail").mkString(" ")
+    val docs = Seq((1L, big), (2L, big)).toDF("doc_id", "text")
+    val out = Embedding.hashedShingleNearDup(docs, "doc_id", "text",
+        dim = 65536, k = 3, tauSqNum = 81L, tauSqDen = 100L,
+        dfCap = 100L, persistIndex = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.toSeq shouldBe Seq((1L, 2L))
   }
 
   test("hashedShingleNearDup: dfCap drops flooded buckets, never inflates") {
