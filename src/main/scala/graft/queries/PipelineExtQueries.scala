@@ -1906,6 +1906,59 @@ object PipelineExtQueries {
                   LEFT JOIN cps c ON b.split = c.split
       ORDER BY b.split""")),
 
+    // -- per-source SCORECARD: the "which sources should I buy more
+    // of" rollup — docs, corpus-wide exact-duplicate membership,
+    // integer quality mass, Gopher repetition failures — one row per
+    // source, every number an exact integer
+    QueryDef("source_scorecard", (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val stats2 = org.apache.spark.sql.classic.GraftExpressionBridge.column(
+        graft.functions.NgramCharStats(
+          org.apache.spark.sql.classic.GraftExpressionBridge.expression(col("text")), 2))
+      val base = docs.select(col("doc_id"), col("source"),
+          md5(col("text")).as("fp"),
+          TA.qualityScoreQ(col("text")).as("q"),
+          length(col("text")).cast("long").as("doc_chars"),
+          stats2.as("s2"))
+        .select(col("doc_id"), col("source"), col("fp"), col("q"),
+          when(col("doc_chars") > 0,
+            expr("element_at(s2, 1) * element_at(s2, 2) * 1000000L DIV doc_chars"))
+            .otherwise(lit(0L)).as("top2_ppm"))
+      val dupFps = base.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("fp"))
+      val flagged = base.join(dupFps.withColumn("is_dup", lit(1)), Seq("fp"), "left")
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("is_dup")).as("n_dup_docs"),
+          sum(col("q")).as("sum_q"),
+          sum(when(col("top2_ppm") > 100000L, 1L).otherwise(0L)).as("n_rep_fail"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH g2 AS (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text,' ')), 1)),
+          i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS g
+        FROM documents),
+      c2 AS (SELECT doc_id, g, count(*) AS c, length(g) AS lg
+             FROM g2 GROUP BY doc_id, g),
+      top2 AS (SELECT doc_id, c AS top_c, lg AS top_chars FROM (
+          SELECT doc_id, c, lg,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+          FROM c2) WHERE rn = 1),
+      base AS (
+        SELECT d.doc_id, d.source, md5(d.text) AS fp,
+          ${qualityQSql("d.text")} AS q,
+          COALESCE(CASE WHEN length(d.text) > 0
+            THEN (t.top_c * t.top_chars * 1000000) // length(d.text) END, 0) AS top2_ppm
+        FROM documents d LEFT JOIN top2 t USING (doc_id)),
+      dupfp AS (SELECT fp FROM base GROUP BY fp HAVING count(*) >= 2)
+      SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN dupfp.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        CAST(SUM(b.q) AS BIGINT) AS sum_q,
+        CAST(SUM(CASE WHEN b.top2_ppm > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_fail
+      FROM base b LEFT JOIN dupfp ON b.fp = dupfp.fp
+      GROUP BY b.source ORDER BY b.source""")),
+
     // -- per-language BPE fertility (symbols per whitespace token, ppm)
     // under the corpus-trained table — THE tokenizer-quality metric a
     // mixture decision reads (a language the tokenizer fragments pays
