@@ -314,6 +314,16 @@ object TextKernel {
     total
   }
 
+  /** Unicode NFC normalization (canonical composition) — Spark has no
+    * builtin; `java.text.Normalizer` implements the same Unicode
+    * algorithm DuckDB's `nfc_normalize` does, so canonicalized text
+    * md5-compares across engines (spec- and oracle-pinned on planted
+    * combining marks).
+    */
+  def normalizeNfc(text: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFC))
+
   private def md5Bucket(md: java.security.MessageDigest, s: String, dim: Int): Int = {
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -464,6 +474,20 @@ final case class NgramCharStats(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.ngramCharStats($t, $n)")
   override protected def withNewChildInternal(newChild: Expression): NgramCharStats =
+    copy(child = newChild)
+}
+
+/** StringType Unicode-NFC normalization of a document (see
+  * [[TextKernel.normalizeNfc]]). Null yields null.
+  */
+final case class NormalizeNfc(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_nfc"
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.normalizeNfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.normalizeNfc($t)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeNfc =
     copy(child = newChild)
 }
 

@@ -236,6 +236,24 @@ object TextAnalysis {
     * no groupBy, no window — at 100 TB this runs at scan speed with
     * map-side-only tasks.
     */
+  /** Unicode NFC normalization of one column — the canonicalization
+    * every exact-hash stage (fingerprints, exact dedup, span hashing)
+    * should run FIRST on real web text, where "café" arrives both
+    * precomposed (U+00E9) and decomposed (e + U+0301) and would
+    * otherwise hash apart. Codegen kernel; zero shuffles.
+    */
+  def normalizeNfc(c: Column): Column =
+    org.apache.spark.sql.classic.GraftExpressionBridge.column(
+      graft.functions.NormalizeNfc(
+        org.apache.spark.sql.classic.GraftExpressionBridge.expression(c)))
+
+  /** Canonical text: NFC → collapse space runs → trim. The normal form
+    * to fingerprint/dedup on; every step is engine-portable
+    * (DuckDB: nfc_normalize + the same regex + trim).
+    */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(normalizeNfc(c), " +", " "))
+
   def gopherRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topNs: Seq[Int] = Seq(2, 3, 4),
       dupNs: Seq[Int] = Seq(5, 10)): org.apache.spark.sql.DataFrame = {

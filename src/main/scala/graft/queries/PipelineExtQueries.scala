@@ -1906,6 +1906,29 @@ object PipelineExtQueries {
                   LEFT JOIN cps c ON b.split = c.split
       ORDER BY b.split""")),
 
+    // -- Unicode canonicalization: the corpus is ASCII, so (like
+    // text_redact's planted PII) each doc gets a planted decomposed
+    // suffix — "caf" + e + COMBINING ACUTE (U+0301) + doubled spaces —
+    // and both engines must canonicalize to the identical md5 (NFC
+    // composes to U+00E9, space runs collapse, ends trim)
+    QueryDef("text_normalize", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val planted = concat(col("text"), lit("  caf"), lit("e\u0301"), lit(" "))
+      docs.select(col("doc_id"),
+          md5(TA.canonicalText(planted)).as("canon_md5"),
+          (TA.canonicalText(planted) =!= planted).as("changed"),
+          length(TA.canonicalText(planted)).cast("long").as("canon_len"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH planted AS (
+        SELECT doc_id, text || '  caf' || 'e' || chr(769) || ' ' AS p FROM documents),
+      canon AS (
+        SELECT doc_id, trim(regexp_replace(nfc_normalize(p), ' +', ' ', 'g')) AS c, p
+        FROM planted)
+      SELECT doc_id, md5(c) AS canon_md5, c != p AS changed,
+        CAST(length(c) AS BIGINT) AS canon_len
+      FROM canon ORDER BY doc_id""")),
+
     // -- per-source SCORECARD: the "which sources should I buy more
     // of" rollup — docs, corpus-wide exact-duplicate membership,
     // integer quality mass, Gopher repetition failures — one row per

@@ -254,6 +254,25 @@ class TextAnalysisSpec extends SparkSpec {
     got(2L).getLong(1 + ns.size) shouldBe 0L
   }
 
+  test("canonicalText: NFC composes, space runs collapse, ends trim") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "cafe\u0301 time"),   // decomposed e+U+0301 -> composed
+      (2L, "caf\u00e9 time"),    // already composed - same canon
+      (3L, "  doubled   spaces  "),     // runs collapse, ends trim
+      (4L, "plain ascii"))              // identity
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.canonicalText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "caf\u00e9 time"
+    out(2L) shouldBe out(1L) // both unicode forms canonicalize together
+    out(3L) shouldBe "doubled spaces"
+    out(4L) shouldBe "plain ascii"
+    // the exact-hash stages see ONE form: fingerprints now agree
+    out(1L).getBytes("UTF-8") shouldBe out(2L).getBytes("UTF-8")
+  }
+
   test("gopherRepetition: top-gram tie-break is (count, then largest gram)") {
     import org.apache.spark.sql.functions.col
     // "b c" and "a b" both occur twice at n=2; largest-gram tie-break
