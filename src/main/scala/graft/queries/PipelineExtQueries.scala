@@ -1906,6 +1906,41 @@ object PipelineExtQueries {
                   LEFT JOIN cps c ON b.split = c.split
       ORDER BY b.split""")),
 
+    // -- vocabulary coverage: what fraction of token OCCURRENCES the
+    // top-N dictionary entries cover — the number that sizes a
+    // vocabulary (integer ppm; ties broken tf desc, token asc in both
+    // engines). Vocab-bounded aggregates; nothing corpus-sized moves
+    QueryDef("vocab_coverage", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = graft.ops.Curation.vocabulary(docs) // (token, tf, df)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vocab.count() // eager (three consumers: total agg + two top-k)
+      // distributed top-k (orderBy+limit = TakeOrdered, no global
+      // window over the vocabulary) — the ranks beyond 25 are never
+      // materialized, so this scales to any vocabulary size
+      def topTf(n: Int) = vocab.orderBy(col("tf").desc, col("token")).limit(n)
+        .agg(sum(col("tf")).as(s"top${n}_tf"))
+      val totals = vocab.agg(count(lit(1)).as("n_vocab"), sum(col("tf")).as("total_tf"))
+      val out = totals.crossJoin(topTf(10)).crossJoin(topTf(25))
+        .select(col("n_vocab"), col("total_tf"), col("top10_tf"), col("top25_tf"),
+          expr("top10_tf * 1000000L DIV total_tf").as("cov10_ppm"),
+          expr("top25_tf * 1000000L DIV total_tf").as("cov25_ppm"))
+      Tables.materializeAndRelease(out, () => { vocab.unpersist(); () })
+    }, Some("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      v AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok
+            WHERE length(token) > 0 GROUP BY token),
+      r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rk FROM v)
+      SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        CAST(SUM(tf) AS BIGINT) AS total_tf,
+        CAST(SUM(CASE WHEN rk <= 10 THEN tf ELSE 0 END) AS BIGINT) AS top10_tf,
+        CAST(SUM(CASE WHEN rk <= 25 THEN tf ELSE 0 END) AS BIGINT) AS top25_tf,
+        (CAST(SUM(CASE WHEN rk <= 10 THEN tf ELSE 0 END) AS BIGINT) * 1000000)
+          // CAST(SUM(tf) AS BIGINT) AS cov10_ppm,
+        (CAST(SUM(CASE WHEN rk <= 25 THEN tf ELSE 0 END) AS BIGINT) * 1000000)
+          // CAST(SUM(tf) AS BIGINT) AS cov25_ppm
+      FROM r""")),
+
     // -- Unicode canonicalization: the corpus is ASCII, so (like
     // text_redact's planted PII) each doc gets a planted decomposed
     // suffix — "caf" + e + COMBINING ACUTE (U+0301) + doubled spaces —
