@@ -46,6 +46,36 @@ object StreamingDedup {
     w.start()
   }
 
+  /** [[start]] for the hashed sparse-cosine tier: every micro-batch
+    * probes a standing [[graft.ops.Embedding.ShingleTfIndex]] with
+    * [[graft.ops.Embedding.hashedShingleNearDupIncremental]] — the
+    * integer-exact cosine gate, dfCap fixed on the index side so every
+    * batch (and any replay) meets the same candidate set. `onBatch`
+    * receives (id_new, id_corpus, dot, norm_new, norm_corpus) rows.
+    */
+  def startHashedNearDup(stream: DataFrame, idCol: String, textCol: String,
+                         index: graft.ops.Embedding.ShingleTfIndex,
+                         dim: Int = 65536, k: Int = 3,
+                         tauSqNum: Long = 81L, tauSqDen: Long = 100L,
+                         dfCap: Long = 1000L,
+                         checkpoint: Option[String] = None,
+                         queryName: String = "graft_streaming_hashed_neardup")
+                        (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    var w = stream.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // micro-batch-sized frames: no batch-side persist
+        onBatch(
+          graft.ops.Embedding.hashedShingleNearDupIncremental(
+            batch, index, idCol, textCol, dim, k, tauSqNum, tauSqDen,
+            dfCap, persistBatch = false),
+          batchId)
+      }
+    checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
+    w.start()
+  }
+
   /** Running (doc_id, cluster_id) duplicate-cluster assignment maintained
     * across micro-batches. `assignment` is always the latest, eagerly
     * materialized frame — safe to read from any thread while the stream

@@ -408,6 +408,44 @@ class StreamingSpec extends SparkSpec {
     collected.map(p => (p._1, p._2)) should contain allOf ((11L, 1L), (12L, 4L))
   }
 
+  test("streaming hashed near-dup against a standing index equals the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Embedding
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (4L, "completely different content about spark engines and data quality checks"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog and runs far away tonight"))
+    val b2 = Seq(
+      (12L, "completely different content about spark engines and data quality checks"),
+      (13L, "nothing in common with anything else in this tiny corpus at all"))
+    val idx = Embedding.buildShingleTfIndex(corpus, "doc_id", "text",
+      dim = 65536, k = 3)
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.startHashedNearDup(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+      tauSqNum = 25L, tauSqDen = 100L) { (matches, _) =>
+      collected ++= matches.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable() // replay: same matches
+    } finally {
+      q.stop(); idx.release()
+    }
+    val expected = Embedding.hashedShingleNearDupIncremental(
+        (b1 ++ b2).toDF("doc_id", "text"), idx, "doc_id", "text",
+        tauSqNum = 25L, tauSqDen = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    collected.toSet shouldBe expected
+    collected.map(p => (p._1, p._2)) should contain allOf ((11L, 1L), (12L, 4L))
+  }
+
   test("streaming block dedup folds batches into the one-shot result") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
