@@ -1964,6 +1964,39 @@ object PipelineExtQueries {
         CAST(length(c) AS BIGINT) AS canon_len
       FROM canon ORDER BY doc_id""")),
 
+    // -- exact dedup on the CANONICAL form: plant two byte-DISTINCT
+    // unicode variants of each of the first 5 docs (decomposed
+    // combining mark vs precomposed + doubled spaces); raw-md5 grouping
+    // keeps them apart, canonical-md5 grouping merges each pair — the
+    // integration that makes canonicalText a dedup stage, not a gadget
+    QueryDef("dedup_exact_canon", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val seed = docs.filter(col("doc_id") < 5)
+      val planted = seed.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" cafe\u0301")).as("text"))
+        .union(seed.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit("  caf\u00e9 ")).as("text")))
+      val all = docs.union(planted)
+      val nRaw = all.select(md5(col("text")).as("fp")).distinct().count()
+      val nCanon = all.select(md5(TA.canonicalText(col("text"))).as("fp"))
+        .distinct().count()
+      import s.implicits._
+      Seq((all.count(), nRaw, nCanon, nRaw - nCanon))
+        .toDF("n_docs", "raw_groups", "canon_groups", "merged_by_canon")
+    }, Some("""
+      WITH planted AS (
+        SELECT doc_id + 100000 AS doc_id, text || ' caf' || 'e' || chr(769) AS text
+        FROM documents WHERE doc_id < 5
+        UNION ALL
+        SELECT doc_id + 200000, text || '  caf' || chr(233) || ' '
+        FROM documents WHERE doc_id < 5),
+      allr AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM planted)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT md5(text)) AS BIGINT) AS raw_groups,
+        CAST(count(DISTINCT md5(trim(regexp_replace(nfc_normalize(text), ' +', ' ', 'g')))) AS BIGINT) AS canon_groups,
+        CAST(count(DISTINCT md5(text)) - count(DISTINCT md5(trim(regexp_replace(nfc_normalize(text), ' +', ' ', 'g')))) AS BIGINT) AS merged_by_canon
+      FROM allr""")),
+
     // -- per-source SCORECARD: the "which sources should I buy more
     // of" rollup — docs, corpus-wide exact-duplicate membership,
     // integer quality mass, Gopher repetition failures — one row per
