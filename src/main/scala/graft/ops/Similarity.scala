@@ -332,10 +332,36 @@ object Similarity {
     */
   def rpRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                    dIn: Int, dOut: Int, overFetch: Int = 4,
-                   tag: String = "rp"): DataFrame = {
-    val cands = rpTopK(queries, corpus, k * overFetch, dIn, dOut, tag)
-      .select(col("query_id"), col("neighbor_id"))
-    val rescored = cands
+                   tag: String = "rp"): DataFrame =
+    rerankExact(
+      rpTopK(queries, corpus, k * overFetch, dIn, dOut, tag),
+      queries, corpus, k)
+
+  /** [[rpRerankTopK]] with IVF candidate generation IN the reduced
+    * space: project both sides (4x cheaper vectors), bucket and probe
+    * with IVF over the projections (candidate volume per query is
+    * corpus-size independent), then the same exact full-dim re-rank of
+    * only the candidates. The full production stack — cheap geometry
+    * for candidates, exact geometry for the answer — with both
+    * reductions composing because every tier is (id, vec) → pairs.
+    */
+  def rpIvfRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                      dIn: Int, dOut: Int, overFetch: Int = 4,
+                      nlist: Int = 16, nprobe: Int = 4,
+                      tag: String = "rp"): DataFrame =
+    rerankExact(
+      ivfTopK(randomProject(queries, dIn, dOut, tag),
+        randomProject(corpus, dIn, dOut, tag), k * overFetch, nlist, nprobe),
+      queries, corpus, k)
+
+  /** The exact re-rank tail shared by the coarse-then-refine tiers:
+    * score ONLY the candidate pairs at full dimension (keyed joins —
+    * full-dim vectors travel for candidate rows alone) and keep the
+    * exact top-k per query.
+    */
+  private def rerankExact(cands: DataFrame, queries: DataFrame,
+                          corpus: DataFrame, k: Int): DataFrame = {
+    val rescored = cands.select(col("query_id"), col("neighbor_id"))
       .join(queries.select(col("id").as("query_id"), col("vec").as("qv")), Seq("query_id"))
       .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cv")), Seq("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))

@@ -684,6 +684,16 @@ object TextQueries {
         Similarity.rpRerankTopK(q, e, k = 5, dIn = 64, dOut = 48, overFetch = 8)),
       Some(annRecallOracle)),
 
+    // the full production stack: IVF candidates generated IN the
+    // projected space (cheap geometry), exact full-dim re-rank of
+    // candidates only. Measured 0.60-0.73 across SFs at
+    // dOut=48/overFetch=16/nprobe=8; 0.4 leaves the standard margin
+    QueryDef("sim_topk_rp_ivf", (s, dir) =>
+      annRecallRow(s, dir, minRecall = 0.4)((q, e) =>
+        Similarity.rpIvfRerankTopK(q, e, k = 5, dIn = 64, dOut = 48,
+          overFetch = 16, nprobe = 8)),
+      Some(annRecallOracle)),
+
     // nearest-centroid corpus sharding against DETERMINISTIC seeds (the
     // k smallest-id vectors): full hash oracle — this is the query that
     // pins the NearestCentroid codegen kernel (left-fold cosine, argmax
