@@ -575,5 +575,10 @@ class SimilaritySpec extends SparkSpec {
     val pRecall = (exact intersect plain).size.toDouble / exact.size
     rRecall shouldBe 1.0
     rRecall should be >= pRecall
+    // the IVF-candidate composition reaches the same exact answer on
+    // clustered data (generous probes cover all cells here)
+    val rpIvf = pairs(Similarity.rpIvfRerankTopK(q, e, k = 4, dIn = 16,
+      dOut = 8, overFetch = 4, nlist = 4, nprobe = 4))
+    (exact intersect rpIvf).size.toDouble / exact.size shouldBe 1.0
   }
 }
