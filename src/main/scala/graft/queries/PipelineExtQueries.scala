@@ -272,6 +272,49 @@ object PipelineExtQueries {
         (end_off - 1) // 256 - (end_off - n_tokens) // 256 + 1 AS n_seqs
       FROM o ORDER BY doc_id""")),
 
+    // -- packing under the TRAINED tokenizer's lengths: identical
+    // packing arithmetic, but the per-doc length is the BPE symbol
+    // count under the corpus-trained 6-merge table — sequence budgets
+    // are real only in the tokenizer's own units (whitespace counts
+    // under-estimate by the fertility factor)
+    QueryDef("pack_bpe", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val merges = graft.ops.Curation.collectMerges(
+        graft.ops.Curation.bpeTrain(docs, numMerges = 6))
+      val withTok = docs.select(col("doc_id"), col("lang"),
+        org.apache.spark.sql.classic.GraftExpressionBridge.column(
+          graft.functions.BpeTokenCount(
+            org.apache.spark.sql.classic.GraftExpressionBridge.expression(col("text")),
+            merges)).as("n_bpe"))
+      Packing.packByOrder(withTok, tokensCol = "n_bpe",
+          orderCol = "doc_id", partCol = "lang", budget = 1024)
+        .orderBy("doc_id")
+    }, Some {
+      val encReplaced = (1 to 6).foldLeft(
+        "'|' || array_to_string(string_split(token, ''), '|') || '|'") { (acc, it) =>
+        s"replace($acc, '|' || b$it.l || '|' || b$it.r || '|', '|' || b$it.l || b$it.r || '|')"
+      }
+      s"""
+      WITH ${bpeCtes(6)},
+      ltok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      enc AS (
+        SELECT doc_id, lang, len(string_split(substr(w6e, 2, length(w6e) - 2), '|')) AS nsym
+        FROM (SELECT doc_id, lang, $encReplaced AS w6e
+              FROM ltok, b1, b2, b3, b4, b5, b6
+              WHERE length(token) > 0)),
+      t AS (SELECT doc_id, lang, CAST(SUM(nsym) AS BIGINT) AS n_bpe
+            FROM enc GROUP BY doc_id, lang),
+      o AS (SELECT doc_id, lang, n_bpe,
+        CAST(sum(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+      FROM t WHERE n_bpe > 0)
+      SELECT doc_id, lang, n_bpe, end_off - n_bpe AS start_off, end_off,
+        (end_off - n_bpe) // 1024 AS first_seq,
+        (end_off - 1) // 1024 AS last_seq,
+        (end_off - 1) // 1024 - (end_off - n_bpe) // 1024 + 1 AS n_seqs
+      FROM o ORDER BY doc_id"""
+    }),
+
     // -- deterministic per-stratum fraction sampling ---------------------
     QueryDef("sample_stratified", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
