@@ -1,13 +1,13 @@
 package graft.tools
 
 import graft.ops.Curation
-import graft.queries.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev tool: per-stage timing of the v4 selection pipeline at a given
   * SF — pins which stage (DSIR weights, resample, LM scoring, tercile
-  * assignment) carries the cost before optimizing it.
+  * assignment) carries the cost before optimizing it. Mirrors
+  * [[Curation.pipelineV4Stages]] stage for stage — keep in sync.
   */
 object ProfileV4 {
   def main(args: Array[String]): Unit = {
@@ -16,6 +16,7 @@ object ProfileV4 {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.execution.sortBeforeRepartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -28,10 +29,8 @@ object ProfileV4 {
     (1 to 3).foreach { rep =>
       println(s"-- rep $rep")
       spark.catalog.clearCache()
-      val docs = Tables.load(spark, sfDir, "documents")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       import org.apache.spark.storage.StorageLevel
-      // mirror pipelineV4Stages exactly: attachMissing=false weights
-      // carrying the exact count columns, integer resample gate
       val weights = Curation.importanceWeightsSelf(docs, col("lang") === "en",
           attachMissing = false)
         .filter(col("weight").isNotNull)
@@ -42,7 +41,8 @@ object ProfileV4 {
         .select(col("doc_id"))
       val sv = docs.join(selected, Seq("doc_id"))
       val lm0 = t("lm build") {
-        Curation.ngramLmScore(sv.filter(col("lang") === "en"), sv)
+        Curation.ngramLmScore(sv.filter(col("lang") === "en"), sv,
+          attachMissing = false)
       }
       val scored = lm0.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lm_score"))
@@ -50,14 +50,14 @@ object ProfileV4 {
       t("lm materialize") { scored.count() }
       val bucketed = Curation.ccnetBuckets(scored, "lang", "lm_score",
         persistScored = false)
-      t("terciles count") { bucketed.count() }
       t("summary") {
         bucketed.filter(col("bucket") =!= "tail")
           .groupBy(col("lang"), col("bucket"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_bigrams") + lit(1L)).as("total_tokens"))
-          .count()
+          .collect()
       }
+      weights.unpersist(); scored.unpersist()
     }
     spark.stop()
   }
