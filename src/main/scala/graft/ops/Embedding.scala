@@ -153,19 +153,44 @@ object Embedding {
     * meets the same candidate set). Same integer-exact cosine gate;
     * output (id_new, id_corpus, dot, norm_new, norm_corpus).
     */
-  /** The integer cosine-≥-τ gate, overflow-safe: the comparands are
-    * exact integer products carried in decimal(38,0) — dot ≤ 10⁹-
-    * shingle documents stay within 38 digits with room to spare,
-    * where the former long form wrapped past ~3·10⁹ dot mass (and
-    * Spark wraps silently while DuckDB errors — the one divergence
-    * class an "integer-exact" gate cannot carry). The DuckDB oracles
-    * mirror with HUGEINT casts (int128 ⊃ decimal(38,0) range).
+  /** The integer cosine-≥-τ gate, overflow-safe, with a LONG FAST
+    * PATH: when both squared norms are ≤ a bound B chosen so every
+    * product fits signed 64-bit, the comparison runs in plain long
+    * arithmetic — safe because dot² ≤ ∥a∥²·∥b∥² ≤ B² (Cauchy–Schwarz
+    * over exact nonnegative counts), so B = ⌊√(2⁶³-1 ÷ max(τ²num,
+    * τ²den))⌋ bounds BOTH sides (B ≈ 3.04·10⁸ at the default
+    * τ² = 81/100 — docs up to ~17k total shingle mass, i.e.
+    * essentially every real document; only adversarial giants take
+    * the slow path). The slow path carries exact integer products in
+    * decimal(38,0), which the DuckDB oracles mirror with HUGEINT
+    * casts (int128 ⊃ decimal(38,0) range).
+    *
+    * Exactness domain of the slow path — honest bounds, not "room to
+    * spare": decimal(38,0) products NULL out past 10³⁸ (the pair is
+    * then silently dropped), so the gate is exact iff
+    * dot²·τ²den < 10³⁸ and τ²num·∥a∥²·∥b∥² < 10³⁸. With the enforced
+    * τ² num/den ≤ 10⁴ that is dot < 10¹⁷ and ∥a∥²·∥b∥² < 10³⁴ —
+    * documents up to ~10⁸ total shingle occurrences each. Larger
+    * τ²den shrinks the domain linearly, hence the require below
+    * (user-supplied denominators past 10⁴ would silently drop pairs
+    * well inside real-document range).
     */
-  private def cosineGate(dot: Column, tauSqNum: Long, tauSqDen: Long,
-                         normA: Column, normB: Column): Column = {
+  private[ops] def cosineGate(dot: Column, tauSqNum: Long, tauSqDen: Long,
+                              normA: Column, normB: Column): Column = {
+    require(tauSqNum <= 10000L && tauSqDen <= 10000L,
+      "tau^2 num/den must be <= 1e4 — larger terms push the decimal(38,0) " +
+        "slow path past its exactness bound (see cosineGate doc)")
+    val maxT = math.max(1L, math.max(tauSqNum, tauSqDen))
+    // largest B with maxT·B² ≤ Long.MaxValue, verified in BigInt (the
+    // float sqrt seed can land one too high)
+    var bound = math.sqrt(Long.MaxValue.toDouble / maxT).toLong
+    while (BigInt(bound) * bound * maxT > Long.MaxValue) bound -= 1
     val dec = "decimal(38,0)"
-    dot.cast(dec) * dot.cast(dec) * lit(tauSqDen).cast(dec) >=
+    val slow = dot.cast(dec) * dot.cast(dec) * lit(tauSqDen).cast(dec) >=
       lit(tauSqNum).cast(dec) * normA.cast(dec) * normB.cast(dec)
+    when(normA <= bound && normB <= bound,
+      dot * dot * lit(tauSqDen) >= lit(tauSqNum) * normA * normB)
+      .otherwise(slow)
   }
 
   def hashedShingleNearDupIncremental(batch: DataFrame, index: ShingleTfIndex,

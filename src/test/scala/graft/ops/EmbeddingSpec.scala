@@ -212,6 +212,45 @@ class EmbeddingSpec extends SparkSpec {
     out.toSeq shouldBe Seq((1L, 2L))
   }
 
+  test("cosine gate: long fast path ≡ decimal slow path across the boundary") {
+    // B = ⌊√(2⁶³-1 ÷ 100)⌋ at τ² = 81/100; build (dot, na, nb) triples
+    // straddling it — mixed paths (one norm each side), both-fast,
+    // both-slow — with dots AT the Cauchy–Schwarz ceiling and just
+    // under τ, and compare every verdict against a BigInt reference.
+    val maxT = 100L
+    var b = math.sqrt(Long.MaxValue.toDouble / maxT).toLong
+    while (BigInt(b) * b * maxT > Long.MaxValue) b -= 1
+    (BigInt(b) * b * maxT <= Long.MaxValue) shouldBe true
+    (BigInt(b + 1) * (b + 1) * maxT > Long.MaxValue) shouldBe true
+    def isqrt(x: BigInt): Long = {
+      var r = BigInt(math.sqrt(x.toDouble).toLong)
+      while (r * r > x) r -= 1
+      while ((r + 1) * (r + 1) <= x) r += 1
+      r.toLong
+    }
+    val norms = Seq(b - 1, b, b + 1, 2 * b, 1000L, 1L)
+    val triples = for {
+      na <- norms; nb <- norms
+      ceil = isqrt(BigInt(na) * nb)
+      dot <- Seq(ceil, ceil - 1, ceil * 9 / 10, ceil * 9 / 10 + 1,
+        ceil / 2, 0L).distinct if dot >= 0
+    } yield (dot, na, nb)
+    val df = triples.toDF("dot", "na", "nb")
+    val got = df.withColumn("g",
+        Embedding.cosineGate(col("dot"), 81L, 100L, col("na"), col("nb")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getBoolean(3))
+      .toMap
+    triples.foreach { case t @ (dot, na, nb) =>
+      val want = BigInt(dot) * dot * 100 >= BigInt(81) * na * nb
+      assert(got(t) == want, s"gate mismatch at $t: got ${got(t)}, want $want")
+    }
+  }
+
+  test("cosine gate rejects tau^2 terms past the documented decimal bound") {
+    an[IllegalArgumentException] should be thrownBy
+      Embedding.cosineGate(col("dot"), 81L, 10001L, col("na"), col("nb"))
+  }
+
   test("hashedShingleNearDup: dfCap drops flooded buckets, never inflates") {
     // 30 docs all sharing one hot shingle + two true near-dups
     val hot = (10L until 40L).map(i => (i, s"common shared phrase unique$i tail$i"))
