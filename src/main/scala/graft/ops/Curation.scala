@@ -165,7 +165,9 @@ object Curation {
   /** Staged frames of [[pipelineV3Stages]]: `kept0`/`kept1` are the
     * narrow cached survivor sets (id, lang, n_tokens) after the
     * classifier gate and the span-duplication gate; `lm` is the
-    * bigram-LM score frame over the span survivors; `batched` the
+    * bigram-LM score frame over the span survivors (no zero-count
+    * re-attach — docs without bigrams are absent, which the OOV
+    * anti-join treats as kept); `batched` the
     * length-bucketed batching of the LM survivors; `summary` its
     * per-language rollup.
     */
@@ -229,12 +231,14 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (eager) kept1.count()
     val sv1 = docs.join(kept1.select(col(idCol)), Seq(idCol))
+    // attachMissing=false because the OOV gate below KEEPS docs absent
+    // from the stats frame (no bigrams ≡ NULL oov_rate ≡ kept),
+    // realized as an anti-join against the over-threshold ids — the
+    // spanDupStats cover-free discipline
     val lm = ngramLmScore(sv1.filter(col(langCol) === refLang), sv1,
-      idCol, textCol)
-    val kept2 = lm
-      .filter(col("oov_rate").isNull || col("oov_rate") <= maxOovRate)
-      .select(col(idCol))
-    val sv2 = kept1.join(kept2, Seq(idCol))
+      idCol, textCol, attachMissing = false)
+    val bad2 = lm.filter(col("oov_rate") > maxOovRate).select(col(idCol))
+    val sv2 = kept1.join(bad2, Seq(idCol), "left_anti")
     val batched = Packing.lengthBucketBatches(sv2, idCol, "n_tokens",
       bucketWidth = bucketWidth, batchSize = batchSize, nShards = nShards,
       shardBy = shardBy)
@@ -306,8 +310,10 @@ object Curation {
     val selected = importanceResampleExact(weights, idCol)
       .select(col(idCol))
     val sv = docs.join(selected, Seq(idCol))
+    // no re-attach — ccnetBuckets drops NULL-score rows, so zero-count
+    // rows would be dead weight
     val lm = ngramLmScore(sv.filter(col(langCol) === refLang), sv,
-      idCol, textCol)
+      idCol, textCol, attachMissing = false)
     // narrow scored frame persisted HERE (not inside ccnetBuckets) so
     // release() owns it — otherwise the tercile histogram and the
     // assignment join each recompute the LM explodes
@@ -746,6 +752,17 @@ object Curation {
     * Argmax ties break by (count desc, left asc, right asc) in RAW
     * BYTE order (UTF8String / DuckDB binary collation).
     * Output: (rank, left_sym, right_sym, pair_count).
+    *
+    * NOT count-comparable to external BPE tokenizers on repeated
+    * symbols: the single left-to-right replace pass merges only
+    * alternating back-to-back repeats ("aaaa" under merge a+a →
+    * [aa, a, a], where Sennrich-style BPE re-scans to [aa, aa]), so
+    * token counts for repeat-heavy text differ from sentencepiece/
+    * HF-BPE on the same merge table. The convention is deliberate —
+    * it is the one semantics both engines execute identically, which
+    * is what makes the merge decisions oracle-checkable; treat the
+    * trained table + [[graft.functions.BpeTokenCount]] as one closed
+    * system, not an interchange format.
     */
   def bpeTrain(docs: DataFrame, numMerges: Int,
                idCol: String = "doc_id", textCol: String = "text",
@@ -1582,23 +1599,31 @@ object Curation {
     */
   private def bigramRows(docs: DataFrame, keepCols: Seq[String],
                          textCol: String): DataFrame = {
-    // materialize the token array as its OWN projection first: transform
-    // is CodegenFallback (interpreted), and if the lambda references
-    // `split(text)` as an expression the array is re-evaluated per
-    // element — O(tokens²) per document whenever the optimizer fails to
-    // hoist it (observed in composed plans where a join sits between
-    // the scan and the explode). Bound to an attribute, the array is
-    // computed once per row.
+    // LAMBDA-FREE adjacency explode: generate the small index sequence
+    // 1..n-1 and compute w1/bigram per exploded row with element_at.
+    // Two wins over the former transform(...)-built struct array:
+    // (a) transform is CodegenFallback — the whole bigram build ran
+    // interpreted; explode(sequence)+element_at stays inside
+    // WholeStageCodegen end to end (the projection fuses onto the
+    // Generate, so the carried token array is never materialized into
+    // output rows); (b) lambda variables defeat plan canonicalization
+    // (two clones of the same transform subtree never compare equal),
+    // which silently disabled ReuseExchange for every fused
+    // shared-subtree op built on this explode — the
+    // [[importanceWeightsSelf]]/[[ngramLmScoreSelf]] one-explode
+    // contract depends on this form. The token array is still bound to
+    // its OWN projection first so it is computed once per row, not
+    // re-split per element.
     val toks = col("__toks")
-    val bgs = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("w1"),
-            concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))
-              .as("bigram"))))
-      .otherwise(array().cast("array<struct<w1:string,bigram:string>>"))
+    val idx = col("__i")
     docs.select(keepCols.map(col) :+ split(col(textCol), " ").as("__toks"): _*)
-      .select(keepCols.map(col) :+ explode(bgs).as("bg"): _*)
-      .select(keepCols.map(col) :+ col("bg.w1") :+ col("bg.bigram"): _*)
+      .select(keepCols.map(col) :+ toks :+
+        explode(when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+          .otherwise(array().cast("array<int>"))).as("__i"): _*)
+      .select(keepCols.map(col) :+
+        element_at(toks, idx).as("w1") :+
+        concat(element_at(toks, idx), lit(" "),
+          element_at(toks, idx + 1)).as("bigram"): _*)
   }
 
   /** CCNet-style n-gram LM quality scoring: train a bigram model on a
@@ -1628,10 +1653,101 @@ object Curation {
     */
   def ngramLmScore(ref: DataFrame, docs: DataFrame,
                    idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   /** emit a zero-count (NULL score) row for docs
+                     * without bigrams (the reporting contract). Pass
+                     * false when a downstream gate drops or anti-joins
+                     * NULL-score rows anyway ([[ccnetBuckets]] does) —
+                     * the re-attach is a whole extra corpus-id scan +
+                     * join producing only rows the gate discards.
+                     */
+                   attachMissing: Boolean = true): DataFrame = {
+    // no-op null guard (split-derived tokens are never null), present
+    // EXPLICITLY so the model subtree's two consumers stay identical:
+    // the scoring stream's c2 join infers isnotnull(bigram) on its
+    // build side and the c1 join isnotnull(w1 = substring_index(bigram,
+    // ' ', 1)); without the guard those inferred filters push below the
+    // c2 aggregate in one branch each — divergent subtrees, no
+    // exchange reuse, and the reference corpus explodes TWICE (once for
+    // c2, once for c1). Guarded, both branches share c2's exchange and
+    // the reference slice is exploded once per action.
     val c2 = bigramRows(ref, Nil, textCol)
+      .filter(col("bigram").isNotNull &&
+        substring_index(col("bigram"), " ", 1).isNotNull)
       .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
-    scoreAgainstCounts(docs, c2, contextsFromBigrams(c2), idCol, textCol)
+    scoreAgainstCounts(docs, c2, contextsFromBigrams(c2), idCol, textCol,
+      attachMissing)
+  }
+
+  /** DoReMi-style iterative mixture reweighting (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"), as an integer-exact miniature over the bigram-LM
+    * proxy. Each round: (1) select the current mixture with
+    * [[Sampling.mixtureSelect]] under the live shares; (2) train the
+    * proxy model ON that mixture ([[ngramLmScore]]'s bigram counts
+    * over the selected slice — DoReMi's proxy trained under the
+    * current domain weights); (3) score EVERY stratum's full corpus
+    * against it and take the per-stratum miss rate — permille of
+    * bigram occurrences the mixture-trained model has never seen
+    * (`(Σnb − Σnh)·1000 div Σnb`, exact integers) — as the excess-loss
+    * proxy: a stratum the current mixture models badly scores high;
+    * (4) update shares multiplicatively via
+    * [[Sampling.reweightShares]] (`w′ = w·(base + eta·miss)`, exact —
+    * shares are scale-free so no normalization round-off ever enters).
+    * Hard strata gain weight each round exactly as DoReMi's
+    * multiplicative-weights ascent upweights high-excess-loss domains.
+    *
+    * Returns the per-round AUDIT frame — one row per (round, stratum):
+    * `(round, strataCol, n_bigrams, n_hits, miss_permille,
+    * weight_before, weight_after)` — every update decision an external
+    * engine can re-derive bit-for-bit (the oracle unrolls the rounds).
+    * Feed the final round's `weight_after` into [[Sampling
+    * .mixtureSelect]] / [[Sampling.saveMixtureRecipe]] to realize the
+    * tuned mix.
+    *
+    * Scale shape: per round, the corpus sees one strata-mass
+    * aggregate, one membership probe, one model-train bigram explode
+    * over the selected slice, and one scoring explode — all keyed
+    * linear shuffles against `buckets`-bounded or #strata-bounded
+    * build sides; the only collect is the #strata-row per-round score
+    * frame (the documented-bounded class). Rounds are sequential
+    * corpus passes by design (each round's model depends on the last
+    * round's weights); persist a narrow (id, strata, text) projection
+    * upstream when the input lineage is expensive.
+    */
+  def mixtureReweight(docs: DataFrame, strataCol: String, idCol: String,
+                      textCol: String, initShares: Map[String, Long],
+                      rounds: Int, eta: Long = 1L): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds out of [1, 16]")
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol), col(strataCol), col(textCol))
+    var shares = scala.collection.immutable.SortedMap.empty[String, Long] ++ initShares
+    val audit = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val sel = Sampling.mixtureSelect(base, strataCol, idCol, shares)
+      val lm = ngramLmScore(sel, base, idCol, textCol, attachMissing = false)
+      val perStratum = lm
+        .join(base.select(col(idCol), col(strataCol)), Seq(idCol))
+        .groupBy(col(strataCol))
+        .agg(sum(col("n_bigrams")).as("nb"), sum(col("n_hits")).as("nh"))
+        .collect()
+        .map(row => row.getString(0) -> (row.getLong(1), row.getLong(2)))
+        .toMap
+      val miss = shares.keys.map { s =>
+        val (nb, nh) = perStratum.getOrElse(s, (0L, 0L))
+        s -> (if (nb > 0) (nb - nh) * 1000L / nb else 0L)
+      }.toMap
+      val next = Sampling.reweightShares(shares, miss, eta)
+      shares.foreach { case (s, w) =>
+        val (nb, nh) = perStratum.getOrElse(s, (0L, 0L))
+        audit += ((r.toLong, s, nb, nh, miss(s), w, next(s)))
+      }
+      shares = scala.collection.immutable.SortedMap.empty[String, Long] ++ next
+    }
+    import spark.implicits._
+    audit.toSeq.toDF("round", strataCol, "n_bigrams", "n_hits",
+      "miss_permille", "weight_before", "weight_after")
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
@@ -1975,7 +2091,8 @@ object Curation {
   }
 
   private def scoreAgainstCounts(docs: DataFrame, c2: DataFrame, c1: DataFrame,
-                                 idCol: String, textCol: String): DataFrame = {
+                                 idCol: String, textCol: String,
+                                 attachMissing: Boolean = true): DataFrame = {
     val scored = bigramRows(docs, Seq(idCol), textCol)
       .join(c2, Seq("bigram"), "left")
       .join(c1, Seq("w1"), "left")
@@ -1985,8 +2102,10 @@ object Curation {
         count(col("c2")).as("nh"),
         sum(coalesce(col("c2"), lit(0L))).as("hs"),
         sum(coalesce(col("c1"), lit(0L))).as("cs"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
+    val base = if (attachMissing)
+      docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+    else scored
+    base.select(col(idCol),
         coalesce(col("nb"), lit(0L)).as("n_bigrams"),
         coalesce(col("nh"), lit(0L)).as("n_hits"),
         coalesce(col("hs"), lit(0L)).as("hit_sum"),

@@ -599,6 +599,45 @@ object Sampling {
       .filter(hashBucket(col(idCol)) < col("thr"))
       .drop("thr")
 
+  /** One multiplicative-weights round over the strata shares — the
+    * integer-exact update rule under DoReMi-style iterative mixture
+    * reweighting ([[graft.ops.Curation.mixtureReweight]] composes it
+    * with the LM scorer). Each stratum's share multiplies by the
+    * RATIONAL factor `(base + eta·score_s) / base`; because
+    * [[mixtureSelect]] shares are scale-free (only ratios matter), the
+    * common denominator `base^round` never needs to materialize and
+    * the weights stay exact integers with NO normalization step — the
+    * importanceResampleExact discipline applied to the mixture stack.
+    *
+    * `scorePermille` values must lie in [0, base] (a permille "excess
+    * loss": 0 = perfectly covered stratum → factor 1; base → factor
+    * 1+eta). Strata missing from `scorePermille` get score 0. Weights
+    * are multiplied in BigInt and REQUIRED to stay within Long (the
+    * loud-failure convention) — factors are ≤ base·(1+eta), so r
+    * rounds grow weights by at most (base·(1+eta))^r: at the defaults
+    * (base 1000, eta 1) five rounds from unit starts are safe even if
+    * every round scores the full base (2000⁵ ≈ 3.2·10¹⁶ < 2⁶³); real
+    * miss rates keep factors far smaller, so deeper schedules usually
+    * fit — and fail loudly here, never wrap, when they don't.
+    * Driver-side pure function over #strata-sized maps — zero cluster
+    * cost.
+    */
+  def reweightShares(shares: Map[String, Long],
+                     scorePermille: Map[String, Long],
+                     eta: Long = 1L, base: Long = 1000L): Map[String, Long] = {
+    require(base > 0 && eta > 0 && eta <= base, "eta must be in [1, base]")
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "shares must be positive (drop zero-share strata before reweighting)")
+    scorePermille.values.foreach(s => require(s >= 0 && s <= base,
+      s"scorePermille out of [0, $base]"))
+    shares.map { case (k, w) =>
+      val next = BigInt(w) * (base + eta * scorePermille.getOrElse(k, 0L))
+      require(next <= Long.MaxValue,
+        s"reweighted share for '$k' overflows Long — fewer rounds or smaller eta")
+      k -> next.toLong
+    }
+  }
+
   /** Persist a mixture recipe as the standing table `${prefix}_mixture`
     * (the [[graft.ops.Curation.saveDsirModel]] convention — tiny, so no
     * bucketing). Recompute per training run, not per batch.

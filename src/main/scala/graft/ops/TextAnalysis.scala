@@ -216,26 +216,6 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as(s"dup_${k}gram_frac"))
   }
 
-  /** Gopher/MassiveText CHARACTER-level repetition signals, integer-exact
-    * and zero-shuffle. For each `n` in `topNs`: `top{n}_ppm` — ppm of the
-    * document's characters covered by its most frequent n-gram
-    * (`top_c · top_chars · 10⁶ div len(text)`; Gopher's "fraction of
-    * characters contained in the most frequently-occurring n-gram",
-    * Rae et al. 2021 §A1.1, computed for n = 2..4 there). For each `n`
-    * in `dupNs`: `dup{n}_ppm` — ppm of the document's n-gram OCCURRENCE
-    * char mass carried by duplicated n-grams
-    * (`dup_chars · 10⁶ div all_chars`; Gopher's "fraction of characters
-    * inside duplicate n-grams" for n = 5..10, in the order-free
-    * occurrence-mass form — see [[graft.functions.TextKernel
-    * .ngramCharStats]] for the tie-break and double-counting contract).
-    *
-    * All fractions are ppm LONGS (numerator·10⁶ integer-divided), so the
-    * gate thresholds and the DuckDB oracle compare integers — the same
-    * last-ulp-proof discipline as [[qualityScoreQ]]. Everything computes
-    * in ONE scan-side codegen projection: per-doc kernels, no explode,
-    * no groupBy, no window — at 100 TB this runs at scan speed with
-    * map-side-only tasks.
-    */
   /** Unicode NFC normalization of one column — the canonicalization
     * every exact-hash stage (fingerprints, exact dedup, span hashing)
     * should run FIRST on real web text, where "café" arrives both
@@ -254,6 +234,40 @@ object TextAnalysis {
   def canonicalText(c: Column): Column =
     trim(regexp_replace(normalizeNfc(c), " +", " "))
 
+  /** Gopher/MassiveText CHARACTER-level repetition signals, integer-exact
+    * and zero-shuffle. For each `n` in `topNs`: `top{n}_ppm` — ppm of the
+    * document's characters covered by its most frequent n-gram
+    * (`top_c · top_chars · 10⁶ div len(text)`; Gopher's "fraction of
+    * characters contained in the most frequently-occurring n-gram",
+    * Rae et al. 2021 §A1.1, computed for n = 2..4 there). For each `n`
+    * in `dupNs`: `dup{n}_ppm` — ppm of the document's n-gram OCCURRENCE
+    * char mass carried by duplicated n-grams
+    * (`dup_chars · 10⁶ div all_chars`; Gopher's "fraction of characters
+    * inside duplicate n-grams" for n = 5..10, in the order-free
+    * occurrence-mass form — see [[graft.functions.TextKernel
+    * .ngramCharStats]] for the tie-break and double-counting contract).
+    *
+    * THRESHOLDS DO NOT TRANSFER from the published Gopher filter: both
+    * families here are OCCURRENCE-mass ratios (overlapping occurrences
+    * each count their full n-gram width), not Gopher's positional
+    * character coverage (each text position counted at most once).
+    * Consequences a gate author must know: (a) `dup{n}_ppm`'s
+    * denominator is total n-gram occurrence mass, not doc length, so
+    * Gopher's `dup_5gram ≤ 0.15`-style cutoffs are NOT comparable —
+    * calibrate cutoffs on this metric's own distribution; (b)
+    * `top{n}_ppm` can EXCEED 10⁶ when the top n-gram's occurrences
+    * overlap (`top_c · n > len`). The occurrence form is what keeps the
+    * kernel one-pass/zero-state and the oracle integer-exact; a
+    * positional-cover variant would need per-position dedup state per
+    * doc (interval union), which no longer streams.
+    *
+    * All fractions are ppm LONGS (numerator·10⁶ integer-divided), so the
+    * gate thresholds and the DuckDB oracle compare integers — the same
+    * last-ulp-proof discipline as [[qualityScoreQ]]. Everything computes
+    * in ONE scan-side codegen projection: per-doc kernels, no explode,
+    * no groupBy, no window — at 100 TB this runs at scan speed with
+    * map-side-only tasks.
+    */
   def gopherRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topNs: Seq[Int] = Seq(2, 3, 4),
       dupNs: Seq[Int] = Seq(5, 10)): org.apache.spark.sql.DataFrame = {

@@ -107,14 +107,36 @@ object PipelineExtQueries {
           SELECT l, r, n, row_number() OVER (ORDER BY n DESC, l, r) AS rn FROM p$it)
         WHERE rn = 1),
       w$it AS (
-        SELECT replace(w, '|' || b.l || '|' || b.r || '|', '|' || b.l || b.r || '|') AS w, tf
-        FROM $prev, b$it b)"""
+        SELECT CASE WHEN b.l IS NULL THEN w
+               ELSE replace(w, '|' || b.l || '|' || b.r || '|', '|' || b.l || b.r || '|')
+               END AS w, tf
+        FROM $prev LEFT JOIN b$it b ON TRUE)"""
     }
     s"""tok0 AS (SELECT unnest(string_split(text, ' ')) AS token FROM $from),
       v0 AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok0
              WHERE length(token) > 0 AND token NOT LIKE '%|%' GROUP BY token),
       w0 AS (SELECT '|' || array_to_string(string_split(token, ''), '|') || '|' AS w, tf FROM v0),
       ${blocks.mkString(",")}"""
+  }
+
+  /** Null-tolerant unrolled BPE encode chain over b1..b{n}: each step
+    * `replace(acc, '|l|r|' → '|lr|')` with l/r COALESCE'd to '' and the
+    * b{i} singletons LEFT-JOINed ON TRUE — an exhausted vocabulary
+    * (some b{i} empty before `n` merges) then degrades the missing
+    * merges to no-ops ('|||' cannot occur in a well-formed word state:
+    * symbols are non-empty) instead of zeroing every document through
+    * an empty cross join while the Spark side still counts symbols
+    * (the latent degenerate-corpus oracle/engine divergence).
+    * Returns (replaceChain, joinClause).
+    */
+  private def bpeEncodeSql(n: Int): (String, String) = {
+    val chain = (1 to n).foldLeft(
+      "'|' || array_to_string(string_split(token, ''), '|') || '|'") { (acc, it) =>
+      s"replace($acc, '|' || coalesce(b$it.l, '') || '|' || coalesce(b$it.r, '') || '|', " +
+        s"'|' || coalesce(b$it.l, '') || coalesce(b$it.r, '') || '|')"
+    }
+    val joins = (1 to n).map(it => s"LEFT JOIN b$it ON TRUE").mkString(" ")
+    (chain, joins)
   }
 
   /** Shared CTEs of the DSIR oracles: hashed-bigram buckets (md5-prefix
@@ -290,17 +312,14 @@ object PipelineExtQueries {
           orderCol = "doc_id", partCol = "lang", budget = 1024)
         .orderBy("doc_id")
     }, Some {
-      val encReplaced = (1 to 6).foldLeft(
-        "'|' || array_to_string(string_split(token, ''), '|') || '|'") { (acc, it) =>
-        s"replace($acc, '|' || b$it.l || '|' || b$it.r || '|', '|' || b$it.l || b$it.r || '|')"
-      }
+      val (encReplaced, encJoins) = bpeEncodeSql(6)
       s"""
       WITH ${bpeCtes(6)},
       ltok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
       enc AS (
         SELECT doc_id, lang, len(string_split(substr(w6e, 2, length(w6e) - 2), '|')) AS nsym
         FROM (SELECT doc_id, lang, $encReplaced AS w6e
-              FROM ltok, b1, b2, b3, b4, b5, b6
+              FROM ltok $encJoins
               WHERE length(token) > 0)),
       t AS (SELECT doc_id, lang, CAST(SUM(nsym) AS BIGINT) AS n_bpe
             FROM enc GROUP BY doc_id, lang),
@@ -382,6 +401,67 @@ object PipelineExtQueries {
       FROM documents d JOIN cc ON d.lang = cc.lang CROSS JOIN b
       WHERE ($hashSql + 1) * b.numb * cc.n <= 1000000 * b.nb * cc.num
       ORDER BY doc_id""")),
+
+    // -- DoReMi-style iterative mixture reweighting (Curation
+    // .mixtureReweight): two multiplicative-weights rounds — select the
+    // live mixture, train the bigram proxy ON it, per-stratum miss
+    // permille as excess loss, w' = w·(1000 + miss) — the oracle
+    // unrolls BOTH rounds (mixture membership, model train, scoring,
+    // update) and re-derives every weight bit-for-bit --
+    QueryDef("mixture_reweight", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.mixtureReweight(docs,
+          strataCol = "lang", idCol = "doc_id", textCol = "text",
+          initShares = Map("en" -> 1L, "de" -> 1L, "es" -> 1L,
+            "fr" -> 1L, "zh" -> 1L),
+          rounds = 2)
+        .orderBy("round", "lang")
+    }, Some {
+      // one reweighting round: given weight table $w (lang, w), emits
+      // r$it with (lang, n_bigrams, n_hits, miss_permille,
+      // weight_before, weight_after)
+      def round(it: Int, w: String) = s"""
+      cc$it AS (SELECT c.lang, c.n, $w.w AS num FROM cnt c JOIN $w USING (lang)
+                WHERE c.n > 0 AND $w.w > 0),
+      bs$it AS (SELECT n AS nb, num AS numb FROM cc$it x
+                WHERE NOT EXISTS (SELECT 1 FROM cc$it o
+                                  WHERE x.n * o.num > o.n * x.num)
+                ORDER BY lang LIMIT 1),
+      sel$it AS (SELECT d.doc_id
+                 FROM documents d JOIN cc$it ON d.lang = cc$it.lang CROSS JOIN bs$it
+                 WHERE ($hashSql + 1) * bs$it.numb * cc$it.n
+                    <= 1000000 * bs$it.nb * cc$it.num),
+      m$it AS (SELECT bigram, count(*) AS c FROM bg JOIN sel$it USING (doc_id)
+               GROUP BY bigram),
+      s$it AS (SELECT b.lang, count(*) AS nb, count(m$it.c) AS nh
+               FROM bg b LEFT JOIN m$it USING (bigram) GROUP BY b.lang),
+      r$it AS (SELECT $w.lang,
+          CAST(coalesce(s$it.nb, 0) AS BIGINT) AS n_bigrams,
+          CAST(coalesce(s$it.nh, 0) AS BIGINT) AS n_hits,
+          CAST(CASE WHEN coalesce(s$it.nb, 0) > 0
+               THEN (s$it.nb - s$it.nh) * 1000 // s$it.nb ELSE 0 END AS BIGINT)
+            AS miss_permille,
+          CAST($w.w AS BIGINT) AS weight_before,
+          CAST($w.w * (1000 + CASE WHEN coalesce(s$it.nb, 0) > 0
+               THEN (s$it.nb - s$it.nh) * 1000 // s$it.nb ELSE 0 END) AS BIGINT)
+            AS weight_after
+        FROM $w LEFT JOIN s$it USING (lang))"""
+      s"""
+      WITH bg AS (
+        SELECT doc_id, lang,
+          unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)),
+      cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      w1 AS (SELECT lang, CAST(w AS BIGINT) AS w FROM (VALUES
+        ('de', 1), ('en', 1), ('es', 1), ('fr', 1), ('zh', 1)) t(lang, w)),
+      ${round(1, "w1")},
+      w2 AS (SELECT lang, weight_after AS w FROM r1),
+      ${round(2, "w2")}
+      SELECT CAST(1 AS BIGINT) AS round, * FROM r1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS round, * FROM r2
+      ORDER BY round, lang"""
+    }),
 
     // -- deterministic weighted interleaving into a training order
     // (Sampling.interleaveShards): per-(shard, lang) ranks keyed at
@@ -915,17 +995,14 @@ object PipelineExtQueries {
               merges)).as("n_bpe"))
         .orderBy("doc_id")
     }, Some {
-      val padded = "'|' || array_to_string(string_split(token, ''), '|') || '|'"
-      val replaced = (1 to 6).foldLeft(padded) { (acc, it) =>
-        s"replace($acc, '|' || b$it.l || '|' || b$it.r || '|', '|' || b$it.l || b$it.r || '|')"
-      }
+      val (replaced, encJoins) = bpeEncodeSql(6)
       s"""
       WITH ${bpeCtes(6)},
       tok2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       enc AS (
         SELECT doc_id, len(string_split(substr(w6, 2, length(w6) - 2), '|')) AS nsym
         FROM (SELECT doc_id, $replaced AS w6
-              FROM tok2, b1, b2, b3, b4, b5, b6
+              FROM tok2 $encJoins
               WHERE length(token) > 0)),
       sums AS (SELECT doc_id, CAST(SUM(nsym) AS BIGINT) AS n_bpe FROM enc GROUP BY doc_id)
       SELECT d.doc_id, CAST(COALESCE(s.n_bpe, 0) AS BIGINT) AS n_bpe
@@ -1074,7 +1151,7 @@ object PipelineExtQueries {
     // oracle-checked operator above; this pins their composition
     // (rescoring on the DEDUPED text, mix-then-budget order) --
     QueryDef("curation_pipeline_v2", (s, dir) => {
-      val docs = Tables.loadSpread(s, dir, "documents")
+      val docs = Tables.load(s, dir, "documents")
       val run = graft.ops.Curation.pipelineV2(docs)
       Tables.materializeAndRelease(run.summary.orderBy("lang"), run.release)
     }, Some(s"""
@@ -1088,7 +1165,7 @@ object PipelineExtQueries {
     // row per pipeline stage, so a future engine divergence pins to
     // the exact gate that flipped a document --
     QueryDef("v2_stage_counts", (s, dir) => {
-      val docs = Tables.loadSpread(s, dir, "documents")
+      val docs = Tables.load(s, dir, "documents")
       val st = graft.ops.Curation.pipelineV2Stages(docs)
       def cnt(df: org.apache.spark.sql.DataFrame, stage: String) =
         df.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
@@ -1656,9 +1733,11 @@ object PipelineExtQueries {
     // — fully integer-exact thresholds: quantized longs + integer
     // ceil(k·n/3), so the assignment is engine-stable by construction) --
     QueryDef("ccnet_buckets", (s, dir) => {
-      val docs = Tables.loadSpread(s, dir, "documents")
+      val docs = Tables.load(s, dir, "documents")
+      // no re-attach — the scored persist + ccnetBuckets drop
+      // NULL-score rows either way
       val lm = graft.ops.Curation.ngramLmScore(
-        docs.filter(col("lang") === "en"), docs)
+        docs.filter(col("lang") === "en"), docs, attachMissing = false)
       // own the scored persist HERE (persistScored = false below) so the
       // summary can materialize and the cache release before returning
       val scored = lm.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -2115,17 +2194,14 @@ object PipelineExtQueries {
           expr("bpe_tokens * 1000000L DIV ws_tokens").as("fertility_ppm"))
         .orderBy("lang")
     }, Some {
-      val encReplaced = (1 to 6).foldLeft(
-        "'|' || array_to_string(string_split(token, ''), '|') || '|'") { (acc, it) =>
-        s"replace($acc, '|' || b$it.l || '|' || b$it.r || '|', '|' || b$it.l || b$it.r || '|')"
-      }
+      val (encReplaced, encJoins) = bpeEncodeSql(6)
       s"""
       WITH ${bpeCtes(6)},
       ltok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
       enc AS (
         SELECT doc_id, lang, len(string_split(substr(w6e, 2, length(w6e) - 2), '|')) AS nsym
         FROM (SELECT doc_id, lang, $encReplaced AS w6e
-              FROM ltok, b1, b2, b3, b4, b5, b6
+              FROM ltok $encJoins
               WHERE length(token) > 0)),
       dsum AS (SELECT doc_id, lang, CAST(SUM(nsym) AS BIGINT) AS n_bpe
                FROM enc GROUP BY doc_id, lang),
@@ -2152,10 +2228,7 @@ object PipelineExtQueries {
       val st = graft.ops.Curation.pipelineV7Stages(docs)
       Tables.materializeAndRelease(st.summary.orderBy("source"), st.release)
     }, Some {
-      val encReplaced = (1 to 6).foldLeft(
-        "'|' || array_to_string(string_split(token, ''), '|') || '|'") { (acc, it) =>
-        s"replace($acc, '|' || b$it.l || '|' || b$it.r || '|', '|' || b$it.l || b$it.r || '|')"
-      }
+      val (encReplaced, encJoins) = bpeEncodeSql(6)
       s"""
       WITH g2 AS (
         SELECT doc_id, unnest(list_transform(
@@ -2176,7 +2249,7 @@ object PipelineExtQueries {
       enc AS (
         SELECT doc_id, len(string_split(substr(w6e, 2, length(w6e) - 2), '|')) AS nsym
         FROM (SELECT doc_id, $encReplaced AS w6e
-              FROM ktok, b1, b2, b3, b4, b5, b6
+              FROM ktok $encJoins
               WHERE length(token) > 0)),
       dsum AS (SELECT doc_id, CAST(SUM(nsym) AS BIGINT) AS n_bpe FROM enc GROUP BY doc_id),
       ksum AS (SELECT k.source, CAST(count(*) AS BIGINT) AS n_kept,
@@ -2193,7 +2266,7 @@ object PipelineExtQueries {
     }),
 
     QueryDef("curation_pipeline_v4", (s, dir) => {
-      val docs = Tables.loadSpread(s, dir, "documents")
+      val docs = Tables.load(s, dir, "documents")
       val st = graft.ops.Curation.pipelineV4Stages(docs)
       Tables.materializeAndRelease(
         st.summary.orderBy("lang", "bucket"), st.release)

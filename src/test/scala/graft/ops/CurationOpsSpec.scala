@@ -722,6 +722,59 @@ class CurationOpsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS bpespec_bpe_merges")
   }
 
+  test("mixtureReweight converges toward the hard stratum on a skewed corpus") {
+    // 'hard': 100 docs with doc-unique bigrams (only SELECTED docs'
+    // bigrams enter the proxy model, so its miss rate ≈ unselected
+    // share); 'easy': 10 docs sharing one bigram set (always covered).
+    // DoReMi's ascent must shift weight toward 'hard' round over round,
+    // which raises its selected share and lowers its miss.
+    val hard = (1L to 100L).map(i => (i, "hard", s"h${i}a h${i}b h${i}c h${i}d"))
+    val easy = (1001L to 1010L).map(i => (i, "easy", "e0 e1 e2 e3"))
+    val docs = (hard ++ easy).toDF("doc_id", "lang", "text")
+    val audit = Curation.mixtureReweight(docs, "lang", "doc_id", "text",
+        initShares = Map("hard" -> 1L, "easy" -> 1L), rounds = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    audit.length shouldBe 6 // 3 rounds x 2 strata
+    // every row satisfies the exact update identities
+    audit.foreach { case (_, _, nb, nh, miss, wb, wa) =>
+      miss shouldBe (if (nb > 0) (nb - nh) * 1000L / nb else 0L)
+      BigInt(wa) shouldBe BigInt(wb) * (1000L + miss)
+    }
+    // weights chain: round r's weight_before == round r-1's weight_after
+    val byRound = audit.groupBy(_._1).view.mapValues(
+      _.map(t => t._2 -> (t._6, t._7)).toMap).toMap
+    for (r <- 2L to 3L; s <- Seq("hard", "easy"))
+      byRound(r)(s)._1 shouldBe byRound(r - 1)(s)._2
+    // easy is always fully covered; hard misses in round 1
+    val missOf = audit.map(t => (t._1, t._2) -> t._5).toMap
+    missOf((1L, "easy")) shouldBe 0L
+    missOf((1L, "hard")) should be > 500L
+    // the hard/easy weight RATIO strictly grows while hard still misses,
+    // and hard's miss rate never increases as its share grows
+    def ratio(r: Long) =
+      BigDecimal(byRound(r)("hard")._2) / BigDecimal(byRound(r)("easy")._2)
+    ratio(2L) should be > ratio(1L)
+    ratio(3L) should be > ratio(2L)
+    missOf((2L, "hard")) should be <= missOf((1L, "hard"))
+    missOf((3L, "hard")) should be <= missOf((2L, "hard"))
+  }
+
+  test("reweightShares: exact factors, missing scores are no-ops, loud overflow") {
+    Sampling.reweightShares(Map("a" -> 3L, "b" -> 5L),
+      Map("a" -> 250L), eta = 2L) shouldBe Map("a" -> 4500L, "b" -> 5000L)
+    // overflow fails loudly instead of wrapping
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.reweightShares(Map("a" -> Long.MaxValue / 1000L),
+        Map("a" -> 1000L))
+    // score domain is enforced
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.reweightShares(Map("a" -> 1L), Map("a" -> 1001L))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.reweightShares(Map("a" -> 0L), Map.empty)
+  }
+
   test("bpeTrain: maxVocab cap keeps the highest-tf words deterministically") {
     val docs = Seq((1L, (Seq.fill(10)("aa") ++ Seq.fill(2)("zz")).mkString(" ")))
       .toDF("doc_id", "text")

@@ -465,6 +465,38 @@ class PlanContractSpec extends SparkSpec {
     p should not include "ResolvedHint"
   }
 
+  test("loadSpread opt-in set is pinned — loader drift is a spec diff, not a bench surprise") {
+    // The head round-robin exchange (Tables.loadSpread / Tables.spread)
+    // is a per-query measured decision (see the Tables.loadSpread doc:
+    // compute-fused scans win spread, fingerprint-shaped explode→agg
+    // queries win the unsplit scan's perfect combine ratio). Round 7
+    // shipped four compositions accidentally opted IN and regressed
+    // ~1.3-1.5× idle; this pins the opt-in set at the source level so
+    // any future loader change must update this list consciously.
+    val expected = Map(
+      "EngineExtQueries" -> Set("dq_wide_rules", "profile_stats", "profile_drift"),
+      "AnalyticsQueries" -> Set("q_events_json"),
+      "TextQueries" -> Set("langid_confusion", "emb_neardup", "text_hash_embed",
+        "hash_embed_neardup", "hash_neardup_incremental"),
+      "PipelineExtQueries" -> Set("text_gopher", "edit_dist_join",
+        "dsir_resample", "source_scorecard", "curation_pipeline_v7"),
+      "DqQueries" -> Set.empty[String])
+    val qdef = """QueryDef\(\s*"([^"]+)"""".r
+    expected.foreach { case (file, want) =>
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"src/main/scala/graft/queries/$file.scala")), "UTF-8")
+      val ms = qdef.findAllMatchIn(src).toVector
+      val got = ms.zipWithIndex.flatMap { case (m, i) =>
+        val end = if (i + 1 < ms.size) ms(i + 1).start else src.length
+        val body = src.substring(m.start, end)
+        if (body.contains("loadSpread") || body.contains("Tables.spread("))
+          Some(m.group(1))
+        else None
+      }.toSet
+      withClue(s"$file loadSpread opt-ins drifted: ") { got shouldBe want }
+    }
+  }
+
   test("fused span fingerprints reach the pair join without a distinct exchange") {
     // the kernel dedups per doc, so between scan and the candidate
     // self-join there is ONE exchange (the join key), not two (the old
