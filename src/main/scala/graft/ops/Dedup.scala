@@ -255,8 +255,20 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, tau: Double = 0.8, dfCap: Int = 512,
-                        persistIndex: Boolean = true): DataFrame = {
-    val ex    = persisted(shingleFpRows(df, idCol, textCol, k), persistIndex)
+                        persistIndex: Boolean = true): DataFrame =
+    ngramJaccardPairsFromIndex(
+      persisted(shingleFpRows(df, idCol, textCol, k), persistIndex),
+      tau, dfCap)
+
+  /** [[ngramJaccardPairs]] from a PREBUILT distinct (id, s)
+    * shingle-fingerprint index ([[shingleFpRows]], usually persisted) —
+    * so one cached index can feed several tiers (this one and
+    * [[minhashLshPairsFromIndex]] share the same k-shingle index; the
+    * dedup scorecard builds it once). Same exactness and hot-key-cap
+    * contract as the df form.
+    */
+  def ngramJaccardPairsFromIndex(ex: DataFrame, tau: Double = 0.8,
+                                 dfCap: Int = 512): DataFrame = {
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     jaccardFromCounts(fusedIntersections(ex, dfCap), sizes, tau)
   }
@@ -340,9 +352,21 @@ object Dedup {
                       k: Int = 3, tau: Double = 0.8,
                       numHashes: Int = 63, bandSize: Int = 3,
                       persistIndex: Boolean = true,
-                      bandCap: Int = 4096): DataFrame = {
+                      bandCap: Int = 4096): DataFrame =
+    minhashLshPairsFromIndex(
+      persisted(shingleFpRows(df, idCol, textCol, k), persistIndex),
+      tau, numHashes, bandSize, bandCap)
+
+  /** [[minhashLshPairs]] from a PREBUILT distinct (id, s)
+    * shingle-fingerprint index — the companion of
+    * [[ngramJaccardPairsFromIndex]] (the two tiers share one cached
+    * k-shingle index when run together). Same banding and exact-verify
+    * contract as the df form.
+    */
+  def minhashLshPairsFromIndex(ex: DataFrame, tau: Double = 0.8,
+                               numHashes: Int = 63, bandSize: Int = 3,
+                               bandCap: Int = 4096): DataFrame = {
     val numBands = numHashes / bandSize
-    val ex   = persisted(shingleFpRows(df, idCol, textCol, k), persistIndex)
     val sigs = minhashSignatures(ex, numHashes)
     val sizes = sigs.select(col("id"), col("n"))
     val bands = bandCapped(bandRows(sigs, numBands, bandSize), bandCap)

@@ -2119,6 +2119,116 @@ object PipelineExtQueries {
         CAST(count(DISTINCT md5(text)) - count(DISTINCT md5(trim(regexp_replace(nfc_normalize(text), ' +', ' ', 'g')))) AS BIGINT) AS merged_by_canon
       FROM allr""")),
 
+    // -- per-TIER dedup comparison scorecard: one row per dedup tier
+    // (exact / canonical-exact / ngram-jaccard / minhash-LSH / span /
+    // hashed-cosine), each row the tier's duplicate-PAIR count over
+    // the SAME documents input — the "which tier catches what" summary
+    // a curation run reads before picking its dedup stack. All six
+    // counts union into ONE action, so the independent tier subtrees
+    // schedule concurrently and wall-clock tracks the slowest tier,
+    // not the sum. The oracle re-derives every count independently
+    // (group-size combinatorics for the exact tiers, all-pairs jaccard
+    // at oracle scale, the md5-bucket sparse-cosine gate in HUGEINT) --
+    QueryDef("dedup_scorecard", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      import graft.ops.{Dedup, Embedding}
+      def pairsOfGroups(g: org.apache.spark.sql.DataFrame) =
+        g.agg(coalesce(sum(expr("n_dups * (n_dups - 1) div 2")), lit(0L))
+          .as("n_pairs"))
+      def cnt(p: org.apache.spark.sql.DataFrame) =
+        p.agg(count(lit(1)).as("n_pairs"))
+      // the pair tiers materialize their inverted indexes EAGERLY at
+      // construction (the multi-consumer persist discipline) — built
+      // sequentially those index jobs would serialize into the sum of
+      // the tiers; constructing from driver threads lets the scheduler
+      // overlap them (each tier underfills the cluster on its own),
+      // so scorecard wall-clock tracks the slowest tier, not the sum —
+      // the same pattern a production multi-tier audit would use
+      // ngram + minhash share ONE persisted k=3 shingle index (the
+      // FromIndex forms) — built once, consumed by both tiers; lazy
+      // val init is synchronized, so whichever tier thread gets here
+      // first materializes it and the other blocks on the same cache
+      lazy val shingleIx = {
+        val p = Dedup.shingleFpRows(docs, "doc_id", "text", k = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
+      val tiers: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "exact" -> (() =>
+          pairsOfGroups(Dedup.exactGroups(docs, "doc_id", "text"))),
+        "exact_canon" -> (() => pairsOfGroups(Dedup.exactGroups(
+          docs.select(col("doc_id"), TA.canonicalText(col("text")).as("text")),
+          "doc_id", "text"))),
+        "ngram" -> (() =>
+          cnt(Dedup.ngramJaccardPairsFromIndex(shingleIx, tau = 0.8))),
+        "minhash" -> (() =>
+          cnt(Dedup.minhashLshPairsFromIndex(shingleIx, tau = 0.8))),
+        "spans" -> (() => cnt(Dedup.duplicateSpanPairs(docs, "doc_id", "text",
+          k = 40, sel = "0", minShared = 2))),
+        "hashed_cosine" -> (() => cnt(Embedding.hashedShingleNearDup(
+          docs, "doc_id", "text", dim = 65536, k = 3,
+          tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L))))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val built = Await.result(
+        Future.sequence(tiers.map { case (name, f) =>
+          Future(f().select(lit(name).as("tier"), col("n_pairs")))
+        }), scala.concurrent.duration.Duration.Inf)
+      built.reduce(_ union _).orderBy("tier")
+    }, Some("""
+      WITH sh3 AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        FROM documents),
+      jac AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh3 a, sh3 b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      spang AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h
+                FROM documents, UNNEST(range(1, len(text)-40+2)) AS t(i)),
+      spans0 AS (SELECT doc_id, h FROM spang WHERE h LIKE '0%'),
+      spanp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM spans0 a JOIN spans0 b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+      hsh AS (SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+              FROM documents),
+      htb AS (SELECT doc_id,
+        CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 65536 AS BIGINT) AS d
+        FROM hsh),
+      hv AS (SELECT doc_id, d, CAST(count(*) AS BIGINT) AS c FROM htb GROUP BY doc_id, d),
+      hnorm AS (SELECT doc_id, CAST(SUM(c*c) AS BIGINT) AS nn FROM hv GROUP BY doc_id),
+      hkept AS (SELECT d FROM hv GROUP BY d HAVING count(*) <= 50),
+      hvk AS (SELECT hv.* FROM hv JOIN hkept USING (d)),
+      hdots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+                FROM hvk a JOIN hvk b ON a.d = b.d AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      hpairs AS (SELECT dd.id_a
+                 FROM hdots dd
+                 JOIN hnorm na ON na.doc_id = dd.id_a
+                 JOIN hnorm nb ON nb.doc_id = dd.id_b
+                 WHERE CAST(dd.dot AS HUGEINT) * CAST(dd.dot AS HUGEINT) * 100
+                       >= 81 * CAST(na.nn AS HUGEINT) * CAST(nb.nn AS HUGEINT))
+      SELECT * FROM (
+        SELECT 'exact' AS tier, CAST(coalesce(sum(n*(n-1)//2), 0) AS BIGINT) AS n_pairs
+        FROM (SELECT count(*) AS n FROM documents GROUP BY md5(text))
+        UNION ALL
+        SELECT 'exact_canon', CAST(coalesce(sum(n*(n-1)//2), 0) AS BIGINT)
+        FROM (SELECT count(*) AS n FROM documents
+              GROUP BY md5(trim(regexp_replace(nfc_normalize(text), ' +', ' ', 'g'))))
+        UNION ALL SELECT 'ngram', CAST(count(*) AS BIGINT) FROM jac
+        UNION ALL SELECT 'minhash', CAST(count(*) AS BIGINT) FROM jac
+        UNION ALL SELECT 'spans', CAST(count(*) AS BIGINT) FROM spanp
+        UNION ALL SELECT 'hashed_cosine', CAST(count(*) AS BIGINT) FROM hpairs)
+      ORDER BY tier""")),
+
     // -- per-source SCORECARD: the "which sources should I buy more
     // of" rollup — docs, corpus-wide exact-duplicate membership,
     // integer quality mass, Gopher repetition failures — one row per
