@@ -264,6 +264,71 @@ object TextKernel {
     new GenericArrayData(Array(topC, topChars, dup, all))
   }
 
+  /** Per-document POSITIONAL-COVER duplicate-n-gram char mass — the
+    * reference Gopher/MassiveText definition ("fraction of characters
+    * inside duplicate n-grams", each character counted ONCE no matter
+    * how many duplicated grams overlap it), complementing
+    * [[ngramCharStats]]'s order-free occurrence-mass form. Returns
+    * `[covered_chars, total_chars]` (longs): `covered_chars` = size of
+    * the union of the char spans of every n-gram occurrence whose gram
+    * appears ≥ 2 times in the doc (token codepoints + the joining
+    * spaces INSIDE a covered span); `total_chars` = the doc's codepoint
+    * length. Since the text is exactly tokens joined by single spaces,
+    * covered ≤ total always — the ppm ratio is bounded by 10⁶ by
+    * construction, so published Gopher dup-gram thresholds transfer.
+    *
+    * Two passes over the token array (count grams, mark cover), per-doc
+    * state bounded by doc length — still a pure scan-side kernel.
+    */
+  def ngramCoverStats(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val total = s.codePointCount(0, s.length).toLong
+    val toks = s.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array(0L, total))
+    val counts = new java.util.HashMap[String, Integer]
+    val grams = new Array[String](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      grams(i) = sb.toString
+      val prev = counts.get(grams(i))
+      counts.put(grams(i), if (prev eq null) Integer.valueOf(1)
+                           else Integer.valueOf(prev.intValue + 1))
+      i += 1
+    }
+    // mark covered token positions and covered inter-token gaps (the
+    // single joining spaces) under every duplicated-gram occurrence
+    val covTok = new Array[Boolean](toks.length)
+    val covGap = new Array[Boolean](math.max(toks.length - 1, 0))
+    i = 0
+    while (i < grams.length) {
+      if (counts.get(grams(i)).intValue >= 2) {
+        var j = i
+        while (j < i + n) {
+          covTok(j) = true
+          if (j < i + n - 1) covGap(j) = true
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var cov = 0L
+    var j = 0
+    while (j < toks.length) {
+      if (covTok(j)) cov += toks(j).codePointCount(0, toks(j).length).toLong
+      if (j < covGap.length && covGap(j)) cov += 1L
+      j += 1
+    }
+    new GenericArrayData(Array(cov, total))
+  }
+
   /** Segment one word with a trained BPE merge table ([[graft.ops
     * .Curation.bpeTrain]]'s output, rank order): the word becomes a
     * '|'-delimited padded symbol string and each merge applies as
@@ -474,6 +539,24 @@ final case class NgramCharStats(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.ngramCharStats($t, $n)")
   override protected def withNewChildInternal(newChild: Expression): NgramCharStats =
+    copy(child = newChild)
+}
+
+/** array<long> `[covered_chars, total_chars]` of a document's
+  * positional-cover duplicate-n-gram char mass (the reference Gopher
+  * definition — see [[TextKernel.ngramCoverStats]]). Null text yields
+  * null.
+  */
+final case class NgramCoverStats(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_cover_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.ngramCoverStats(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernel.ngramCoverStats($t, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NgramCoverStats =
     copy(child = newChild)
 }
 

@@ -256,10 +256,10 @@ object TextAnalysis {
     * Gopher's `dup_5gram ≤ 0.15`-style cutoffs are NOT comparable —
     * calibrate cutoffs on this metric's own distribution; (b)
     * `top{n}_ppm` can EXCEED 10⁶ when the top n-gram's occurrences
-    * overlap (`top_c · n > len`). The occurrence form is what keeps the
-    * kernel one-pass/zero-state and the oracle integer-exact; a
-    * positional-cover variant would need per-position dedup state per
-    * doc (interval union), which no longer streams.
+    * overlap (`top_c · n > len`). The occurrence form is the cheaper
+    * one-pass kernel; for REFERENCE-comparable thresholds use
+    * [[gopherRepetitionCover]], the positional-cover variant (each
+    * character counted once, ppm ≤ 10⁶ by construction).
     *
     * All fractions are ppm LONGS (numerator·10⁶ integer-divided), so the
     * gate thresholds and the DuckDB oracle compare integers — the same
@@ -290,5 +290,39 @@ object TextAnalysis {
         .otherwise(lit(0L)).as(s"dup${n}_ppm")
     }
     withStats.select(col(idCol) +: (topCols ++ dupCols): _*)
+  }
+
+  /** Gopher/MassiveText duplicate-n-gram POSITIONAL-COVER fractions —
+    * the reference definition: `dup{n}_cover_ppm` = ppm of the
+    * document's characters lying inside at least one occurrence of a
+    * duplicated n-gram, each character counted ONCE however many
+    * duplicated grams overlap it (interval union over the char string,
+    * joining spaces inside a covered span included). Bounded ≤ 10⁶ by
+    * construction, so the PUBLISHED Gopher thresholds transfer directly
+    * (Rae et al. 2021 §A1.1: e.g. drop when dup_5gram > 0.15 →
+    * `dup5_cover_ppm > 150000`) — unlike [[gopherRepetition]]'s cheaper
+    * occurrence-mass form, whose ratios need recalibration.
+    *
+    * Still one scan-side codegen projection ([[graft.functions
+    * .NgramCoverStats]] — two bounded passes per doc, no explode, no
+    * shuffle): positional cover costs a per-doc boolean array, not a
+    * plan change. Integer ppm via `covered·10⁶ div total` on exact
+    * codepoint counts, the usual last-ulp-proof oracle discipline.
+    */
+  def gopherRepetitionCover(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dupNs: Seq[Int] = Seq(5, 10)): org.apache.spark.sql.DataFrame = {
+    def statsCol(n: Int): Column =
+      org.apache.spark.sql.classic.GraftExpressionBridge.column(
+        graft.functions.NgramCoverStats(
+          org.apache.spark.sql.classic.GraftExpressionBridge.expression(col(textCol)), n))
+    val ns = dupNs.distinct.sorted
+    val withStats = df.select(
+      col(idCol) +: ns.map(n => statsCol(n).as(s"s$n")): _*)
+    val covCols = ns.map { n =>
+      when(expr(s"element_at(s$n, 2)") > 0,
+        expr(s"element_at(s$n, 1) * 1000000L DIV element_at(s$n, 2)"))
+        .otherwise(lit(0L)).as(s"dup${n}_cover_ppm")
+    }
+    withStats.select(col(idCol) +: covCols: _*)
   }
 }

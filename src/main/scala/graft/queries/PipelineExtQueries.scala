@@ -656,6 +656,49 @@ object PipelineExtQueries {
       ORDER BY doc_id"""
     }),
 
+    // -- Gopher POSITIONAL-COVER duplicate-gram fractions (TextAnalysis
+    // .gopherRepetitionCover): ppm of characters inside >=1 duplicated
+    // n-gram occurrence, each char counted once — the reference
+    // definition, published thresholds transfer, <= 1e6 by
+    // construction. Oracle re-derives the interval union as covered
+    // token indexes + covered inter-token gaps --
+    QueryDef("text_gopher_cover", (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      TA.gopherRepetitionCover(docs, "doc_id", "text", dupNs = Seq(2, 3))
+        .orderBy("doc_id")
+    }, Some {
+      def ncte(n: Int) = s"""
+      g$n AS (
+        SELECT doc_id, i, array_to_string(string_split(text,' ')[i:i+$n-1], ' ') AS g
+        FROM documents,
+          UNNEST(range(1, greatest(len(string_split(text,' ')) - $n + 2, 1))) r(i)),
+      d$n AS (SELECT doc_id, g FROM g$n GROUP BY doc_id, g HAVING count(*) >= 2),
+      t$n AS (SELECT DISTINCT g$n.doc_id, j
+              FROM g$n JOIN d$n USING (doc_id, g),
+                UNNEST(range(g$n.i, g$n.i + $n)) rr(j)),
+      p$n AS (SELECT DISTINCT g$n.doc_id, j
+              FROM g$n JOIN d$n USING (doc_id, g),
+                UNNEST(range(g$n.i, g$n.i + $n - 1)) rr(j)),
+      ct$n AS (SELECT t$n.doc_id,
+                 CAST(sum(length(string_split(d.text,' ')[CAST(t$n.j AS INT)])) AS BIGINT) AS ctok
+               FROM t$n JOIN documents d USING (doc_id) GROUP BY t$n.doc_id),
+      cg$n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cgap FROM p$n GROUP BY doc_id),
+      cov$n AS (SELECT ct$n.doc_id,
+                  ct$n.ctok + COALESCE(cg$n.cgap, 0) AS cov
+                FROM ct$n LEFT JOIN cg$n USING (doc_id))"""
+      s"""
+      WITH ${ncte(2).trim}, ${ncte(3).trim}
+      SELECT d.doc_id,
+        CAST(COALESCE(CASE WHEN length(d.text) > 0
+          THEN (cov2.cov * 1000000) // length(d.text) END, 0) AS BIGINT) AS dup2_cover_ppm,
+        CAST(COALESCE(CASE WHEN length(d.text) > 0
+          THEN (cov3.cov * 1000000) // length(d.text) END, 0) AS BIGINT) AS dup3_cover_ppm
+      FROM documents d
+      LEFT JOIN cov2 USING (doc_id)
+      LEFT JOIN cov3 USING (doc_id)
+      ORDER BY doc_id"""
+    }),
+
     // -- PII redaction (emails/phones planted deterministically: the -----
     // corpus itself is PII-free, so each doc gets a synthetic contact
     // line derived from its id; both engines then scrub with the SAME

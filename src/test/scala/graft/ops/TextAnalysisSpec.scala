@@ -273,6 +273,47 @@ class TextAnalysisSpec extends SparkSpec {
     out(1L).getBytes("UTF-8") shouldBe out(2L).getBytes("UTF-8")
   }
 
+  test("gopherRepetitionCover: positional cover matches a naive interval-union reference") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b c"),
+      (2L, "w x y z q r s t u v"),
+      (3L, "a a a a a a a a a a a a"),
+      (4L, "a b"),
+      (5L, "one two three four five one two three four five six"))
+      .toDF("doc_id", "text")
+    val ns = Seq(2, 5)
+    val got = TextAnalysis.gopherRepetitionCover(docs, "doc_id", "text",
+        dupNs = ns)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.collect().foreach { row =>
+      val (id, text) = (row.getLong(0), row.getString(1))
+      val toks = text.split(" ", -1)
+      ns.zipWithIndex.foreach { case (n, i) =>
+        val covered = Array.fill(text.length)(false)
+        if (toks.length >= n) {
+          val grams = (0 to toks.length - n)
+            .map(p => (p, (p until p + n).map(toks).mkString(" ")))
+          val counts = grams.groupBy(_._2).view.mapValues(_.size).toMap
+          val starts = toks.scanLeft(0)((acc, t) => acc + t.length + 1)
+          grams.foreach { case (p, g) =>
+            if (counts(g) >= 2) {
+              val e0 = starts(p + n - 1) + toks(p + n - 1).length
+              (starts(p) until e0).foreach(covered(_) = true)
+            }
+          }
+        }
+        val cov = covered.count(identity).toLong
+        val exp = if (text.nonEmpty) cov * 1000000L / text.length else 0L
+        withClue(s"doc $id n=$n: ") { got(id).getLong(1 + i) shouldBe exp }
+      }
+    }
+    // overlap counted once: total repetition covers EXACTLY the doc (1e6,
+    // never more), where the occurrence-mass form would blow past it
+    got(3L).getLong(1) shouldBe 1000000L
+    got(2L).getLong(1) shouldBe 0L // all grams unique -> nothing covered
+  }
+
   test("gopherRepetition: top-gram tie-break is (count, then largest gram)") {
     import org.apache.spark.sql.functions.col
     // "b c" and "a b" both occur twice at n=2; largest-gram tie-break

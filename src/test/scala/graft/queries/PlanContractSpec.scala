@@ -478,8 +478,9 @@ class PlanContractSpec extends SparkSpec {
       "AnalyticsQueries" -> Set("q_events_json"),
       "TextQueries" -> Set("langid_confusion", "emb_neardup", "text_hash_embed",
         "hash_embed_neardup", "hash_neardup_incremental"),
-      "PipelineExtQueries" -> Set("text_gopher", "edit_dist_join",
-        "dsir_resample", "source_scorecard", "curation_pipeline_v7"),
+      "PipelineExtQueries" -> Set("text_gopher", "text_gopher_cover",
+        "edit_dist_join", "dsir_resample", "source_scorecard",
+        "curation_pipeline_v7"),
       "DqQueries" -> Set.empty[String])
     val qdef = """QueryDef\(\s*"([^"]+)"""".r
     expected.foreach { case (file, want) =>
