@@ -775,6 +775,42 @@ class CurationOpsSpec extends SparkSpec {
       Sampling.reweightShares(Map("a" -> 0L), Map.empty)
   }
 
+  test("bpeTrain: 64-merge production-shape run — deterministic, total, monotone") {
+    // the driver-loop bound (maxVocab · word length, corpus-independent)
+    // exercised at 10x the oracle's 6-merge demo, on real testdata
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def decisions(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val m64 = Curation.bpeTrain(docs, numMerges = 64)
+    val d1 = decisions(m64)
+    d1.length shouldBe 64
+    d1.map(_._1) shouldBe (0L until 64L)
+    d1.foreach { case (_, l, r, c) =>
+      c should be >= 1L
+      l should not be empty
+      r should not be empty
+    }
+    // deterministic: a re-train reproduces every decision bit-for-bit
+    decisions(Curation.bpeTrain(docs, numMerges = 64)) shouldBe d1
+    // the 6-merge table is a PREFIX of the 64-merge table (greedy argmax
+    // is history-deterministic), and deeper tables only shorten
+    // encodings: per-doc symbol counts under 64 merges <= under 6
+    val d6 = decisions(Curation.bpeTrain(docs, numMerges = 6))
+    d1.take(6) shouldBe d6
+    def cnt(m: Array[Array[String]]) =
+      org.apache.spark.sql.classic.GraftExpressionBridge.column(
+        graft.functions.BpeTokenCount(
+          org.apache.spark.sql.classic.GraftExpressionBridge.expression(col("text")), m))
+    val merges64 = Curation.collectMerges(Curation.bpeTrain(docs, numMerges = 64))
+    val merges6 = merges64.take(6)
+    val cmp = docs.select(cnt(merges64).as("c64"), cnt(merges6).as("c6"))
+      .agg(sum(col("c64")).as("s64"), sum(col("c6")).as("s6"),
+        count(when(col("c64") > col("c6"), 1)).as("bad"))
+      .head()
+    cmp.getLong(2) shouldBe 0L          // no doc ever grows
+    cmp.getLong(0) should be < cmp.getLong(1) // corpus-wide strictly shorter
+  }
+
   test("bpeTrain: maxVocab cap keeps the highest-tf words deterministically") {
     val docs = Seq((1L, (Seq.fill(10)("aa") ++ Seq.fill(2)("zz")).mkString(" ")))
       .toDF("doc_id", "text")
