@@ -568,6 +568,63 @@ object Curation {
       () => { keptIds.unpersist(); () })
   }
 
+  /** Stage handles of [[pipelineV8Stages]]: `audit` the per-round
+    * reweighting decisions (a driver-bounded LocalRelation), `shares`
+    * the tuned final weights, `selected` the tuned-mixture corpus
+    * slice, `summary` its per-stratum rollup. No cluster caches —
+    * `release()` is a no-op kept for the pipeline-run convention.
+    */
+  final case class PipelineV8Stages(
+      audit: DataFrame,
+      shares: Map[String, Long],
+      selected: DataFrame,
+      summary: DataFrame,
+      release: () => Unit)
+
+  /** The MIXTURE-TUNING composition: DoReMi-style reweighting rounds
+    * ([[mixtureReweightRun]] — each round trains the bigram proxy on
+    * the live mixture and upweights high-miss strata multiplicatively,
+    * integer-exact) → select the TUNED mixture
+    * ([[Sampling.mixtureSelect]] under the final weights) → one row
+    * per stratum: tuned weight, selected docs, selected char mass.
+    * The end-to-end "let the data pick its own mix, then realize it"
+    * pipeline; the DuckDB oracle re-derives every round's update AND
+    * the final membership, so the tuned weights are cross-engine
+    * facts, not training folklore.
+    *
+    * Scale shape: `rounds`+1 sequential mixture passes over the
+    * corpus (each a strata-mass aggregate + membership probe + two
+    * bigram explodes against buckets-bounded build sides — the
+    * [[mixtureReweight]] shape); the only driver state is the
+    * #strata-row audit. No corpus-sized caches, hence the no-op
+    * release.
+    */
+  def pipelineV8Stages(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      strataCol: String = "lang",
+      textCol: String = "text",
+      massCol: String = "n_chars",
+      initShares: Map[String, Long] =
+        Map("en" -> 1L, "de" -> 1L, "es" -> 1L, "fr" -> 1L, "zh" -> 1L),
+      rounds: Int = 2,
+      eta: Long = 1L): PipelineV8Stages = {
+    val (audit, tuned) = mixtureReweightRun(docs, strataCol, idCol, textCol,
+      initShares, rounds, eta)
+    val selected = Sampling.mixtureSelect(
+      docs.select(col(idCol), col(strataCol), col(massCol)),
+      strataCol, idCol, tuned)
+    val weight = tuned.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, w)) => when(col(strataCol) === s, lit(w)).otherwise(acc)
+    }
+    val summary = selected.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(massCol).cast("long")).as("total_chars"))
+      .withColumn("weight", weight)
+      .select(col(strataCol), col("weight"), col("n_docs"), col("total_chars"))
+    PipelineV8Stages(audit, tuned, selected, summary, () => ())
+  }
+
   /** Per-source boilerplate phrases: the distinct k-token n-grams that
     * appear in at least `minDocs` documents OF THE SAME SOURCE — the
     * header/footer/navigation text a site stamps on every page (the
@@ -1717,7 +1774,19 @@ object Curation {
     */
   def mixtureReweight(docs: DataFrame, strataCol: String, idCol: String,
                       textCol: String, initShares: Map[String, Long],
-                      rounds: Int, eta: Long = 1L): DataFrame = {
+                      rounds: Int, eta: Long = 1L): DataFrame =
+    mixtureReweightRun(docs, strataCol, idCol, textCol, initShares,
+      rounds, eta)._1
+
+  /** [[mixtureReweight]] returning BOTH the audit frame and the final
+    * tuned shares map — the form a pipeline composes: feed the shares
+    * into [[Sampling.mixtureSelect]] (what [[pipelineV8Stages]] does)
+    * or reify them with [[Sampling.saveMixtureRecipe]].
+    */
+  def mixtureReweightRun(docs: DataFrame, strataCol: String, idCol: String,
+                         textCol: String, initShares: Map[String, Long],
+                         rounds: Int, eta: Long = 1L)
+      : (DataFrame, Map[String, Long]) = {
     require(rounds >= 1 && rounds <= 16, "rounds out of [1, 16]")
     val spark = docs.sparkSession
     val base = docs.select(col(idCol), col(strataCol), col(textCol))
@@ -1746,8 +1815,9 @@ object Curation {
       shares = scala.collection.immutable.SortedMap.empty[String, Long] ++ next
     }
     import spark.implicits._
-    audit.toSeq.toDF("round", strataCol, "n_bigrams", "n_hits",
-      "miss_permille", "weight_before", "weight_after")
+    (audit.toSeq.toDF("round", strataCol, "n_bigrams", "n_hits",
+      "miss_permille", "weight_before", "weight_after"),
+      shares)
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection

@@ -119,6 +119,53 @@ object PipelineExtQueries {
       ${blocks.mkString(",")}"""
   }
 
+  /** One DoReMi reweighting round as DuckDB CTEs: given weight table
+    * `$w` (lang, w) emits `r$it` with (lang, n_bigrams, n_hits,
+    * miss_permille, weight_before, weight_after) — mirrors
+    * [[graft.ops.Curation.mixtureReweight]] round for round (mixture
+    * membership under the live weights, bigram proxy trained on the
+    * selected slice via the shared `bg`/`cnt` CTEs, integer permille
+    * miss, multiplicative update). Shared by the `mixture_reweight`
+    * and `curation_pipeline_v8` oracles.
+    */
+  private def mwRoundCte(it: Int, w: String): String = s"""
+      cc$it AS (SELECT c.lang, c.n, $w.w AS num FROM cnt c JOIN $w USING (lang)
+                WHERE c.n > 0 AND $w.w > 0),
+      bs$it AS (SELECT n AS nb, num AS numb FROM cc$it x
+                WHERE NOT EXISTS (SELECT 1 FROM cc$it o
+                                  WHERE x.n * o.num > o.n * x.num)
+                ORDER BY lang LIMIT 1),
+      sel$it AS (SELECT d.doc_id
+                 FROM documents d JOIN cc$it ON d.lang = cc$it.lang CROSS JOIN bs$it
+                 WHERE ($hashSql + 1) * bs$it.numb * cc$it.n
+                    <= 1000000 * bs$it.nb * cc$it.num),
+      m$it AS (SELECT bigram, count(*) AS c FROM bg JOIN sel$it USING (doc_id)
+               GROUP BY bigram),
+      s$it AS (SELECT b.lang, count(*) AS nb, count(m$it.c) AS nh
+               FROM bg b LEFT JOIN m$it USING (bigram) GROUP BY b.lang),
+      r$it AS (SELECT $w.lang,
+          CAST(coalesce(s$it.nb, 0) AS BIGINT) AS n_bigrams,
+          CAST(coalesce(s$it.nh, 0) AS BIGINT) AS n_hits,
+          CAST(CASE WHEN coalesce(s$it.nb, 0) > 0
+               THEN (s$it.nb - s$it.nh) * 1000 // s$it.nb ELSE 0 END AS BIGINT)
+            AS miss_permille,
+          CAST($w.w AS BIGINT) AS weight_before,
+          CAST($w.w * (1000 + CASE WHEN coalesce(s$it.nb, 0) > 0
+               THEN (s$it.nb - s$it.nh) * 1000 // s$it.nb ELSE 0 END) AS BIGINT)
+            AS weight_after
+        FROM $w LEFT JOIN s$it USING (lang))"""
+
+  /** The shared head CTEs of the reweighting oracles: full-corpus
+    * bigram stream, per-lang counts, unit initial weights. */
+  private val mwHeadCte: String = """
+      bg AS (
+        SELECT doc_id, lang,
+          unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)),
+      cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      w1 AS (SELECT lang, CAST(w AS BIGINT) AS w FROM (VALUES
+        ('de', 1), ('en', 1), ('es', 1), ('fr', 1), ('zh', 1)) t(lang, w))"""
+
   /** Null-tolerant unrolled BPE encode chain over b1..b{n}: each step
     * `replace(acc, '|l|r|' → '|lr|')` with l/r COALESCE'd to '' and the
     * b{i} singletons LEFT-JOINed ON TRUE — an exhausted vocabulary
@@ -417,50 +464,47 @@ object PipelineExtQueries {
           rounds = 2)
         .orderBy("round", "lang")
     }, Some {
-      // one reweighting round: given weight table $w (lang, w), emits
-      // r$it with (lang, n_bigrams, n_hits, miss_permille,
-      // weight_before, weight_after)
-      def round(it: Int, w: String) = s"""
-      cc$it AS (SELECT c.lang, c.n, $w.w AS num FROM cnt c JOIN $w USING (lang)
-                WHERE c.n > 0 AND $w.w > 0),
-      bs$it AS (SELECT n AS nb, num AS numb FROM cc$it x
-                WHERE NOT EXISTS (SELECT 1 FROM cc$it o
-                                  WHERE x.n * o.num > o.n * x.num)
-                ORDER BY lang LIMIT 1),
-      sel$it AS (SELECT d.doc_id
-                 FROM documents d JOIN cc$it ON d.lang = cc$it.lang CROSS JOIN bs$it
-                 WHERE ($hashSql + 1) * bs$it.numb * cc$it.n
-                    <= 1000000 * bs$it.nb * cc$it.num),
-      m$it AS (SELECT bigram, count(*) AS c FROM bg JOIN sel$it USING (doc_id)
-               GROUP BY bigram),
-      s$it AS (SELECT b.lang, count(*) AS nb, count(m$it.c) AS nh
-               FROM bg b LEFT JOIN m$it USING (bigram) GROUP BY b.lang),
-      r$it AS (SELECT $w.lang,
-          CAST(coalesce(s$it.nb, 0) AS BIGINT) AS n_bigrams,
-          CAST(coalesce(s$it.nh, 0) AS BIGINT) AS n_hits,
-          CAST(CASE WHEN coalesce(s$it.nb, 0) > 0
-               THEN (s$it.nb - s$it.nh) * 1000 // s$it.nb ELSE 0 END AS BIGINT)
-            AS miss_permille,
-          CAST($w.w AS BIGINT) AS weight_before,
-          CAST($w.w * (1000 + CASE WHEN coalesce(s$it.nb, 0) > 0
-               THEN (s$it.nb - s$it.nh) * 1000 // s$it.nb ELSE 0 END) AS BIGINT)
-            AS weight_after
-        FROM $w LEFT JOIN s$it USING (lang))"""
       s"""
-      WITH bg AS (
-        SELECT doc_id, lang,
-          unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
-        FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)),
-      cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-      w1 AS (SELECT lang, CAST(w AS BIGINT) AS w FROM (VALUES
-        ('de', 1), ('en', 1), ('es', 1), ('fr', 1), ('zh', 1)) t(lang, w)),
-      ${round(1, "w1")},
+      WITH ${mwHeadCte.trim},
+      ${mwRoundCte(1, "w1")},
       w2 AS (SELECT lang, weight_after AS w FROM r1),
-      ${round(2, "w2")}
+      ${mwRoundCte(2, "w2")}
       SELECT CAST(1 AS BIGINT) AS round, * FROM r1
       UNION ALL
       SELECT CAST(2 AS BIGINT) AS round, * FROM r2
       ORDER BY round, lang"""
+    }),
+
+    // -- the MIXTURE-TUNING pipeline (Curation.pipelineV8Stages):
+    // DoReMi rounds tune the weights, the tuned mixture is then
+    // SELECTED and rolled up per stratum — the oracle re-derives the
+    // rounds AND the final membership, so the tuned mix is a
+    // cross-engine fact end to end --
+    QueryDef("curation_pipeline_v8", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val st = graft.ops.Curation.pipelineV8Stages(docs)
+      Tables.materializeAndRelease(st.summary.orderBy("lang"), st.release)
+    }, Some {
+      s"""
+      WITH ${mwHeadCte.trim},
+      ${mwRoundCte(1, "w1")},
+      w2 AS (SELECT lang, weight_after AS w FROM r1),
+      ${mwRoundCte(2, "w2")},
+      w3 AS (SELECT lang, weight_after AS w FROM r2),
+      cc3 AS (SELECT c.lang, c.n, w3.w AS num FROM cnt c JOIN w3 USING (lang)
+              WHERE c.n > 0 AND w3.w > 0),
+      bs3 AS (SELECT n AS nb, num AS numb FROM cc3 x
+              WHERE NOT EXISTS (SELECT 1 FROM cc3 o
+                                WHERE x.n * o.num > o.n * x.num)
+              ORDER BY lang LIMIT 1)
+      SELECT d.lang, CAST(cc3.num AS BIGINT) AS weight,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+      FROM documents d JOIN cc3 ON d.lang = cc3.lang CROSS JOIN bs3
+      WHERE ($hashSql + 1) * bs3.numb * cc3.n
+         <= 1000000 * bs3.nb * cc3.num
+      GROUP BY d.lang, cc3.num
+      ORDER BY d.lang"""
     }),
 
     // -- deterministic weighted interleaving into a training order

@@ -761,6 +761,26 @@ class CurationOpsSpec extends SparkSpec {
     missOf((3L, "hard")) should be <= missOf((2L, "hard"))
   }
 
+  test("pipelineV8Stages: summary weights ARE the audit's final-round weights") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val st = Curation.pipelineV8Stages(docs)
+    val lastRound = st.audit.agg(max(col("round"))).head().getLong(0)
+    lastRound shouldBe 2L
+    val auditW = st.audit.filter(col("round") === lastRound)
+      .collect().map(r => r.getString(1) -> r.getLong(6)).toMap
+    st.shares shouldBe auditW // the run's shares chain from the audit
+    val sumRows = st.summary.collect()
+    sumRows should not be empty
+    val langCounts = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sumRows.foreach { r =>
+      r.getLong(1) shouldBe auditW(r.getString(0)) // weight column
+      r.getLong(2) should be <= langCounts(r.getString(0)) // never oversample
+      r.getLong(2) should be > 0L
+    }
+    st.release() // no-op by contract
+  }
+
   test("reweightShares: exact factors, missing scores are no-ops, loud overflow") {
     Sampling.reweightShares(Map("a" -> 3L, "b" -> 5L),
       Map("a" -> 250L), eta = 2L) shouldBe Map("a" -> 4500L, "b" -> 5000L)
