@@ -447,14 +447,19 @@ object Curation {
       tau: Double = 0.8,
       capPerDomain: Long = 800L,
       eager: Boolean = true): PipelineV6Stages = {
-    // persistIndex=false: the pair list itself is the cache here; the
-    // tier's internal shingle-index persist would be dead weight the
-    // moment pairs materializes, with no release handle to own it
-    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, k, tau,
-        persistIndex = false)
+    // the pair tier's (id, s) shingle index feeds FOUR subtrees (sizes,
+    // both self-join sides, the over-cap supplement) — own it HERE via
+    // the FromIndex form and drop it the moment the pair list (the
+    // durable cache) materializes: the index is scaffolding for one
+    // build, never pipeline state (the former persistIndex=false
+    // recomputed the shingle explode per consumer — measured ~25% of
+    // the composition at sf0.1)
+    val shingleIx = Dedup.shingleFpRows(docs, idCol, textCol, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.ngramJaccardPairsFromIndex(shingleIx, tau)
       .select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (eager) pairs.count()
+    if (eager) { pairs.count(); shingleIx.unpersist() }
     val clusters = Dedup.connectedComponents(pairs)
       .select(col("doc_id").as(idCol), col("cluster_id"))
     val labeled = Sampling.splitByGroup(
@@ -497,7 +502,8 @@ object Curation {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         coalesce(col("n_cross_pairs"), lit(0L)).as("n_cross_pairs"))
     PipelineV6Stages(labeled, audit, capped, summary,
-      () => { pairs.unpersist(); labeled.unpersist(); audit.unpersist(); () })
+      () => { pairs.unpersist(); labeled.unpersist(); audit.unpersist()
+        shingleIx.unpersist(); () }) // no-op when eager already dropped it
   }
 
   /** Stage handles of [[pipelineV7Stages]]: `keptIds` the narrow gated
