@@ -781,6 +781,23 @@ class CurationOpsSpec extends SparkSpec {
     st.release() // no-op by contract
   }
 
+  test("tuned DoReMi shares compose with the standing mixture recipe") {
+    // the pipeline's direct selection == thresholds-recipe replay of
+    // the same tuned shares (the recipe contract, now spanning the
+    // reweighting stack): a stream/batch gated by the saved recipe
+    // reproduces pipelineV8's mix bit-for-bit
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val st = Curation.pipelineV8Stages(docs)
+    val direct = st.selected.select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val thr = Sampling.mixtureThresholds(
+      docs.select(col("doc_id"), col("lang")), "lang", st.shares)
+    val replay = Sampling.mixtureGateWith(
+        docs.select(col("doc_id"), col("lang")), thr, "lang", "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    replay shouldBe direct
+  }
+
   test("reweightShares: exact factors, missing scores are no-ops, loud overflow") {
     Sampling.reweightShares(Map("a" -> 3L, "b" -> 5L),
       Map("a" -> 250L), eta = 2L) shouldBe Map("a" -> 4500L, "b" -> 5000L)
