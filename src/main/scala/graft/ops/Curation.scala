@@ -1780,27 +1780,36 @@ object Curation {
     */
   def mixtureReweight(docs: DataFrame, strataCol: String, idCol: String,
                       textCol: String, initShares: Map[String, Long],
-                      rounds: Int, eta: Long = 1L): DataFrame =
+                      rounds: Int, eta: Long = 1L,
+                      weightCol: Option[String] = None): DataFrame =
     mixtureReweightRun(docs, strataCol, idCol, textCol, initShares,
-      rounds, eta)._1
+      rounds, eta, weightCol)._1
 
   /** [[mixtureReweight]] returning BOTH the audit frame and the final
     * tuned shares map — the form a pipeline composes: feed the shares
     * into [[Sampling.mixtureSelect]] (what [[pipelineV8Stages]] does)
-    * or reify them with [[Sampling.saveMixtureRecipe]].
+    * or reify them with [[Sampling.saveMixtureRecipe]]. `weightCol`
+    * makes each round's MIXTURE SELECTION token-weighted (strata
+    * masses become weight sums, the [[Sampling.mixtureSelect]]
+    * contract — training mixes are specified in tokens, not
+    * documents); the excess-loss scoring is per-occurrence either way.
     */
   def mixtureReweightRun(docs: DataFrame, strataCol: String, idCol: String,
                          textCol: String, initShares: Map[String, Long],
-                         rounds: Int, eta: Long = 1L)
+                         rounds: Int, eta: Long = 1L,
+                         weightCol: Option[String] = None)
       : (DataFrame, Map[String, Long]) = {
     require(rounds >= 1 && rounds <= 16, "rounds out of [1, 16]")
     val spark = docs.sparkSession
-    val base = docs.select(col(idCol), col(strataCol), col(textCol))
+    val base = docs.select(
+      (Seq(col(idCol), col(strataCol), col(textCol)) ++
+        weightCol.map(col)): _*)
     var shares = scala.collection.immutable.SortedMap.empty[String, Long] ++ initShares
     val audit = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, Long, Long, Long, Long, Long)]
     for (r <- 1 to rounds) {
-      val sel = Sampling.mixtureSelect(base, strataCol, idCol, shares)
+      val sel = Sampling.mixtureSelect(base, strataCol, idCol, shares,
+        weightCol)
       val lm = ngramLmScore(sel, base, idCol, textCol, attachMissing = false)
       val perStratum = lm
         .join(base.select(col(idCol), col(strataCol)), Seq(idCol))

@@ -128,8 +128,8 @@ object PipelineExtQueries {
     * miss, multiplicative update). Shared by the `mixture_reweight`
     * and `curation_pipeline_v8` oracles.
     */
-  private def mwRoundCte(it: Int, w: String): String = s"""
-      cc$it AS (SELECT c.lang, c.n, $w.w AS num FROM cnt c JOIN $w USING (lang)
+  private def mwRoundCte(it: Int, w: String, cnt: String = "cnt"): String = s"""
+      cc$it AS (SELECT c.lang, c.n, $w.w AS num FROM $cnt c JOIN $w USING (lang)
                 WHERE c.n > 0 AND $w.w > 0),
       bs$it AS (SELECT n AS nb, num AS numb FROM cc$it x
                 WHERE NOT EXISTS (SELECT 1 FROM cc$it o
@@ -163,6 +163,8 @@ object PipelineExtQueries {
           unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
         FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)),
       cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      cntw AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n
+               FROM documents GROUP BY lang),
       w1 AS (SELECT lang, CAST(w AS BIGINT) AS w FROM (VALUES
         ('de', 1), ('en', 1), ('es', 1), ('fr', 1), ('zh', 1)) t(lang, w))"""
 
@@ -469,6 +471,30 @@ object PipelineExtQueries {
       ${mwRoundCte(1, "w1")},
       w2 AS (SELECT lang, weight_after AS w FROM r1),
       ${mwRoundCte(2, "w2")}
+      SELECT CAST(1 AS BIGINT) AS round, * FROM r1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS round, * FROM r2
+      ORDER BY round, lang"""
+    }),
+
+    // -- TOKEN-WEIGHTED DoReMi rounds: the mixture each round selects
+    // is token-mass-targeted (strata masses = sum(n_chars), the
+    // mixture_select_tokens convention) while the excess-loss scoring
+    // stays per-occurrence; the oracle swaps only the counts table --
+    QueryDef("mixture_reweight_tokens", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.mixtureReweight(docs,
+          strataCol = "lang", idCol = "doc_id", textCol = "text",
+          initShares = Map("en" -> 1L, "de" -> 1L, "es" -> 1L,
+            "fr" -> 1L, "zh" -> 1L),
+          rounds = 2, weightCol = Some("n_chars"))
+        .orderBy("round", "lang")
+    }, Some {
+      s"""
+      WITH ${mwHeadCte.trim},
+      ${mwRoundCte(1, "w1", "cntw")},
+      w2 AS (SELECT lang, weight_after AS w FROM r1),
+      ${mwRoundCte(2, "w2", "cntw")}
       SELECT CAST(1 AS BIGINT) AS round, * FROM r1
       UNION ALL
       SELECT CAST(2 AS BIGINT) AS round, * FROM r2
