@@ -166,8 +166,9 @@ object Embedding {
     * casts (int128 ⊃ decimal(38,0) range).
     *
     * Exactness domain of the slow path — honest bounds, not "room to
-    * spare": decimal(38,0) products NULL out past 10³⁸ (the pair is
-    * then silently dropped), so the gate is exact iff
+    * spare": decimal(38,0) products overflow past 10³⁸ — a LOUD error
+    * under ANSI mode (Spark 4's default, spec-pinned), a NULL (pair
+    * silently dropped) with ANSI off — so the gate is exact iff
     * dot²·τ²den < 10³⁸ and τ²num·∥a∥²·∥b∥² < 10³⁸. With the enforced
     * τ² num/den ≤ 10⁴ that is dot < 10¹⁷ and ∥a∥²·∥b∥² < 10³⁴ —
     * documents up to ~10⁸ total shingle occurrences each. Larger

@@ -246,6 +246,61 @@ class EmbeddingSpec extends SparkSpec {
     }
   }
 
+  test("cosine gate: seeded random sweep across magnitudes vs BigInt reference") {
+    // 600 triples spanning 1..2^62 with dot clamped to the
+    // Cauchy-Schwarz ceiling (the gate's input invariant) plus
+    // near-threshold dots, across three tau settings — breadth the
+    // deterministic boundary spec doesn't cover
+    val rnd = new scala.util.Random(0xC051DE)
+    def isqrt(x: BigInt): Long = {
+      var r = BigInt(math.sqrt(x.toDouble).toLong).max(0)
+      while (r * r > x) r -= 1
+      while ((r + 1) * (r + 1) <= x) r += 1
+      r.toLong
+    }
+    val taus = Seq((81L, 100L), (25L, 100L), (9999L, 10000L))
+    taus.foreach { case (num, den) =>
+      // magnitudes capped at 2^54 ≈ 1.8e16: keeps tau·na·nb < 1e38 at
+      // every tau here — the gate's DOCUMENTED decimal exactness
+      // domain (past it the gate fails loudly under ANSI, pinned by
+      // the next test)
+      val triples = (1 to 200).map { _ =>
+        val na = math.abs(rnd.nextLong()) % (1L << (2 + rnd.nextInt(53))) + 1
+        val nb = math.abs(rnd.nextLong()) % (1L << (2 + rnd.nextInt(53))) + 1
+        val ceil = isqrt(BigInt(na) * nb)
+        // half the dots hug the tau threshold, half are uniform in range
+        val dot =
+          if (rnd.nextBoolean()) {
+            val t = isqrt(BigInt(num) * na * nb / den)
+            (t + rnd.nextInt(3) - 1).max(0).min(ceil)
+          } else math.abs(rnd.nextLong()) % (ceil + 1)
+        (dot, na, nb)
+      }
+      val got = triples.toDF("dot", "na", "nb")
+        .withColumn("g",
+          Embedding.cosineGate(col("dot"), num, den, col("na"), col("nb")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getBoolean(3))
+        .toMap
+      triples.foreach { case t @ (dot, na, nb) =>
+        val want = BigInt(dot) * dot * den >= BigInt(num) * na * nb
+        assert(got(t) == want, s"tau=$num/$den mismatch at $t")
+      }
+    }
+  }
+
+  test("cosine gate past the documented decimal domain fails LOUDLY under ANSI") {
+    // norms past the doc'd ~1e34-product bound overflow decimal(38,0);
+    // under Spark 4's default ANSI mode that is an ERROR, not a
+    // silently dropped pair — pin the loud failure so the exactness
+    // domain stays a visible contract
+    val na = 1L << 62
+    val df = Seq((na - 1, na, na)).toDF("dot", "na", "nb")
+      .withColumn("g",
+        Embedding.cosineGate(col("dot"), 81L, 100L, col("na"), col("nb")))
+    a[Throwable] should be thrownBy df.collect()
+  }
+
   test("cosine gate rejects tau^2 terms past the documented decimal bound") {
     an[IllegalArgumentException] should be thrownBy
       Embedding.cosineGate(col("dot"), 81L, 10001L, col("na"), col("nb"))
