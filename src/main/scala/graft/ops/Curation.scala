@@ -1799,7 +1799,11 @@ object Curation {
                          rounds: Int, eta: Long = 1L,
                          weightCol: Option[String] = None)
       : (DataFrame, Map[String, Long]) = {
-    require(rounds >= 1 && rounds <= 16, "rounds out of [1, 16]")
+    // 6 is the structural ceiling, not taste: factors are >= base per
+    // round (see reweightShares), so round 7 from unit starts ALWAYS
+    // overflows Long — a higher cap would admit schedules that pay
+    // 6 full corpus passes and then deterministically throw
+    require(rounds >= 1 && rounds <= 6, "rounds out of [1, 6]")
     val spark = docs.sparkSession
     val base = docs.select(
       (Seq(col(idCol), col(strataCol), col(textCol)) ++

@@ -613,14 +613,18 @@ object Sampling {
     * loss": 0 = perfectly covered stratum → factor 1; base → factor
     * 1+eta). Strata missing from `scorePermille` get score 0. Weights
     * are multiplied in BigInt and REQUIRED to stay within Long (the
-    * loud-failure convention) — factors are ≤ base·(1+eta), so r
-    * rounds grow weights by at most (base·(1+eta))^r: at the defaults
-    * (base 1000, eta 1) five rounds from unit starts are safe even if
-    * every round scores the full base (2000⁵ ≈ 3.2·10¹⁶ < 2⁶³); real
-    * miss rates keep factors far smaller, so deeper schedules usually
-    * fit — and fail loudly here, never wrap, when they don't.
-    * Driver-side pure function over #strata-sized maps — zero cluster
-    * cost.
+    * loud-failure convention). Magnitude growth is STRUCTURAL, not
+    * score-dependent: every factor lies in [base, base·(1+eta)], so r
+    * rounds multiply weights by at least base^r and at most
+    * (base·(1+eta))^r — at the defaults (base 1000, eta 1), unit
+    * starts always fit through round 5 even at full miss
+    * (2000⁵ ≈ 3.2·10¹⁶), fit round 6 unless misses stay pathological
+    * (worst case 6.4·10¹⁹ overflows, typical ≈ 10¹⁸ fits), and NEVER
+    * fit round 7 (≥ 1000⁷ = 10²¹). [[graft.ops.Curation
+    * .mixtureReweight]] caps its schedule at 6 accordingly; larger
+    * user starts fail proportionally earlier — loudly here, never
+    * wrapped. Driver-side pure function over #strata-sized maps —
+    * zero cluster cost.
     */
   def reweightShares(shares: Map[String, Long],
                      scorePermille: Map[String, Long],

@@ -798,6 +798,15 @@ class CurationOpsSpec extends SparkSpec {
     replay shouldBe direct
   }
 
+  test("mixtureReweight rejects schedules past the structural overflow ceiling") {
+    // factors are >= base per round, so round 7 from unit starts ALWAYS
+    // overflows Long — the cap fails the call before any corpus pass
+    val docs = Seq((1L, "en", "a b")).toDF("doc_id", "lang", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Curation.mixtureReweight(docs, "lang", "doc_id", "text",
+        Map("en" -> 1L), rounds = 7)
+  }
+
   test("reweightShares: exact factors, missing scores are no-ops, loud overflow") {
     Sampling.reweightShares(Map("a" -> 3L, "b" -> 5L),
       Map("a" -> 250L), eta = 2L) shouldBe Map("a" -> 4500L, "b" -> 5000L)
