@@ -303,6 +303,44 @@ class SamplingSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("mixtureSelect membership fuzz: every kept/dropped verdict matches a BigInt reference") {
+    // seeded random share maps over skewed strata sizes — re-derive the
+    // binding-stratum election and the division-free membership gate in
+    // BigInt and compare row for row (the oracle checks this at 3 SFs;
+    // this covers share/size combinations no fixed oracle exercises)
+    val rnd = new scala.util.Random(0x5E1EC7)
+    val sizes = Map("a" -> 700, "b" -> 2300, "c" -> 150, "d" -> 5000)
+    val rows = sizes.toSeq.flatMap { case (s, n) =>
+      (0 until n).map(i => (rnd.nextLong().abs % 100000000L, s))
+    }.distinct
+    val df = rows.toDF("id", "lang")
+    (1 to 5).foreach { trial =>
+      val shares = Seq("a", "b", "c", "d")
+        .map(s => s -> rnd.nextInt(8).toLong).toMap
+      if (shares.values.exists(_ > 0)) {
+        val kept = Sampling.mixtureSelect(df, "lang", "id", shares)
+          .select("id").collect().map(_.getLong(0)).toSet
+        // BigInt reference
+        val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val cc = counts.toSeq
+          .map { case (s, n) => (s, n, shares.getOrElse(s, 0L)) }
+          .filter { case (_, n, w) => w > 0 && n > 0 }
+        val binding = cc.filter { case (_, n, w) =>
+          cc.forall { case (_, no, wo) =>
+            BigInt(n) * wo <= BigInt(no) * w }
+        }.minBy(_._1)
+        val (_, nb, wb) = binding
+        val expect = rows.filter { case (id, s) =>
+          cc.find(_._1 == s).exists { case (_, n, w) =>
+            val h = BigInt((id % 1048573L) * 2654435761L % 1000000L)
+            (h + 1) * wb * n <= BigInt(1000000L) * nb * w
+          }
+        }.map(_._1).toSet
+        withClue(s"trial $trial shares=$shares: ") { kept shouldBe expect }
+      }
+    }
+  }
+
   test("mixtureThresholds + mixtureGateWith reproduce mixtureSelect exactly") {
     val df = (0L until 3000L).map { i =>
       (i, s"s${i % 3}", 1L + i % 7)

@@ -498,6 +498,41 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("dedup_scorecard rows equal counting the constituent tier ops directly") {
+    // the scorecard must be a VIEW of the tiers, never a divergent
+    // re-implementation: recompute each tier's pair count from the ops
+    // at the scorecard's own parameters and compare row for row (the
+    // DuckDB oracle independently re-derives the same six numbers)
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, Embedding, TextAnalysis}
+    val got = SparkEntry.queries("dedup_scorecard")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def pairsOf(g: org.apache.spark.sql.DataFrame) = g
+      .agg(coalesce(sum(expr("n_dups * (n_dups - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    got("exact") shouldBe pairsOf(Dedup.exactGroups(docs, "doc_id", "text"))
+    got("exact_canon") shouldBe pairsOf(Dedup.exactGroups(
+      docs.select(col("doc_id"),
+        TextAnalysis.canonicalText(col("text")).as("text")),
+      "doc_id", "text"))
+    got("ngram") shouldBe
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.8,
+        persistIndex = false).count()
+    got("minhash") shouldBe
+      Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3, tau = 0.8,
+        persistIndex = false).count()
+    got("spans") shouldBe
+      Dedup.duplicateSpanPairs(docs, "doc_id", "text", k = 40, sel = "0",
+        minShared = 2, persistIndex = false).count()
+    got("hashed_cosine") shouldBe
+      Embedding.hashedShingleNearDup(docs, "doc_id", "text", dim = 65536,
+        k = 3, tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L,
+        persistIndex = false).count()
+    spark.catalog.clearCache() // the scorecard's harness contract
+  }
+
   test("fused span fingerprints reach the pair join without a distinct exchange") {
     // the kernel dedups per doc, so between scan and the candidate
     // self-join there is ONE exchange (the join key), not two (the old
