@@ -599,6 +599,90 @@ object Sampling {
       .filter(hashBucket(col(idCol)) < col("thr"))
       .drop("thr")
 
+  /** Repeat each stratum's rows a RATIONAL number of times — the
+    * up-sampling primitive behind epoch-weighted training mixes
+    * ("repeat the small high-quality corpus 3.2x per epoch of web",
+    * the Pile/LLaMA-recipe shape, where [[mixtureSelect]] covers only
+    * the down-sampling direction). A stratum with factor num/den
+    * emits `num div den` copies of every row plus ONE extra copy for
+    * the deterministic `(num mod den)/den` hash slice — realized mass
+    * is exactly `n·num/den` in expectation with per-row quantization
+    * of one copy, and membership of the extra copy is the usual
+    * engine-portable division-free gate (`hash·den < 10⁶·(num mod
+    * den)` in decimal(38,0)), so any engine reproduces the emitted
+    * multiset bit-for-bit. Output gains a `copy` column (1-based) —
+    * keep it in the training key so repeated rows stay
+    * distinguishable downstream.
+    *
+    * Scale shape: one scan-side `explode(sequence(...))` per row —
+    * zero shuffles, no joins (the factor map compiles to CASE
+    * chains). `maxEpochs` bounds the blow-up loudly (a typo'd share
+    * must not 1000x the corpus silently). Strata absent from
+    * `epochs` are dropped (not in the mix).
+    */
+  def epochRepeat(df: DataFrame, strataCol: String, idCol: String,
+                  epochs: Map[String, (Long, Long)],
+                  maxEpochs: Long = 100L): DataFrame = {
+    require(epochs.nonEmpty, "empty epochs map")
+    epochs.foreach { case (s, (num, den)) =>
+      require(num > 0 && den > 0, s"epoch factor for '$s' must be positive")
+      require(num <= maxEpochs * den,
+        s"epoch factor for '$s' is ${num}/${den} > maxEpochs=$maxEpochs — " +
+          "raise maxEpochs explicitly if the blow-up is intended")
+    }
+    require(!df.columns.contains("copy"), "input already has a 'copy' column")
+    val dec = "decimal(38,0)"
+    def cases(f: ((Long, Long)) => Long): Column =
+      epochs.foldLeft(lit(-1L)) { case (acc, (s, nd)) =>
+        when(col(strataCol) === s, lit(f(nd))).otherwise(acc)
+      }
+    val base = cases { case (num, den) => num / den }
+    val remNum = cases { case (num, den) => num % den }
+    val den = cases { case (_, d) => d }
+    val extra = when(
+      hashBucket(col(idCol)).cast(dec) * den.cast(dec) <
+        lit(Buckets).cast(dec) * remNum.cast(dec), 1L).otherwise(0L)
+    df.filter(den > 0)
+      .withColumn("__k", base + extra)
+      .filter(col("__k") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("__k"))))
+      .drop("__k")
+  }
+
+  /** Epoch factors that REALIZE target `shares` by pure up-sampling:
+    * the most over-represented stratum (argmax of n/share, smallest
+    * stratum among ties — the [[mixtureSelect]] election run in
+    * reverse) keeps factor 1 and every other stratum repeats
+    * `(share_s·n_b) / (share_b·n_s)` ≥ 1 times, so realized masses are
+    * proportional to the shares WITHOUT dropping a single document —
+    * the dual of [[mixtureSelect]], which realizes the same ratios by
+    * keeping the most UNDER-represented stratum whole and dropping
+    * from the rest. Same tiny counts frame, same cross-multiplied
+    * integer election; factors land in [[epochRepeat]].
+    */
+  def mixtureUpsample(df: DataFrame, strataCol: String, idCol: String,
+                      shares: Map[String, Long],
+                      maxEpochs: Long = 100L): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ >= 0) &&
+      shares.values.exists(_ > 0), "bad target shares")
+    val counts = df.filter(col(strataCol).isin(shares.keys.toSeq: _*))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .filter { case (s, n) => n > 0 && shares.getOrElse(s, 0L) > 0 }
+    require(counts.nonEmpty, "no stratum carries both rows and a positive share")
+    // binding b: argmax of n/share by cross-multiplication (∀o:
+    // n_b·share_o >= n_o·share_b), smallest stratum among ties
+    val b = counts.keys.toSeq.sorted.filter { s =>
+      counts.forall { case (o, no) =>
+        BigInt(counts(s)) * shares(o) >= BigInt(no) * shares(s) }
+    }.head
+    val epochs = counts.keys.map { s =>
+      s -> (shares(s) * counts(b), shares(b) * counts(s))
+    }.toMap
+    epochRepeat(df, strataCol, idCol, epochs, maxEpochs)
+  }
+
   /** One multiplicative-weights round over the strata shares — the
     * integer-exact update rule under DoReMi-style iterative mixture
     * reweighting ([[graft.ops.Curation.mixtureReweight]] composes it

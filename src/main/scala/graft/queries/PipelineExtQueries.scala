@@ -451,6 +451,36 @@ object PipelineExtQueries {
       WHERE ($hashSql + 1) * b.numb * cc.n <= 1000000 * b.nb * cc.num
       ORDER BY doc_id""")),
 
+    // -- UP-SAMPLING mixture (Sampling.mixtureUpsample): realize the
+    // target ratios by REPEATING under-represented strata instead of
+    // dropping over-represented ones — per-stratum rational epoch
+    // factors (the most over-represented stratum keeps factor 1),
+    // floor copies + one hash-gated extra; the oracle re-derives the
+    // argmax election, every factor, and every emitted copy --
+    QueryDef("mixture_upsample", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.mixtureUpsample(docs.select(col("doc_id"), col("lang")),
+          strataCol = "lang", idCol = "doc_id",
+          shares = Map("en" -> 3L, "de" -> 1L, "es" -> 1L, "fr" -> 1L))
+        .orderBy("doc_id", "copy")
+    }, Some(s"""
+      WITH c AS (SELECT lang, count(*) AS n,
+               CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 1
+                         WHEN 'es' THEN 1 WHEN 'fr' THEN 1 ELSE 0 END AS w
+             FROM documents GROUP BY lang),
+      cc AS (SELECT * FROM c WHERE w > 0 AND n > 0),
+      b AS (SELECT n AS nbv, w AS wb FROM cc x
+            WHERE NOT EXISTS (SELECT 1 FROM cc o WHERE x.n * o.w < o.n * x.w)
+            ORDER BY lang LIMIT 1),
+      f AS (SELECT cc.lang, cc.w * b.nbv AS num, b.wb * cc.n AS den
+            FROM cc CROSS JOIN b)
+      SELECT d.doc_id, d.lang, CAST(t.copy AS BIGINT) AS copy
+      FROM documents d JOIN f ON d.lang = f.lang,
+        UNNEST(range(1, num // den
+          + CASE WHEN ($hashSql) * den < 1000000 * (num % den)
+                 THEN 1 ELSE 0 END + 1)) t(copy)
+      ORDER BY doc_id, copy""")),
+
     // -- DoReMi-style iterative mixture reweighting (Curation
     // .mixtureReweight): two multiplicative-weights rounds — select the
     // live mixture, train the bigram proxy ON it, per-stratum miss

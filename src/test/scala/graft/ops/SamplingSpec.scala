@@ -341,6 +341,49 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixtureUpsample: no document dropped, binding stratum untouched, ratios realized") {
+    // 4000 a / 500 b / 100 c rows at target 1:1:2 — 'a' is the most
+    // over-represented (argmax n/share) and must keep factor exactly 1
+    val df = ((0L until 4000L).map(i => (i, "a")) ++
+      (10000L until 10500L).map(i => (i, "b")) ++
+      (20000L until 20100L).map(i => (i, "c"))).toDF("id", "lang")
+    val out = Sampling.mixtureUpsample(df, "lang", "id",
+        Map("a" -> 1L, "b" -> 1L, "c" -> 2L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // upsampling never drops: every input id appears with copy 1
+    out.filter(_._3 == 1L).map(_._1).sorted shouldBe
+      df.collect().map(_.getLong(0)).sorted
+    val mass = out.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    mass("a") shouldBe 4000L // binding stratum: factor exactly 1
+    // b repeats 4000/500 = 8x exactly; c repeats 2*4000/100 = 80x exactly
+    mass("b") shouldBe 4000L
+    mass("c") shouldBe 8000L
+    // determinism across partitionings
+    val again = Sampling.mixtureUpsample(df.repartition(7), "lang", "id",
+        Map("a" -> 1L, "b" -> 1L, "c" -> 2L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    again.sorted.toSeq shouldBe out.sorted.toSeq
+  }
+
+  test("epochRepeat: fractional factors quantize by the hash gate; loud blow-up guard") {
+    val df = (0L until 3000L).map(i => (i, "x")).toDF("id", "lang")
+    // 7/3 epochs: every row gets 2 copies, the 1/3 hash slice gets 3
+    val out = Sampling.epochRepeat(df, "lang", "id", Map("x" -> (7L, 3L)))
+      .groupBy("id").count().collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.foreach { case (id, k) =>
+      val extra = ((id % 1048573L) * 2654435761L % 1000000L) * 3L < 1000000L * 1L
+      k shouldBe (2L + (if (extra) 1L else 0L))
+    }
+    // realized mass within one quantization step of 3000*7/3 = 7000
+    val total = out.map(_._2).sum
+    (total - 7000L).abs.toDouble / 7000.0 should be < 0.05
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.epochRepeat(df, "lang", "id", Map("x" -> (101L, 1L)))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.epochRepeat(df.withColumn("copy", lit(1)), "lang", "id",
+        Map("x" -> (2L, 1L)))
+  }
+
   test("mixtureThresholds + mixtureGateWith reproduce mixtureSelect exactly") {
     val df = (0L until 3000L).map { i =>
       (i, s"s${i % 3}", 1L + i % 7)
