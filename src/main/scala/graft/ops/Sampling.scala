@@ -619,6 +619,13 @@ object Sampling {
     * chains). `maxEpochs` bounds the blow-up loudly (a typo'd share
     * must not 1000x the corpus silently). Strata absent from
     * `epochs` are dropped (not in the mix).
+    *
+    * COMPOSABILITY: downstream of a repeat, `idCol` is no longer
+    * unique — any deterministic order key ([[shardShuffle]],
+    * [[interleaveShards]], window ranks) must fold `copy` in, or
+    * copies tie and row_number breaks the tie nondeterministically.
+    * Derive a unique key first (e.g. `id·(maxEpochs+1) + copy`); the
+    * `upsample_order` query pins the pattern end to end.
     */
   def epochRepeat(df: DataFrame, strataCol: String, idCol: String,
                   epochs: Map[String, (Long, Long)],

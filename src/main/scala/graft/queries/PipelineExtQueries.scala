@@ -481,6 +481,49 @@ object PipelineExtQueries {
                  THEN 1 ELSE 0 END + 1)) t(copy)
       ORDER BY doc_id, copy""")),
 
+    // -- deterministic training ORDER over the up-sampled mix: copies
+    // from epochRepeat tie on doc_id, so the shard/pos key folds the
+    // copy index into a unique uid FIRST (the epochRepeat
+    // composability contract) — repeated documents land at distinct,
+    // engine-reproducible positions --
+    QueryDef("upsample_order", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val up = Sampling.mixtureUpsample(docs.select(col("doc_id"), col("lang")),
+          strataCol = "lang", idCol = "doc_id",
+          shares = Map("en" -> 3L, "de" -> 1L, "es" -> 1L, "fr" -> 1L))
+        .withColumn("uid", col("doc_id") * 256L + col("copy"))
+      Sampling.shardShuffle(up, idCol = "uid", nShards = 4)
+        .select(col("doc_id"), col("lang"), col("copy"), col("uid"),
+          col("shard"), col("pos").cast("long").as("pos"))
+        .orderBy("uid")
+    }, Some {
+      val uidHash = "((uid % 1048573) * 2654435761) % 1000000"
+      s"""
+      WITH c AS (SELECT lang, count(*) AS n,
+               CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 1
+                         WHEN 'es' THEN 1 WHEN 'fr' THEN 1 ELSE 0 END AS w
+             FROM documents GROUP BY lang),
+      cc AS (SELECT * FROM c WHERE w > 0 AND n > 0),
+      b AS (SELECT n AS nbv, w AS wb FROM cc x
+            WHERE NOT EXISTS (SELECT 1 FROM cc o WHERE x.n * o.w < o.n * x.w)
+            ORDER BY lang LIMIT 1),
+      f AS (SELECT cc.lang, cc.w * b.nbv AS num, b.wb * cc.n AS den
+            FROM cc CROSS JOIN b),
+      up AS (
+        SELECT d.doc_id, d.lang, CAST(t.copy AS BIGINT) AS copy,
+          d.doc_id * 256 + CAST(t.copy AS BIGINT) AS uid
+        FROM documents d JOIN f ON d.lang = f.lang,
+          UNNEST(range(1, num // den
+            + CASE WHEN ($hashSql) * den < 1000000 * (num % den)
+                   THEN 1 ELSE 0 END + 1)) t(copy))
+      SELECT doc_id, lang, copy, uid,
+        ((uid % 1048573) * 2246822519) % 4 AS shard,
+        row_number() OVER (
+          PARTITION BY ((uid % 1048573) * 2246822519) % 4
+          ORDER BY $uidHash, uid) AS pos
+      FROM up ORDER BY uid"""
+    }),
+
     // -- DoReMi-style iterative mixture reweighting (Curation
     // .mixtureReweight): two multiplicative-weights rounds — select the
     // live mixture, train the bigram proxy ON it, per-stratum miss
