@@ -1755,8 +1755,10 @@ object Curation {
     * (`(Σnb − Σnh)·1000 div Σnb`, exact integers) — as the excess-loss
     * proxy: a stratum the current mixture models badly scores high;
     * (4) update shares multiplicatively via
-    * [[Sampling.reweightShares]] (`w′ = w·(base + eta·miss)`, exact —
-    * shares are scale-free so no normalization round-off ever enters).
+    * [[Sampling.reweightShares]] (`w′ = w·(base + eta·miss) / g` with
+    * `g` the gcd of the updated vector — exact: shares are scale-free,
+    * so the gcd renormalization is lossless and no round-off ever
+    * enters, while weights stay small across long schedules).
     * Hard strata gain weight each round exactly as DoReMi's
     * multiplicative-weights ascent upweights high-excess-loss domains.
     *
@@ -1775,8 +1777,10 @@ object Curation {
     * build sides; the only collect is the #strata-row per-round score
     * frame (the documented-bounded class). Rounds are sequential
     * corpus passes by design (each round's model depends on the last
-    * round's weights); persist a narrow (id, strata, text) projection
-    * upstream when the input lineage is expensive.
+    * round's weights); for multi-round schedules the narrow (id,
+    * strata, text) projection is persisted internally for the run
+    * (2·rounds+1 passes read the columnar cache, not the input
+    * lineage) and released on return.
     */
   def mixtureReweight(docs: DataFrame, strataCol: String, idCol: String,
                       textCol: String, initShares: Map[String, Long],
@@ -1799,15 +1803,27 @@ object Curation {
                          rounds: Int, eta: Long = 1L,
                          weightCol: Option[String] = None)
       : (DataFrame, Map[String, Long]) = {
-    // 6 is the structural ceiling, not taste: factors are >= base per
-    // round (see reweightShares), so round 7 from unit starts ALWAYS
-    // overflows Long — a higher cap would admit schedules that pay
-    // 6 full corpus passes and then deterministically throw
-    require(rounds >= 1 && rounds <= 6, "rounds out of [1, 6]")
+    // the old round-6 STRUCTURAL Long ceiling is gone: reweightShares
+    // gcd-renormalizes the share vector each round (lossless — shares
+    // are scale-free), so uniform factors cancel and only genuinely
+    // irreducible ratio history accumulates. Growth is data-dependent
+    // now; an adversarial schedule that exhausts 63 bits still fails
+    // LOUDLY inside reweightShares (after paying its earlier passes).
+    // 32 is a sanity cap on sequential corpus passes, not arithmetic.
+    require(rounds >= 1 && rounds <= 32, "rounds out of [1, 32]")
     val spark = docs.sparkSession
-    val base = docs.select(
+    val base0 = docs.select(
       (Seq(col(idCol), col(strataCol), col(textCol)) ++
         weightCol.map(col)): _*)
+    // rounds are sequential corpus passes by design (each round's model
+    // depends on the last round's weights): 2·rounds+1 scans of the
+    // narrow projection. Persist it once for multi-round schedules so
+    // every pass reads the columnar cache instead of re-running the
+    // input lineage (A/B-measured: see SURVEY Appendix K).
+    val persisted = rounds > 1
+    val base = if (persisted)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
     var shares = scala.collection.immutable.SortedMap.empty[String, Long] ++ initShares
     val audit = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, Long, Long, Long, Long, Long)]
@@ -1833,6 +1849,7 @@ object Curation {
       }
       shares = scala.collection.immutable.SortedMap.empty[String, Long] ++ next
     }
+    if (persisted) base.unpersist(blocking = false)
     import spark.implicits._
     (audit.toSeq.toDF("round", strataCol, "n_bigrams", "n_hits",
       "miss_permille", "weight_before", "weight_after"),

@@ -633,7 +633,10 @@ object Sampling {
     require(epochs.nonEmpty, "empty epochs map")
     epochs.foreach { case (s, (num, den)) =>
       require(num > 0 && den > 0, s"epoch factor for '$s' must be positive")
-      require(num <= maxEpochs * den,
+      // guard evaluated in BigInt: maxEpochs·den can itself wrap Long for
+      // large user-supplied den/maxEpochs, making a raw-Long guard pass
+      // or fail spuriously
+      require(BigInt(num) <= BigInt(maxEpochs) * den,
         s"epoch factor for '$s' is ${num}/${den} > maxEpochs=$maxEpochs — " +
           "raise maxEpochs explicitly if the blow-up is intended")
     }
@@ -684,8 +687,20 @@ object Sampling {
       counts.forall { case (o, no) =>
         BigInt(counts(s)) * shares(o) >= BigInt(no) * shares(s) }
     }.head
+    // factors composed in BigInt then REQUIRED to fit Long: tuned DoReMi
+    // shares reach 1e9-1e18 after a few reweight rounds, and a wrapped-
+    // positive num/den would pass epochRepeat's requires and mis-sample
+    // QUIETLY — the loud-overflow convention (reweightShares) applies.
+    // gcd-reduce first so only genuinely irreducible ratios can fail.
     val epochs = counts.keys.map { s =>
-      s -> (shares(s) * counts(b), shares(b) * counts(s))
+      val num = BigInt(shares(s)) * counts(b)
+      val den = BigInt(shares(b)) * counts(s)
+      val g = num.gcd(den)
+      val (rn, rd) = (num / g, den / g)
+      require(rn <= Long.MaxValue && rd <= Long.MaxValue,
+        s"upsample factor for '$s' ($num/$den) exceeds Long even reduced — " +
+          "gcd-normalize the shares (Sampling.reweightShares does) or coarsen them")
+      s -> (rn.toLong, rd.toLong)
     }.toMap
     epochRepeat(df, strataCol, idCol, epochs, maxEpochs)
   }
@@ -702,20 +717,27 @@ object Sampling {
     *
     * `scorePermille` values must lie in [0, base] (a permille "excess
     * loss": 0 = perfectly covered stratum → factor 1; base → factor
-    * 1+eta). Strata missing from `scorePermille` get score 0. Weights
-    * are multiplied in BigInt and REQUIRED to stay within Long (the
-    * loud-failure convention). Magnitude growth is STRUCTURAL, not
-    * score-dependent: every factor lies in [base, base·(1+eta)], so r
-    * rounds multiply weights by at least base^r and at most
-    * (base·(1+eta))^r — at the defaults (base 1000, eta 1), unit
-    * starts always fit through round 5 even at full miss
-    * (2000⁵ ≈ 3.2·10¹⁶), fit round 6 unless misses stay pathological
-    * (worst case 6.4·10¹⁹ overflows, typical ≈ 10¹⁸ fits), and NEVER
-    * fit round 7 (≥ 1000⁷ = 10²¹). [[graft.ops.Curation
-    * .mixtureReweight]] caps its schedule at 6 accordingly; larger
-    * user starts fail proportionally earlier — loudly here, never
-    * wrapped. Driver-side pure function over #strata-sized maps —
-    * zero cluster cost.
+    * 1+eta). Strata missing from `scorePermille` get score 0.
+    *
+    * EXACT gcd RENORMALIZATION: after the multiplicative update the
+    * whole share vector is divided by its gcd. Shares are scale-free,
+    * so the division is LOSSLESS (ratios — the only observable — are
+    * untouched; gcd is exact in DuckDB too, so oracles re-derive the
+    * step bit-for-bit), and it removes the old STRUCTURAL overflow
+    * ceiling: without it every factor is ≥ base, so r rounds grew
+    * weights by ≥ base^r and round 7 from unit starts ALWAYS
+    * overflowed Long. With it, uniform factors cancel entirely (a
+    * converged mixture — all scores equal — renormalizes back to the
+    * start), a single stratum NEVER grows, and only the genuinely
+    * irreducible part of the ratio history accumulates. Growth is now
+    * DATA-dependent: update products are taken in BigInt (never
+    * wrapped) and only the post-gcd weights are REQUIRED to fit Long —
+    * adversarial score sequences with coprime factors can still exhaust
+    * 63 bits after many rounds, failing loudly here (the loud-failure
+    * convention). [[graft.ops.Curation.mixtureReweight]] bounds its
+    * schedule accordingly (a generous sanity cap, no longer the
+    * round-6 structural wall). Driver-side pure function over
+    * #strata-sized maps — zero cluster cost.
     */
   def reweightShares(shares: Map[String, Long],
                      scorePermille: Map[String, Long],
@@ -725,10 +747,15 @@ object Sampling {
       "shares must be positive (drop zero-share strata before reweighting)")
     scorePermille.values.foreach(s => require(s >= 0 && s <= base,
       s"scorePermille out of [0, $base]"))
-    shares.map { case (k, w) =>
-      val next = BigInt(w) * (base + eta * scorePermille.getOrElse(k, 0L))
+    val raw = shares.map { case (k, w) =>
+      k -> BigInt(w) * (base + eta * scorePermille.getOrElse(k, 0L))
+    }
+    val g = raw.values.reduce(_ gcd _)
+    raw.map { case (k, v) =>
+      val next = v / g
       require(next <= Long.MaxValue,
-        s"reweighted share for '$k' overflows Long — fewer rounds or smaller eta")
+        s"reweighted share for '$k' overflows Long even after gcd " +
+          "renormalization — fewer rounds, smaller eta, or coarser scores")
       k -> next.toLong
     }
   }

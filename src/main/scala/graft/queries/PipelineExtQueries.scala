@@ -125,8 +125,11 @@ object PipelineExtQueries {
     * [[graft.ops.Curation.mixtureReweight]] round for round (mixture
     * membership under the live weights, bigram proxy trained on the
     * selected slice via the shared `bg`/`cnt` CTEs, integer permille
-    * miss, multiplicative update). Shared by the `mixture_reweight`
-    * and `curation_pipeline_v8` oracles.
+    * miss, multiplicative update in HUGEINT, then the EXACT gcd
+    * renormalization of the updated vector — `list_reduce(list(wraw),
+    * gcd)` re-derives [[graft.ops.Sampling.reweightShares]]'s lossless
+    * scale-down bit-for-bit). Shared by the `mixture_reweight`,
+    * `mixture_reweight_tokens` and `curation_pipeline_v8` oracles.
     */
   private def mwRoundCte(it: Int, w: String, cnt: String = "cnt"): String = s"""
       cc$it AS (SELECT c.lang, c.n, $w.w AS num FROM $cnt c JOIN $w USING (lang)
@@ -143,17 +146,21 @@ object PipelineExtQueries {
                GROUP BY bigram),
       s$it AS (SELECT b.lang, count(*) AS nb, count(m$it.c) AS nh
                FROM bg b LEFT JOIN m$it USING (bigram) GROUP BY b.lang),
-      r$it AS (SELECT $w.lang,
+      ra$it AS (SELECT $w.lang,
           CAST(coalesce(s$it.nb, 0) AS BIGINT) AS n_bigrams,
           CAST(coalesce(s$it.nh, 0) AS BIGINT) AS n_hits,
           CAST(CASE WHEN coalesce(s$it.nb, 0) > 0
                THEN (s$it.nb - s$it.nh) * 1000 // s$it.nb ELSE 0 END AS BIGINT)
             AS miss_permille,
           CAST($w.w AS BIGINT) AS weight_before,
-          CAST($w.w * (1000 + CASE WHEN coalesce(s$it.nb, 0) > 0
-               THEN (s$it.nb - s$it.nh) * 1000 // s$it.nb ELSE 0 END) AS BIGINT)
-            AS weight_after
-        FROM $w LEFT JOIN s$it USING (lang))"""
+          CAST($w.w AS HUGEINT) * (1000 + CASE WHEN coalesce(s$it.nb, 0) > 0
+               THEN (s$it.nb - s$it.nh) * 1000 // s$it.nb ELSE 0 END) AS wraw
+        FROM $w LEFT JOIN s$it USING (lang)),
+      g$it AS (SELECT list_reduce(list(wraw), (a, b) -> gcd(a, b)) AS g
+               FROM ra$it),
+      r$it AS (SELECT lang, n_bigrams, n_hits, miss_permille, weight_before,
+          CAST(wraw // g AS BIGINT) AS weight_after
+        FROM ra$it CROSS JOIN g$it)"""
 
   /** The shared head CTEs of the reweighting oracles: full-corpus
     * bigram stream, per-lang counts, unit initial weights. */
@@ -525,28 +532,33 @@ object PipelineExtQueries {
     }),
 
     // -- DoReMi-style iterative mixture reweighting (Curation
-    // .mixtureReweight): two multiplicative-weights rounds — select the
-    // live mixture, train the bigram proxy ON it, per-stratum miss
-    // permille as excess loss, w' = w·(1000 + miss) — the oracle
-    // unrolls BOTH rounds (mixture membership, model train, scoring,
-    // update) and re-derives every weight bit-for-bit --
+    // .mixtureReweight): THREE multiplicative-weights rounds — select
+    // the live mixture, train the bigram proxy ON it, per-stratum miss
+    // permille as excess loss, w' = w·(1000 + miss) / gcd(vector) —
+    // the oracle unrolls ALL rounds (mixture membership, model train,
+    // scoring, update, gcd renormalization) and re-derives every
+    // weight bit-for-bit --
     QueryDef("mixture_reweight", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       graft.ops.Curation.mixtureReweight(docs,
           strataCol = "lang", idCol = "doc_id", textCol = "text",
           initShares = Map("en" -> 1L, "de" -> 1L, "es" -> 1L,
             "fr" -> 1L, "zh" -> 1L),
-          rounds = 2)
+          rounds = 3)
         .orderBy("round", "lang")
     }, Some {
       s"""
       WITH ${mwHeadCte.trim},
       ${mwRoundCte(1, "w1")},
       w2 AS (SELECT lang, weight_after AS w FROM r1),
-      ${mwRoundCte(2, "w2")}
+      ${mwRoundCte(2, "w2")},
+      w3 AS (SELECT lang, weight_after AS w FROM r2),
+      ${mwRoundCte(3, "w3")}
       SELECT CAST(1 AS BIGINT) AS round, * FROM r1
       UNION ALL
       SELECT CAST(2 AS BIGINT) AS round, * FROM r2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT) AS round, * FROM r3
       ORDER BY round, lang"""
     }),
 

@@ -737,10 +737,17 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))
     audit.length shouldBe 6 // 3 rounds x 2 strata
-    // every row satisfies the exact update identities
-    audit.foreach { case (_, _, nb, nh, miss, wb, wa) =>
-      miss shouldBe (if (nb > 0) (nb - nh) * 1000L / nb else 0L)
-      BigInt(wa) shouldBe BigInt(wb) * (1000L + miss)
+    // every row satisfies the exact update identities: wa = wb·(1000 +
+    // miss) / g with g the gcd of the round's raw updated vector (the
+    // lossless renormalization reweightShares applies)
+    audit.groupBy(_._1).foreach { case (_, rows) =>
+      val raws = rows.map { case (_, s, _, _, miss, wb, _) =>
+        s -> BigInt(wb) * (1000L + miss) }.toMap
+      val g = raws.values.reduce(_ gcd _)
+      rows.foreach { case (_, s, nb, nh, miss, _, wa) =>
+        miss shouldBe (if (nb > 0) (nb - nh) * 1000L / nb else 0L)
+        BigInt(wa) shouldBe raws(s) / g
+      }
     }
     // weights chain: round r's weight_before == round r-1's weight_after
     val byRound = audit.groupBy(_._1).view.mapValues(
@@ -798,22 +805,42 @@ class CurationOpsSpec extends SparkSpec {
     replay shouldBe direct
   }
 
-  test("mixtureReweight rejects schedules past the structural overflow ceiling") {
-    // factors are >= base per round, so round 7 from unit starts ALWAYS
-    // overflows Long — the cap fails the call before any corpus pass
+  test("mixtureReweight: gcd renormalization lifts the old round-6 ceiling") {
+    // pre-gcd, round 7 from unit starts ALWAYS overflowed Long (factors
+    // >= base per round). Now a 12-round schedule runs: the single
+    // stratum renormalizes to weight 1 every round (gcd of a 1-vector
+    // is the vector), and with two strata only irreducible ratio
+    // history accumulates.
     val docs = Seq((1L, "en", "a b")).toDF("doc_id", "lang", "text")
+    val audit = Curation.mixtureReweight(docs, "lang", "doc_id", "text",
+      Map("en" -> 1L), rounds = 12).collect()
+    audit.length shouldBe 12
+    audit.foreach { r =>
+      r.getLong(5) shouldBe 1L // weight_before
+      r.getLong(6) shouldBe 1L // weight_after: w·factor / gcd == 1
+    }
+    // the sanity cap on sequential corpus passes is still enforced
     an[IllegalArgumentException] should be thrownBy
       Curation.mixtureReweight(docs, "lang", "doc_id", "text",
-        Map("en" -> 1L), rounds = 7)
+        Map("en" -> 1L), rounds = 33)
   }
 
-  test("reweightShares: exact factors, missing scores are no-ops, loud overflow") {
+  test("reweightShares: exact factors, gcd renormalization, loud overflow") {
+    // raw update (4500, 5000), gcd 500 → lossless scale-down to (9, 10)
     Sampling.reweightShares(Map("a" -> 3L, "b" -> 5L),
-      Map("a" -> 250L), eta = 2L) shouldBe Map("a" -> 4500L, "b" -> 5000L)
-    // overflow fails loudly instead of wrapping
+      Map("a" -> 250L), eta = 2L) shouldBe Map("a" -> 9L, "b" -> 10L)
+    // uniform factors cancel entirely (a converged mixture is a no-op)
+    Sampling.reweightShares(Map("a" -> 2L, "b" -> 3L),
+      Map("a" -> 700L, "b" -> 700L)) shouldBe Map("a" -> 2L, "b" -> 3L)
+    // a single stratum never grows: gcd of a 1-vector is itself
+    Sampling.reweightShares(Map("a" -> Long.MaxValue / 1000L),
+      Map("a" -> 1000L)) shouldBe Map("a" -> 1L)
+    // genuinely irreducible ratios still overflow LOUDLY, never wrap:
+    // raw = (Long.MaxValue·1000, 1001); gcd divides 1001, so the big
+    // component stays > Long.MaxValue after renormalization
     an[IllegalArgumentException] should be thrownBy
-      Sampling.reweightShares(Map("a" -> Long.MaxValue / 1000L),
-        Map("a" -> 1000L))
+      Sampling.reweightShares(Map("a" -> Long.MaxValue, "b" -> 1L),
+        Map("a" -> 0L, "b" -> 1L))
     // score domain is enforced
     an[IllegalArgumentException] should be thrownBy
       Sampling.reweightShares(Map("a" -> 1L), Map("a" -> 1001L))
