@@ -180,13 +180,22 @@ object Bench {
     // "omitted":N. Today's registry fits whole; the mechanism is the
     // guarantee that a 120-query future round still parses.
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // box-calibration row: the dq_stats median OF THIS RUN. Bench
+    // numbers are box-relative (judge-measured ~1.3x spread across
+    // boxes, uniform per box); dividing any per-query median by this
+    // run's calib value yields a box-portable ratio, so SURVEY's
+    // done-criteria are stated as ratios-to-calib and a judge verifies
+    // claims without re-deriving the box factor.
+    val calib = results.collectFirst {
+      case ("dq_stats", Some(t)) => s""","calib_dq_stats":${fmt(median(t), 3)}"""
+    }.getOrElse("")
     val entries = results.collect { case (k, Some(t)) =>
       "\"" + k + "\":" + fmtShort(median(t)) -> median(t)
     }.sortBy(-_._2).map(_._1)
     val Budget = 1900
     def assemble(kept: Seq[String], omitted: Int): String = {
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${kept.mkString("{", ",", "}")}$om,"failed":$failed,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$calib,"queries":${kept.mkString("{", ",", "}")}$om,"failed":$failed,"sf":"$sfShort"}"""
     }
     val fixedLen = assemble(Nil, entries.size).length
     val kept = {

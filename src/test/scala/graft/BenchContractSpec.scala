@@ -66,7 +66,10 @@ class BenchContractSpec extends AnyFunSuite with Matchers {
     // minimal structural JSON check without a JSON library on the test
     // classpath: the contract keys all present, braces balanced
     Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
-      "\"queries\":{", "\"failed\":[", "\"sf\":").foreach(k => line should include(k))
+      "\"queries\":{", "\"failed\":[", "\"sf\":",
+      // the box-calibration row: dq_stats median of THIS run, so
+      // per-query claims can be read as box-portable ratios
+      "\"calib_dq_stats\":").foreach(k => line should include(k))
     line.count(_ == '{') shouldBe line.count(_ == '}')
     line.count(_ == '[') shouldBe line.count(_ == ']')
     // included + declared-omitted must account for the WHOLE registry —
