@@ -1777,10 +1777,10 @@ object Curation {
     * build sides; the only collect is the #strata-row per-round score
     * frame (the documented-bounded class). Rounds are sequential
     * corpus passes by design (each round's model depends on the last
-    * round's weights); for multi-round schedules the narrow (id,
-    * strata, text) projection is persisted internally for the run
-    * (2·rounds+1 passes read the columnar cache, not the input
-    * lineage) and released on return.
+    * round's weights); the narrow (id, strata, text) projection is
+    * re-scanned per pass rather than persisted (A/B-measured cheaper
+    * over parquet inputs — see mixtureReweightRun); persist upstream
+    * only when the input lineage itself is expensive.
     */
   def mixtureReweight(docs: DataFrame, strataCol: String, idCol: String,
                       textCol: String, initShares: Map[String, Long],
@@ -1812,18 +1812,20 @@ object Curation {
     // 32 is a sanity cap on sequential corpus passes, not arithmetic.
     require(rounds >= 1 && rounds <= 32, "rounds out of [1, 32]")
     val spark = docs.sparkSession
-    val base0 = docs.select(
-      (Seq(col(idCol), col(strataCol), col(textCol)) ++
-        weightCol.map(col)): _*)
     // rounds are sequential corpus passes by design (each round's model
     // depends on the last round's weights): 2·rounds+1 scans of the
-    // narrow projection. Persist it once for multi-round schedules so
-    // every pass reads the columnar cache instead of re-running the
-    // input lineage (A/B-measured: see SURVEY Appendix K).
-    val persisted = rounds > 1
-    val base = if (persisted)
-      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else base0
+    // narrow projection. Deliberately NOT persisted: the bench-child
+    // A/B (5 children x median-of-3, sf0.1 — SURVEY Appendix K) read
+    // persist as a wash on mixture_reweight (2.85 s vs 2.97) and a
+    // ~25% REGRESSION on curation_pipeline_v8 (3.32 s vs 2.65) — over
+    // a raw parquet input the columnar re-scan of 3 columns is cheaper
+    // than cache materialization + losing scan-side fusion. Callers
+    // whose input lineage is genuinely expensive (a long transform
+    // chain, a non-columnar source) should persist THAT upstream and
+    // pass the materialized frame in.
+    val base = docs.select(
+      (Seq(col(idCol), col(strataCol), col(textCol)) ++
+        weightCol.map(col)): _*)
     var shares = scala.collection.immutable.SortedMap.empty[String, Long] ++ initShares
     val audit = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, Long, Long, Long, Long, Long)]
@@ -1849,7 +1851,6 @@ object Curation {
       }
       shares = scala.collection.immutable.SortedMap.empty[String, Long] ++ next
     }
-    if (persisted) base.unpersist(blocking = false)
     import spark.implicits._
     (audit.toSeq.toDF("round", strataCol, "n_bigrams", "n_hits",
       "miss_permille", "weight_before", "weight_after"),
