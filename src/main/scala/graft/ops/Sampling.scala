@@ -672,7 +672,22 @@ object Sampling {
     */
   def mixtureUpsample(df: DataFrame, strataCol: String, idCol: String,
                       shares: Map[String, Long],
-                      maxEpochs: Long = 100L): DataFrame = {
+                      maxEpochs: Long = 100L): DataFrame =
+    epochRepeat(df, strataCol, idCol,
+      upsampleFactors(df, strataCol, shares), maxEpochs)
+
+  /** The [[mixtureUpsample]] ELECTION alone: the per-stratum rational
+    * epoch factors (num, den) that realize `shares` over `df`'s strata
+    * masses by pure repetition — the most over-represented stratum
+    * (argmax of n/share, smallest among ties) gets factor 1 and every
+    * other stratum `(share_s·n_b)/(share_b·n_s)` ≥ 1. Reify the map
+    * with [[saveUpsampleRecipe]] to replay the SAME factors over later
+    * slices or streams of the corpus (the recipe's masses come from
+    * the training run's reference corpus; a crawl batch is not that
+    * corpus, so factors must NOT be recomputed per batch).
+    */
+  def upsampleFactors(df: DataFrame, strataCol: String,
+                      shares: Map[String, Long]): Map[String, (Long, Long)] = {
     require(shares.nonEmpty && shares.values.forall(_ >= 0) &&
       shares.values.exists(_ > 0), "bad target shares")
     val counts = df.filter(col(strataCol).isin(shares.keys.toSeq: _*))
@@ -692,7 +707,7 @@ object Sampling {
     // positive num/den would pass epochRepeat's requires and mis-sample
     // QUIETLY — the loud-overflow convention (reweightShares) applies.
     // gcd-reduce first so only genuinely irreducible ratios can fail.
-    val epochs = counts.keys.map { s =>
+    counts.keys.map { s =>
       val num = BigInt(shares(s)) * counts(b)
       val den = BigInt(shares(b)) * counts(s)
       val g = num.gcd(den)
@@ -702,8 +717,62 @@ object Sampling {
           "gcd-normalize the shares (Sampling.reweightShares does) or coarsen them")
       s -> (rn.toLong, rd.toLong)
     }.toMap
-    epochRepeat(df, strataCol, idCol, epochs, maxEpochs)
   }
+
+  /** Apply a PERSISTED up-sampling recipe (a (strata, num, den) frame
+    * from [[saveUpsampleRecipe]]): the [[epochRepeat]] kernel with the
+    * factor map replaced by an equi-join against the ≤ #strata-row
+    * recipe (AQE broadcasts it) — bit-identical output (the gate and
+    * floor identities are invariant in num/den), but fully declarative
+    * over a frame, so it composes with Structured Streaming
+    * micro-batches: repetition is per-document against FIXED factors,
+    * no state crosses batches, and replay is idempotent (the same
+    * document emits the same copies in any batch). Strata absent from
+    * the recipe drop (not in the mix). The same `copy`-column
+    * composability contract as [[epochRepeat]] applies.
+    */
+  def epochRepeatWith(df: DataFrame, recipe: DataFrame,
+                      strataCol: String, idCol: String): DataFrame = {
+    require(!df.columns.contains("copy"), "input already has a 'copy' column")
+    val dec = "decimal(38,0)"
+    val extra = when(
+      hashBucket(col(idCol)).cast(dec) * col("den").cast(dec) <
+        lit(Buckets).cast(dec) * (col("num") % col("den")).cast(dec),
+      1L).otherwise(0L)
+    df.join(recipe, Seq(strataCol))
+      // `div`, not `/`: IEEE division + cast loses exact floors past 2^53
+      .withColumn("__k", expr("num div den") + extra)
+      .filter(col("__k") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("__k"))))
+      .drop("__k", "num", "den")
+  }
+
+  /** Persist an up-sampling recipe as the standing table
+    * `${prefix}_upsample` — the [[saveMixtureRecipe]] convention for
+    * the repetition direction (≤ #strata rows, no bucketing). Factors
+    * are elected ONCE from the training run's reference corpus
+    * ([[upsampleFactors]]) and validated against `maxEpochs` here, at
+    * save time, so replays can't smuggle an unbounded blow-up.
+    */
+  def saveUpsampleRecipe(df: DataFrame, strataCol: String,
+                         shares: Map[String, Long], prefix: String,
+                         maxEpochs: Long = 100L): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val factors = upsampleFactors(df, strataCol, shares)
+    factors.foreach { case (s, (num, den)) =>
+      require(BigInt(num) <= BigInt(maxEpochs) * den,
+        s"upsample factor for '$s' is ${num}/${den} > maxEpochs=$maxEpochs")
+    }
+    factors.toSeq.map { case (s, (num, den)) => (s, num, den) }
+      .toDF(strataCol, "num", "den")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_upsample")
+  }
+
+  /** Load a [[saveUpsampleRecipe]] recipe. */
+  def upsampleRecipe(spark: org.apache.spark.sql.SparkSession,
+                     prefix: String): DataFrame =
+    spark.table(s"${prefix}_upsample")
 
   /** One multiplicative-weights round over the strata shares — the
     * integer-exact update rule under DoReMi-style iterative mixture

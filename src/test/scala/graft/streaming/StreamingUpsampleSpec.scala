@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Sampling
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streamed up-sampling must equal the batch form over the same
+  * documents: repetition is per-document against a FIXED persisted
+  * recipe (floor copies + one hash-gated extra), so per-micro-batch
+  * repetition composes exactly and replay is idempotent — the same
+  * document emits the same copy multiset in any batch.
+  */
+class StreamingUpsampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus: Seq[(Long, String)] = (0L until 30L).map { i =>
+    (i, Seq("en", "de", "fr")((i % 3).toInt))
+  }
+
+  test("streamed upsample equals the batch form over all batches, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = corpus.toDF("doc_id", "lang")
+    val shares = Map("en" -> 1L, "de" -> 2L, "fr" -> 3L)
+    try {
+      Sampling.saveUpsampleRecipe(ref, "lang", shares, "ups_stream_spec")
+
+      // recipe replay == the direct map-compiled batch form, copy for copy
+      def multiset(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .sorted.toSeq
+      val direct = multiset(
+        Sampling.mixtureUpsample(ref, "lang", "doc_id", shares)
+          .select("doc_id", "lang", "copy").collect())
+      val viaRecipe = multiset(
+        Sampling.epochRepeatWith(ref,
+            Sampling.upsampleRecipe(spark, "ups_stream_spec"), "lang", "doc_id")
+          .select("doc_id", "lang", "copy").collect())
+      viaRecipe shouldBe direct
+      // factors genuinely repeat: output strictly larger than input
+      direct.size should be > corpus.size
+
+      // streamed: batches 10+20, then the first slice REPLAYED
+      val mem = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long)]
+      val q = StreamingUpsample.start(
+          mem.toDF().toDF("doc_id", "lang"), "ups_stream_spec") { (up, _) =>
+        up.select("doc_id", "lang", "copy").collect()
+          .foreach(r => got += ((r.getLong(0), r.getString(1), r.getLong(2))))
+      }
+      try {
+        mem.addData(corpus.take(10): _*)
+        q.processAllAvailable()
+        val afterFirst = got.toSeq
+        mem.addData(corpus.drop(10): _*)
+        mem.addData(corpus.take(10): _*) // replay of the first slice
+        q.processAllAvailable()
+        // replayed docs emitted EXACTLY their first-batch copy multiset
+        val replayed = got.toSeq.diff(afterFirst)
+          .filter(_._1 < 10).sorted
+        replayed shouldBe afterFirst.sorted
+        // stream total (minus the replay) == the batch multiset
+        got.toSeq.diff(afterFirst).diff(afterFirst).size +
+          afterFirst.size shouldBe direct.size
+        (got.toSeq.diff(afterFirst).diff(afterFirst) ++ afterFirst)
+          .sorted shouldBe direct
+      } finally q.stop()
+    } finally spark.sql("DROP TABLE IF EXISTS ups_stream_spec_upsample")
+  }
+
+  test("saveUpsampleRecipe validates factors against maxEpochs at save time") {
+    val ref = (Seq.fill(100)(("en")) ++ Seq("de"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "lang")
+    // de must repeat ~200x to realize 2:1 against en's 100 rows
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.saveUpsampleRecipe(ref, "lang",
+        Map("en" -> 1L, "de" -> 2L), "ups_guard_spec", maxEpochs = 100L)
+  }
+}
