@@ -310,6 +310,37 @@ object Similarity {
       fromExpr(graft.functions.VecProject(toExpr(col("vec")), planes)).as("vec"))
   }
 
+  /** `m` deterministic jittered VARIANTS per vector: (id, vec[dim]) →
+    * (id·m + k, vec + δ(id·m+k)) for k in [0, m) — the embedding
+    * augmentation primitive (train-time jitter), doubling as the
+    * CLUSTERED-geometry generator for ANN recall measurement: each
+    * source vector becomes a tight m-point cluster (δ components are
+    * uniform in ±eps/2 from md5 bytes — engine-portable, so an
+    * external engine re-derives every variant), with intra-cluster
+    * cosines ≈ 1 against the corpus's inter-vector spread. On this
+    * production-like geometry a correct IVF/RP stack must score
+    * recall ≈ 1, unlike the near-uniform raw corpus whose top-k gaps
+    * are data-limited (the sim_topk_rp scaladoc).
+    *
+    * Scale shape: one scan-side explode(sequence) per row, dim md5
+    * calls per emitted variant, all codegen'd built-ins — zero
+    * shuffles, linear in m·|corpus|.
+    */
+  def perturbedVariants(df: DataFrame, m: Int, eps: Double, dim: Int,
+                        tag: String = "jit"): DataFrame = {
+    require(m >= 1 && eps > 0 && dim >= 1, "bad jitter parameters")
+    val withK = df
+      .withColumn("__k", explode(sequence(lit(0L), lit(m - 1L))))
+      .withColumn("__uid", col("id") * m + col("__k"))
+    val jittered = array((0 until dim).map { j =>
+      val h = conv(substring(md5(concat(lit(s"$tag:"),
+        col("__uid").cast("string"), lit(s":$j"))), 1, 2), 16, 10)
+        .cast("double")
+      element_at(col("vec"), j + 1) + (h / 255.0 - 0.5) * eps
+    }: _*)
+    withK.select(col("__uid").as("id"), jittered.as("vec"))
+  }
+
   /** Brute-force top-k in the REDUCED space — the recall-measurement
     * baseline for [[randomProject]] (same oracle role as the LSH/IVF
     * tiers' probe stages; production pairs it with IVF bucketing over

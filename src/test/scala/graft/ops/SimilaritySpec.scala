@@ -76,6 +76,39 @@ class SimilaritySpec extends SparkSpec {
     full shouldBe exact
   }
 
+  test("perturbedVariants: deterministic jitter, tight clusters, IVF/RP recall ~1 on them") {
+    // real testdata, the registry rows' exact construction at sf0.001
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("vec"))
+    val cl = Similarity.perturbedVariants(e, m = 6, eps = 0.02, dim = 64)
+      .persist()
+    try {
+      cl.count() shouldBe e.count() * 6
+      // deterministic: a re-build is bit-identical
+      val again = Similarity.perturbedVariants(e, m = 6, eps = 0.02, dim = 64)
+      cl.exceptAll(again).count() shouldBe 0L
+      // the geometry is what the scaladoc claims: every query's exact
+      // top-5 is its own cluster (ids sharing id div 6)
+      val q = cl.filter(col("id") < 20)
+      val exact = Similarity.bruteForceTopK(q, cl, k = 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      exact.foreach { case (qid, nid) => nid / 6 shouldBe qid / 6 }
+      // and the ANN stacks recover essentially all of it (the registry
+      // criterion is 0.9; actual is ~1.0 — this pins the margin)
+      val exactSet = exact.toSet
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val s = df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (exactSet intersect s).size.toDouble / exactSet.size
+      }
+      recallOf(Similarity.ivfTopK(q, cl, k = 5)) should be >= 0.95
+      recallOf(Similarity.rpIvfRerankTopK(q, cl, k = 5, dIn = 64, dOut = 48,
+        overFetch = 16, nprobe = 8)) should be >= 0.95
+    } finally cl.unpersist()
+  }
+
   test("nlist=256 cell assignment stays O(1) plan nodes and agrees with a naive argmax") {
     // round 1 inlined nlist x dim literal expressions (plan-size blowup
     // past nlist ~1k); the NearestCentroid expression carries the matrix
