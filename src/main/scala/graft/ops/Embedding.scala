@@ -231,6 +231,11 @@ object Embedding {
     * over exact integer shingle-count products (decimal(38,0) carried,
     * overflow-safe — see [[cosineGate]]; no square root, no float
     * boundary — the last-ulp-proof discipline of the other gates).
+    * τ² DOMAIN: `tauSqNum` and `tauSqDen` must each be ≤ 10⁴ (enforced
+    * loudly in the gate) — that bound is what keeps the decimal(38,0)
+    * slow path exact past any real document size (exactness needs
+    * τ²-term·∥a∥²·∥b∥² < 10³⁸); express finer thresholds as a reduced
+    * rational within the bound (e.g. 0.8125² = 6602/10⁴).
     *
     * Scale shape: per-position buckets stream from the scan-side
     * [[graft.functions.ShingleBuckets]] kernel; counts, norms and the

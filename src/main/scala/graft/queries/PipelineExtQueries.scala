@@ -2326,7 +2326,18 @@ object PipelineExtQueries {
     // schedule concurrently and wall-clock tracks the slowest tier,
     // not the sum. The oracle re-derives every count independently
     // (group-size combinatorics for the exact tiers, all-pairs jaccard
-    // at oracle scale, the md5-bucket sparse-cosine gate in HUGEINT) --
+    // at oracle scale, the md5-bucket sparse-cosine gate in HUGEINT).
+    // FIXTURE NOTE (oracle): the 'minhash' row reuses the exact-jaccard
+    // pair set, i.e. it asserts the 21-band/3-row LSH finds EVERY
+    // tau>=0.8 pair in THIS testdata. That holds here because the
+    // fixtures' near-dup pairs sit well above the banding S-curve's
+    // miss region (P(miss) = (1-s^3)^21 < 1e-4 at s=0.8, and the
+    // fixture pairs are mostly s~1), but banding has a nonzero
+    // false-negative probability in general — a testdata regeneration
+    // with pairs hugging tau could break this row with NO code bug.
+    // The op-level contract is engine-side: PlanContractSpec pins
+    // scorecard-vs-dedup_minhash equality, and the dedup_minhash
+    // oracle checks the banded candidate semantics directly --
     QueryDef("dedup_scorecard", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"))
