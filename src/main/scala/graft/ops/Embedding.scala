@@ -96,6 +96,44 @@ object Embedding {
     df.select(col(idCol).as("id"),
       fromExpr(graft.functions.HashTfVec(toExpr(col(textCol)), dim, k)).as("vec"))
 
+  /** Corpus-adaptive hash dimension for the hashed-shingle tiers —
+    * the smallest power of two keeping EXPECTED bucket document-
+    * frequency ≤ `targetDf` (`dim ≥ Σ_docs max(#tokens−k+1, 0) /
+    * targetDf`), clamped to [minDim, maxDim].
+    *
+    * WHY THIS EXISTS (measured, SCALE.md): bucket df grows linearly
+    * with corpus size at FIXED `dim`, so a dfCap calibrated at one
+    * scale silently drops EVERY bucket once the corpus grows past
+    * `dim·dfCap` shingle mass — the scale ladder measured
+    * [[hashedShingleNearDup]] recall collapsing 255 → 714/765 → 0
+    * pairs at 1×/3×/10× sf0.1 with `dim = 65536, dfCap = 50`. Sizing
+    * `dim` with the corpus keeps per-bucket df — and therefore BOTH
+    * the dfCap semantics ("drop shingles shared by more than dfCap
+    * docs", not "drop saturated hash buckets") AND the
+    * `Σ C(df,2) ≤ #buckets·dfCap²` join-fan-out bound — invariant at
+    * any scale. One cheap column-pruned corpus scan (a single-row
+    * aggregate; the only driver-side value is one long). Token count
+    * follows the [[graft.functions.ShingleBuckets]] kernel exactly
+    * (`split(" ", -1)`, positions = max(len−k+1, 0)), so an external
+    * engine reproduces the same dim from the same corpus.
+    */
+  def sizedShingleDim(df: DataFrame, textCol: String, k: Int = 3,
+                      targetDf: Long = 4L, minDim: Int = 1 << 10,
+                      maxDim: Int = 1 << 30): Int = {
+    require(targetDf >= 1, "targetDf must be >= 1")
+    require(minDim >= 1 && maxDim >= minDim, "need 1 <= minDim <= maxDim")
+    require(Integer.bitCount(minDim) == 1 && Integer.bitCount(maxDim) == 1,
+      "minDim/maxDim must be powers of two (the oracle-reproducible grid)")
+    val positions = df
+      .select(greatest(size(split(col(textCol), " ", -1)) - lit(k - 1), lit(0))
+        .cast("long").as("p"))
+      .agg(sum(col("p"))).head().getLong(0)
+    val need = (positions + targetDf - 1) / targetDf
+    var dim = minDim
+    while (dim < need && dim < maxDim) dim <<= 1
+    dim
+  }
+
   /** A standing hashed-shingle count index: `v` the (id, d, c) sparse
     * vectors, `norms` the per-doc squared norms (derived from `v`, so
     * one cache covers both). `release()` owns the persist.
@@ -246,6 +284,14 @@ object Embedding {
     * Σ_kept C(df,2) ≤ #buckets·dfCap² — hot boilerplate shingles can
     * never go quadratic. Norms are over the FULL vector (uncapped), so
     * capping only loses candidate mass, never inflates a cosine.
+    *
+    * SIZE `dim` WITH THE CORPUS ([[sizedShingleDim]]): at fixed `dim`,
+    * bucket df grows linearly with corpus size, and once average df
+    * crosses `dfCap` the cap drops EVERY bucket — recall collapses to
+    * zero (measured on the scale ladder: 255 → 0 pairs at 10× sf0.1
+    * with the defaults; SCALE.md). A corpus-sized dim keeps bucket df
+    * — and with it both the dfCap semantics and the fan-out bound —
+    * invariant at any scale.
     * Output: (id_a, id_b, dot, norm_a, norm_b), id_a < id_b.
     */
   def hashedShingleNearDup(df: DataFrame, idCol: String, textCol: String,

@@ -936,6 +936,54 @@ object TextQueries {
             >= 81 * CAST(na.nn AS HUGEINT) * CAST(nb.nn AS HUGEINT)
       ORDER BY id_a, id_b""")),
 
+    // -- the SCALED form of hash_embed_neardup: dim sized from the
+    // corpus (smallest pow2 with expected bucket df <= 4, floor 1024)
+    // so the dfCap semantics survive corpus growth — the scale ladder
+    // measured the fixed-dim variant collapsing to 0 pairs at 10x
+    // (SCALE.md); this one holds linear. The oracle re-derives the SAME
+    // dim from the same corpus (integer arithmetic on an exact pow2
+    // grid), then the same integer-exact cosine gate at that dim.
+    QueryDef("hash_neardup_auto", (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val dim = graft.ops.Embedding.sizedShingleDim(docs, "text", k = 3,
+        targetDf = 4L, minDim = 1 << 10)
+      graft.ops.Embedding.hashedShingleNearDup(docs, "doc_id", "text",
+          dim = dim, k = 3, tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L)
+        .withColumn("dim", lit(dim.toLong))
+        .orderBy("id_a", "id_b")
+    }, Some("""
+      WITH p AS (SELECT SUM(greatest(len(string_split(text,' ')) - 2, 0)) AS pos
+                 FROM documents),
+      nd AS (SELECT CAST(ceil(CAST(pos AS DOUBLE) / 4) AS BIGINT) AS need FROM p),
+      dim AS (SELECT MIN(d) AS dm
+              FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(10, 31) t(i)), nd
+              WHERE d >= need),
+      sh AS (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+        FROM documents),
+      tb AS (SELECT doc_id,
+        CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+             % (SELECT dm FROM dim) AS BIGINT) AS d
+        FROM sh),
+      v AS (SELECT doc_id, d, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY doc_id, d),
+      norms AS (SELECT doc_id, CAST(SUM(c*c) AS BIGINT) AS nn FROM v GROUP BY doc_id),
+      kept AS (SELECT d FROM v GROUP BY d HAVING count(*) <= 50),
+      vk AS (SELECT v.* FROM v JOIN kept USING (d)),
+      dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+               FROM vk a JOIN vk b ON a.d = b.d AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+      SELECT dd.id_a, dd.id_b, dd.dot, na.nn AS norm_a, nb.nn AS norm_b,
+        (SELECT dm FROM dim) AS dim
+      FROM dots dd
+      JOIN norms na ON na.doc_id = dd.id_a
+      JOIN norms nb ON nb.doc_id = dd.id_b
+      WHERE CAST(dd.dot AS HUGEINT) * CAST(dd.dot AS HUGEINT) * 100
+            >= 81 * CAST(na.nn AS HUGEINT) * CAST(nb.nn AS HUGEINT)
+      ORDER BY id_a, id_b""")),
+
     // -- text -> hashTf -> IVF, end to end: similarity search over raw
     // documents with NO model encoder and NO embedding column. The
     // hashed count vectors carry real token structure (unlike the

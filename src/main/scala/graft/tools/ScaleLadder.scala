@@ -63,8 +63,21 @@ object ScaleLadder {
     */
   val Heavy: Seq[String] = Seq(
     "curation_pipeline_v4", "curation_pipeline_v6", "curation_pipeline_v8",
-    "dedup_scorecard", "hash_embed_neardup", "dedup_minhash", "dedup_ngram",
+    "dedup_scorecard", "hash_embed_neardup", "hash_neardup_auto",
+    "dedup_minhash", "dedup_ngram",
     "sim_topk_ivf", "margin_pairs_ivf", "mixture_reweight")
+
+  /** Pair tiers whose clone-shard prediction is LINEAR ROW GROWTH —
+    * gated rows(x3) ≥ 2·rows(x1), rows(x10) ≥ 5·rows(x1) (a collapse
+    * floor, not an exactness pin — the spec owns exactness). NOT
+    * gated: `hash_embed_neardup`, the fixed-dim tier this ladder
+    * CAUGHT saturating (255 → 0 pairs at x10 — bucket df crosses
+    * dfCap once corpus mass passes dim·dfCap); kept on the ladder as
+    * the documented counterexample, with `hash_neardup_auto`
+    * (corpus-sized dim) as the gated fix.
+    */
+  val GrowRows: Set[String] =
+    Set("hash_neardup_auto", "dedup_minhash", "dedup_ngram")
 
   val Rungs: Seq[(String, Int)] = Seq("x1" -> 1, "x3" -> 3, "x10" -> 10)
 
@@ -295,6 +308,9 @@ object ScaleLadder {
         val (rat3, rat10) = (r3.best / r1.best, r10.best / r1.best)
         if (rat10 > 15.0) failures ::= f"$q: t(10x)/t(1x)=$rat10%.1f > 15 (super-linear)"
         if (rat3 > 4.5) failures ::= f"$q: t(3x)/t(1x)=$rat3%.1f > 4.5 (super-linear)"
+        if (GrowRows(q) && (r3.rows < 2 * r1.rows || r10.rows < 5 * r1.rows))
+          failures ::= s"$q: pair rows collapsed under growth " +
+            s"(${r1.rows} / ${r3.rows} / ${r10.rows})"
         if (!(r1.flags == r3.flags && r3.flags == r10.flags))
           failures ::= s"$q: scale-audit flags changed across rungs " +
             s"(${r1.flags} / ${r3.flags} / ${r10.flags})"
@@ -305,19 +321,21 @@ object ScaleLadder {
     }
 
     val verdict = if (failures.isEmpty) "PASS" else "FAIL"
+    // margin char ~ so the markdown table pipes survive stripMargin
     val md =
       s"""### Scale-ladder run ($verdict)
-         |
-         |base=`$baseDir`, rungs x1/x3/x10 under `$outRoot`, forked JVM per
-         |(query, rung), warmup + min-of-$Reps, `local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]`.
-         |
-         || query | rows x1 / x3 / x10 | t(x1) s | t(x3) s | t(x10) s | r3 | r10 | flags |
-         ||---|---|---|---|---|---|---|---|
-         |${rows.mkString("\n")}
-         |
-         |Gates: r10 <= 15, r3 <= 4.5, flags identical across rungs.
-         |${if (failures.isEmpty) "All gates green." else failures.mkString("FAILURES:\n- ", "\n- ", "")}
-         |""".stripMargin
+         ~
+         ~base=`$baseDir`, rungs x1/x3/x10 under `$outRoot`, forked JVM per
+         ~(query, rung), warmup + min-of-$Reps, `local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]`.
+         ~
+         ~| query | rows x1 / x3 / x10 | t(x1) s | t(x3) s | t(x10) s | r3 | r10 | flags |
+         ~|---|---|---|---|---|---|---|---|
+         ~${rows.mkString("\n")}
+         ~
+         ~Gates: r10 <= 15, r3 <= 4.5, flags identical across rungs; pair
+         ~tiers in GrowRows additionally gate rows(x3) >= 2x, rows(x10) >= 5x.
+         ~${if (failures.isEmpty) "All gates green." else failures.mkString("FAILURES:\n- ", "\n- ", "")}
+         ~""".stripMargin('~')
     println(md)
     if (failures.nonEmpty) sys.exit(1)
   }

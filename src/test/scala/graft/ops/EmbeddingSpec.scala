@@ -319,4 +319,48 @@ class EmbeddingSpec extends SparkSpec {
     // shingle crowd generates no candidate mass at all
     got shouldBe Set((1L, 2L))
   }
+
+  test("sizedShingleDim: pow2 grid, clamps, kernel-exact position count") {
+    // 4 docs, 6 tokens each -> 4 * (6-3+1) = 16 positions at k=3;
+    // one short doc (2 tokens < k) contributes max(2-2, 0) = 0
+    val docs = ((0L until 4L).map(i => (i, s"a b c d e f$i")) :+
+      (9L, "x y")).toDF("doc_id", "text")
+    // need = ceil(16/4) = 4 -> smallest pow2 >= 4 over floor 2 is 4
+    Embedding.sizedShingleDim(docs, "text", k = 3, targetDf = 4L,
+      minDim = 2, maxDim = 1 << 20) shouldBe 4
+    // floor clamp
+    Embedding.sizedShingleDim(docs, "text", k = 3, targetDf = 4L,
+      minDim = 64, maxDim = 1 << 20) shouldBe 64
+    // ceiling clamp
+    Embedding.sizedShingleDim(docs, "text", k = 3, targetDf = 1L,
+      minDim = 2, maxDim = 8) shouldBe 8
+    // non-pow2 bounds are rejected loudly (the oracle grid contract)
+    an[IllegalArgumentException] should be thrownBy
+      Embedding.sizedShingleDim(docs, "text", minDim = 3)
+  }
+
+  test("corpus-sized dim restores recall where a fixed dim saturates") {
+    // 40 near-dup pairs with mutually disjoint vocabularies: every pair
+    // is cosine ~1, no cross-pair similarity. At dim=4 every bucket
+    // collects ~all 80 docs -> df > dfCap=50 -> ALL buckets dropped ->
+    // zero pairs (the scale-ladder failure in miniature).
+    // sizedShingleDim picks a dim that keeps bucket df near the
+    // target (well under the cap, the production headroom), and all
+    // 40 pairs come back.
+    val docs = (0L until 40L).flatMap { g =>
+      // 18 shared body tokens -> 17 shingles per doc, 16 shared:
+      // dot²·100 = 16²·100 ≥ 81·17·17 (cosine 16/17 ≈ 0.941 ≥ 0.9)
+      val body = (0 until 18).map(t => s"w${g}_$t").mkString(" ")
+      Seq((2 * g, s"$body endA$g"), (2 * g + 1, s"$body endB$g"))
+    }.toDF("doc_id", "text")
+    val fixed = Embedding.hashedShingleNearDup(docs, "doc_id", "text",
+      dim = 4, k = 3, tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L)
+    fixed.count() shouldBe 0L
+    val dim = Embedding.sizedShingleDim(docs, "text", k = 3, targetDf = 2L,
+      minDim = 1 << 10)
+    val auto = Embedding.hashedShingleNearDup(docs, "doc_id", "text",
+      dim = dim, k = 3, tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L)
+    val got = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe (0L until 40L).map(g => (2 * g, 2 * g + 1)).toSet
+  }
 }

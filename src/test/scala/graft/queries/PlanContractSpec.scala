@@ -477,7 +477,7 @@ class PlanContractSpec extends SparkSpec {
       "EngineExtQueries" -> Set("dq_wide_rules", "profile_stats", "profile_drift"),
       "AnalyticsQueries" -> Set("q_events_json"),
       "TextQueries" -> Set("langid_confusion", "emb_neardup", "text_hash_embed",
-        "hash_embed_neardup", "hash_neardup_incremental"),
+        "hash_embed_neardup", "hash_neardup_auto", "hash_neardup_incremental"),
       "PipelineExtQueries" -> Set("text_gopher", "text_gopher_cover",
         "edit_dist_join", "dsir_resample", "source_scorecard",
         "curation_pipeline_v7"),
