@@ -136,9 +136,14 @@ object Embedding {
 
   /** A standing hashed-shingle count index: `v` the (id, d, c) sparse
     * vectors, `norms` the per-doc squared norms (derived from `v`, so
-    * one cache covers both). `release()` owns the persist.
+    * one cache covers both), and the `(dim, k)` hashing geometry the
+    * index was built with — carried ON the index (the [[Dedup.MinhashIndex]]
+    * convention) so a probe can never shingle a batch into a DIFFERENT
+    * bucket space than the corpus it joins (a mismatch produces silent
+    * garbage, not an error). `release()` owns the persist.
     */
   final case class ShingleTfIndex(v: DataFrame, norms: DataFrame,
+                                  dim: Int, k: Int,
                                   release: () => Unit)
 
   /** Build the sparse hashed-shingle index a corpus side of
@@ -160,26 +165,36 @@ object Embedding {
       p
     } else v0
     val norms = v.groupBy(col("id")).agg(sum(col("c") * col("c")).as("nn"))
-    ShingleTfIndex(v, norms, () => { if (persist) v.unpersist(); () })
+    ShingleTfIndex(v, norms, dim, k, () => { if (persist) v.unpersist(); () })
   }
 
   /** Persist a [[ShingleTfIndex]] as a catalog table BUCKETED BY the
     * shingle bucket `d` — the incremental probe's join key, so a new
     * batch joins the standing corpus WITHOUT reshuffling it (the
-    * minhash-index contract). Norms re-derive from the table on load.
+    * minhash-index contract) — plus a one-row `<prefix>_stf_meta`
+    * carrying (dim, k) so a loaded index always shingles incoming
+    * batches into the bucket space it was built with. Norms re-derive
+    * from the table on load.
     */
   def saveShingleTfIndex(index: ShingleTfIndex, prefix: String,
-                         buckets: Int = 16): Unit =
+                         buckets: Int = 16): Unit = {
+    val spark = index.v.sparkSession
+    import spark.implicits._
     index.v.write.mode("overwrite")
       .bucketBy(buckets, "d").saveAsTable(s"${prefix}_stf")
+    Seq((index.dim, index.k)).toDF("dim", "k")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_stf_meta")
+  }
 
   /** Load a [[saveShingleTfIndex]] index (unpersisted — the table scan
     * IS the cache; release() is a no-op). */
   def loadShingleTfIndex(spark: org.apache.spark.sql.SparkSession,
                          prefix: String): ShingleTfIndex = {
     val v = spark.table(s"${prefix}_stf")
+    val meta = spark.table(s"${prefix}_stf_meta").head()
     ShingleTfIndex(v,
       v.groupBy(col("id")).agg(sum(col("c") * col("c")).as("nn")),
+      meta.getInt(0), meta.getInt(1),
       () => ())
   }
 
@@ -234,14 +249,17 @@ object Embedding {
 
   def hashedShingleNearDupIncremental(batch: DataFrame, index: ShingleTfIndex,
                                       idCol: String, textCol: String,
-                                      dim: Int = 65536, k: Int = 3,
                                       tauSqNum: Long = 81L, tauSqDen: Long = 100L,
                                       dfCap: Long = 1000L,
                                       persistBatch: Boolean = true): DataFrame = {
-    // the batch index feeds TWO subtrees (the dot join and its norms) —
+    // the batch shingles with the INDEX's (dim, k) — the geometry is a
+    // property of the standing corpus, so a probe can never land in a
+    // different bucket space (the MinhashIndex convention).
+    // The batch index feeds TWO subtrees (the dot join and its norms) —
     // same multi-consumer persist rationale as the corpus side; owned
     // by the clearCache-per-query harness (persistBatch=false opts out)
-    val b = buildShingleTfIndex(batch, idCol, textCol, dim, k, persist = persistBatch)
+    val b = buildShingleTfIndex(batch, idCol, textCol, index.dim, index.k,
+      persist = persistBatch)
     val kept = index.v.groupBy(col("d")).agg(count(lit(1)).as("dfd"))
       .filter(col("dfd") <= dfCap).select(col("d"))
     val dots = index.v.join(kept, Seq("d"))

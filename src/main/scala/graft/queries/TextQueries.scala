@@ -1010,7 +1010,7 @@ object TextQueries {
         dim = 65536, k = 3)
       graft.ops.Embedding.hashedShingleNearDupIncremental(
           docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text",
-          dim = 65536, k = 3, tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L)
+          tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L)
         .orderBy("id_new", "id_corpus")
     }, Some("""
       WITH sh AS (

@@ -55,7 +55,6 @@ object StreamingDedup {
     */
   def startHashedNearDup(stream: DataFrame, idCol: String, textCol: String,
                          index: graft.ops.Embedding.ShingleTfIndex,
-                         dim: Int = 65536, k: Int = 3,
                          tauSqNum: Long = 81L, tauSqDen: Long = 100L,
                          dfCap: Long = 1000L,
                          checkpoint: Option[String] = None,
@@ -65,10 +64,11 @@ object StreamingDedup {
       .outputMode("append")
       .queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        // micro-batch-sized frames: no batch-side persist
+        // micro-batch-sized frames: no batch-side persist; the batch
+        // shingles with the index's own (dim, k) — see ShingleTfIndex
         onBatch(
           graft.ops.Embedding.hashedShingleNearDupIncremental(
-            batch, index, idCol, textCol, dim, k, tauSqNum, tauSqDen,
+            batch, index, idCol, textCol, tauSqNum, tauSqDen,
             dfCap, persistBatch = false),
           batchId)
       }

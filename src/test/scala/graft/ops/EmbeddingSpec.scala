@@ -136,7 +136,7 @@ class EmbeddingSpec extends SparkSpec {
       dim = 65536, k = 3)
     try {
       val inc = Embedding.hashedShingleNearDupIncremental(batch, idx,
-          "doc_id", "text", dim = 65536, k = 3,
+          "doc_id", "text",
           tauSqNum = 25L, tauSqDen = 100L, dfCap = 100L)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
       // reference: the FULL self-run restricted to (odd, even) pairs
@@ -163,10 +163,14 @@ class EmbeddingSpec extends SparkSpec {
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") === 1L)
     val built = Embedding.buildShingleTfIndex(corpus, "doc_id", "text",
-      dim = 65536, k = 3)
+      dim = 16384, k = 3)
     try {
       Embedding.saveShingleTfIndex(built, "stfspec")
       val loaded = Embedding.loadShingleTfIndex(spark, "stfspec")
+      // the hashing geometry rides the saved index: a loaded probe
+      // shingles into the SAME bucket space the corpus was built with
+      loaded.dim shouldBe 16384
+      loaded.k shouldBe 3
       val viaBuilt = Embedding.hashedShingleNearDupIncremental(batch, built,
         "doc_id", "text", tauSqNum = 25L, tauSqDen = 100L)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
@@ -178,6 +182,7 @@ class EmbeddingSpec extends SparkSpec {
     } finally {
       built.release()
       spark.sql("DROP TABLE IF EXISTS stfspec_stf")
+      spark.sql("DROP TABLE IF EXISTS stfspec_stf_meta")
     }
   }
 
