@@ -2376,9 +2376,15 @@ object PipelineExtQueries {
           cnt(Dedup.minhashLshPairsFromIndex(shingleIx, tau = 0.8))),
         "spans" -> (() => cnt(Dedup.duplicateSpanPairs(docs, "doc_id", "text",
           k = 40, sel = "0", minShared = 2))),
+        // corpus-sized dim (the hash_neardup_auto convention): at fixed
+        // dim this tier's row reads 0 once corpus mass crosses
+        // dim*dfCap while every other tier scales — exactly the
+        // misleading audit artifact SCALE.md documents
         "hashed_cosine" -> (() => cnt(Embedding.hashedShingleNearDup(
-          docs, "doc_id", "text", dim = 65536, k = 3,
-          tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L))))
+          docs, "doc_id", "text",
+          dim = Embedding.sizedShingleDim(docs, "text", k = 3,
+            targetDf = 4L, minDim = 1 << 10),
+          k = 3, tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L))))
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val built = Await.result(
@@ -2404,12 +2410,19 @@ object PipelineExtQueries {
       spanp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM spans0 a JOIN spans0 b ON a.h = b.h AND a.doc_id < b.doc_id
                 GROUP BY 1, 2 HAVING count(*) >= 2),
+      hp AS (SELECT SUM(greatest(len(string_split(text,' ')) - 2, 0)) AS pos
+             FROM documents),
+      hnd AS (SELECT CAST(ceil(CAST(pos AS DOUBLE) / 4) AS BIGINT) AS need FROM hp),
+      hdim AS (SELECT MIN(d) AS dm
+               FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(10, 31) t(i)), hnd
+               WHERE d >= need),
       hsh AS (SELECT doc_id, unnest(list_transform(
                 range(1, greatest(len(string_split(text,' ')) - 1, 1)),
                 i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
               FROM documents),
       htb AS (SELECT doc_id,
-        CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 65536 AS BIGINT) AS d
+        CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+             % (SELECT dm FROM hdim) AS BIGINT) AS d
         FROM hsh),
       hv AS (SELECT doc_id, d, CAST(count(*) AS BIGINT) AS c FROM htb GROUP BY doc_id, d),
       hnorm AS (SELECT doc_id, CAST(SUM(c*c) AS BIGINT) AS nn FROM hv GROUP BY doc_id),

@@ -243,14 +243,30 @@ object ScaleLadder {
 
   // --------------------------------------------------------------- parent
 
+  /** `--deep` mode: the linear-row tiers (plus the constant-query ANN
+    * miner and the DoReMi loop) at x10 → x100 — TWO orders of magnitude
+    * over the base corpus, gated rung-over-rung (t(x100) ≤ 15·t(x10);
+    * row floor 5×). The compositions are excluded: at x100 each one is
+    * minutes of wall-clock for no additional structural information —
+    * their x10 gate already covers the plan shape.
+    */
+  val DeepHeavy: Seq[String] = Seq(
+    "hash_neardup_auto", "dedup_minhash", "dedup_ngram",
+    "mixture_reweight", "sim_topk_ivf")
+
+  val DeepRungs: Seq[(String, Int)] = Seq("x10" -> 10, "x100" -> 100)
+
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "--child") { child(args(1), args(2)); return }
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale")
+    val deep = args.contains("--deep")
+    val rungs = if (deep) DeepRungs else Rungs
+    val heavy = if (deep) DeepHeavy else Heavy
 
     // generation (idempotent: skip rungs whose documents dir exists)
     val gen = session()
-    Rungs.foreach { case (tag, mult) =>
+    rungs.foreach { case (tag, mult) =>
       val dir = s"$outRoot/$tag"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/documents.parquet"))) {
         System.err.println(s"[ladder] generating $tag (mult=$mult) under $dir")
@@ -279,8 +295,8 @@ object ScaleLadder {
           (q, tag) -> ChildResult(rows, fl, times)
         }.toMap
       } else Map.empty
-    val results: Seq[(String, Map[String, ChildResult])] = Heavy.map { q =>
-      val per = Rungs.flatMap { case (tag, _) =>
+    val results: Seq[(String, Map[String, ChildResult])] = heavy.map { q =>
+      val per = rungs.flatMap { case (tag, _) =>
         val r = prior.get((q, tag)).orElse {
           val fresh = forkOne(q, s"$outRoot/$tag")
           fresh.foreach { c =>
@@ -298,42 +314,59 @@ object ScaleLadder {
       q -> per
     }
 
-    // gates
+    // gates, against the FIRST rung as baseline: t ≤ 1.5·(mult ratio)
+    // (1.5x slack over perfect linearity — x1→x3 gives 4.5, x1→x10
+    // gives 15, x10→x100 gives 15); GrowRows floor rows ≥ 0.5·(mult
+    // ratio); scale-audit flags identical at every rung.
+    val (baseTag, baseMult) = rungs.head
     var failures = List.empty[String]
     val rows = results.map { case (q, per) =>
-      val ok = Rungs.forall { case (t, _) => per.contains(t) }
-      if (!ok) { failures ::= s"$q: a rung failed to run"; s"| $q | FAILED | | | | | |" }
+      val ok = rungs.forall { case (t, _) => per.contains(t) }
+      if (!ok) { failures ::= s"$q: a rung failed to run"; s"| $q | FAILED |" }
       else {
-        val (r1, r3, r10) = (per("x1"), per("x3"), per("x10"))
-        val (rat3, rat10) = (r3.best / r1.best, r10.best / r1.best)
-        if (rat10 > 15.0) failures ::= f"$q: t(10x)/t(1x)=$rat10%.1f > 15 (super-linear)"
-        if (rat3 > 4.5) failures ::= f"$q: t(3x)/t(1x)=$rat3%.1f > 4.5 (super-linear)"
-        if (GrowRows(q) && (r3.rows < 2 * r1.rows || r10.rows < 5 * r1.rows))
-          failures ::= s"$q: pair rows collapsed under growth " +
-            s"(${r1.rows} / ${r3.rows} / ${r10.rows})"
-        if (!(r1.flags == r3.flags && r3.flags == r10.flags))
-          failures ::= s"$q: scale-audit flags changed across rungs " +
-            s"(${r1.flags} / ${r3.flags} / ${r10.flags})"
-        f"| $q | ${r1.rows}%,d / ${r3.rows}%,d / ${r10.rows}%,d " +
-          f"| ${r1.best}%.2f | ${r3.best}%.2f | ${r10.best}%.2f " +
-          f"| ${rat3}%.2f | ${rat10}%.2f | ${r10.flags} |"
+        val base = per(baseTag)
+        val later = rungs.tail.map { case (tag, mult) =>
+          val r = per(tag)
+          val ratio = r.best / base.best
+          val multRatio = mult.toDouble / baseMult
+          if (ratio > 1.5 * multRatio)
+            failures ::= f"$q: t($tag)/t($baseTag)=$ratio%.1f > ${1.5 * multRatio}%.1f (super-linear)"
+          if (GrowRows(q) && r.rows < 0.5 * multRatio * base.rows)
+            failures ::= s"$q: pair rows collapsed under growth " +
+              s"(${base.rows} @$baseTag -> ${r.rows} @$tag)"
+          if (r.flags != base.flags)
+            failures ::= s"$q: scale-audit flags changed " +
+              s"($baseTag=${base.flags} vs $tag=${r.flags})"
+          (tag, r, ratio)
+        }
+        s"| $q | " +
+          rungs.map { case (t, _) => f"${per(t).rows}%,d" }.mkString(" / ") +
+          s" | " + rungs.map { case (t, _) => f"${per(t).best}%.2f" }.mkString(" | ") +
+          s" | " + later.map { case (_, _, rat) => f"$rat%.2f" }.mkString(" | ") +
+          s" | ${base.flags} |"
       }
     }
 
     val verdict = if (failures.isEmpty) "PASS" else "FAIL"
+    val rungNames = rungs.map(_._1)
+    val header = s"| query | rows ${rungNames.mkString(" / ")} | " +
+      rungNames.map(t => s"t($t) s").mkString(" | ") + " | " +
+      rungNames.tail.map(t => s"r($t/$baseTag)").mkString(" | ") + " | flags |"
+    val sep = "|" + Seq.fill(2 + rungNames.size + rungNames.tail.size + 1)("---").mkString("|") + "|"
     // margin char ~ so the markdown table pipes survive stripMargin
     val md =
-      s"""### Scale-ladder run ($verdict)
+      s"""### Scale-ladder run ($verdict)${if (deep) " — deep (x10 → x100)" else ""}
          ~
-         ~base=`$baseDir`, rungs x1/x3/x10 under `$outRoot`, forked JVM per
+         ~base=`$baseDir`, rungs ${rungNames.mkString("/")} under `$outRoot`, forked JVM per
          ~(query, rung), warmup + min-of-$Reps, `local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]`.
          ~
-         ~| query | rows x1 / x3 / x10 | t(x1) s | t(x3) s | t(x10) s | r3 | r10 | flags |
-         ~|---|---|---|---|---|---|---|---|
+         ~$header
+         ~$sep
          ~${rows.mkString("\n")}
          ~
-         ~Gates: r10 <= 15, r3 <= 4.5, flags identical across rungs; pair
-         ~tiers in GrowRows additionally gate rows(x3) >= 2x, rows(x10) >= 5x.
+         ~Gates vs $baseTag: t ratio <= 1.5x the data-multiple ratio; flags
+         ~identical across rungs; GrowRows tiers floor rows at 0.5x the
+         ~data-multiple ratio.
          ~${if (failures.isEmpty) "All gates green." else failures.mkString("FAILURES:\n- ", "\n- ", "")}
          ~""".stripMargin('~')
     println(md)

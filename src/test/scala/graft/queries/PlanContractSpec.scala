@@ -527,7 +527,9 @@ class PlanContractSpec extends SparkSpec {
       Dedup.duplicateSpanPairs(docs, "doc_id", "text", k = 40, sel = "0",
         minShared = 2, persistIndex = false).count()
     got("hashed_cosine") shouldBe
-      Embedding.hashedShingleNearDup(docs, "doc_id", "text", dim = 65536,
+      Embedding.hashedShingleNearDup(docs, "doc_id", "text",
+        dim = Embedding.sizedShingleDim(docs, "text", k = 3,
+          targetDf = 4L, minDim = 1 << 10),
         k = 3, tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L,
         persistIndex = false).count()
     spark.catalog.clearCache() // the scorecard's harness contract
