@@ -127,7 +127,7 @@ object Embedding {
     val positions = df
       .select(greatest(size(split(col(textCol), " ", -1)) - lit(k - 1), lit(0))
         .cast("long").as("p"))
-      .agg(sum(col("p"))).head().getLong(0)
+      .agg(coalesce(sum(col("p")), lit(0L))).head().getLong(0) // empty corpus -> minDim
     val need = (positions + targetDf - 1) / targetDf
     var dim = minDim
     while (dim < need && dim < maxDim) dim <<= 1

@@ -342,6 +342,9 @@ class EmbeddingSpec extends SparkSpec {
     // non-pow2 bounds are rejected loudly (the oracle grid contract)
     an[IllegalArgumentException] should be thrownBy
       Embedding.sizedShingleDim(docs, "text", minDim = 3)
+    // empty corpus -> the floor, not an NPE
+    Embedding.sizedShingleDim(docs.filter(col("doc_id") < 0), "text",
+      minDim = 128) shouldBe 128
   }
 
   test("corpus-sized dim restores recall where a fixed dim saturates") {
