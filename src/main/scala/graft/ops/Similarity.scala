@@ -562,6 +562,31 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
     ivfTopKIndexed(queries, buildIvfIndex(corpus, nlist, iters), k, nprobe)
 
+  /** Corpus-adaptive IVF cell count: the smallest power of two `p`
+    * with `p·p ≥ n`, clamped to [minNlist, maxNlist] — i.e. ⌈√n⌉
+    * rounded up the pow2 grid, computed in INTEGER arithmetic (no
+    * float sqrt boundary; an external engine reproduces the same p
+    * from the same count, the [[graft.ops.Embedding.sizedShingleDim]]
+    * convention). √n cells is the standard IVF sizing (FAISS trains
+    * 4√n–16√n): cells then hold ~√n vectors each, so a probe touches
+    * `nprobe·√n` candidates — √-scale, not linear — as the corpus
+    * grows. A FIXED nlist silently degrades instead: cells grow
+    * linearly with the corpus and every probe re-scans them (the scale
+    * ladder's x100 rung measures `sim_topk_ivf`'s fixed-16 probe cost
+    * growing with corpus size; it stays fast only because the query
+    * set is constant). Scale nprobe with the grid too (the registry's
+    * auto row uses `max(4, nlist/4)` — a constant probed FRACTION, so
+    * recall holds as nlist grows).
+    */
+  def sizedIvfNlist(n: Long, minNlist: Int = 2, maxNlist: Int = 1 << 20): Int = {
+    require(n >= 0, "corpus count must be >= 0")
+    require(Integer.bitCount(minNlist) == 1 && Integer.bitCount(maxNlist) == 1 &&
+      maxNlist >= minNlist, "nlist bounds must be powers of two, min <= max")
+    var p = minNlist
+    while (p.toLong * p < n && p < maxNlist) p <<= 1
+    p
+  }
+
   /** A trained IVF index: the centroid matrix (small, driver-held — it
     * rides into executors inside the NearestCentroid / ProbeCentroids
     * codegen expressions) plus the cell-assigned corpus. Like

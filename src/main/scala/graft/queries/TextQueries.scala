@@ -652,6 +652,33 @@ object TextQueries {
       annRecallRow(s, dir)((q, e) => Similarity.ivfTopK(q, e, k = 5)),
       Some(annRecallOracle)),
 
+    // -- the SCALED form of sim_topk_ivf: nlist sized from the corpus
+    // (smallest pow2 p with p*p >= n — integer-exact sqrt ceiling, the
+    // sizedShingleDim convention) and nprobe held at a constant 1/4 of
+    // the grid, so probe cost grows with sqrt(corpus) instead of
+    // linearly while the probed fraction — and with it recall — stays
+    // put. The oracle re-derives the CHOSEN nlist from the same corpus
+    // count, pinning the sizing rule cross-engine; recall keeps the
+    // thresholded-flag check (neighbor lists are centroid-seed
+    // dependent; measured 0.60-0.76 across SFs at the sized grid —
+    // ABOVE the fixed grid's 0.57-0.58 at the SAME probed fraction
+    // (1/4): finer cells concentrate candidates around the query)
+    QueryDef("sim_topk_ivf_auto", (s, dir) => {
+      val n = Tables.load(s, dir, "embeddings").count()
+      val nlist = Similarity.sizedIvfNlist(n)
+      val nprobe = math.max(4, nlist / 4)
+      annRecallRow(s, dir)((q, e) =>
+          Similarity.ivfTopK(q, e, k = 5, nlist = nlist, nprobe = nprobe))
+        .withColumn("nlist", lit(nlist.toLong))
+    }, Some("""
+      WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+      nl AS (SELECT MIN(d) AS nlist
+             FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(1, 21) t(i)), n
+             WHERE d * d >= cnt)
+      SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+             CAST(5 AS BIGINT) AS k, true AS recall_ok,
+             (SELECT nlist FROM nl) AS nlist""")),
+
     QueryDef("sim_topk_lsh", (s, dir) =>
       annRecallRow(s, dir)((q, e) => Similarity.srpLshTopK(q, e, k = 5)),
       Some(annRecallOracle)),

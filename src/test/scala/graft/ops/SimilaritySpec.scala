@@ -109,6 +109,24 @@ class SimilaritySpec extends SparkSpec {
     } finally cl.unpersist()
   }
 
+  test("sizedIvfNlist: integer sqrt-ceiling on the pow2 grid, clamps") {
+    // exact boundaries, no float sqrt: p is the smallest pow2 with p*p >= n
+    Similarity.sizedIvfNlist(0) shouldBe 2
+    Similarity.sizedIvfNlist(1) shouldBe 2
+    Similarity.sizedIvfNlist(4) shouldBe 2   // 2*2 = 4 >= 4
+    Similarity.sizedIvfNlist(5) shouldBe 4   // 2*2 = 4 < 5
+    Similarity.sizedIvfNlist(256) shouldBe 16
+    Similarity.sizedIvfNlist(257) shouldBe 32
+    Similarity.sizedIvfNlist(500) shouldBe 32
+    Similarity.sizedIvfNlist(2000) shouldBe 64
+    // a count past the grid square saturates at the ceiling
+    Similarity.sizedIvfNlist(Long.MaxValue, maxNlist = 1 << 10) shouldBe 1024
+    // floor clamp
+    Similarity.sizedIvfNlist(1, minNlist = 64) shouldBe 64
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.sizedIvfNlist(10, minNlist = 3)
+  }
+
   test("nlist=256 cell assignment stays O(1) plan nodes and agrees with a naive argmax") {
     // round 1 inlined nlist x dim literal expressions (plan-size blowup
     // past nlist ~1k); the NearestCentroid expression carries the matrix
