@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming ANN: continuous ingestion probed against a STANDING IVF
+  * index — the arrival-time shape of a training-data pipeline (tag
+  * each incoming document's embedding with its nearest corpus
+  * neighbors for near-dup candidacy, retrieval attribution, or
+  * hard-negative mining) without retraining centroids or touching the
+  * corpus layout.
+  *
+  * Built on `foreachBatch` + [[Similarity.ivfTopKIndexed]]: the
+  * centroid matrix rides into executors inside the probe expressions
+  * and the cell-assigned corpus stays fixed — with a
+  * [[Similarity.saveIvfIndex]]-persisted index the probe equi-join is
+  * bucket-pruned on `cell`, so at 100 TB only the micro-batch side
+  * shuffles (the [[StreamingDedup]] contract, vector edition). Top-k
+  * is stateless per query row, so batch ≡ stream and a replayed batch
+  * emits exactly its original matches (spec-pinned alongside
+  * `startHashedNearDup`'s).
+  */
+object StreamingSimilarity {
+
+  /** Start the stream: for every micro-batch of (id, vec) rows,
+    * `onBatch` receives that batch's (query_id, neighbor_id, rank,
+    * cosine) top-k rows against the index plus the batch id. `q8 =
+    * true` probes through the int8 tier ([[Similarity.ivfTopKIndexedQ8]]
+    * — 8× smaller candidate vectors, the production scan path); the
+    * caller owns the sink decision.
+    */
+  def startTopK(stream: DataFrame, index: Similarity.IvfIndex, k: Int,
+                nprobe: Int = 4, q8: Boolean = false,
+                checkpoint: Option[String] = None,
+                queryName: String = "graft_streaming_ann")
+               (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    var w = stream.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // micro-batch-sized query side: no batch persist; the index's
+        // corpus frame is the standing side
+        val topk =
+          if (q8) Similarity.ivfTopKIndexedQ8(batch.toDF(), index, k, nprobe)
+          else Similarity.ivfTopKIndexed(batch.toDF(), index, k, nprobe)
+        onBatch(topk, batchId)
+      }
+    checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
+    w.start()
+  }
+}

@@ -65,7 +65,8 @@ object ScaleLadder {
     "curation_pipeline_v4", "curation_pipeline_v6", "curation_pipeline_v8",
     "dedup_scorecard", "hash_embed_neardup", "hash_neardup_auto",
     "dedup_minhash", "dedup_ngram",
-    "sim_topk_ivf", "margin_pairs_ivf", "mixture_reweight")
+    "sim_topk_ivf", "sim_topk_ivf_auto", "margin_pairs_ivf",
+    "mixture_reweight")
 
   /** Pair tiers whose clone-shard prediction is LINEAR ROW GROWTH —
     * gated rows(x3) ≥ 2·rows(x1), rows(x10) ≥ 5·rows(x1) (a collapse
@@ -255,7 +256,7 @@ object ScaleLadder {
     */
   val DeepHeavy: Seq[String] = Seq(
     "hash_neardup_auto", "dedup_minhash", "dedup_ngram",
-    "mixture_reweight", "sim_topk_ivf")
+    "mixture_reweight", "sim_topk_ivf", "sim_topk_ivf_auto")
 
   val DeepRungs: Seq[(String, Int)] = Seq("x10" -> 10, "x100" -> 100)
 

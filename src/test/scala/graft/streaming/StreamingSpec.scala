@@ -446,6 +446,50 @@ class StreamingSpec extends SparkSpec {
     collected.map(p => (p._1, p._2)) should contain allOf ((11L, 1L), (12L, 4L))
   }
 
+  test("streaming ANN against a standing IVF index equals the batch probe; q8 tier agrees on ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Similarity
+    // deterministic corpus: 30 vectors on distinct rays
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(seed * 13 + d * 7).abs + 0.1)
+    val corpus = (0L until 30L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    val index = Similarity.buildIvfIndex(corpus, nlist = 4)
+    val b1 = Seq((101L, vec(3)), (102L, vec(17)))   // near rays 3 and 17
+    val b2 = Seq((103L, vec(25)))
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingSimilarity.startTopK(
+      mem.toDF().toDF("id", "vec"), index, k = 3, nprobe = 4) { (topk, _) =>
+      collected ++= topk.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable() // replay: same matches
+    } finally q.stop()
+    // ground truth: the batch-mode indexed probe over all arrived queries
+    val expected = Similarity.ivfTopKIndexed(
+        (b1 ++ b2).toDF("id", "vec"), index, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    collected.toSet shouldBe expected
+    collected.groupBy(_._1).keySet shouldBe Set(101L, 102L, 103L)
+    // the q8 tier streams through the same wrapper and agrees on the
+    // neighbor SET per query (int8 may reorder near-equal cosines)
+    val collected8 = scala.collection.mutable.Set.empty[(Long, Long)]
+    val mem8 = MemoryStream[(Long, Seq[Double])]
+    val q8 = StreamingSimilarity.startTopK(
+      mem8.toDF().toDF("id", "vec"), index, k = 3, nprobe = 4, q8 = true) { (topk, _) =>
+      collected8 ++= topk.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try { mem8.addData(b1: _*); q8.processAllAvailable() } finally q8.stop()
+    val expected8 = Similarity.ivfTopKIndexedQ8(
+        b1.toDF("id", "vec"), index, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    collected8.toSet shouldBe expected8
+  }
+
   test("streaming block dedup folds batches into the one-shot result") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
