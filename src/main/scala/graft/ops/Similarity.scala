@@ -587,6 +587,31 @@ object Similarity {
     p
   }
 
+  /** Corpus-adaptive SRP plane count for the bucketed near-dup tier:
+    * the smallest `p` with `targetBucket · 2^p ≥ n` — i.e.
+    * ⌈log₂(n / targetBucket)⌉ computed in INTEGER arithmetic (shifts,
+    * no float log boundary; an external engine reproduces the same p
+    * from the same count — the [[sizedIvfNlist]] convention), clamped
+    * to [minPlanes, maxPlanes]. Expected bucket occupancy is
+    * n / 2^planes, so a FIXED plane count degrades quadratically as
+    * the corpus grows (a bucket with m members emits m² candidate
+    * rows) until `bucketCap` starts dropping whole buckets — the
+    * [[graft.ops.Embedding.sizedShingleDim]] saturation disease in
+    * SRP clothing. Sizing planes with the corpus keeps occupancy — and
+    * with it BOTH the candidate mass and the cap semantics —
+    * invariant; the per-table recall lost to finer buckets is bought
+    * back with `numTables` (see [[embeddingNearDupPairs]]).
+    */
+  def sizedSrpPlanes(n: Long, targetBucket: Int = 32,
+                     minPlanes: Int = 2, maxPlanes: Int = 30): Int = {
+    require(n >= 0 && targetBucket >= 1, "need n >= 0, targetBucket >= 1")
+    require(minPlanes >= 1 && maxPlanes >= minPlanes && maxPlanes <= 62,
+      "need 1 <= minPlanes <= maxPlanes <= 62")
+    var p = minPlanes
+    while ((targetBucket.toLong << p) < n && p < maxPlanes) p += 1
+    p
+  }
+
   /** A trained IVF index: the centroid matrix (small, driver-held — it
     * rides into executors inside the NearestCentroid / ProbeCentroids
     * codegen expressions) plus the cell-assigned corpus. Like

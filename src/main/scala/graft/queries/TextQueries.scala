@@ -762,6 +762,43 @@ object TextQueries {
           overFetch = 16, nprobe = 8)),
       Some(annRecallClusteredOracle)),
 
+    // -- the SCALED form of the SRP-bucketed embedding near-dup tier:
+    // planesPerTable sized from the corpus (smallest p with
+    // 32·2^p >= n — integer shifts, the sizedShingleDim/sizedIvfNlist
+    // convention) so expected bucket occupancy stays ~32 at any scale;
+    // a FIXED plane count grows buckets linearly with the corpus and
+    // the m² candidate join quadratically, until bucketCap drops whole
+    // buckets (the hash-dim saturation disease in SRP clothing). The
+    // corpus is the clustered-geometry table (6 jittered variants per
+    // base vector, within-cluster cosine ~0.999, cross-cluster <= 0.60
+    // measured at all 3 SFs), so the tau=0.95 truth set is EXACTLY the
+    // 15 within-cluster pairs per base vector; the oracle re-derives
+    // the planted count AND the sized plane count cross-engine, and
+    // the row asserts recall >= 0.9 over it (far from the floor by
+    // construction: eight tables at theta ~2.6 deg miss a pair with
+    // p ~ 2e-9 per pair; the flag held at all 3 SFs)
+    QueryDef("emb_neardup_srp_auto", (s, dir) => {
+      import s.implicits._
+      val vecs = clusteredVectors(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = vecs.count()
+      val planes = Similarity.sizedSrpPlanes(n)
+      val found = Similarity.embeddingNearDupPairs(vecs, tau = 0.95,
+        numTables = 8, planesPerTable = planes).count()
+      vecs.unpersist()
+      val planted = (n / 6) * 15
+      Seq((n, planes.toLong, planted, found >= 0.9 * planted))
+        .toDF("n_vectors", "planes", "n_planted", "recall_ok")
+    }, Some("""
+      WITH n AS (SELECT count(*) * 6 AS cnt FROM embeddings),
+      pl AS (SELECT MIN(p) AS planes
+             FROM range(2, 31) t(p), n
+             WHERE (CAST(32 AS BIGINT) << p) >= cnt)
+      SELECT (SELECT cnt FROM n) AS n_vectors,
+             (SELECT planes FROM pl) AS planes,
+             (SELECT count(*) * 15 FROM embeddings) AS n_planted,
+             true AS recall_ok""")),
+
     // nearest-centroid corpus sharding against DETERMINISTIC seeds (the
     // k smallest-id vectors): full hash oracle — this is the query that
     // pins the NearestCentroid codegen kernel (left-fold cosine, argmax

@@ -127,6 +127,21 @@ class SimilaritySpec extends SparkSpec {
       Similarity.sizedIvfNlist(10, minNlist = 3)
   }
 
+  test("sizedSrpPlanes: integer log2-ceiling, clamps") {
+    // smallest p with 32 * 2^p >= n
+    Similarity.sizedSrpPlanes(0) shouldBe 2
+    Similarity.sizedSrpPlanes(128) shouldBe 2   // 32*4 = 128 >= 128
+    Similarity.sizedSrpPlanes(129) shouldBe 3
+    Similarity.sizedSrpPlanes(3000) shouldBe 7  // 32*128 = 4096 >= 3000
+    Similarity.sizedSrpPlanes(3000, targetBucket = 64) shouldBe 6
+    // ceiling clamp: a huge corpus saturates at maxPlanes
+    Similarity.sizedSrpPlanes(Long.MaxValue / 2, maxPlanes = 20) shouldBe 20
+    // floor clamp
+    Similarity.sizedSrpPlanes(1, minPlanes = 8) shouldBe 8
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.sizedSrpPlanes(10, maxPlanes = 63)
+  }
+
   test("nlist=256 cell assignment stays O(1) plan nodes and agrees with a naive argmax") {
     // round 1 inlined nlist x dim literal expressions (plan-size blowup
     // past nlist ~1k); the NearestCentroid expression carries the matrix
