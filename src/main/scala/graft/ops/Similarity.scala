@@ -803,15 +803,22 @@ object Similarity {
           .agg(count(lit(1)).as("m_")).filter(col("m_") > bucketCap)
           .select(col("tbl"), col("bucket")),
         Seq("tbl", "bucket"), "left_anti")
+    // cosine BEFORE the pair dedup: a pair surfaced by several tables
+    // re-evaluates the (codegen, 64-FMA) cosine once per table, which
+    // is noise next to what the old order shuffled — dropDuplicates
+    // first meant every candidate carried BOTH 64-dim vectors (~1 KB/
+    // row) through the exchange; scoring and tau-filtering scan-side
+    // leaves only true pairs, as narrow (id, id, double) rows, for the
+    // dedup shuffle (measured 10.2 -> 4.5 s child-median on the
+    // sized-planes row at sf0.1). Same output: exact cosine is
+    // per-pair deterministic, so first-per-pair == any-per-pair.
     v.as("a").join(v.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.vec").as("va"),
-        col("b.id").as("id_b"), col("b.vec").as("vb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.vec"), col("b.vec")).as("cosine"))
       .filter(col("cosine") >= tau)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Margin-based cross-set pair mining (Artetxe & Schwenk 2019, the
