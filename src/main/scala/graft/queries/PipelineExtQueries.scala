@@ -572,17 +572,21 @@ object PipelineExtQueries {
           strataCol = "lang", idCol = "doc_id", textCol = "text",
           initShares = Map("en" -> 1L, "de" -> 1L, "es" -> 1L,
             "fr" -> 1L, "zh" -> 1L),
-          rounds = 2, weightCol = Some("n_chars"))
+          rounds = 3, weightCol = Some("n_chars"))
         .orderBy("round", "lang")
     }, Some {
       s"""
       WITH ${mwHeadCte.trim},
       ${mwRoundCte(1, "w1", "cntw")},
       w2 AS (SELECT lang, weight_after AS w FROM r1),
-      ${mwRoundCte(2, "w2", "cntw")}
+      ${mwRoundCte(2, "w2", "cntw")},
+      w3 AS (SELECT lang, weight_after AS w FROM r2),
+      ${mwRoundCte(3, "w3", "cntw")}
       SELECT CAST(1 AS BIGINT) AS round, * FROM r1
       UNION ALL
       SELECT CAST(2 AS BIGINT) AS round, * FROM r2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT) AS round, * FROM r3
       ORDER BY round, lang"""
     }),
 

@@ -69,8 +69,9 @@ object ScaleLadder {
     "mixture_reweight")
 
   /** Pair tiers whose clone-shard prediction is LINEAR ROW GROWTH —
-    * gated rows(x3) ≥ 2·rows(x1), rows(x10) ≥ 5·rows(x1) (a collapse
-    * floor, not an exactness pin — the spec owns exactness). NOT
+    * gated rows ≥ 0.5 × the data-multiple ratio vs the first rung (a
+    * collapse floor, not an exactness pin — the spec owns exactness).
+    * NOT
     * gated: `hash_embed_neardup`, the fixed-dim tier this ladder
     * CAUGHT saturating (255 → 0 pairs at x10 — bucket df crosses
     * dfCap once corpus mass passes dim·dfCap); kept on the ladder as
