@@ -65,8 +65,8 @@ object ScaleLadder {
     "curation_pipeline_v4", "curation_pipeline_v6", "curation_pipeline_v8",
     "dedup_scorecard", "hash_embed_neardup", "hash_neardup_auto",
     "dedup_minhash", "dedup_ngram",
-    "sim_topk_ivf", "sim_topk_ivf_auto", "margin_pairs_ivf",
-    "mixture_reweight")
+    "sim_topk_ivf", "sim_topk_ivf_auto", "emb_neardup_srp_auto",
+    "margin_pairs_ivf", "mixture_reweight")
 
   /** Pair tiers whose clone-shard prediction is LINEAR ROW GROWTH —
     * gated rows ≥ 0.5 × the data-multiple ratio vs the first rung (a

@@ -407,6 +407,36 @@ class SimilaritySpec extends SparkSpec {
     srp.keySet should contain allOf ((1L, 2L), (1L, 3L), (2L, 3L))
   }
 
+  test("SRP pair dedup shuffles narrow rows: no vector crosses an exchange above the join") {
+    // regression pin for the scan-side-scoring fix (10.2 -> 4.5 s at
+    // sf0.1): candidates are scored and tau-filtered BEFORE the
+    // pair-dedup exchange, so no shuffle downstream of the bucket join
+    // may carry a vector column — the old shape moved ~1 KB/candidate
+    val rnd = new scala.util.Random(11)
+    val corpus = vecDf((0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextGaussian()))))
+    val df = Similarity.embeddingNearDupPairs(corpus, tau = 0.9,
+      numTables = 4, planesPerTable = 4, dim = 16)
+    df.count() // execute so AQE finalizes the plan
+    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val exchanges = finalPlan(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // at least the dedup exchange exists, and every exchange that sits
+    // ABOVE the self-join (i.e. outputs pair columns) is vector-free
+    val pairExchanges = exchanges.filter(_.output.exists(_.name == "id_a"))
+    pairExchanges should not be empty
+    pairExchanges.foreach { e =>
+      withClue(s"exchange ${e.output.map(_.name).mkString(",")}: ") {
+        e.output.map(_.name).toSet.intersect(Set("va", "vb", "vec")) shouldBe empty
+        e.output.forall(a =>
+          !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) shouldBe true
+      }
+    }
+  }
+
   test("hardNegativeTopK returns the most-similar OTHER-label vectors only") {
     import org.apache.spark.sql.functions.col
     // label 0: two near-identical vectors (1, 2); label 1: one close (3)
