@@ -607,8 +607,12 @@ object Similarity {
     require(n >= 0 && targetBucket >= 1, "need n >= 0, targetBucket >= 1")
     require(minPlanes >= 1 && maxPlanes >= minPlanes && maxPlanes <= 62,
       "need 1 <= minPlanes <= maxPlanes <= 62")
+    // BigInt: targetBucket << p can pass 2^63 inside the legal
+    // [minPlanes, 62] domain, and a wrapped-negative shift would
+    // silently saturate the loop instead of comparing (the repo's
+    // loud-exactness convention: never let wrap decide)
     var p = minPlanes
-    while ((targetBucket.toLong << p) < n && p < maxPlanes) p += 1
+    while ((BigInt(targetBucket) << p) < n && p < maxPlanes) p += 1
     p
   }
 

@@ -136,6 +136,11 @@ class SimilaritySpec extends SparkSpec {
     Similarity.sizedSrpPlanes(3000, targetBucket = 64) shouldBe 6
     // ceiling clamp: a huge corpus saturates at maxPlanes
     Similarity.sizedSrpPlanes(Long.MaxValue / 2, maxPlanes = 20) shouldBe 20
+    // the shift comparison is exact past 2^63 (BigInt, no Long wrap):
+    // 1024 << 53 = 2^63 > Long.MaxValue, so p stops at 53 — a wrapped
+    // Long shift would have gone negative and run to maxPlanes
+    Similarity.sizedSrpPlanes(Long.MaxValue, targetBucket = 1024,
+      maxPlanes = 62) shouldBe 53
     // floor clamp
     Similarity.sizedSrpPlanes(1, minPlanes = 8) shouldBe 8
     an[IllegalArgumentException] should be thrownBy
