@@ -731,9 +731,33 @@ object Sampling {
     * the recipe drop (not in the mix). The same `copy`-column
     * composability contract as [[epochRepeat]] applies.
     */
+  /** Validate an upsample-recipe FRAME against [[epochRepeat]]'s
+    * per-factor requires — LOUD apply-time guard for recipes that
+    * arrive as tables (saveUpsampleRecipe validates at save time, but
+    * a table is just a table: a hand-edited or externally written row
+    * with den = 0 makes `num div den` NULL under non-ANSI semantics,
+    * which the __k > 0 filter would swallow as a silently-dropped
+    * stratum). The frame is ≤ #strata rows (broadcast-sized), so the
+    * collect is bounded. Streaming callers validate ONCE at stream
+    * start, then pass validate = false per micro-batch.
+    */
+  def validateUpsampleRecipe(recipe: DataFrame, strataCol: String,
+                             maxEpochs: Long = 100L): Unit =
+    recipe.select(col(strataCol), col("num").cast("long"), col("den").cast("long"))
+      .collect().foreach { r =>
+        val (s, num, den) = (r.get(0), r.getLong(1), r.getLong(2))
+        require(num > 0 && den > 0,
+          s"upsample recipe for '$s' has non-positive factor $num/$den")
+        require(BigInt(num) <= BigInt(maxEpochs) * den,
+          s"upsample recipe for '$s' is $num/$den > maxEpochs=$maxEpochs")
+      }
+
   def epochRepeatWith(df: DataFrame, recipe: DataFrame,
-                      strataCol: String, idCol: String): DataFrame = {
+                      strataCol: String, idCol: String,
+                      maxEpochs: Long = 100L,
+                      validate: Boolean = true): DataFrame = {
     require(!df.columns.contains("copy"), "input already has a 'copy' column")
+    if (validate) validateUpsampleRecipe(recipe, strataCol, maxEpochs)
     val dec = "decimal(38,0)"
     val extra = when(
       hashBucket(col(idCol)).cast(dec) * col("den").cast(dec) <

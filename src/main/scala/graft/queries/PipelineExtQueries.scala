@@ -2396,7 +2396,7 @@ object PipelineExtQueries {
           Future(f().select(lit(name).as("tier"), col("n_pairs")))
         }), scala.concurrent.duration.Duration.Inf)
       built.reduce(_ union _).orderBy("tier")
-    }, Some("""
+    }, Some(s"""
       WITH sh3 AS (
         SELECT doc_id, list_distinct(list_transform(
           range(1, len(string_split(text,' ')) - 1),
@@ -2414,12 +2414,7 @@ object PipelineExtQueries {
       spanp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM spans0 a JOIN spans0 b ON a.h = b.h AND a.doc_id < b.doc_id
                 GROUP BY 1, 2 HAVING count(*) >= 2),
-      hp AS (SELECT SUM(greatest(len(string_split(text,' ')) - 2, 0)) AS pos
-             FROM documents),
-      hnd AS (SELECT CAST(ceil(CAST(pos AS DOUBLE) / 4) AS BIGINT) AS need FROM hp),
-      hdim AS (SELECT MIN(d) AS dm
-               FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(10, 31) t(i)), hnd
-               WHERE d >= need),
+      ${OracleSql.sizedShingleDimCte("h").trim},
       hsh AS (SELECT doc_id, unnest(list_transform(
                 range(1, greatest(len(string_split(text,' ')) - 1, 1)),
                 i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g

@@ -84,3 +84,27 @@ object Tables {
   val all = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 }
+
+/** SQL fragments shared by several DuckDB oracles — one definition so
+  * the engine-side sizing helpers and every oracle that mirrors them
+  * stay in lockstep (the mwRoundCte convention, cross-file edition).
+  */
+object OracleSql {
+
+  /** CTEs deriving the corpus-sized shingle hash dimension — the DuckDB
+    * mirror of [[graft.ops.Embedding.sizedShingleDim]] at its registry
+    * parameters (k = 3, targetDf = 4, minDim 2^10, maxDim 2^30):
+    * `<prefix>pos` the exact shingle-position mass, `<prefix>need` the
+    * INTEGER ceiling pos/4 (integer division — the engine computes
+    * (pos + targetDf - 1) / targetDf in Long; a double `ceil` here
+    * would round past 2^53 and could pick a different pow2), and
+    * `<prefix>dim(dm)` the smallest grid power of two >= need.
+    */
+  def sizedShingleDimCte(prefix: String): String = s"""
+      ${prefix}pos AS (SELECT SUM(greatest(len(string_split(text,' ')) - 2, 0)) AS pos
+                 FROM documents),
+      ${prefix}need AS (SELECT (pos + 3) // 4 AS need FROM ${prefix}pos),
+      ${prefix}dim AS (SELECT MIN(d) AS dm
+              FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(10, 31) t(i)), ${prefix}need
+              WHERE d >= need)""".stripMargin
+}

@@ -1015,13 +1015,8 @@ object TextQueries {
           dim = dim, k = 3, tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L)
         .withColumn("dim", lit(dim.toLong))
         .orderBy("id_a", "id_b")
-    }, Some("""
-      WITH p AS (SELECT SUM(greatest(len(string_split(text,' ')) - 2, 0)) AS pos
-                 FROM documents),
-      nd AS (SELECT CAST(ceil(CAST(pos AS DOUBLE) / 4) AS BIGINT) AS need FROM p),
-      dim AS (SELECT MIN(d) AS dm
-              FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(10, 31) t(i)), nd
-              WHERE d >= need),
+    }, Some(s"""
+      WITH ${OracleSql.sizedShingleDimCte("").trim},
       sh AS (
         SELECT doc_id, unnest(list_transform(
           range(1, greatest(len(string_split(text,' ')) - 1, 1)),

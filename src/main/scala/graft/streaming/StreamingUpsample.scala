@@ -35,13 +35,18 @@ object StreamingUpsample {
             checkpoint: Option[String] = None,
             queryName: String = "graft_streaming_upsample")
            (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    // validate the standing recipe ONCE at stream start (loud guard
+    // against hand-edited tables — see validateUpsampleRecipe), then
+    // skip the per-batch re-validation job
+    Sampling.validateUpsampleRecipe(
+      Sampling.upsampleRecipe(stream.sparkSession, prefix), strataCol)
     var w = stream.writeStream
       .outputMode("append")
       .queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val recipe = Sampling.upsampleRecipe(batch.sparkSession, prefix)
         onBatch(Sampling.epochRepeatWith(batch.toDF(), recipe,
-          strataCol, idCol), batchId)
+          strataCol, idCol, validate = false), batchId)
       }
     checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
     w.start()

@@ -106,21 +106,38 @@ object ScaleLadder {
       .drop("shard")
   }
 
-  /** `mult` clone shards of the embeddings table. Shard k rotates the
-    * dimension order by `13*k mod dim` — inner products and norms
-    * within a shard are term-for-term identical to the base corpus.
+  /** `mult` clone shards of the embeddings table. Shard k applies the
+    * orthogonal transform D_p·R_s: rotate the dim order by
+    * `s = 13k mod dim`, then flip the sign of dim j iff bit (j mod 62)
+    * of `p = k div 64` is set. Rotation alone has period 64, so shards
+    * 64 apart would be VERBATIM duplicates past mult = 64 (caught in
+    * round-9 review — the x100 deep rung shipped with 36 duplicate
+    * shard pairs); the sign layer disambiguates them: equal transforms
+    * need equal rotation (k ≡ k' mod 64) AND equal sign pattern
+    * (k div 64 ≡ k' div 64, exact for p < 2^62), i.e. k = k'. Both
+    * layers are exact in floating point (permutation + negation), so
+    * within-shard inner products and norms stay term-for-term
+    * identical to base, and shards < 64 are untouched (p = 0 — the
+    * x1/x3/x10 rungs and their recorded results are unchanged).
     */
   def scaleEmbeddings(emb: DataFrame, mult: Int): DataFrame = {
     require(mult >= 1)
     emb.withColumn("shard", explode(sequence(lit(0), lit(mult - 1))))
       .withColumn("__s", expr("CAST((shard * 13) % size(embedding) AS INT)"))
+      .withColumn("__p", expr("CAST(shard DIV 64 AS BIGINT)"))
       .withColumn("embedding",
         when(col("__s") === 0, col("embedding"))
           .otherwise(expr(
             "concat(slice(embedding, __s + 1, size(embedding) - __s), " +
               "slice(embedding, 1, __s))")))
+      .withColumn("embedding",
+        when(col("__p") === 0L, col("embedding"))
+          // interpreted HOF is fine here: one-off generator, not a query
+          .otherwise(expr(
+            "transform(embedding, (x, j) -> " +
+              "IF(((__p >> (j % 62)) & 1) = 1, -x, x))")))
       .withColumn("vec_id", col("vec_id") + col("shard") * IdStride)
-      .drop("shard", "__s")
+      .drop("shard", "__s", "__p")
   }
 
   /** Write one ladder rung: scaled documents/embeddings parquet (file
@@ -165,14 +182,18 @@ object ScaleLadder {
   }
 
   /** The PlanAudit flag triple over an (executed, AQE-final) plan. */
-  private def flags(df: DataFrame): (Int, Int, Int) = {
+  private def flags(df: DataFrame): (Int, Int, Int) =
+    flagsOfPlan(df.queryExecution.executedPlan)
+
+  private def flagsOfPlan(
+      p0: org.apache.spark.sql.execution.SparkPlan): (Int, Int, Int) = {
     import org.apache.spark.sql.execution.SparkPlan
     def unwrap(p: SparkPlan): SparkPlan = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
       case other => other
     }
-    val plan = unwrap(df.queryExecution.executedPlan)
+    val plan = unwrap(p0)
     val w = plan.collect {
       case x: org.apache.spark.sql.execution.window.WindowExec
         if x.partitionSpec.isEmpty => x
@@ -190,15 +211,52 @@ object ScaleLadder {
   }
 
   /** Child mode: one (query, dir) in a fresh JVM — warmup (rows +
-    * post-AQE flags), then `Reps` timed runs.
+    * flags), then `Reps` timed runs.
+    *
+    * Flags are SUMMED over EVERY query execution the warmup triggers,
+    * via a QueryExecutionListener — not just the returned frame's
+    * plan. Driver-composed registry rows (recall summaries, the
+    * reweight audit) do all their heavy work inside the builder and
+    * return a 1-row LocalTableScan; auditing only that plan made the
+    * flags gate vacuous for them (round-9 review finding). Inner
+    * executions legitimately include the PlanAudit documented-bounded
+    * classes (1-row binding cross joins in the reweight loop), so
+    * nonzero flags are fine — the gate compares them ACROSS RUNGS.
     */
   private def child(name: String, dir: String): Unit = {
     val spark = session()
     val fn = graft.SparkEntry.queries(name)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val sums = new java.util.concurrent.atomic.AtomicReference((0, 0, 0))
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        val f = flagsOfPlan(qe.executedPlan)
+        sums.updateAndGet(s => (s._1 + f._1, s._2 + f._2, s._3 + f._3))
+        seen.incrementAndGet(); ()
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
     spark.catalog.clearCache()
     val warm = fn(spark, dir)
     val rows = warm.count()
-    val (w, c, g) = flags(warm)
+    val finalFlags = flags(warm)
+    // the listener bus is async: wait until the execution count is
+    // stable for 500 ms (max 10 s) before reading the sums
+    var (stableFor, last, waited) = (0L, -1L, 0L)
+    while (stableFor < 500 && waited < 10000) {
+      val now = seen.get()
+      if (now == last) stableFor += 100 else { stableFor = 0; last = now }
+      Thread.sleep(100); waited += 100
+    }
+    spark.listenerManager.unregister(listener)
+    val inner = sums.get()
+    val (w, c, g) = (math.max(inner._1, finalFlags._1),
+      math.max(inner._2, finalFlags._2), math.max(inner._3, finalFlags._3))
     val times = (0 until Reps).map { _ =>
       spark.catalog.clearCache()
       System.gc()
@@ -250,8 +308,9 @@ object ScaleLadder {
 
   /** `--deep` mode: the linear-row tiers (plus the constant-query ANN
     * miner and the DoReMi loop) at x10 → x100 — TWO orders of magnitude
-    * over the base corpus, gated rung-over-rung (t(x100) ≤ 15·t(x10);
-    * row floor 5×). The compositions are excluded: at x100 each one is
+    * over the base corpus, gated rung-over-rung (t(x100) ≤ 2.0·10·t(x10)
+    * — deep slack is 2.0, see the gate block; row floor 0.5·10×). The
+    * compositions are excluded: at x100 each one is
     * minutes of wall-clock for no additional structural information —
     * their x10 gate already covers the plan shape.
     */

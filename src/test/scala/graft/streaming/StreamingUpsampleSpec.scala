@@ -76,4 +76,22 @@ class StreamingUpsampleSpec extends SparkSpec {
       Sampling.saveUpsampleRecipe(ref, "lang",
         Map("en" -> 1L, "de" -> 2L), "ups_guard_spec", maxEpochs = 100L)
   }
+  test("a corrupted recipe table fails LOUDLY at apply time, never drops silently") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => (i, if (i < 5) "en" else "de"))
+      .toDF("doc_id", "lang")
+    // den = 0: under non-ANSI `num div den` this row would become a
+    // silently-empty stratum; the apply-time guard must throw instead
+    val badDen = Seq(("en", 3L, 2L), ("de", 2L, 0L)).toDF("lang", "num", "den")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.epochRepeatWith(docs, badDen, "lang", "doc_id").count()
+    }
+    e1.getMessage should include("non-positive factor")
+    // a factor past maxEpochs (a smuggled blow-up) is equally loud
+    val blowUp = Seq(("en", 1000000000L, 1L), ("de", 1L, 1L)).toDF("lang", "num", "den")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.epochRepeatWith(docs, blowUp, "lang", "doc_id").count()
+    }
+    e2.getMessage should include("maxEpochs")
+  }
 }

@@ -52,6 +52,35 @@ class ScaleLadderSpec extends SparkSpec {
     }
   }
 
+  test("scaleEmbeddings: shards stay distinct past the rotation period (mult > 64)") {
+    // rotation alone has period 64 — shard 65 and shard 1 share the
+    // rotation, and before the sign layer they were VERBATIM duplicates
+    // (the x100 review finding). The sign layer must disambiguate them
+    // while leaving shard-65-internal geometry exact.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+    val x66 = ScaleLadder.scaleEmbeddings(emb, 66).persist()
+    try {
+      def shard(k: Int) = x66
+        .filter(col("vec_id") >= k * ScaleLadder.IdStride &&
+          col("vec_id") < k * ScaleLadder.IdStride + 50)
+        .select((col("vec_id") - k * ScaleLadder.IdStride).as("id"), col("embedding"))
+      // shard 65 differs from shard 1 on every row (same rotation,
+      // different sign pattern — and the flips actually change values)
+      val same = shard(65).as("a").join(shard(1).as("b"), Seq("id"))
+        .filter(col("a.embedding") === col("b.embedding")).count()
+      same shouldBe 0
+      // within shard 65, norms match base exactly (signs/permutations
+      // are exact in FP)
+      val baseN = emb.select(col("vec_id").as("id"),
+        expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D, (a, x) -> a + x * x)").as("nn"))
+      val s65 = shard(65).select(col("id"),
+        expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D, (a, x) -> a + x * x)").as("nn2"))
+      baseN.join(s65, "id").filter(abs(col("nn") - col("nn2")) > 1e-9)
+        .count() shouldBe 0
+    } finally { x66.unpersist(); () }
+  }
+
   test("scaleEmbeddings: rotation preserves within-shard geometry, ids disjoint") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = emb.count()
