@@ -23,9 +23,11 @@ import scala.util.Try
   *     corpus-wide similarity mass grows ~linearly with size).
   *     [[ScaleLadderSpec]] pins the invariant (shard-k pair set == base
   *     pair set modulo the id offset).
-  *   - embeddings: shard `k` rotates the 64 dimensions by `13*k mod 64`
-  *     positions. Rotation preserves every within-shard inner product
-  *     and norm exactly, and decorrelates cross-shard cosines.
+  *   - embeddings: shard `k` applies an orthogonal transform — rotate
+  *     the 64 dimensions by `13*k mod 64`, then sign-flip by the bit
+  *     pattern of `k div 64` (see [[scaleEmbeddings]]; injective in k
+  *     for any mult). Both layers preserve every within-shard inner
+  *     product and norm exactly, and decorrelate cross-shard cosines.
   *   - ids: `id + k * IdStride` — disjoint ranges; queries that pin an
   *     absolute id slice (`vec_id < 200` miners) keep a CONSTANT query
   *     set over a growing corpus, the production ANN shape.
@@ -159,8 +161,15 @@ object ScaleLadder {
       .foreach { t =>
         val link = Paths.get(s"$outDir/$t.parquet")
         if (!Files.exists(link))
-          Files.createSymbolicLink(link, Paths.get(s"$baseDir/$t.parquet"))
+          // absolute target: a relative SPARK_GRAFT_SF_DIR would
+          // otherwise dangle (resolved against the rung dir)
+          Files.createSymbolicLink(link,
+            Paths.get(s"$baseDir/$t.parquet").toAbsolutePath)
       }
+    // the completeness marker the gen-skip checks — a crash between the
+    // two table writes must NOT leave a half rung that every later run
+    // silently skips (children would fail with no hint)
+    Files.write(Paths.get(s"$outDir/_GEN_DONE"), Array.emptyByteArray)
   }
 
   // ---------------------------------------------------------------- child
@@ -332,10 +341,10 @@ object ScaleLadder {
     val gen = session()
     rungs.foreach { case (tag, mult) =>
       val dir = s"$outRoot/$tag"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/documents.parquet"))) {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_GEN_DONE"))) {
         System.err.println(s"[ladder] generating $tag (mult=$mult) under $dir")
         genRung(gen, baseDir, dir, mult)
-      } else System.err.println(s"[ladder] $tag exists, skipping gen")
+      } else System.err.println(s"[ladder] $tag complete, skipping gen")
     }
     gen.stop()
     if (args.contains("--gen-only")) return
