@@ -745,7 +745,14 @@ object Sampling {
                              maxEpochs: Long = 100L): Unit =
     recipe.select(col(strataCol), col("num").cast("long"), col("den").cast("long"))
       .collect().foreach { r =>
-        val (s, num, den) = (r.get(0), r.getLong(1), r.getLong(2))
+        val s = r.get(0)
+        // a missing cell — or a non-numeric string the long cast nulls
+        // out under non-ANSI semantics — must raise the SAME diagnosable
+        // message, not a bare NPE from getLong on a null
+        require(!r.isNullAt(1) && !r.isNullAt(2),
+          s"upsample recipe for '$s' has NULL num/den " +
+            "(missing or non-numeric factor cell)")
+        val (num, den) = (r.getLong(1), r.getLong(2))
         require(num > 0 && den > 0,
           s"upsample recipe for '$s' has non-positive factor $num/$den")
         require(BigInt(num) <= BigInt(maxEpochs) * den,

@@ -98,13 +98,19 @@ object OracleSql {
     * INTEGER ceiling pos/4 (integer division — the engine computes
     * (pos + targetDf - 1) / targetDf in Long; a double `ceil` here
     * would round past 2^53 and could pick a different pow2), and
-    * `<prefix>dim(dm)` the smallest grid power of two >= need.
+    * `<prefix>dim(dm)` the smallest grid power of two >= need. The
+    * engine CLAMPS at both ends, so the CTE must too: an empty corpus
+    * sums to NULL (→ need 0 → the grid's minimum, matching the
+    * engine's minDim), and a need above the 2^30 grid top leaves no
+    * satisfying row (→ COALESCE to maxDim, matching the saturated
+    * while-loop) — without these the oracle goes NULL exactly at the
+    * boundaries where the engine stays defined.
     */
   def sizedShingleDimCte(prefix: String): String = s"""
       ${prefix}pos AS (SELECT SUM(greatest(len(string_split(text,' ')) - 2, 0)) AS pos
                  FROM documents),
-      ${prefix}need AS (SELECT (pos + 3) // 4 AS need FROM ${prefix}pos),
-      ${prefix}dim AS (SELECT MIN(d) AS dm
+      ${prefix}need AS (SELECT (COALESCE(pos, 0) + 3) // 4 AS need FROM ${prefix}pos),
+      ${prefix}dim AS (SELECT COALESCE(MIN(d), CAST(1073741824 AS BIGINT)) AS dm
               FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(10, 31) t(i)), ${prefix}need
               WHERE d >= need)""".stripMargin
 }

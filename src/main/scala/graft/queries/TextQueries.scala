@@ -672,7 +672,7 @@ object TextQueries {
         .withColumn("nlist", lit(nlist.toLong))
     }, Some("""
       WITH n AS (SELECT count(*) AS cnt FROM embeddings),
-      nl AS (SELECT MIN(d) AS nlist
+      nl AS (SELECT COALESCE(MIN(d), CAST(1048576 AS BIGINT)) AS nlist
              FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(1, 21) t(i)), n
              WHERE d * d >= cnt)
       SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
@@ -791,7 +791,7 @@ object TextQueries {
         .toDF("n_vectors", "planes", "n_planted", "recall_ok")
     }, Some("""
       WITH n AS (SELECT count(*) * 6 AS cnt FROM embeddings),
-      pl AS (SELECT MIN(p) AS planes
+      pl AS (SELECT COALESCE(MIN(p), 30) AS planes
              FROM range(2, 31) t(p), n
              WHERE (CAST(32 AS BIGINT) << p) >= cnt)
       SELECT (SELECT cnt FROM n) AS n_vectors,

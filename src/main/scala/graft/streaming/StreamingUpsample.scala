@@ -37,14 +37,22 @@ object StreamingUpsample {
            (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     // validate the standing recipe ONCE at stream start (loud guard
     // against hand-edited tables — see validateUpsampleRecipe), then
-    // skip the per-batch re-validation job
-    Sampling.validateUpsampleRecipe(
-      Sampling.upsampleRecipe(stream.sparkSession, prefix), strataCol)
+    // SNAPSHOT it: the ≤ #strata validated rows are collected here and
+    // closed over, so a mid-stream overwrite of the recipe table (a
+    // den = 0 or blow-up row) cannot reinstate the silent-drop
+    // behavior the guard exists to prevent — factors are fixed for the
+    // stream's lifetime, exactly the "elected once" contract above. A
+    // RESTARTED stream (new start() call, same checkpoint) re-reads
+    // and re-validates, so a table edited between restarts fails loud.
+    val standing = Sampling.upsampleRecipe(stream.sparkSession, prefix)
+    Sampling.validateUpsampleRecipe(standing, strataCol)
+    val recipeSchema = standing.schema
+    val recipeRows = java.util.Arrays.asList(standing.collect(): _*)
     var w = stream.writeStream
       .outputMode("append")
       .queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val recipe = Sampling.upsampleRecipe(batch.sparkSession, prefix)
+        val recipe = batch.sparkSession.createDataFrame(recipeRows, recipeSchema)
         onBatch(Sampling.epochRepeatWith(batch.toDF(), recipe,
           strataCol, idCol, validate = false), batchId)
       }

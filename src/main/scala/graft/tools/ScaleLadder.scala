@@ -15,9 +15,13 @@ import scala.util.Try
   *
   *   - documents: shard `k` renames every whitespace token `t -> t~k`
   *     (shard 0 keeps the original text). A bijective token rename
-  *     preserves every within-shard token-level similarity fact EXACTLY
-  *     (shingle sets, Jaccard ratios, minhash band collisions, duplicate
-  *     groups), while cross-shard vocabularies are disjoint, so pair
+  *     preserves within-shard shingle-set equalities, Jaccard ratios
+  *     and exact-duplicate groups EXACTLY (renamed shingles hash to
+  *     different minhash values, so non-identical near-dup band
+  *     collisions are preserved only in distribution — the 0.5x
+  *     GrowRows floor is the minhash tolerance; the spec pins the
+  *     exact ngramJaccardPairs invariant),
+  *     while cross-shard vocabularies are disjoint, so pair
   *     counts and duplicate structure scale exactly linearly in `mult` —
   *     the shape a deduped web corpus actually has (near-dups are local,
   *     corpus-wide similarity mass grows ~linearly with size).
@@ -160,11 +164,21 @@ object ScaleLadder {
     graft.queries.Tables.all.filterNot(t => t == "documents" || t == "embeddings")
       .foreach { t =>
         val link = Paths.get(s"$outDir/$t.parquet")
-        if (!Files.exists(link))
+        val target = Paths.get(s"$baseDir/$t.parquet").toAbsolutePath
+        // NOFOLLOW: plain exists() follows the link, so a DANGLING link
+        // (base dir moved/regenerated) reads as absent and the create
+        // below would throw FileAlreadyExistsException, wedging rung
+        // generation until manual cleanup; also replace a live link
+        // that points at a DIFFERENT base than this run's
+        if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val stale = !Files.isSymbolicLink(link) ||
+            Files.readSymbolicLink(link) != target
+          if (stale) Files.delete(link) else ()
+        }
+        if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
           // absolute target: a relative SPARK_GRAFT_SF_DIR would
           // otherwise dangle (resolved against the rung dir)
-          Files.createSymbolicLink(link,
-            Paths.get(s"$baseDir/$t.parquet").toAbsolutePath)
+          Files.createSymbolicLink(link, target)
       }
     // the completeness marker the gen-skip checks — a crash between the
     // two table writes must NOT leave a half rung that every later run

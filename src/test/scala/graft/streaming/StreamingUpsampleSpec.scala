@@ -93,5 +93,56 @@ class StreamingUpsampleSpec extends SparkSpec {
       Sampling.epochRepeatWith(docs, blowUp, "lang", "doc_id").count()
     }
     e2.getMessage should include("maxEpochs")
+    // a NULL factor cell (a missing value; under ANSI a non-numeric
+    // string already throws at the cast) raises the SAME diagnosable
+    // recipe message, not a bare NPE from getLong on a null
+    val nullDen = Seq(("en", Some(3L), Some(2L)), ("de", Some(2L), None))
+      .toDF("lang", "num", "den")
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.epochRepeatWith(docs, nullDen, "lang", "doc_id").count()
+    }
+    e3.getMessage should include("NULL num/den")
+  }
+
+  test("recipe is closed over at stream start; a restart re-validates the table") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = corpus.toDF("doc_id", "lang")
+    try {
+      Sampling.saveUpsampleRecipe(ref, "lang",
+        Map("en" -> 1L, "de" -> 2L, "fr" -> 3L), "ups_restart_spec")
+      val expected = Sampling.epochRepeatWith(ref,
+          Sampling.upsampleRecipe(spark, "ups_restart_spec"), "lang", "doc_id")
+        .select("doc_id", "lang", "copy").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+
+      val mem = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      val q = StreamingUpsample.start(
+          mem.toDF().toDF("doc_id", "lang"), "ups_restart_spec") { (up, _) =>
+        up.select("doc_id", "lang", "copy").collect()
+          .foreach(r => got += ((r.getLong(0), r.getString(1), r.getLong(2))))
+      }
+      try {
+        mem.addData(corpus.take(10): _*)
+        q.processAllAvailable()
+        // OVERWRITE the standing table mid-stream with a den = 0 row —
+        // the silent-drop poison the guard exists for. The running
+        // stream closed over the validated snapshot, so later batches
+        // keep the ORIGINAL factors and nothing drops or throws.
+        Seq(("en", 1L, 0L), ("de", 1L, 0L), ("fr", 1L, 0L))
+          .toDF("lang", "num", "den")
+          .write.mode("overwrite").saveAsTable("ups_restart_spec_upsample")
+        mem.addData(corpus.drop(10): _*)
+        q.processAllAvailable()
+        got.toSeq.sorted shouldBe expected
+      } finally q.stop()
+      // a RESTARTED stream (new query, fresh start) re-reads the table
+      // and must fail LOUDLY on the corrupted recipe
+      val e = intercept[IllegalArgumentException] {
+        StreamingUpsample.start(
+          mem.toDF().toDF("doc_id", "lang"), "ups_restart_spec") { (_, _) => () }
+      }
+      e.getMessage should include("non-positive factor")
+    } finally spark.sql("DROP TABLE IF EXISTS ups_restart_spec_upsample")
   }
 }
