@@ -679,6 +679,37 @@ object TextQueries {
              CAST(5 AS BIGINT) AS k, true AS recall_ok,
              (SELECT nlist FROM nl) AS nlist""")),
 
+    // -- the recall-LIFTED sized-grid tier (Similarity.ivfRerankTopK):
+    // dual cell assignment on the corpus side + int8 over-fetch + exact
+    // re-rank, at the SAME probed fraction (1/4 of the sized grid) as
+    // sim_topk_ivf_auto. Dual assignment squares the per-neighbor
+    // cell-miss probability (the recall loss source no re-rank can
+    // recover), and the q8 over-fetch margin absorbs quantization
+    // reordering before the exact re-rank restores true cosine order —
+    // so the recall criterion RISES to 0.8 on the same near-uniform
+    // worst-case geometry where single-assignment IVF measures
+    // 0.51-0.76 (RecallCheck sweep: na=3 measures 0.86 / 0.96 / 0.93
+    // at sf0.001/0.01/0.1 vs na=2's 0.81 at the smallest SF — too
+    // close to the gate, so triple assignment buys the margin; of=4
+    // equals of=8 everywhere, q8 barely reorders). The oracle
+    // re-derives the sized nlist cross-engine like the auto row. --
+    QueryDef("sim_topk_ivf_rerank", (s, dir) => {
+      val n = Tables.load(s, dir, "embeddings").count()
+      val nlist = Similarity.sizedIvfNlist(n)
+      val nprobe = math.max(4, nlist / 4)
+      annRecallRow(s, dir, minRecall = 0.8)((q, e) =>
+          Similarity.ivfRerankTopK(q, e, k = 5, nlist = nlist,
+            nprobe = nprobe, nassign = 3, overFetch = 4))
+        .withColumn("nlist", lit(nlist.toLong))
+    }, Some("""
+      WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+      nl AS (SELECT COALESCE(MIN(d), CAST(1048576 AS BIGINT)) AS nlist
+             FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(1, 21) t(i)), n
+             WHERE d * d >= cnt)
+      SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+             CAST(5 AS BIGINT) AS k, true AS recall_ok,
+             (SELECT nlist FROM nl) AS nlist""")),
+
     QueryDef("sim_topk_lsh", (s, dir) =>
       annRecallRow(s, dir)((q, e) => Similarity.srpLshTopK(q, e, k = 5)),
       Some(annRecallOracle)),

@@ -55,6 +55,19 @@ object RecallCheck {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     println(f"[recall] ivf     recall=${(exact intersect ivf).size.toDouble / exact.size}%.3f")
+    // the recall-lifted tier at the sized grid's constant probed
+    // fraction: sweep (nassign, overFetch) to pick the oracle threshold
+    val nCorpus = e.count()
+    val nlist = Similarity.sizedIvfNlist(nCorpus)
+    val nprobe = math.max(4, nlist / 4)
+    for (na <- Seq(1, 2, 3); of <- Seq(4, 8)) {
+      val rr = Similarity.ivfRerankTopK(q, e, k = 5, nlist = nlist,
+          nprobe = nprobe, nassign = na, overFetch = of)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[recall] ivf-rerank nlist=$nlist nprobe=$nprobe na=$na of=$of " +
+        f"recall=${(exact intersect rr).size.toDouble / exact.size}%.3f")
+    }
     for (dOut <- Seq(8, 16, 32)) {
       val rp = Similarity.rpTopK(q, e, k = 5, dIn = 64, dOut = dOut)
         .select("query_id", "neighbor_id").collect()

@@ -76,6 +76,71 @@ class SimilaritySpec extends SparkSpec {
     full shouldBe exact
   }
 
+  test("ivfRerankTopK: exhaustive probes + full over-fetch equal brute force; pairs dedup") {
+    val rnd = new scala.util.Random(11)
+    val corpus = vecDf((0L until 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian()))))
+    val queries = corpus.filter($"id" < 8)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // nprobe = nlist makes the candidate set the whole corpus and
+    // overFetch large enough keeps ALL of it through the q8 stage, so
+    // the exact re-rank must reproduce brute force RANK FOR RANK —
+    // including that multi-assignment's duplicate (q, n) collisions
+    // collapse before the window (a double-counted neighbor would
+    // shift every later rank)
+    val full = Similarity.ivfRerankTopK(queries, corpus, k = 5,
+        nlist = 8, nprobe = 8, nassign = 3, overFetch = 40)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    full shouldBe exact
+    // restricted probes: exactly k distinct neighbors per query, exact
+    // cosines on every surviving pair (the re-rank contract)
+    val rr = Similarity.ivfRerankTopK(queries, corpus, k = 5,
+      nlist = 8, nprobe = 3, nassign = 2, overFetch = 4)
+    val rows = rr.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      g.length shouldBe 5
+      g.map(_.getLong(1)).distinct.length shouldBe 5
+    }
+    val bf = Similarity.bruteForceTopK(queries, corpus, k = 200)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      r.getDouble(3) shouldBe bf((r.getLong(0), r.getLong(1))) +- 1e-12
+    }
+  }
+
+  test("ivfRerankTopK plan: no cross join, no broadcast hint, narrow candidate shuffle") {
+    val rnd = new scala.util.Random(13)
+    val corpus = vecDf((0L until 80L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))))
+    val df = Similarity.ivfRerankTopK(corpus.filter($"id" < 8), corpus,
+      k = 3, nlist = 4, nprobe = 2, nassign = 2, overFetch = 4)
+    df.queryExecution.optimizedPlan.toString should not include "strategy=broadcast"
+    val physical = df.queryExecution.executedPlan.toString
+    physical should not include "CartesianProduct"
+    physical should not include "BroadcastNestedLoopJoin"
+    // the candidate dedup aggregate sees only narrow (query_id,
+    // neighbor_id, q8) rows — no vector column (not even the int8
+    // payload) may cross the pair-dedup exchange: scoring happened
+    // scan-side (the embeddingNearDupPairs narrow-row contract)
+    df.count() // execute so AQE finalizes the plan
+    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val aggs = finalPlan(df.queryExecution.executedPlan).collect {
+      case a: BaseAggregateExec => a.output.map(_.dataType)
+    }
+    aggs should not be empty
+    aggs.flatten.foreach { dt =>
+      dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] shouldBe false
+    }
+  }
+
   test("perturbedVariants: deterministic jitter, tight clusters, IVF/RP recall ~1 on them") {
     // real testdata, the registry rows' exact construction at sf0.001
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
