@@ -219,6 +219,28 @@ object Dedup {
           org.apache.spark.sql.classic.GraftExpressionBridge.expression(
             col(textCol)), k))).as("s"))
 
+  /** [[shingleFpRows]] plus the per-doc shingle-POSITION mass riding
+    * the same scan: (id, s, pos) with `pos = max(#tokens − k + 1, 0)`
+    * repeated on every row of a doc (8 bytes/row on an already-narrow
+    * frame). A multi-tier consumer that persists the index for its
+    * Jaccard tiers can then also derive the corpus-sized hash
+    * dimension from it ([[graft.ops.Embedding.sizedShingleDimFromIndex]])
+    * without a second full text scan; the Jaccard consumers take
+    * `.select("id", "s")` and see the exact [[shingleFpRows]] frame.
+    * `pos` follows the sizing aggregate's token convention exactly
+    * (`split(" ", -1)`, clamped at 0), so the two sizing forms agree
+    * integer-for-integer.
+    */
+  def shingleFpRowsWithPos(df: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(org.apache.spark.sql.classic.GraftExpressionBridge.column(
+        graft.functions.DistinctShingleHashes(
+          org.apache.spark.sql.classic.GraftExpressionBridge.expression(
+            col(textCol)), k))).as("s"),
+      greatest(size(split(col(textCol), " ", -1)) - lit(k - 1), lit(0))
+        .cast("long").as("pos"))
+
   /** The string-pipeline formulation of [[shingleFpRows]]
     * (shingleRows → xxhash64) — kept for the equivalence spec: the
     * fused kernel hashes byte SPANS of the input zero-copy where this

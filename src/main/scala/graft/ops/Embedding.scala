@@ -128,6 +128,35 @@ object Embedding {
       .select(greatest(size(split(col(textCol), " ", -1)) - lit(k - 1), lit(0))
         .cast("long").as("p"))
       .agg(coalesce(sum(col("p")), lit(0L))).head().getLong(0) // empty corpus -> minDim
+    dimForPositions(positions, targetDf, minDim, maxDim)
+  }
+
+  /** [[sizedShingleDim]] from an already-persisted shingle index that
+    * carries the per-doc position mass (the
+    * [[Dedup.shingleFpRowsWithPos]] shape: (id, s, pos) with `pos`
+    * repeated on every row of a doc) — the sizing aggregate then rides
+    * the NARROW persisted rows instead of re-scanning and re-splitting
+    * the corpus text a second time (the dedup_scorecard already holds
+    * that index for its Jaccard tiers; its sizing pass was the one
+    * remaining double corpus scan). A doc with no shingles has no
+    * index row and contributes 0 to both forms, so the two compute the
+    * IDENTICAL dim from the identical mass (spec-pinned), and the
+    * DuckDB oracle CTE needs no second form.
+    */
+  def sizedShingleDimFromIndex(ix: DataFrame, targetDf: Long = 4L,
+                               minDim: Int = 1 << 10,
+                               maxDim: Int = 1 << 30): Int = {
+    require(targetDf >= 1, "targetDf must be >= 1")
+    require(minDim >= 1 && maxDim >= minDim, "need 1 <= minDim <= maxDim")
+    require(Integer.bitCount(minDim) == 1 && Integer.bitCount(maxDim) == 1,
+      "minDim/maxDim must be powers of two (the oracle-reproducible grid)")
+    val positions = ix.groupBy(col("id")).agg(max(col("pos")).as("p"))
+      .agg(coalesce(sum(col("p")), lit(0L))).head().getLong(0)
+    dimForPositions(positions, targetDf, minDim, maxDim)
+  }
+
+  private def dimForPositions(positions: Long, targetDf: Long,
+                              minDim: Int, maxDim: Int): Int = {
     val need = (positions + targetDf - 1) / targetDf
     var dim = minDim
     while (dim < need && dim < maxDim) dim <<= 1

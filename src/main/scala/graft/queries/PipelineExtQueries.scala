@@ -2358,12 +2358,15 @@ object PipelineExtQueries {
       // overlap them (each tier underfills the cluster on its own),
       // so scorecard wall-clock tracks the slowest tier, not the sum —
       // the same pattern a production multi-tier audit would use
-      // ngram + minhash share ONE persisted k=3 shingle index (the
-      // FromIndex forms) — built once, consumed by both tiers; lazy
-      // val init is synchronized, so whichever tier thread gets here
-      // first materializes it and the other blocks on the same cache
+      // ngram + minhash + the hashed tier's SIZING share ONE persisted
+      // k=3 shingle index (the FromIndex forms; WithPos rides the
+      // per-doc position mass on the same scan so sizedShingleDim no
+      // longer re-reads the corpus text) — built once, consumed by
+      // three tiers; lazy val init is synchronized, so whichever tier
+      // thread gets here first materializes it and the others block on
+      // the same cache
       lazy val shingleIx = {
-        val p = Dedup.shingleFpRows(docs, "doc_id", "text", k = 3)
+        val p = Dedup.shingleFpRowsWithPos(docs, "doc_id", "text", k = 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count()
         p
@@ -2375,18 +2378,22 @@ object PipelineExtQueries {
           docs.select(col("doc_id"), TA.canonicalText(col("text")).as("text")),
           "doc_id", "text"))),
         "ngram" -> (() =>
-          cnt(Dedup.ngramJaccardPairsFromIndex(shingleIx, tau = 0.8))),
+          cnt(Dedup.ngramJaccardPairsFromIndex(
+            shingleIx.select("id", "s"), tau = 0.8))),
         "minhash" -> (() =>
-          cnt(Dedup.minhashLshPairsFromIndex(shingleIx, tau = 0.8))),
+          cnt(Dedup.minhashLshPairsFromIndex(
+            shingleIx.select("id", "s"), tau = 0.8))),
         "spans" -> (() => cnt(Dedup.duplicateSpanPairs(docs, "doc_id", "text",
           k = 40, sel = "0", minShared = 2))),
         // corpus-sized dim (the hash_neardup_auto convention): at fixed
         // dim this tier's row reads 0 once corpus mass crosses
         // dim*dfCap while every other tier scales — exactly the
-        // misleading audit artifact SCALE.md documents
+        // misleading audit artifact SCALE.md documents. The sizing
+        // mass comes FROM the shared persisted index (FromIndex form),
+        // not a second corpus text scan
         "hashed_cosine" -> (() => cnt(Embedding.hashedShingleNearDup(
           docs, "doc_id", "text",
-          dim = Embedding.sizedShingleDim(docs, "text", k = 3,
+          dim = Embedding.sizedShingleDimFromIndex(shingleIx,
             targetDf = 4L, minDim = 1 << 10),
           k = 3, tauSqNum = 81L, tauSqDen = 100L, dfCap = 50L))))
       import scala.concurrent.{Await, Future}

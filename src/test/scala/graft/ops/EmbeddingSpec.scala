@@ -347,6 +347,30 @@ class EmbeddingSpec extends SparkSpec {
       minDim = 128) shouldBe 128
   }
 
+  test("sizedShingleDimFromIndex equals the corpus-scan form integer-for-integer") {
+    import graft.ops.Dedup
+    // edge docs on purpose: a short doc (< k tokens, zero positions but
+    // ALSO zero index rows), a repeated-shingle doc (distinct index rows
+    // < positions — the mass must come from pos, not a row count)
+    val docs = ((0L until 4L).map(i => (i, s"a b c d e f$i")) ++ Seq(
+      (9L, "x y"), (10L, "t t t t t t t t"))).toDF("doc_id", "text")
+    val ix = Dedup.shingleFpRowsWithPos(docs, "doc_id", "text", k = 3)
+    for ((td, mn) <- Seq((4L, 2), (4L, 64), (1L, 2)))
+      Embedding.sizedShingleDimFromIndex(ix, targetDf = td,
+        minDim = mn, maxDim = 1 << 20) shouldBe
+        Embedding.sizedShingleDim(docs, "text", k = 3, targetDf = td,
+          minDim = mn, maxDim = 1 << 20)
+    // empty corpus -> the floor from both forms
+    Embedding.sizedShingleDimFromIndex(
+      Dedup.shingleFpRowsWithPos(docs.filter(col("doc_id") < 0),
+        "doc_id", "text", k = 3), minDim = 128) shouldBe 128
+    // the Jaccard consumers' projection sees the exact shingleFpRows frame
+    ix.select("id", "s").exceptAll(
+      Dedup.shingleFpRows(docs, "doc_id", "text", k = 3)).count() shouldBe 0L
+    Dedup.shingleFpRows(docs, "doc_id", "text", k = 3)
+      .exceptAll(ix.select("id", "s")).count() shouldBe 0L
+  }
+
   test("corpus-sized dim restores recall where a fixed dim saturates") {
     // 40 near-dup pairs with mutually disjoint vocabularies: every pair
     // is cosine ~1, no cross-pair similarity. At dim=4 every bucket
