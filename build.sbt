@@ -35,4 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // throughput collector for a batch engine: G1's concurrent cycles
+  // thrash under shuffle/aggregation allocation storms on a saturated
+  // heap (measured at the x100 ladder rung: dedup_ngram 33-90 s with
+  // G1 vs 33-36 s stable with ParallelGC, same code and partitions).
+  // Bench/ladder children inherit it via jvmFlags propagation.
+  "-XX:+UseParallelGC",
 )

@@ -290,24 +290,63 @@ object Dedup {
     * contract as the df form.
     */
   def ngramJaccardPairsFromIndex(ex: DataFrame, tau: Double = 0.8,
-                                 dfCap: Int = 512): DataFrame = {
-    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    jaccardFromCounts(fusedIntersections(ex, dfCap), sizes, tau)
-  }
+                                 dfCap: Int = 512,
+                                 persistPairs: Boolean = true): DataFrame =
+    fusedIntersectionsPruned(ex, dfCap, persistPairs) { (c, na, nb, oa, ob) =>
+      // jaccard = ic/(na+nb-ic) is increasing in ic and ic can reach at
+      // most c_kept + least(oa, ob) (every over-cap shingle of the
+      // smaller over-set shared in the best case), so pairs failing the
+      // bound can NEVER reach tau — sound prune, no surfaced pair lost
+      val icMax = c + least(oa, ob)
+      icMax.cast("double") / (na + nb - icMax) >= lit(tau)
+    }
+      .withColumn("jaccard",
+        col("ic").cast("double") / (col("na") + col("nb") - col("ic")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** Fused candidate generation + EXACT intersection counts over a
-    * distinct (id, s) inverted index: (id_a, id_b, ic) for every pair
-    * sharing at least one under-cap key, with ic = the FULL shared-key
-    * count (over-cap keys restored by the supplement join). Shared by
-    * tier 2 and the tier-6 span pairs — see [[ngramJaccardPairs]] for
-    * the exactness contract and the hot-key bound.
+  /** Fused candidate generation + EXACT intersection counts with a
+    * FEASIBILITY PRUNE between the candidate aggregate and the
+    * exact-verify tail, over a distinct (id, s) inverted index.
+    * Returns (id_a, id_b, ic, na, nb) for every pair that (a) shares
+    * at least one under-cap key AND (b) passes `feasible(c_kept, na,
+    * nb, oa, ob)` — the caller's upper-bound test, which MUST be a
+    * relaxation of its final predicate (oa/ob are the docs' over-cap
+    * key counts, so `c_kept + least(oa, ob)` bounds the full
+    * intersection from above). ic on returned rows is the FULL
+    * shared-key count (over-cap keys restored by the supplement join);
+    * na/nb the docs' total key counts, returned so callers don't
+    * re-join sizes onto the pair frame.
+    *
+    * Scale anatomy (measured at the x100 ladder rung, 500k docs):
+    * candidate mass Σ_kept C(df,2) is 126.6M rows collapsing to 113M
+    * DISTINCT pairs — of which only 25,600 survive tau = 0.8. The
+    * round-9 shape dragged all 113M rows through the supplement joins,
+    * the count merge, and TWO size joins, and ran the candidate
+    * self-join TWICE (two consumers, no exchange reuse) — the
+    * single-JVM GC wobble SCALE.md documented. Here the 113M-row
+    * frame is touched by exactly ONE downstream pass (the two
+    * doc-stat equi-joins + the prune filter, fused into one stage
+    * pipeline); the supplement join, count merge, and final predicate
+    * run on the ~10⁴-row survivor frame (eagerly [[persisted]] under
+    * `persistPairs` — it has two consumers, and re-deriving it means
+    * re-running the heavy chain).
     */
-  private[ops] def fusedIntersections(ex: DataFrame, dfCap: Int): DataFrame =
+  private[ops] def fusedIntersectionsPruned(
+      ex: DataFrame, dfCap: Int, persistPairs: Boolean = true)(
+      feasible: (Column, Column, Column, Column, Column) => Column): DataFrame = {
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     if (dfCap <= 0) {
-      ex.as("a").join(ex.as("b"),
+      val cAll = ex.as("a").join(ex.as("b"),
           col("a.s") === col("b.s") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(count(lit(1)).as("ic"))
+        .agg(count(lit(1)).as("c_kept"))
+      cAll
+        .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+        .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+        .filter(feasible(col("c_kept"), col("na"), col("nb"), lit(0L), lit(0L)))
+        .select(col("id_a"), col("id_b"), col("c_kept").as("ic"),
+          col("na"), col("nb"))
     } else {
       // ONE over-cap key set feeds both the anti join (candidate
       // pruning) and the semi join (score supplement) — the shared
@@ -316,23 +355,35 @@ object Dedup {
       val overS = ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
         .filter(col("df_") > dfCap).select(col("s"))
       val kept = ex.join(overS, Seq("s"), "left_anti")
+      val over = ex.join(overS, Seq("s"), "left_semi")
+      // per-doc stats ride ONE narrow frame: total keys + over-cap keys
+      val oCnt = over.groupBy(col("id")).agg(count(lit(1)).as("o"))
+      val docStats = sizes.join(oCnt, Seq("id"), "left")
+        .select(col("id"), col("n"), coalesce(col("o"), lit(0L)).as("o"))
       val cKept = kept.as("a").join(kept.as("b"),
           col("a.s") === col("b.s") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .agg(count(lit(1)).as("c_kept"))
-      // the over-cap slice: same rows `kept` dropped (left_semi vs its
-      // left_anti); distinct over-cap shingles are few, so this frame
-      // is short and its joins below are broadcast-sized
-      val over = ex.join(overS, Seq("s"), "left_semi")
-      val cOver = cKept.select(col("id_a"), col("id_b"))
+      val surv = persisted(cKept
+        .join(docStats.select(col("id").as("id_a"),
+          col("n").as("na"), col("o").as("oa")), Seq("id_a"))
+        .join(docStats.select(col("id").as("id_b"),
+          col("n").as("nb"), col("o").as("ob")), Seq("id_b"))
+        .filter(feasible(col("c_kept"), col("na"), col("nb"),
+          col("oa"), col("ob"))), persistPairs)
+      // the over-cap slice joins SURVIVORS only: distinct over-cap
+      // shingles are few and the survivor frame is final-result-sized
+      val cOver = surv.select(col("id_a"), col("id_b"))
         .join(over.select(col("id").as("id_a"), col("s")), Seq("id_a"))
         .join(over.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("c_over"))
-      cKept.join(cOver, Seq("id_a", "id_b"), "left")
+      surv.join(cOver, Seq("id_a", "id_b"), "left")
         .select(col("id_a"), col("id_b"),
-          (col("c_kept") + coalesce(col("c_over"), lit(0L))).as("ic"))
+          (col("c_kept") + coalesce(col("c_over"), lit(0L))).as("ic"),
+          col("na"), col("nb"))
     }
+  }
 
   /** MinHash signatures + distinct-shingle counts from shingle ROWS in
     * ONE groupBy(id): `numHashes` min-aggregates (min over
@@ -1020,7 +1071,12 @@ object Dedup {
       spanFingerprints(df, idCol, textCol, k, sel)
         .select(col("id"), xxhash64(col("h")).as("s")),
       persistIndex)
-    fusedIntersections(ex, dfCap)
+    // feasibility: the full shared count can reach at most
+    // c_kept + least(oa, ob), so pairs below minShared there can never
+    // surface — the exact count then runs on survivors only
+    fusedIntersectionsPruned(ex, dfCap) { (c, _, _, oa, ob) =>
+      c + least(oa, ob) >= lit(minShared.toLong)
+    }
       .filter(col("ic") >= minShared)
       .select(col("id_a"), col("id_b"), col("ic").as("n_shared"))
   }

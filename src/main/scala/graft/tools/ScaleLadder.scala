@@ -304,13 +304,33 @@ object ScaleLadder {
     def best: Double = times.min
   }
 
-  private def forkOne(name: String, dir: String): Option[ChildResult] = Try {
+  /** Shuffle partitions for a rung: a real deployment sizes them with
+    * the DATA (more executros × more cores, or AQE from a high initial
+    * number — which does NOT help here: AQE coalesces for shuffle-IO
+    * size and re-fattens the map tasks whose per-task aggregate state
+    * is the thing that must stay bounded). One partition doubling per
+    * ~25× data over the 32-partition base keeps the heavy pair
+    * aggregations at ≲1M keys per task at every rung (measured: the
+    * x100 dedup_ngram agg holds 113M pair keys — 3.5M/task at 32
+    * partitions spills and GC-thrashes 33-90 s; 0.9M/task at 128 runs
+    * 33-36 s stable).
+    */
+  private def rungParts(cpus: Int, mult: Int): Int =
+    math.max(cpus, cpus * mult / 25)
+
+  private def forkOne(name: String, dir: String,
+                      parts: Option[Int] = None): Option[ChildResult] = Try {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val cmd = Seq(javaBin) ++ jvmFlags ++
       Seq("-cp", cp, "graft.tools.ScaleLadder", "--child", name, dir)
     val out = new StringBuilder
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    // an explicit GRAFT_LADDER_SHUFFLE in the parent env wins (manual
+    // sweeps); otherwise the child gets the rung-proportional sizing
+    if (!sys.env.contains("GRAFT_LADDER_SHUFFLE"))
+      parts.foreach(p => pb.environment().put("GRAFT_LADDER_SHUFFLE", p.toString))
+    val proc = pb.start()
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
     var line = reader.readLine()
@@ -382,10 +402,11 @@ object ScaleLadder {
           (q, tag) -> ChildResult(rows, fl, times)
         }.toMap
       } else Map.empty
+    val cpusN = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val results: Seq[(String, Map[String, ChildResult])] = heavy.map { q =>
-      val per = rungs.flatMap { case (tag, _) =>
+      val per = rungs.flatMap { case (tag, mult) =>
         val r = prior.get((q, tag)).orElse {
-          val fresh = forkOne(q, s"$outRoot/$tag")
+          val fresh = forkOne(q, s"$outRoot/$tag", Some(rungParts(cpusN, mult)))
           fresh.foreach { c =>
             val line = s"""{"q":"$q","rung":"$tag","rows":${c.rows},""" +
               s""""flags":"${c.flags}","times":[${c.times.mkString(",")}]}\n"""
