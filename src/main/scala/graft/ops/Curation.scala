@@ -843,7 +843,8 @@ object Curation {
     * the full corpus would produce.
     */
   def bpeTrainFromVocab(vocab: DataFrame, numMerges: Int,
-                        maxVocab: Int = 1 << 20): DataFrame = {
+                        maxVocab: Int = 1 << 20,
+                        driverDictLimit: Int = 1 << 16): DataFrame = {
     val spark = vocab.sparkSession
     import org.apache.spark.unsafe.types.UTF8String
     def byteLt(a: String, b: String): Boolean =
@@ -853,12 +854,28 @@ object Curation {
     // — exclude them from the dictionary (the oracle mirrors with
     // NOT LIKE '%|%'; [[graft.functions.TextKernel.bpeSegmentWord]]
     // returns such words' raw codepoints, so no merge targets them)
-    val dict = vocab
+    val dictDf = vocab
       .filter(!col("token").contains("|"))
       .orderBy(col("tf").desc, col("token"))
       .limit(maxVocab)
-      .select("token", "tf").collect()
+      .select("token", "tf")
+    // PATH SPLIT on dictionary size: the merge loop is O(numMerges ×
+    // Σ|word|) — a small dict (the common tokenizer-training case)
+    // runs it zero-jobs-per-round on the driver, but at maxVocab = 2^20
+    // that is ~1M words re-scanned per merge on ONE thread, a driver
+    // bottleneck the cluster can't help with. Past `driverDictLimit`
+    // the SAME rounds run as Spark aggregates over the word-state
+    // frame (bit-identical merge decisions — spec-pinned equality,
+    // including multi-byte/supplementary codepoints): explode adjacent
+    // symbol pairs, ONE sum per round, argmax via the same
+    // (count desc, left, right) byte order that Spark's UTF8String
+    // sort IS. Peek one row past the limit so small dicts never pay a
+    // separate count job.
+    val head = dictDf.limit(driverDictLimit + 1).collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    if (head.length > driverDictLimit)
+      return bpeMergeRoundsDistributed(dictDf, numMerges)
+    val dict = head
     var words: Array[(String, Long)] = dict.map { case (t, tf) =>
       val cps = t.codePoints().toArray
         .map(cp => new String(Character.toChars(cp)))
@@ -900,6 +917,65 @@ object Curation {
       }
     }
     import spark.implicits._
+    out.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** The DISTRIBUTED merge loop behind [[bpeTrainFromVocab]] for
+    * dictionaries past `driverDictLimit`: per round, ONE Spark
+    * aggregate over the (w, tf) word-state frame — split the state
+    * into symbols, zip-explode adjacent pairs, sum tf per pair — and a
+    * 1-row TakeOrdered argmax under exactly the driver loop's
+    * (count desc, left asc, right asc) tie-break (Spark string sort IS
+    * UTF8 byte order, the same `UTF8String.compareTo` the driver path
+    * calls). The winning merge rewrites the frame with the same
+    * left-to-right non-overlapping `replace` and the result is
+    * re-persisted (the previous round's cache released), so per-round
+    * work stays O(dict), not O(rounds × dict). Driver state: one
+    * (left, right, count) row per round. Codepoint splitting uses
+    * Java-regex `(?s)(.)` — codepoint-aware like the driver path's
+    * `codePoints()`, supplementary characters stay whole (spec-pinned
+    * equality on a multi-byte dictionary).
+    */
+  private def bpeMergeRoundsDistributed(dictDf: DataFrame,
+                                        numMerges: Int): DataFrame = {
+    val spark = dictDf.sparkSession
+    import spark.implicits._
+    var words = dictDf.select(
+        concat(lit("|"), regexp_replace(col("token"), "(?s)(.)", "$1|")).as("w"),
+        col("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 0
+    var continueLoop = true
+    while (rank < numMerges && continueLoop) {
+      val syms = split(expr("substring(w, 2, length(w) - 2)"), "[|]")
+      val top = words
+        .select(col("tf"), syms.as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("tf"), explode(arrays_zip(
+          slice(col("s"), lit(1), size(col("s")) - 1).as("l"),
+          slice(col("s"), lit(2), size(col("s")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("tf")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) continueLoop = false
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((rank.toLong, l, r, n))
+        val next = words
+          .withColumn("w", org.apache.spark.sql.functions.replace(
+            col("w"), lit(s"|$l|$r|"), lit(s"|$l$r|")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
     out.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 

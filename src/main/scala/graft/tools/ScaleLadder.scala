@@ -71,8 +71,9 @@ object ScaleLadder {
     "curation_pipeline_v4", "curation_pipeline_v6", "curation_pipeline_v8",
     "dedup_scorecard", "hash_embed_neardup", "hash_neardup_auto",
     "dedup_minhash", "dedup_ngram",
-    "sim_topk_ivf", "sim_topk_ivf_auto", "emb_neardup_srp_auto",
-    "margin_pairs_ivf", "mixture_reweight")
+    "sim_topk_ivf", "sim_topk_ivf_auto", "sim_topk_ivf_rerank",
+    "emb_neardup_srp_auto",
+    "margin_pairs_ivf", "mixture_reweight", "bpe_train")
 
   /** Pair tiers whose clone-shard prediction is LINEAR ROW GROWTH —
     * gated rows ≥ 0.5 × the data-multiple ratio vs the first rung (a
@@ -349,17 +350,17 @@ object ScaleLadder {
 
   // --------------------------------------------------------------- parent
 
-  /** `--deep` mode: the linear-row tiers (plus the constant-query ANN
-    * miner and the DoReMi loop) at x10 → x100 — TWO orders of magnitude
-    * over the base corpus, gated rung-over-rung (t(x100) ≤ 2.0·10·t(x10)
-    * — deep slack is 2.0, see the gate block; row floor 0.5·10×). The
-    * compositions are excluded: at x100 each one is
-    * minutes of wall-clock for no additional structural information —
-    * their x10 gate already covers the plan shape.
+  /** `--deep` mode: the linear-row tiers, the constant-query ANN
+    * miners, the DoReMi loops, AND (round 10) the composition tier —
+    * x10 → x100, TWO orders of magnitude over the base corpus, gated
+    * rung-over-rung (row floor 0.5·10×; time slack, see the gate
+    * block).
     */
   val DeepHeavy: Seq[String] = Seq(
     "hash_neardup_auto", "dedup_minhash", "dedup_ngram",
-    "mixture_reweight", "sim_topk_ivf", "sim_topk_ivf_auto")
+    "mixture_reweight", "mixture_reweight_tokens",
+    "sim_topk_ivf", "sim_topk_ivf_auto", "sim_topk_ivf_rerank",
+    "margin_pairs_ivf", "curation_pipeline_v4", "curation_pipeline_v6")
 
   val DeepRungs: Seq[(String, Int)] = Seq("x10" -> 10, "x100" -> 100)
 

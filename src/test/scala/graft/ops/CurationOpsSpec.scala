@@ -667,6 +667,40 @@ class CurationOpsSpec extends SparkSpec {
       merges) shouldBe 6L
   }
 
+  test("distributed BPE merge rounds equal the driver loop merge for merge") {
+    // force the distributed path with driverDictLimit = 0 and pin
+    // bit-identical merge decisions against the driver loop on a
+    // dictionary that exercises every tricky corner: count ties broken
+    // by byte order, back-to-back repeats (left-to-right replace),
+    // multi-byte UTF-8 (é, 中) and a SUPPLEMENTARY codepoint (the
+    // regex (?s)(.) split must keep the surrogate pair whole exactly
+    // like the driver's codePoints())
+    val docs = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")),
+      (3L, (Seq.fill(4)("aaaa") ++ Seq.fill(3)("café cafés")).mkString(" ")),
+      (4L, Seq.fill(3)("中文😀中").mkString(" ")))
+      .toDF("doc_id", "text")
+    val vocab = Curation.vocabulary(docs)
+    for (merges <- Seq(3, 8)) {
+      val driver = Curation.bpeTrainFromVocab(vocab, numMerges = merges)
+        .orderBy("rank").collect().map(_.toSeq)
+      val dist = Curation.bpeTrainFromVocab(vocab, numMerges = merges,
+          driverDictLimit = 0)
+        .orderBy("rank").collect().map(_.toSeq)
+      dist shouldBe driver
+    }
+    // exhaustion: more merges than pairs exist terminates identically
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val d1 = Curation.bpeTrain(tiny, numMerges = 10)
+      .orderBy("rank").collect().map(_.toSeq)
+    val d2 = Curation.bpeTrainFromVocab(Curation.vocabulary(tiny),
+        numMerges = 10, driverDictLimit = 0)
+      .orderBy("rank").collect().map(_.toSeq)
+    d2 shouldBe d1
+    d1.length shouldBe 1 // a+b, then the single-symbol word has no pairs
+  }
+
   test("pipelineV7Stages: gate feeds training, merges reflect survivors only") {
     // doc 3 is pure repetition ("spam spam ...") — its top bigram covers
     // nearly all characters, so the gate drops it; were it kept, BPE
