@@ -811,16 +811,95 @@ object Similarity {
   def ivfRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     nlist: Int = 16, nprobe: Int = 4, nassign: Int = 2,
                     overFetch: Int = 4, iters: Int = 3,
-                    seed: Long = 42L): DataFrame = {
-    require(nassign >= 1 && overFetch >= 1, "need nassign, overFetch >= 1")
+                    seed: Long = 42L): DataFrame =
+    ivfTopKIndexedRerank(queries,
+      buildIvfRerankIndex(corpus, nlist, nassign, iters, seed),
+      k, nprobe, overFetch)
+
+  /** The rerank tier's index-once shape: the int8 MULTI-ASSIGNED cell
+    * table (what stage-1 probes scan — `nassign` narrow rows per
+    * vector, no full-precision columns) and the full-precision vector
+    * table (what stage-2 point-lookups — ONE row per vector), split
+    * because they have different join keys and therefore different
+    * bucketing: [[saveIvfRerankIndex]] buckets `cells` by `cell` (the
+    * probe equi-join) and `vectors` by `neighbor_id` (the re-rank
+    * lookup), so a standing index serves both joins with only the
+    * (small) candidate side shuffling. The [[IvfIndex]] analogue for
+    * [[ivfTopKIndexedRerank]].
+    */
+  final case class IvfRerankIndex(
+      centroids: Array[Seq[Double]],
+      cells: DataFrame, // (neighbor_id, cell, qcv) — nassign rows/vector
+      vectors: DataFrame, // (neighbor_id, cv) — one row/vector
+      nlist: Int, nassign: Int)
+
+  /** Train centroids and multi-assign every corpus vector to its
+    * `nassign` nearest cells. Like [[buildIvfIndex]], `nlist` records
+    * the ACTUAL centroid count.
+    */
+  def buildIvfRerankIndex(corpus: DataFrame, nlist: Int = 16,
+                          nassign: Int = 2, iters: Int = 3,
+                          seed: Long = 42L): IvfRerankIndex = {
+    require(nassign >= 1, "need nassign >= 1")
     val cents = ivfCentroids(corpus, nlist, iters, seed)
-    val c = corpus.select(col("id").as("neighbor_id"),
-      quantizeCol(col("vec")).as("qcv"),
-      explode(probeCells(col("vec"), cents, nassign)).as("cell"))
+    IvfRerankIndex(cents,
+      corpus.select(col("id").as("neighbor_id"),
+        quantizeCol(col("vec")).as("qcv"),
+        explode(probeCells(col("vec"), cents, nassign)).as("cell")),
+      corpus.select(col("id").as("neighbor_id"), col("vec").as("cv")),
+      cents.length, nassign)
+  }
+
+  /** Persist an [[IvfRerankIndex]] as catalog tables:
+    * `<prefix>_cells` bucketed by `cell`, `<prefix>_vectors` bucketed
+    * by `neighbor_id`, `<prefix>_centroids` (one row per cell) plus a
+    * 1-row `<prefix>_meta` carrying `nassign` so a loaded index always
+    * reports the geometry it was built with.
+    */
+  def saveIvfRerankIndex(index: IvfRerankIndex, prefix: String,
+                         buckets: Int = 16): Unit = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    index.cells.write.mode("overwrite")
+      .bucketBy(buckets, "cell").saveAsTable(s"${prefix}_cells")
+    index.vectors.write.mode("overwrite")
+      .bucketBy(buckets, "neighbor_id").saveAsTable(s"${prefix}_vectors")
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
+    Seq(index.nassign).toDF("nassign")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** Load an [[IvfRerankIndex]] persisted by [[saveIvfRerankIndex]]. */
+  def loadIvfRerankIndex(spark: org.apache.spark.sql.SparkSession,
+                         prefix: String): IvfRerankIndex = {
+    import spark.implicits._
+    val cents = spark.table(s"${prefix}_centroids")
+      .orderBy("cell").as[(Int, Seq[Double])].collect().map(_._2)
+    IvfRerankIndex(cents,
+      spark.table(s"${prefix}_cells"),
+      spark.table(s"${prefix}_vectors"),
+      cents.length,
+      spark.table(s"${prefix}_meta").head().getInt(0))
+  }
+
+  /** Probe a prebuilt/loaded [[IvfRerankIndex]]: stage-1 int8 scan of
+    * the probed cells with the narrow pair dedup, stage-2 exact re-rank
+    * of the `k·overFetch` survivors against the vectors table. Against
+    * a saved index both heavy sides stay in place (cells bucketed by
+    * the probe key, vectors by the lookup key) — only query rows and
+    * the survivor frame shuffle. Same no-broadcast-hint contract as
+    * [[ivfTopKIndexed]].
+    */
+  def ivfTopKIndexedRerank(queries: DataFrame, index: IvfRerankIndex,
+                           k: Int, nprobe: Int = 4,
+                           overFetch: Int = 4): DataFrame = {
+    require(overFetch >= 1, "need overFetch >= 1")
     val q = queries.select(col("id").as("query_id"),
       quantizeCol(col("vec")).as("qqv"),
-      explode(probeCells(col("vec"), cents, nprobe)).as("cell"))
-    val cand = q.join(c, Seq("cell"))
+      explode(probeCells(col("vec"), index.centroids, nprobe)).as("cell"))
+    val cand = q.join(index.cells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("q8",
         fromExpr(graft.functions.VecCosineI8(toExpr(col("qqv")), toExpr(col("qcv")))))
@@ -831,7 +910,15 @@ object Similarity {
     val over = cand.withColumn("r", row_number().over(w))
       .filter(col("r") <= k * overFetch)
       .select(col("query_id"), col("neighbor_id"))
-    rerankExact(over, queries, corpus, k)
+    val rescored = over
+      .join(queries.select(col("id").as("query_id"), col("vec").as("qv")), Seq("query_id"))
+      .join(index.vectors, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
   /** Exact embedding-cosine pairs above `tau` — the brute-force baseline

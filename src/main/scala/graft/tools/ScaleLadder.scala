@@ -305,19 +305,35 @@ object ScaleLadder {
     def best: Double = times.min
   }
 
-  /** Shuffle partitions for a rung: a real deployment sizes them with
-    * the DATA (more executros × more cores, or AQE from a high initial
-    * number — which does NOT help here: AQE coalesces for shuffle-IO
-    * size and re-fattens the map tasks whose per-task aggregate state
-    * is the thing that must stay bounded). One partition doubling per
-    * ~25× data over the 32-partition base keeps the heavy pair
-    * aggregations at ≲1M keys per task at every rung (measured: the
-    * x100 dedup_ngram agg holds 113M pair keys — 3.5M/task at 32
-    * partitions spills and GC-thrashes 33-90 s; 0.9M/task at 128 runs
-    * 33-36 s stable).
+  /** Shuffle partitions for a rung, applied ONLY to [[AggHeavyParts]]
+    * queries: a real deployment sizes shuffle partitions PER JOB from
+    * its shuffle profile, and two profiles here genuinely want
+    * different numbers on one box (both measured at the x100 rung,
+    * idle):
+    *
+    *   - `dedup_ngram`'s pair aggregate holds 113M distinct keys —
+    *     3.5M keys/task at 32 partitions spills and GC-thrashes
+    *     (33-90 s/rep); 128 partitions → 0.9M/task runs 33-36 s
+    *     STABLE. Per-task aggregate state must shrink as data grows.
+    *   - the probe/scan tiers run up to 2× SLOWER at a global 128
+    *     (hash_neardup_auto ≥100 s vs 52 s at 32; sim_topk_ivf_auto
+    *     12.7 s vs ~5 s): their stages are many and individually
+    *     small, and 4× the tasks is pure per-task overhead.
+    *
+    * AQE's initialPartitionNum cannot arbitrate (measured, rejected):
+    * it coalesces for shuffle-IO size and re-fattens exactly the map
+    * tasks whose aggregate state must stay bounded. So the ladder does
+    * what a production pipeline does — a per-job setting: one
+    * partition doubling per ~25× data over the 32-partition base, for
+    * the queries whose per-task AGGREGATE state grows with the corpus;
+    * everything else keeps the cpu count.
     */
   private def rungParts(cpus: Int, mult: Int): Int =
     math.max(cpus, cpus * mult / 25)
+
+  /** Queries whose dominant cost is a pair aggregation with
+    * corpus-linear DISTINCT-key mass (see [[rungParts]]). */
+  val AggHeavyParts: Set[String] = Set("dedup_ngram")
 
   private def forkOne(name: String, dir: String,
                       parts: Option[Int] = None): Option[ChildResult] = Try {
@@ -407,7 +423,8 @@ object ScaleLadder {
     val results: Seq[(String, Map[String, ChildResult])] = heavy.map { q =>
       val per = rungs.flatMap { case (tag, mult) =>
         val r = prior.get((q, tag)).orElse {
-          val fresh = forkOne(q, s"$outRoot/$tag", Some(rungParts(cpusN, mult)))
+          val fresh = forkOne(q, s"$outRoot/$tag",
+            if (AggHeavyParts(q)) Some(rungParts(cpusN, mult)) else None)
           fresh.foreach { c =>
             val line = s"""{"q":"$q","rung":"$tag","rows":${c.rows},""" +
               s""""flags":"${c.flags}","times":[${c.times.mkString(",")}]}\n"""
@@ -425,15 +442,13 @@ object ScaleLadder {
 
     // gates, against the FIRST rung as baseline: t ≤ slack·(mult ratio);
     // GrowRows floor rows ≥ 0.5·(mult ratio); scale-audit flags
-    // identical at every rung. Standard slack 1.5x (x1→x3 gives 4.5,
-    // x1→x10 gives 15). Deep slack 2.0x: past the x100 rung a single
-    // 24g JVM is saturated and per-rep wall-clock carries 1.5-2x
-    // GC/JIT/memory-bandwidth variance (measured; the structural
-    // signals — pair rows and the self-join intermediate mass
-    // Σ C(df,2) — are EXACTLY linear at x100, see SCALE.md), so a
-    // 1.5x time gate there flags the box, not the plan. Rows and
-    // flags stay hard.
-    val slack = if (deep) 2.0 else 1.5
+    // identical at every rung. Slack 1.5x EVERYWHERE (x1→x3 gives 4.5,
+    // x1→x10 and x10→x100 give 15). Round 10 dropped the former 2.0x
+    // deep exception: the single-JVM GC wobble it excused was the
+    // dedup_ngram pair aggregate, tamed by the feasibility-pruned tail
+    // + ParallelGC + per-job partition sizing (33-36 s stable at x100,
+    // ratio ~9 — see rungParts and SCALE.md).
+    val slack = 1.5
     val (baseTag, baseMult) = rungs.head
     var failures = List.empty[String]
     val rows = results.map { case (q, per) =>

@@ -112,6 +112,69 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IvfRerankIndex save/load round-trips with identical top-k results") {
+    val rnd = new scala.util.Random(17)
+    val corpus = vecDf((0L until 120L).map(i =>
+      (i, Seq.fill(12)(rnd.nextGaussian()))))
+    val queries = corpus.filter($"id" < 6)
+    try {
+      val idx = Similarity.buildIvfRerankIndex(corpus, nlist = 8,
+        nassign = 2, iters = 2)
+      val direct = Similarity.ivfTopKIndexedRerank(queries, idx, k = 4,
+          nprobe = 3, overFetch = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      Similarity.saveIvfRerankIndex(idx, "rrx_spec", buckets = 4)
+      val loaded = Similarity.loadIvfRerankIndex(spark, "rrx_spec")
+      loaded.nlist shouldBe idx.nlist
+      loaded.nassign shouldBe 2
+      loaded.centroids.toSeq shouldBe idx.centroids.toSeq
+      val replay = Similarity.ivfTopKIndexedRerank(queries, loaded, k = 4,
+          nprobe = 3, overFetch = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      replay shouldBe direct
+      // the train-and-probe convenience is exactly build + probe
+      val conv = Similarity.ivfRerankTopK(queries, corpus, k = 4,
+          nlist = 8, nprobe = 3, nassign = 2, overFetch = 4, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      conv shouldBe direct
+    } finally Seq("rrx_spec_cells", "rrx_spec_vectors", "rrx_spec_centroids",
+      "rrx_spec_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("saved rerank index: probe scans both heavy sides in place (bucketed joins)") {
+    // the standing-index contract made checkable: cells bucketed by the
+    // probe key, vectors by the lookup key — the only exchanges on
+    // those keys re-bucket the (small) query/survivor sides
+    val conf = spark.conf
+    val oldBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rnd = new scala.util.Random(31)
+      val corpus = vecDf((0L until 100L).map(i =>
+        (i, Seq.fill(12)(rnd.nextGaussian()))))
+      val idx = Similarity.buildIvfRerankIndex(corpus, nlist = 4,
+        nassign = 2, iters = 1)
+      Similarity.saveIvfRerankIndex(idx, "rrx_plan", buckets = 4)
+      val loaded = Similarity.loadIvfRerankIndex(spark, "rrx_plan")
+      val probed = Similarity.ivfTopKIndexedRerank(
+        corpus.filter($"id" < 3), loaded, k = 3, nprobe = 2)
+      val plan = probed.queryExecution.executedPlan.toString
+      plan should include ("Bucketed: true")
+      // one cell exchange (query side), one neighbor_id exchange
+      // (survivor side) — the stored tables contribute none
+      plan.split("Exchange hashpartitioning\\(cell").length - 1 shouldBe 1
+      plan.split("Exchange hashpartitioning\\(neighbor_id").length - 1 shouldBe 1
+      probed.count() should be > 0L
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      Seq("rrx_plan_cells", "rrx_plan_vectors", "rrx_plan_centroids",
+        "rrx_plan_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ivfRerankTopK plan: no cross join, no broadcast hint, narrow candidate shuffle") {
     val rnd = new scala.util.Random(13)
     val corpus = vecDf((0L until 80L).map(i =>
