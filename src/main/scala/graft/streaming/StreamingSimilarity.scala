@@ -49,4 +49,30 @@ object StreamingSimilarity {
     checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
     w.start()
   }
+
+  /** [[startTopK]] through the RECALL-LIFTED tier: every micro-batch
+    * probes a standing [[Similarity.IvfRerankIndex]] (multi-assigned
+    * int8 cells + exact re-rank of the k·overFetch survivors — the
+    * [[Similarity.ivfTopKIndexedRerank]] stack). Against a
+    * [[Similarity.saveIvfRerankIndex]]-persisted index BOTH standing
+    * sides stay in place (cells bucketed by the probe key, vectors by
+    * the re-rank lookup key) — only the micro-batch and its survivor
+    * frame shuffle. Stateless per query row like the plain tier, so
+    * batch ≡ stream and replay is idempotent (spec-pinned).
+    */
+  def startTopKRerank(stream: DataFrame, index: Similarity.IvfRerankIndex,
+                      k: Int, nprobe: Int = 4, overFetch: Int = 4,
+                      checkpoint: Option[String] = None,
+                      queryName: String = "graft_streaming_ann_rerank")
+                     (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    var w = stream.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        onBatch(Similarity.ivfTopKIndexedRerank(batch.toDF(), index, k,
+          nprobe, overFetch), batchId)
+      }
+    checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
+    w.start()
+  }
 }

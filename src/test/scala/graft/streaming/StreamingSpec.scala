@@ -488,6 +488,30 @@ class StreamingSpec extends SparkSpec {
         b1.toDF("id", "vec"), index, k = 3, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     collected8.toSet shouldBe expected8
+
+    // the RERANK tier streams against a standing IvfRerankIndex with
+    // the same stream ≡ batch + replay-idempotence contract — exact
+    // final ranking, so ranks pin too
+    val rrIndex = Similarity.buildIvfRerankIndex(corpus, nlist = 4,
+      nassign = 2)
+    val collectedRr = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val memRr = MemoryStream[(Long, Seq[Double])]
+    val qRr = StreamingSimilarity.startTopKRerank(
+      memRr.toDF().toDF("id", "vec"), rrIndex, k = 3, nprobe = 2,
+      overFetch = 4) { (topk, _) =>
+      collectedRr ++= topk.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    }
+    try {
+      memRr.addData(b1: _*); qRr.processAllAvailable()
+      memRr.addData(b2: _*); qRr.processAllAvailable()
+      memRr.addData(b1: _*); qRr.processAllAvailable() // replay
+    } finally qRr.stop()
+    val expectedRr = Similarity.ivfTopKIndexedRerank(
+        (b1 ++ b2).toDF("id", "vec"), rrIndex, k = 3, nprobe = 2,
+        overFetch = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    collectedRr.toSet shouldBe expectedRr
   }
 
   test("streaming block dedup folds batches into the one-shot result") {
