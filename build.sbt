@@ -38,7 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // throughput collector for a batch engine: G1's concurrent cycles
   // thrash under shuffle/aggregation allocation storms on a saturated
   // heap (measured at the x100 ladder rung: dedup_ngram 33-90 s with
-  // G1 vs 33-36 s stable with ParallelGC, same code and partitions).
+  // G1 vs 33-36 s stable with ParallelGC, same code and partitions;
+  // round-11 full-registry idle A/B at sf0.1 confirmed ParallelGC is
+  // also neutral-to-better on the short queries — see SCALE.md).
   // Bench/ladder children inherit it via jvmFlags propagation.
-  "-XX:+UseParallelGC",
+  // GRAFT_GC=G1 flips the whole tree (the A/B lever).
+  s"-XX:+Use${sys.env.getOrElse("GRAFT_GC", "Parallel")}GC",
 )

@@ -935,7 +935,35 @@ object Curation {
     * Java-regex `(?s)(.)` — codepoint-aware like the driver path's
     * `codePoints()`, supplementary characters stay whole (spec-pinned
     * equality on a multi-byte dictionary).
+    *
+    * LINEAGE TRUNCATION — two mechanisms, both required at real merge
+    * counts (10k+):
+    *
+    *   - PLAN lineage is cut EVERY round: persisting `withColumn` over
+    *     the previous round's cache nests each round's
+    *     InMemoryRelation inside the next one's cached plan, and plan
+    *     PRINTING (AQE's per-stage `explainString`, listener events)
+    *     re-renders the nested relation at every level — measured
+    *     EXPONENTIAL in rounds (a 40-round loop wedged for minutes
+    *     inside `QueryExecution.explainString` before this fix; ≤ 8
+    *     rounds masked it). Rebuilding each round's frame as
+    *     `createDataFrame(rdd, schema)` — a depth-1 LogicalRDD — keeps
+    *     every cached plan flat, and the previous round unpersists
+    *     deterministically.
+    *   - RDD lineage is cut every [[LineageTruncateEvery]] rounds via
+    *     eager `localCheckpoint`: the flat plans still chain RDD
+    *     parents (~4/round), and at 10k rounds a task would serialize
+    *     — and Java-serialization would RECURSE over — a 40k-deep
+    *     dependency graph (StackOverflowError well before that).
+    *     Tradeoff, documented: blocks lost AT a checkpoint cannot
+    *     recompute past it (the standard iterative-algorithm
+    *     discipline — MLlib/GraphX checkpoint the same way); boundary
+    *     frames are freed by the ContextCleaner once unreferenced
+    *     rather than by an explicit unpersist (localCheckpoint blocks
+    *     are not CacheManager entries).
     */
+  private val LineageTruncateEvery = 32
+
   private def bpeMergeRoundsDistributed(dictDf: DataFrame,
                                         numMerges: Int): DataFrame = {
     val spark = dictDf.sparkSession
@@ -965,12 +993,20 @@ object Curation {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((rank.toLong, l, r, n))
-        val next = words
+        // flat-plan rebuild every round + periodic RDD-lineage cut:
+        // see the LineageTruncateEvery note above
+        val stacked = words
           .withColumn("w", org.apache.spark.sql.functions.replace(
             col("w"), lit(s"|$l|$r|"), lit(s"|$l$r|")))
+        var next = spark.createDataFrame(stacked.rdd, stacked.schema)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count()
         words.unpersist()
+        if ((rank + 1) % LineageTruncateEvery == 0) {
+          val cut = next.localCheckpoint(true)
+          next.unpersist()
+          next = cut
+        }
         words = next
         rank += 1
       }

@@ -205,6 +205,35 @@ object Dedup {
       p
     } else ex
 
+  /** Survivor-frame caches [[fusedIntersectionsPruned]] persisted under
+    * `persistPairs = true`, keyed weakly by session (a stopped session's
+    * entry is GC-collectable). The frames are small (final-result-sized
+    * by the feasibility prune) but a long-running session looping over
+    * pair calls would otherwise accumulate them for its lifetime.
+    */
+  private val pairCaches =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.ArrayList[DataFrame]]()
+
+  private def registerPairCache(df: DataFrame): Unit =
+    pairCaches.synchronized {
+      var l = pairCaches.get(df.sparkSession)
+      if (l == null) { l = new java.util.ArrayList[DataFrame](); pairCaches.put(df.sparkSession, l) }
+      l.add(df); ()
+    }
+
+  /** Release every survivor cache [[ngramJaccardPairsFromIndex]] /
+    * [[duplicateSpanPairs]] persisted in this session — call after the
+    * returned pair frames have materialized (re-executing a released
+    * frame re-runs its heavy chain, it does not break). Equivalent to
+    * `spark.catalog.clearCache()` but scoped to these frames only.
+    */
+  def releasePairCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    pairCaches.synchronized {
+      val l = pairCaches.remove(spark)
+      if (l != null) l.forEach(df => { df.unpersist(); () })
+    }
+
   /** 64-bit shingle fingerprints (id, s: long), Broder-style: the ops
     * below join/aggregate on the fingerprint, so every shuffle keys on
     * 8-byte longs instead of 20-40-byte strings (~4x shuffle volume,
@@ -331,6 +360,16 @@ object Dedup {
     * run on the ~10⁴-row survivor frame (eagerly [[persisted]] under
     * `persistPairs` — it has two consumers, and re-deriving it means
     * re-running the heavy chain).
+    *
+    * CACHE OWNERSHIP (`persistPairs = true`): the survivor cache must
+    * outlive this call (both consumers sit in the RETURNED lazy plan),
+    * so it cannot be unpersisted here — it is registered per session
+    * instead and released by [[releasePairCaches]] (or by
+    * `spark.catalog.clearCache()`, which the bench/ladder harnesses
+    * already run per query). Long-running sessions that loop over
+    * [[ngramJaccardPairsFromIndex]]/[[duplicateSpanPairs]] calls
+    * should release after materializing each result, or pass
+    * `persistPairs = false` and accept the heavy chain running twice.
     */
   private[ops] def fusedIntersectionsPruned(
       ex: DataFrame, dfCap: Int, persistPairs: Boolean = true)(
@@ -371,6 +410,7 @@ object Dedup {
           col("n").as("nb"), col("o").as("ob")), Seq("id_b"))
         .filter(feasible(col("c_kept"), col("na"), col("nb"),
           col("oa"), col("ob"))), persistPairs)
+      if (persistPairs) registerPairCache(surv)
       // the over-cap slice joins SURVIVORS only: distinct over-cap
       // shingles are few and the survivor frame is final-result-sized
       val cOver = surv.select(col("id_a"), col("id_b"))

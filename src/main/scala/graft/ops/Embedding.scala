@@ -291,19 +291,24 @@ object Embedding {
       persist = persistBatch)
     val kept = index.v.groupBy(col("d")).agg(count(lit(1)).as("dfd"))
       .filter(col("dfd") <= dfCap).select(col("d"))
+    // norms ride the index rows into the candidate join and fall out of
+    // the pair aggregate — never joined onto the (largest) pair frame
+    // afterwards; see [[hashedShingleNearDup]]'s tail note
     val dots = index.v.join(kept, Seq("d"))
-      .select(col("d"), col("id").as("id_corpus"), col("c").as("cc"))
-      .join(b.v.select(col("d"), col("id").as("id_new"), col("c").as("cb")), Seq("d"))
+      .join(index.norms.select(col("id"), col("nn")), Seq("id"))
+      .select(col("d"), col("id").as("id_corpus"), col("c").as("cc"),
+        col("nn").as("nc"))
+      .join(b.v.join(b.norms.select(col("id"), col("nn")), Seq("id"))
+        .select(col("d"), col("id").as("id_new"), col("c").as("cb"),
+          col("nn").as("nb")), Seq("d"))
       // a replayed batch may contain ids the index already absorbed —
       // a self-pair is cosine 1.0 by construction and must not be
       // reported as a near-duplicate (the minhashLshIncremental rule)
       .filter(col("id_new") =!= col("id_corpus"))
       .groupBy(col("id_new"), col("id_corpus"))
-      .agg(sum(col("cc") * col("cb")).as("dot"))
+      .agg(sum(col("cc") * col("cb")).as("dot"),
+        max(col("nb")).as("norm_new"), max(col("nc")).as("norm_corpus"))
     dots
-      .join(b.norms.select(col("id").as("id_new"), col("nn").as("norm_new")), Seq("id_new"))
-      .join(index.norms.select(col("id").as("id_corpus"), col("nn").as("norm_corpus")),
-        Seq("id_corpus"))
       .filter(cosineGate(col("dot"), tauSqNum, tauSqDen,
         col("norm_new"), col("norm_corpus")))
       .select(col("id_new"), col("id_corpus"), col("dot"),
@@ -358,15 +363,30 @@ object Embedding {
     val norms = idx.norms
     val kept = v.groupBy(col("d")).agg(count(lit(1)).as("dfd"))
       .filter(col("dfd") <= dfCap).select(col("d"))
-    val vk = v.join(kept, Seq("d"))
-    val dots = vk.select(col("d"), col("id").as("id_a"), col("c").as("ca"))
-      .join(vk.select(col("d"), col("id").as("id_b"), col("c").as("cb")), Seq("d"))
+    // Norms ride the INDEX rows into the self-join (8 bytes/side on an
+    // already-narrow stream) and fall out of the pair aggregate as
+    // max() — NOT joined onto the pair frame afterwards: the candidate
+    // pair frame is the largest frame in the query (x100 rung: ~10⁸
+    // distinct pairs collapsing to 2.5·10⁴ survivors), and the former
+    // shape dragged it through TWO shuffle joins + sorts against the
+    // per-doc norms just to evaluate a gate that then discards 99.98%
+    // of it (the round-10 ngram-tier lesson: never re-shuffle the
+    // biggest frame for per-doc constants). The norm attach is one
+    // id-keyed join of index rows — strictly smaller than one pair-
+    // frame shuffle, and the identical subtree under both self-join
+    // sides is served once by exchange reuse. Gate then filters the
+    // aggregate output in the same stage — zero post-aggregate joins.
+    val vkn = v.join(kept, Seq("d"))
+      .join(norms.select(col("id"), col("nn")), Seq("id"))
+    val dots = vkn.select(col("d"), col("id").as("id_a"), col("c").as("ca"),
+        col("nn").as("na"))
+      .join(vkn.select(col("d"), col("id").as("id_b"), col("c").as("cb"),
+        col("nn").as("nb")), Seq("d"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(sum(col("ca") * col("cb")).as("dot"),
+        max(col("na")).as("norm_a"), max(col("nb")).as("norm_b"))
     dots
-      .join(norms.select(col("id").as("id_a"), col("nn").as("norm_a")), Seq("id_a"))
-      .join(norms.select(col("id").as("id_b"), col("nn").as("norm_b")), Seq("id_b"))
       .filter(cosineGate(col("dot"), tauSqNum, tauSqDen,
         col("norm_a"), col("norm_b")))
       .select(col("id_a"), col("id_b"), col("dot"), col("norm_a"), col("norm_b"))

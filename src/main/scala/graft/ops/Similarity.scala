@@ -616,6 +616,41 @@ object Similarity {
     p
   }
 
+  /** Corpus-adaptive knobs for the recall-lifted rerank tier
+    * ([[ivfRerankTopK]]): `(nassign, overFetch)` from the corpus count,
+    * completing the sized-grid discipline ([[sizedIvfNlist]],
+    * [[sizedSrpPlanes]], `sizedShingleDim`) — the tier previously
+    * shipped fixed `nassign = 2, overFetch = 4` while every other
+    * capacity knob was corpus-sized.
+    *
+    * The rule is a MEASURED recall-target sweep, not theory (RecallCheck
+    * at the sized grid, constant probed fraction 1/4, k = 5, BOTH
+    * geometries — near-uniform raw embeddings and the 6-variant
+    * clustered corpus; numbers in SCALE.md §rerank-knobs):
+    *
+    *   - small corpora need the EXTRA assignment: on coarse grids
+    *     boundary misses dominate — nassign 2 measures 0.81/0.85/0.88
+    *     at n = 500/500/2000 (no margin over the 0.8 gate at the
+    *     bottom), nassign 3 measures 0.86/0.96/0.93.
+    *   - large corpora don't: recall at fixed nassign RISES with n
+    *     (finer cells concentrate candidates around the query;
+    *     nassign 2 measures 0.96 at n = 2·10⁴ and 0.97 at 2·10⁵ —
+    *     clustered geometry 1.0 at every size), so holding nassign = 3
+    *     would pay 1.5× index rows and candidate fan-out for recall
+    *     already past the target — the sized rule DROPS to 2 past
+    *     `bigCorpus`, the scale-honest direction.
+    *   - `overFetch = 4` is flat everywhere measured (= 2 = 8 at every
+    *     SF and geometry: int8 barely reorders at 64 dims), so the
+    *     sweep pins it constant.
+    *
+    * Integer-exact and trivially re-derivable by an external engine
+    * from the same count (the sizing-rule convention).
+    */
+  def sizedRerankKnobs(n: Long, bigCorpus: Long = 65536L): (Int, Int) = {
+    require(n >= 0 && bigCorpus >= 1, "need n >= 0, bigCorpus >= 1")
+    (if (n <= bigCorpus) 3 else 2, 4)
+  }
+
   /** A trained IVF index: the centroid matrix (small, driver-held — it
     * rides into executors inside the NearestCentroid / ProbeCentroids
     * codegen expressions) plus the cell-assigned corpus. Like

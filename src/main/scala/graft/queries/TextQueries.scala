@@ -710,6 +710,57 @@ object TextQueries {
              CAST(5 AS BIGINT) AS k, true AS recall_ok,
              (SELECT nlist FROM nl) AS nlist""")),
 
+    // -- the FULLY SIZED rerank tier: nassign/overFetch now corpus-
+    // sized too (Similarity.sizedRerankKnobs — measured recall-target
+    // sweep; the tier's last fixed capacity knobs). ONE row pins the
+    // 0.8 recall gate on BOTH geometries — the near-uniform raw
+    // embeddings (worst case: data-limited top-k gaps) AND the
+    // 6-variant clustered corpus (production-like: every query's true
+    // top-5 is its own cluster) — each at ITS OWN sized knobs (the
+    // clustered corpus is 6x larger, so the rule is exercised at two
+    // counts per SF). The oracle re-derives nlist AND the knob rule
+    // from the same counts, pinning the sizing cross-engine. --
+    QueryDef("sim_topk_ivf_rerank_auto", (s, dir) => {
+      import s.implicits._
+      val n = Tables.load(s, dir, "embeddings").count()
+      val nlist = Similarity.sizedIvfNlist(n)
+      val nprobe = math.max(4, nlist / 4)
+      val (na, of) = Similarity.sizedRerankKnobs(n)
+      val uni = annRecallRow(s, dir, minRecall = 0.8)((q, e) =>
+        Similarity.ivfRerankTopK(q, e, k = 5, nlist = nlist,
+          nprobe = nprobe, nassign = na, overFetch = of)).head()
+      val cl = clusteredVectors(s, dir)
+      val nc = n * 6 // explode(sequence(0, 5)) — exact, no second count job
+      val cnlist = Similarity.sizedIvfNlist(nc)
+      val cnprobe = math.max(4, cnlist / 4)
+      val (cna, cof) = Similarity.sizedRerankKnobs(nc)
+      val clu = annRecallRow(s, dir, minRecall = 0.8, vectors = Some(cl))((q, e) =>
+        Similarity.ivfRerankTopK(q, e, k = 5, nlist = cnlist,
+          nprobe = cnprobe, nassign = cna, overFetch = cof)).head()
+      Seq((uni.getLong(0), 5L, uni.getBoolean(2), clu.getBoolean(2),
+          na.toLong, of.toLong, nlist.toLong, cna.toLong, cnlist.toLong))
+        .toDF("n_queries", "k", "recall_ok", "recall_ok_clustered",
+          "nassign", "over_fetch", "nlist", "nassign_clustered",
+          "nlist_clustered")
+    }, Some("""
+      WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+      nl AS (SELECT COALESCE(MIN(d), CAST(1048576 AS BIGINT)) AS nlist
+             FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(1, 21) t(i)), n
+             WHERE d * d >= cnt),
+      nlc AS (SELECT COALESCE(MIN(d), CAST(1048576 AS BIGINT)) AS nlist
+              FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(1, 21) t(i)), n
+              WHERE d * d >= 6 * cnt)
+      SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+             CAST(5 AS BIGINT) AS k, true AS recall_ok,
+             true AS recall_ok_clustered,
+             (SELECT CAST(CASE WHEN cnt <= 65536 THEN 3 ELSE 2 END AS BIGINT)
+               FROM n) AS nassign,
+             CAST(4 AS BIGINT) AS over_fetch,
+             (SELECT nlist FROM nl) AS nlist,
+             (SELECT CAST(CASE WHEN 6 * cnt <= 65536 THEN 3 ELSE 2 END AS BIGINT)
+               FROM n) AS nassign_clustered,
+             (SELECT nlist FROM nlc) AS nlist_clustered""")),
+
     QueryDef("sim_topk_lsh", (s, dir) =>
       annRecallRow(s, dir)((q, e) => Similarity.srpLshTopK(q, e, k = 5)),
       Some(annRecallOracle)),

@@ -59,6 +59,18 @@ object StreamingSimilarity {
     * the re-rank lookup key) — only the micro-batch and its survivor
     * frame shuffle. Stateless per query row like the plain tier, so
     * batch ≡ stream and replay is idempotent (spec-pinned).
+    *
+    * INDEX REFRESH: swap by VERSIONED PREFIX — save the retrained index
+    * under a new prefix ([[Similarity.saveIvfRerankIndex]]), load it,
+    * and start a new stream (or route new batches) against it; the
+    * running stream keeps probing v1 untouched (spec-pinned). This is
+    * the [[StreamingUpsample]] snapshot discipline for state too big to
+    * snapshot: the centroid matrix IS snapshotted at load (driver-held
+    * array), but `cells`/`vectors` from [[Similarity.loadIvfRerankIndex]]
+    * are LIVE catalog-table references — overwriting the SAME prefix
+    * under a running stream is not a supported swap (later batches
+    * would probe v2 rows with v1's closed-over centroids: a mixed-
+    * version cell space, silent garbage rather than an error).
     */
   def startTopKRerank(stream: DataFrame, index: Similarity.IvfRerankIndex,
                       k: Int, nprobe: Int = 4, overFetch: Int = 4,

@@ -35,19 +35,24 @@ object StreamingUpsample {
             checkpoint: Option[String] = None,
             queryName: String = "graft_streaming_upsample")
            (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
-    // validate the standing recipe ONCE at stream start (loud guard
-    // against hand-edited tables — see validateUpsampleRecipe), then
-    // SNAPSHOT it: the ≤ #strata validated rows are collected here and
-    // closed over, so a mid-stream overwrite of the recipe table (a
-    // den = 0 or blow-up row) cannot reinstate the silent-drop
-    // behavior the guard exists to prevent — factors are fixed for the
-    // stream's lifetime, exactly the "elected once" contract above. A
-    // RESTARTED stream (new start() call, same checkpoint) re-reads
-    // and re-validates, so a table edited between restarts fails loud.
+    // SNAPSHOT the standing recipe ONCE at stream start, then validate
+    // the SNAPSHOT (loud guard against hand-edited tables — see
+    // validateUpsampleRecipe). Order matters: collecting FIRST and
+    // validating the collected rows closes the TOCTOU between a
+    // validation read and a separate snapshot read — an overwrite
+    // landing between two table reads could otherwise close an
+    // UNVALIDATED recipe (a den = 0 or blow-up row) over the stream,
+    // reinstating the silent-drop behavior the snapshot exists to
+    // prevent. The validated rows and the closed-over rows are the
+    // SAME local rows, so factors are fixed for the stream's lifetime
+    // — exactly the "elected once" contract above. A RESTARTED stream
+    // (new start() call, same checkpoint) re-reads and re-validates,
+    // so a table edited between restarts fails loud.
     val standing = Sampling.upsampleRecipe(stream.sparkSession, prefix)
-    Sampling.validateUpsampleRecipe(standing, strataCol)
     val recipeSchema = standing.schema
     val recipeRows = java.util.Arrays.asList(standing.collect(): _*)
+    Sampling.validateUpsampleRecipe(
+      stream.sparkSession.createDataFrame(recipeRows, recipeSchema), strataCol)
     var w = stream.writeStream
       .outputMode("append")
       .queryName(queryName)

@@ -72,6 +72,7 @@ object ScaleLadder {
     "dedup_scorecard", "hash_embed_neardup", "hash_neardup_auto",
     "dedup_minhash", "dedup_ngram",
     "sim_topk_ivf", "sim_topk_ivf_auto", "sim_topk_ivf_rerank",
+    "sim_topk_ivf_rerank_auto",
     "emb_neardup_srp_auto",
     "margin_pairs_ivf", "mixture_reweight", "bpe_train")
 
@@ -172,9 +173,16 @@ object ScaleLadder {
         // generation until manual cleanup; also replace a live link
         // that points at a DIFFERENT base than this run's
         if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-          val stale = !Files.isSymbolicLink(link) ||
-            Files.readSymbolicLink(link) != target
-          if (stale) Files.delete(link) else ()
+          // only auto-delete SYMLINKS: a real file/directory here (e.g.
+          // a materialized parquet table) would make Files.delete throw
+          // DirectoryNotEmptyException and wedge rung generation — the
+          // failure class this cleanup exists to prevent. Fail loud
+          // with the path instead; the operator decides what it was.
+          if (!Files.isSymbolicLink(link))
+            throw new IllegalStateException(
+              s"$link exists but is not a symlink (a materialized table?) — " +
+                "remove it manually before regenerating this rung")
+          if (Files.readSymbolicLink(link) != target) Files.delete(link)
         }
         if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
           // absolute target: a relative SPARK_GRAFT_SF_DIR would
@@ -376,7 +384,12 @@ object ScaleLadder {
     "hash_neardup_auto", "dedup_minhash", "dedup_ngram",
     "mixture_reweight", "mixture_reweight_tokens",
     "sim_topk_ivf", "sim_topk_ivf_auto", "sim_topk_ivf_rerank",
-    "margin_pairs_ivf", "curation_pipeline_v4", "curation_pipeline_v6")
+    "sim_topk_ivf_rerank_auto",
+    "margin_pairs_ivf", "curation_pipeline_v4", "curation_pipeline_v6",
+    // round 11: the machine-filling composition (its x10 r = 4.20 was
+    // the ceiling case) and the fixed-dim counterexample join the
+    // decade table — the two most informative missing measurements
+    "dedup_scorecard", "hash_embed_neardup")
 
   val DeepRungs: Seq[(String, Int)] = Seq("x10" -> 10, "x100" -> 100)
 

@@ -690,6 +690,36 @@ class CurationOpsSpec extends SparkSpec {
         .orderBy("rank").collect().map(_.toSeq)
       dist shouldBe driver
     }
+    // lineage truncation: a run crossing the LineageTruncateEvery(=32)
+    // boundary rebuilds the word-state frame from its persisted rows
+    // mid-loop — merge decisions must be unaffected (a 40-symbol word
+    // sustains one merge per round for > 32 rounds)
+    val long = Seq(
+      (1L, Seq.fill(4)("abcdefghijklmnopqrstuvwxyz0123456789#$%&").mkString(" ")),
+      (2L, Seq.fill(2)("abcdefghijklmnopqrst").mkString(" ")))
+      .toDF("doc_id", "text")
+    val lv = Curation.vocabulary(long)
+    val driverLong = Curation.bpeTrainFromVocab(lv, numMerges = 40)
+      .orderBy("rank").collect().map(_.toSeq)
+    val distLong = Curation.bpeTrainFromVocab(lv, numMerges = 40,
+        driverDictLimit = 0)
+      .orderBy("rank").collect().map(_.toSeq)
+    // the 32-round truncation boundary was actually crossed (the corpus
+    // exhausts at 39 merges — enough; 40 would need a longer word)
+    driverLong.length should be >= 33
+    distLong shouldBe driverLong
+    // threshold boundary: dict size exactly AT the limit runs the
+    // driver loop, ONE PAST it runs the distributed loop — identical
+    // merges either side (the path split is an implementation seam,
+    // never a semantics seam)
+    val nWords = Curation.vocabulary(docs).count().toInt
+    val atLimit = Curation.bpeTrainFromVocab(vocab, numMerges = 5,
+        driverDictLimit = nWords)
+      .orderBy("rank").collect().map(_.toSeq)
+    val pastLimit = Curation.bpeTrainFromVocab(vocab, numMerges = 5,
+        driverDictLimit = nWords - 1)
+      .orderBy("rank").collect().map(_.toSeq)
+    pastLimit shouldBe atLimit
     // exhaustion: more merges than pairs exist terminates identically
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val d1 = Curation.bpeTrain(tiny, numMerges = 10)

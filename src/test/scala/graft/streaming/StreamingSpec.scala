@@ -514,6 +514,69 @@ class StreamingSpec extends SparkSpec {
     collectedRr.toSet shouldBe expectedRr
   }
 
+  test("rerank stream under index refresh: loading v2 never changes a running stream") {
+    // the versioned-prefix swap pattern (see StreamingSimilarity's
+    // INDEX REFRESH note): a stream started against a LOADED v1 index
+    // keeps v1 semantics across batches even after a retrained v2 is
+    // saved and loaded under a new prefix — the StreamingUpsample
+    // snapshot discipline for state too big to snapshot
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Similarity
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(seed * 13 + d * 7).abs + 0.1)
+    val corpusV1 = (0L until 24L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    // v2: DISJOINT ids, so any v2 leakage into the running stream is
+    // visible in the neighbor ids themselves, not just in ranks
+    val corpusV2 = (100L until 124L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    try {
+      Similarity.saveIvfRerankIndex(
+        Similarity.buildIvfRerankIndex(corpusV1, nlist = 4, nassign = 2),
+        "rrswap_v1", buckets = 2)
+      val v1 = Similarity.loadIvfRerankIndex(spark, "rrswap_v1")
+      val b1 = Seq((201L, vec(3)), (202L, vec(17)))
+      val b2 = Seq((203L, vec(25)))
+      val collected = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val q = StreamingSimilarity.startTopKRerank(
+        mem.toDF().toDF("id", "vec"), v1, k = 3, nprobe = 2) { (topk, _) =>
+        collected ++= topk.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      }
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        // retrain + publish v2 under a NEW prefix while the stream runs
+        Similarity.saveIvfRerankIndex(
+          Similarity.buildIvfRerankIndex(corpusV2, nlist = 4, nassign = 2),
+          "rrswap_v2", buckets = 2)
+        val v2 = Similarity.loadIvfRerankIndex(spark, "rrswap_v2")
+        v2.centroids.toSeq should not be v1.centroids.toSeq
+        mem.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      // every result the stream ever emitted is a v1 neighbor, and the
+      // whole run equals the batch probe of v1 — including the batch
+      // processed AFTER v2 was published
+      collected.map(_._2).foreach(_ should be < 100L)
+      val expected = Similarity.ivfTopKIndexedRerank(
+          (b1 ++ b2).toDF("id", "vec"), v1, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      collected.toSet shouldBe expected
+      // and a NEW stream started on v2 probes v2 (the swap completes)
+      val v2 = Similarity.loadIvfRerankIndex(spark, "rrswap_v2")
+      val collected2 = scala.collection.mutable.Set.empty[Long]
+      val mem2 = MemoryStream[(Long, Seq[Double])]
+      val q2 = StreamingSimilarity.startTopKRerank(
+        mem2.toDF().toDF("id", "vec"), v2, k = 3, nprobe = 2) { (topk, _) =>
+        collected2 ++= topk.collect().map(_.getLong(1))
+      }
+      try { mem2.addData(b1: _*); q2.processAllAvailable() } finally q2.stop()
+      collected2 should not be empty
+      collected2.foreach(_ should be >= 100L)
+    } finally Seq("rrswap_v1", "rrswap_v2").foreach(p =>
+      Seq("cells", "vectors", "centroids", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS ${p}_$s")))
+  }
+
   test("streaming block dedup folds batches into the one-shot result") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
