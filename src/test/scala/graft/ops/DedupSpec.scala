@@ -33,6 +33,25 @@ class DedupSpec extends SparkSpec {
     pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
   }
 
+  test("releasePairCaches drops the survivor caches; released frames still recompute correctly") {
+    spark.catalog.clearCache()
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.5)
+    val before = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the fused tail persisted its survivor frame (persistPairs default)
+    val withCaches = spark.sparkContext.getPersistentRDDs.size
+    withCaches should be > 0
+    Dedup.releasePairCaches(spark)
+    // the survivor cache is gone (the shingle-index cache, owned by the
+    // clearCache harness, legitimately remains)
+    spark.sparkContext.getPersistentRDDs.size should be < withCaches
+    // releasing twice is a no-op, and a released result frame re-runs
+    // its heavy chain rather than breaking
+    Dedup.releasePairCaches(spark)
+    val after = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    after shouldBe before
+    spark.catalog.clearCache()
+  }
+
   test("df-cap bounds candidates under a planted ubiquitous shingle") {
     // 40 distinct docs that all share one 3-gram ("common filler words"):
     // an uncapped inverted index makes all C(40,2)=780 pairs candidates
