@@ -42,6 +42,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // round-11 full-registry idle A/B at sf0.1 confirmed ParallelGC is
   // also neutral-to-better on the short queries — see SCALE.md).
   // Bench/ladder children inherit it via jvmFlags propagation.
-  // GRAFT_GC=G1 flips the whole tree (the A/B lever).
-  s"-XX:+Use${sys.env.getOrElse("GRAFT_GC", "Parallel")}GC",
+  // GRAFT_GC=G1 flips the whole tree (the A/B lever). Validated here
+  // because an unknown value would otherwise surface as an obscure
+  // "Unrecognized VM option" from every forked JVM, far from the cause.
+  s"-XX:+Use${graftGc}GC",
 )
+
+// a strict val: forces the validation at project load (javaOptions is a
+// task, so a lazy val would only fail at first fork)
+val graftGc: String = {
+  val g = sys.env.getOrElse("GRAFT_GC", "Parallel")
+  val allowed = Set("Parallel", "G1", "Z", "Serial")
+  require(allowed.contains(g),
+    s"GRAFT_GC must be one of ${allowed.toSeq.sorted.mkString(", ")} " +
+      s"(JVM -XX:+Use<GC>GC names, case-sensitive); got '$g'")
+  g
+}

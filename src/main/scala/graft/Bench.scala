@@ -24,12 +24,14 @@ object Bench {
 
   def main(args: Array[String]): Unit =
     if (args.length >= 3 && args(0) == "--child") child(args(1), args(2))
+    else if (args.contains("--ab")) abOrchestrate()
     else orchestrate()
 
   /** Child mode: run ONE query `Reps` times in this fresh JVM and print
     * one JSON line with the raw times.
     */
   private def child(name: String, sfDir: String): Unit = {
+    val reps = sys.env.get("GRAFT_BENCH_CHILD_REPS").map(_.toInt).getOrElse(Reps)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,7 +47,7 @@ object Bench {
     // warm), which is harness cost, not query cost
     spark.catalog.clearCache()
     fn(spark, sfDir).count()
-    val times = (0 until Reps).map { _ =>
+    val times = (0 until reps).map { _ =>
       spark.catalog.clearCache()
       // collect the previous rep's tenured cache/shuffle garbage NOW so
       // a full-GC pause doesn't land inside a later rep's timing
@@ -74,19 +76,30 @@ object Bench {
   }
 
   /** Fork one child JVM for `name`; None if the fork or its output parse
-    * fails (caller falls back to in-process).
+    * fails (caller falls back to in-process). `gc` overrides the child's
+    * collector (the parent's GC flag is stripped first); `childReps`
+    * overrides the child's timed-rep count.
     */
-  private def forkOne(name: String, sfDir: String): Option[Seq[Double]] = Try {
+  private def forkOne(name: String, sfDir: String,
+                      gc: Option[String] = None,
+                      childReps: Option[Int] = None): Option[Seq[Double]] = Try {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
-    val cmd = Seq(javaBin) ++ jvmFlags ++
+    val flags = gc match {
+      case Some(g) =>
+        jvmFlags.filterNot(_.matches("-XX:\\+Use\\w+GC")) :+ s"-XX:+Use${g}GC"
+      case None => jvmFlags
+    }
+    val cmd = Seq(javaBin) ++ flags ++
       Seq("-cp", cp, "graft.Bench", "--child", name, sfDir)
     val out = new StringBuilder
     // merge stderr into stdout: the child is a full Spark app that logs
     // to stderr; an un-drained stderr pipe fills (~64 KB) and deadlocks
     // the child mid-write. The marker-prefix parse below tolerates the
     // interleaved log lines.
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    childReps.foreach(r => pb.environment().put("GRAFT_BENCH_CHILD_REPS", r.toString))
+    val proc = pb.start()
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
     var line = reader.readLine()
@@ -98,9 +111,50 @@ object Bench {
       .getOrElse(throw new RuntimeException("no child marker"))
     val times = marked.substring(marked.indexOf("[") + 1, marked.indexOf("]"))
       .split(",").map(_.trim.toDouble).toSeq
-    require(times.size == Reps)
+    require(times.size == childReps.getOrElse(Reps))
     times
   }.toOption
+
+  /** Interleaved idle GC A/B (round 12, VERDICT r11 item 6): the
+    * round-11 protocol was two SEQUENTIAL full-registry sweeps, which
+    * disagreed 2-5x on individual queries and needed a third
+    * isolated-alternating pass to adjudicate. This mode IS that third
+    * pass, for every query in one run: per query, six fresh children
+    * alternating Parallel/G1 (3 per side, each warmup + one timed
+    * rep), so both sides sample the same minutes of machine state and
+    * a drift window hits both collectors equally. Reported per query:
+    * min-of-3 per side (min, not median — the idle floor is the
+    * quantity the A/B compares) and the G1/Parallel ratio. Run:
+    * `runMain graft.Bench --ab` on an IDLE box; commit the log.
+    */
+  private def abOrchestrate(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val perSide = sys.env.get("GRAFT_BENCH_AB_REPS").map(_.toInt).getOrElse(3)
+    var sumP = 0.0
+    var sumG = 0.0
+    var logRatio = 0.0
+    var n = 0
+    names.foreach { name =>
+      val p = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val g = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until perSide).foreach { _ =>
+        forkOne(name, sfDir, gc = Some("Parallel"), childReps = Some(1))
+          .foreach(t => p += t.head)
+        forkOne(name, sfDir, gc = Some("G1"), childReps = Some(1))
+          .foreach(t => g += t.head)
+      }
+      if (p.nonEmpty && g.nonEmpty) {
+        val (mp, mg) = (p.min, g.min)
+        sumP += mp; sumG += mg; logRatio += math.log(mg / mp); n += 1
+        println(f"[bench-ab] $name%-28s parallel=$mp%.3f g1=$mg%.3f " +
+          f"ratio=${mg / mp}%.2f p=[${p.map(x => f"$x%.2f").mkString("/")}] " +
+          f"g=[${g.map(x => f"$x%.2f").mkString("/")}]")
+      } else println(s"[bench-ab] $name FAILED p=${p.size} g=${g.size}")
+    }
+    println(f"[bench-ab] TOTAL parallel=$sumP%.1f g1=$sumG%.1f " +
+      f"geomean_ratio=${math.exp(logRatio / math.max(1, n))}%.3f queries=$n")
+  }
 
   private def orchestrate(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

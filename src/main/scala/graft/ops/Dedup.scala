@@ -205,20 +205,68 @@ object Dedup {
       p
     } else ex
 
-  /** Survivor-frame caches [[fusedIntersectionsPruned]] persisted under
-    * `persistPairs = true`, keyed weakly by session (a stopped session's
-    * entry is GC-collectable). The frames are small (final-result-sized
-    * by the feasibility prune) but a long-running session looping over
-    * pair calls would otherwise accumulate them for its lifetime.
+  /** Pair-tier caches keyed by session: the survivor frames
+    * [[fusedIntersectionsPruned]] persists under `persistPairs = true`
+    * (small — final-result-sized by the feasibility prune) and, since
+    * round 12, the df histograms the Auto partition sizing persists
+    * (one narrow row per distinct posting key). A long-running session
+    * looping over pair calls would otherwise accumulate them for its
+    * lifetime.
+    *
+    * Lifecycle (ADVICE r11 fix — this was a `WeakHashMap` whose
+    * DataFrame values strongly referenced their key session, so the
+    * weak keying never collected anything): the registry holds STRONG
+    * refs — the survivor frame is internal to the fused tail and the
+    * caller never holds it, so a weak ref could be cleared by any GC
+    * before [[releasePairCaches]] runs, making release nondeterministic
+    * exactly in the long-session loops it exists for. Instead, eviction
+    * is explicit: the first registration against a `SparkContext`
+    * installs a listener whose `onApplicationEnd` drops every entry of
+    * that context's sessions (no unpersist needed — a stopping context
+    * drops its blocks), so stopped applications release their
+    * `SessionState`/plans deterministically. Sessions abandoned on a
+    * still-live shared context must call [[releasePairCaches]] — the
+    * documented contract.
     */
   private val pairCaches =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+    new java.util.HashMap[org.apache.spark.sql.SparkSession,
       java.util.ArrayList[DataFrame]]()
 
-  private def registerPairCache(df: DataFrame): Unit =
+  /** Contexts that already carry the eviction listener. */
+  private val evictionHooked =
+    new java.util.HashSet[org.apache.spark.SparkContext]()
+
+  /** Drop (without unpersist — the context is stopping or stopped, its
+    * blocks go with it) every registry entry whose session belongs to
+    * `sc`. Called by the `onApplicationEnd` listener; package-visible
+    * so the spec can pin the eviction without stopping the shared test
+    * context.
+    */
+  private[graft] def evictStoppedContext(sc: org.apache.spark.SparkContext): Unit =
     pairCaches.synchronized {
-      var l = pairCaches.get(df.sparkSession)
-      if (l == null) { l = new java.util.ArrayList[DataFrame](); pairCaches.put(df.sparkSession, l) }
+      val it = pairCaches.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext eq sc) it.remove()
+      evictionHooked.remove(sc); ()
+    }
+
+  /** Number of sessions with live registry entries (spec hook). */
+  private[graft] def pairCacheSessionCount: Int =
+    pairCaches.synchronized { pairCaches.size() }
+
+  private[ops] def registerPairCache(df: DataFrame): Unit =
+    pairCaches.synchronized {
+      val sess = df.sparkSession
+      val sc = sess.sparkContext
+      if (!evictionHooked.contains(sc)) {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            evictStoppedContext(sc)
+        })
+        evictionHooked.add(sc)
+      }
+      var l = pairCaches.get(sess)
+      if (l == null) { l = new java.util.ArrayList[DataFrame](); pairCaches.put(sess, l) }
       l.add(df); ()
     }
 
@@ -306,10 +354,11 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, tau: Double = 0.8, dfCap: Int = 512,
-                        persistIndex: Boolean = true): DataFrame =
+                        persistIndex: Boolean = true,
+                        aggParts: Int = PairAggSizing.Auto): DataFrame =
     ngramJaccardPairsFromIndex(
       persisted(shingleFpRows(df, idCol, textCol, k), persistIndex),
-      tau, dfCap)
+      tau, dfCap, aggParts = aggParts)
 
   /** [[ngramJaccardPairs]] from a PREBUILT distinct (id, s)
     * shingle-fingerprint index ([[shingleFpRows]], usually persisted) —
@@ -320,8 +369,9 @@ object Dedup {
     */
   def ngramJaccardPairsFromIndex(ex: DataFrame, tau: Double = 0.8,
                                  dfCap: Int = 512,
-                                 persistPairs: Boolean = true): DataFrame =
-    fusedIntersectionsPruned(ex, dfCap, persistPairs) { (c, na, nb, oa, ob) =>
+                                 persistPairs: Boolean = true,
+                                 aggParts: Int = PairAggSizing.Auto): DataFrame =
+    fusedIntersectionsPruned(ex, dfCap, persistPairs, aggParts) { (c, na, nb, oa, ob) =>
       // jaccard = ic/(na+nb-ic) is increasing in ic and ic can reach at
       // most c_kept + least(oa, ob) (every over-cap shingle of the
       // smaller over-set shared in the best case), so pairs failing the
@@ -361,6 +411,14 @@ object Dedup {
     * `persistPairs` — it has two consumers, and re-deriving it means
     * re-running the heavy chain).
     *
+    * `aggParts` sizes the pair aggregate's exchange (round 12): under
+    * the default [[PairAggSizing.Auto]] the candidate mass Σ C(df,2)
+    * is measured (ONE extra aggregate job over `ex` — eager, like the
+    * survivor persist) and the aggregate runs at ≤ ~2^20 distinct keys
+    * per task, the measured stable bracket; every other stage keeps
+    * the session setting. [[PairAggSizing.SessionDefault]] restores
+    * the fully-lazy unsized plan.
+    *
     * CACHE OWNERSHIP (`persistPairs = true`): the survivor cache must
     * outlive this call (both consumers sit in the RETURNED lazy plan),
     * so it cannot be unpersisted here — it is registered per session
@@ -372,13 +430,20 @@ object Dedup {
     * `persistPairs = false` and accept the heavy chain running twice.
     */
   private[ops] def fusedIntersectionsPruned(
-      ex: DataFrame, dfCap: Int, persistPairs: Boolean = true)(
+      ex: DataFrame, dfCap: Int, persistPairs: Boolean = true,
+      aggParts: Int = PairAggSizing.Auto)(
       feasible: (Column, Column, Column, Column, Column) => Column): DataFrame = {
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     if (dfCap <= 0) {
-      val cAll = ex.as("a").join(ex.as("b"),
-          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // uncapped path: mass measured with its own histogram job (no
+      // hot-key cap to share one with); see [[PairAggSizing]]
+      val nAgg = PairAggSizing.resolve(ex, "s", dfCap, aggParts)
+      val cAll = PairAggSizing.repartitionForAgg(
+          ex.as("a").join(ex.as("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b")),
+          nAgg, col("id_a"), col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("c_kept"))
       cAll
         .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
@@ -387,21 +452,42 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("c_kept").as("ic"),
           col("na"), col("nb"))
     } else {
-      // ONE over-cap key set feeds both the anti join (candidate
-      // pruning) and the semi join (score supplement) — the shared
-      // subtree lets ReuseExchange serve both consumers from a single
-      // df aggregation over the index
-      val overS = ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
-        .filter(col("df_") > dfCap).select(col("s"))
-      val kept = ex.join(overS, Seq("s"), "left_anti")
-      val over = ex.join(overS, Seq("s"), "left_semi")
+      // ONE df histogram feeds the over-cap key set (anti join for
+      // candidate pruning, semi join for the score supplement — shared
+      // subtree, one aggregation via ReuseExchange) AND, under Auto
+      // sizing, the candidate-mass measurement: persisted there so the
+      // mass job is a cached scan, not a second aggregation over the
+      // index (the unshared mass job measured ~15% of the x100 rung)
+      val histRaw = ex.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+      val auto = aggParts == PairAggSizing.Auto
+      val hist = if (auto) {
+        val h = histRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        registerPairCache(h)
+        h
+      } else histRaw
+      val nAgg =
+        if (auto) PairAggSizing.sizedParts(ex.sparkSession,
+          PairAggSizing.massFromHist(hist, "df_", dfCap))
+        else PairAggSizing.explicitParts(ex.sparkSession, aggParts)
+      val overS = hist.filter(col("df_") > dfCap).select(col("s"))
+      // the index-side joins share the sizing (measured at x100: the
+      // 26M-row index joins left at the session 32 cost ~2x; the
+      // explicit repartition REPLACES the join's own exchange — same
+      // shuffle count, rung-sized task state); no-op below the session
+      // setting
+      val exS = PairAggSizing.repartitionForAgg(ex, nAgg, col("s"))
+      val kept = exS.join(overS, Seq("s"), "left_anti")
+      val over = exS.join(overS, Seq("s"), "left_semi")
       // per-doc stats ride ONE narrow frame: total keys + over-cap keys
       val oCnt = over.groupBy(col("id")).agg(count(lit(1)).as("o"))
       val docStats = sizes.join(oCnt, Seq("id"), "left")
         .select(col("id"), col("n"), coalesce(col("o"), lit(0L)).as("o"))
-      val cKept = kept.as("a").join(kept.as("b"),
-          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val cKept = PairAggSizing.repartitionForAgg(
+          kept.as("a").join(kept.as("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b")),
+          nAgg, col("id_a"), col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("c_kept"))
       val surv = persisted(cKept
         .join(docStats.select(col("id").as("id_a"),
@@ -1106,7 +1192,8 @@ object Dedup {
     */
   def duplicateSpanPairs(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 40, sel: String = "0", minShared: Int = 2,
-                         dfCap: Int = 256, persistIndex: Boolean = true): DataFrame = {
+                         dfCap: Int = 256, persistIndex: Boolean = true,
+                         aggParts: Int = PairAggSizing.Auto): DataFrame = {
     val ex = persisted(
       spanFingerprints(df, idCol, textCol, k, sel)
         .select(col("id"), xxhash64(col("h")).as("s")),
@@ -1114,7 +1201,7 @@ object Dedup {
     // feasibility: the full shared count can reach at most
     // c_kept + least(oa, ob), so pairs below minShared there can never
     // surface — the exact count then runs on survivors only
-    fusedIntersectionsPruned(ex, dfCap) { (c, _, _, oa, ob) =>
+    fusedIntersectionsPruned(ex, dfCap, aggParts = aggParts) { (c, _, _, oa, ob) =>
       c + least(oa, ob) >= lit(minShared.toLong)
     }
       .filter(col("ic") >= minShared)

@@ -350,7 +350,8 @@ object Embedding {
                            dim: Int = 65536, k: Int = 3,
                            tauSqNum: Long = 81L, tauSqDen: Long = 100L,
                            dfCap: Long = 1000L,
-                           persistIndex: Boolean = true): DataFrame = {
+                           persistIndex: Boolean = true,
+                           aggParts: Int = PairAggSizing.Auto): DataFrame = {
     require(tauSqNum >= 0 && tauSqDen > 0, "tau² must be a nonneg rational")
     // the (id, bucket, count) index feeds FOUR subtrees (norms, df cap,
     // both sides of the candidate self-join) — buildShingleTfIndex
@@ -361,8 +362,21 @@ object Embedding {
     val idx = buildShingleTfIndex(df, idCol, textCol, dim, k, persist = persistIndex)
     val v = idx.v
     val norms = idx.norms
-    val kept = v.groupBy(col("d")).agg(count(lit(1)).as("dfd"))
-      .filter(col("dfd") <= dfCap).select(col("d"))
+    // ONE df histogram serves the hot-bucket cap and — under Auto —
+    // the candidate-mass measurement (persisted so the mass job is a
+    // cached scan; released with Dedup.releasePairCaches / clearCache)
+    val histRaw = v.groupBy(col("d")).agg(count(lit(1)).as("dfd"))
+    val auto = aggParts == PairAggSizing.Auto
+    val hist = if (auto) {
+      val h = histRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.registerPairCache(h)
+      h
+    } else histRaw
+    val nAgg =
+      if (auto) PairAggSizing.sizedParts(v.sparkSession,
+        PairAggSizing.massFromHist(hist, "dfd", dfCap))
+      else PairAggSizing.explicitParts(v.sparkSession, aggParts)
+    val kept = hist.filter(col("dfd") <= dfCap).select(col("d"))
     // Norms ride the INDEX rows into the self-join (8 bytes/side on an
     // already-narrow stream) and fall out of the pair aggregate as
     // max() — NOT joined onto the pair frame afterwards: the candidate
@@ -378,11 +392,16 @@ object Embedding {
     // aggregate output in the same stage — zero post-aggregate joins.
     val vkn = v.join(kept, Seq("d"))
       .join(norms.select(col("id"), col("nn")), Seq("id"))
-    val dots = vkn.select(col("d"), col("id").as("id_a"), col("c").as("ca"),
-        col("nn").as("na"))
-      .join(vkn.select(col("d"), col("id").as("id_b"), col("c").as("cb"),
-        col("nn").as("nb")), Seq("d"))
-      .filter(col("id_a") < col("id_b"))
+    // pair-aggregate exchange sized from the measured candidate mass
+    // (PairAggSizing, round 12) — the ngram tier's partition
+    // discipline; a plan no-op below the session setting
+    val dots = PairAggSizing.repartitionForAgg(
+        vkn.select(col("d"), col("id").as("id_a"), col("c").as("ca"),
+          col("nn").as("na"))
+        .join(vkn.select(col("d"), col("id").as("id_b"), col("c").as("cb"),
+          col("nn").as("nb")), Seq("d"))
+        .filter(col("id_a") < col("id_b")),
+        nAgg, col("id_a"), col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("ca") * col("cb")).as("dot"),
         max(col("na")).as("norm_a"), max(col("nb")).as("norm_b"))

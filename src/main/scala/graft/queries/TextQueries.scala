@@ -41,13 +41,34 @@ object TextQueries {
   private val dotSql = (x: String, y: String) =>
     s"list_reduce(list_transform(range(1, 65), i -> $x[i]*$y[i]), (a,b) -> a+b)"
 
+  /** Exact-truth memo for the ANN recall-audit family (round 12,
+    * VERDICT r11 item 3): the brute-force top-k for a given (data dir,
+    * corpus tag, k) is deterministic and TINY — 20 query ids × k
+    * neighbor ids — while DERIVING it is the dominant cost of every
+    * audit row (a full corpus scan per query, twice per geometry pair;
+    * the x100 `sim_topk_ivf_rerank_auto` rung spent 97 s mostly here).
+    * Materialize it once per JVM, keyed by the immutable inputs (dir +
+    * declared corpus tag + k — NEVER by session: truth depends only on
+    * the data), and rebuild a 100-row local frame per consumer. Every
+    * `sim_topk_*` row in one Verify/bench/ladder run then shares one
+    * truth derivation per geometry instead of re-deriving its own.
+    */
+  private val annTruthMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int),
+      Array[(Long, Long)]]()
+
   /** Recall-vs-brute-force check row for an ANN operator: the query
     * count is exactly oracle-checkable; recall@5 against the exact
-    * top-k must clear a safe-margin threshold.
+    * top-k must clear a safe-margin threshold. `truthTag` names the
+    * corpus geometry for the [[annTruthMemo]] — the default embeddings
+    * corpus is tagged automatically; pass a tag with any `vectors`
+    * frame that is a pure function of `dir` (all registry callers
+    * are), or leave it None to compute the truth fresh.
     */
   private def annRecallRow(s: org.apache.spark.sql.SparkSession, dir: String,
       minRecall: Double = 0.4,
-      vectors: Option[org.apache.spark.sql.DataFrame] = None)
+      vectors: Option[org.apache.spark.sql.DataFrame] = None,
+      truthTag: Option[String] = None)
       (ann: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
         org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -61,7 +82,21 @@ object TextQueries {
           .select(col("vec_id").as("id"), Similarity.toDoubleVec(col("embedding")).as("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = e.filter(col("id") < 20)
-    val exact = Similarity.bruteForceTopK(q, e, k = 5).select("query_id", "neighbor_id")
+    val tag = truthTag.orElse(if (vectors.isEmpty) Some("embeddings") else None)
+    val exact = tag match {
+      case Some(t) =>
+        val key = (dir, t, 5)
+        var rows = annTruthMemo.get(key)
+        if (rows == null) {
+          rows = Similarity.bruteForceTopK(q, e, k = 5)
+            .select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          annTruthMemo.put(key, rows)
+        }
+        rows.toSeq.toDF("query_id", "neighbor_id")
+      case None =>
+        Similarity.bruteForceTopK(q, e, k = 5).select("query_id", "neighbor_id")
+    }
     val approx = ann(q, e).select("query_id", "neighbor_id")
     // ONE job: both result sets are unique on (query_id, neighbor_id), so
     // a left join marks hits and a single aggregate yields total + hits
@@ -90,19 +125,28 @@ object TextQueries {
     * the WORST case (near-uniform vectors, data-limited top-k gaps);
     * these rows pin that the same ANN stacks recover essentially
     * everything when the data has real neighborhood structure.
+    *
+    * [[ClusteredVariants]] is the single source of the variant count:
+    * the derived corpus size (`n * ClusteredVariants`), the sized-knob
+    * inputs of every clustered row, and each oracle's variant
+    * arithmetic are all interpolated from it, so changing m here
+    * re-sizes everything consistently instead of silently skewing a
+    * hardcoded copy.
     */
+  private val ClusteredVariants = 6
+
   private def clusteredVectors(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame =
     Similarity.perturbedVariants(
       Tables.load(s, dir, "embeddings")
         .select(col("vec_id").as("id"),
           Similarity.toDoubleVec(col("embedding")).as("vec")),
-      m = 6, eps = 0.02, dim = 64)
+      m = ClusteredVariants, eps = 0.02, dim = 64)
 
-  private val annRecallClusteredOracle = """
+  private val annRecallClusteredOracle = s"""
       SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k, true AS recall_ok
-      FROM (SELECT vec_id * 6 + u AS id
-            FROM embeddings, unnest(range(6)) t(u))
+      FROM (SELECT vec_id * $ClusteredVariants + u AS id
+            FROM embeddings, unnest(range($ClusteredVariants)) t(u))
       WHERE id < 20"""
 
   def all: Seq[QueryDef] = Seq(
@@ -730,11 +774,12 @@ object TextQueries {
         Similarity.ivfRerankTopK(q, e, k = 5, nlist = nlist,
           nprobe = nprobe, nassign = na, overFetch = of)).head()
       val cl = clusteredVectors(s, dir)
-      val nc = n * 6 // explode(sequence(0, 5)) — exact, no second count job
+      val nc = n * ClusteredVariants // explode is exact: no second count job
       val cnlist = Similarity.sizedIvfNlist(nc)
       val cnprobe = math.max(4, cnlist / 4)
       val (cna, cof) = Similarity.sizedRerankKnobs(nc)
-      val clu = annRecallRow(s, dir, minRecall = 0.8, vectors = Some(cl))((q, e) =>
+      val clu = annRecallRow(s, dir, minRecall = 0.8, vectors = Some(cl),
+          truthTag = Some("clustered"))((q, e) =>
         Similarity.ivfRerankTopK(q, e, k = 5, nlist = cnlist,
           nprobe = cnprobe, nassign = cna, overFetch = cof)).head()
       Seq((uni.getLong(0), 5L, uni.getBoolean(2), clu.getBoolean(2),
@@ -742,14 +787,14 @@ object TextQueries {
         .toDF("n_queries", "k", "recall_ok", "recall_ok_clustered",
           "nassign", "over_fetch", "nlist", "nassign_clustered",
           "nlist_clustered")
-    }, Some("""
+    }, Some(s"""
       WITH n AS (SELECT count(*) AS cnt FROM embeddings),
       nl AS (SELECT COALESCE(MIN(d), CAST(1048576 AS BIGINT)) AS nlist
              FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(1, 21) t(i)), n
              WHERE d * d >= cnt),
       nlc AS (SELECT COALESCE(MIN(d), CAST(1048576 AS BIGINT)) AS nlist
               FROM (SELECT CAST(power(2, i) AS BIGINT) AS d FROM range(1, 21) t(i)), n
-              WHERE d * d >= 6 * cnt)
+              WHERE d * d >= $ClusteredVariants * cnt)
       SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
              CAST(5 AS BIGINT) AS k, true AS recall_ok,
              true AS recall_ok_clustered,
@@ -757,7 +802,7 @@ object TextQueries {
                FROM n) AS nassign,
              CAST(4 AS BIGINT) AS over_fetch,
              (SELECT nlist FROM nl) AS nlist,
-             (SELECT CAST(CASE WHEN 6 * cnt <= 65536 THEN 3 ELSE 2 END AS BIGINT)
+             (SELECT CAST(CASE WHEN $ClusteredVariants * cnt <= 65536 THEN 3 ELSE 2 END AS BIGINT)
                FROM n) AS nassign_clustered,
              (SELECT nlist FROM nlc) AS nlist_clustered""")),
 
@@ -779,6 +824,43 @@ object TextQueries {
     QueryDef("sim_topk_q8_lsh", (s, dir) =>
       annRecallRow(s, dir)((q, e) => Similarity.srpLshTopKQ8(q, e, k = 5)),
       Some(annRecallOracle)),
+
+    // -- the q8 tier LIFTED by the rerank shape (round 12, VERDICT r11
+    // item 4) at the q8 tier's OWN geometry — nlist=16, nprobe=4, the
+    // SAME probed fraction and the SAME VecCosineI8 stage-1 kernel as
+    // sim_topk_q8_ivf (documented recall 0.56-0.58): corpus-sized
+    // multi-assign + int8 over-fetch + exact re-rank of the
+    // k*overFetch survivors pins >= 0.8 on BOTH geometries. The lift
+    // is pure candidate shape (nassign) + rerank tail — full-precision
+    // vectors still travel only for survivors. The oracle re-derives
+    // both geometries' sized nassign from the corpus counts. --
+    QueryDef("sim_topk_q8_rerank", (s, dir) => {
+      import s.implicits._
+      val n = Tables.load(s, dir, "embeddings").count()
+      val (na, of) = Similarity.sizedRerankKnobs(n)
+      val uni = annRecallRow(s, dir, minRecall = 0.8)((q, e) =>
+        Similarity.ivfRerankTopK(q, e, k = 5, nlist = 16, nprobe = 4,
+          nassign = na, overFetch = of)).head()
+      val cl = clusteredVectors(s, dir)
+      val (cna, cof) = Similarity.sizedRerankKnobs(n * ClusteredVariants)
+      val clu = annRecallRow(s, dir, minRecall = 0.8, vectors = Some(cl),
+        truthTag = Some("clustered"))((q, e) =>
+        Similarity.ivfRerankTopK(q, e, k = 5, nlist = 16, nprobe = 4,
+          nassign = cna, overFetch = cof)).head()
+      Seq((uni.getLong(0), 5L, uni.getBoolean(2), clu.getBoolean(2),
+          na.toLong, of.toLong, cna.toLong))
+        .toDF("n_queries", "k", "recall_ok", "recall_ok_clustered",
+          "nassign", "over_fetch", "nassign_clustered")
+    }, Some(s"""
+      WITH n AS (SELECT count(*) AS cnt FROM embeddings)
+      SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+             CAST(5 AS BIGINT) AS k, true AS recall_ok,
+             true AS recall_ok_clustered,
+             (SELECT CAST(CASE WHEN cnt <= 65536 THEN 3 ELSE 2 END AS BIGINT)
+               FROM n) AS nassign,
+             CAST(4 AS BIGINT) AS over_fetch,
+             (SELECT CAST(CASE WHEN $ClusteredVariants * cnt <= 65536 THEN 3 ELSE 2 END AS BIGINT)
+               FROM n) AS nassign_clustered""")),
 
     // -- JL random projection: the md5-portable Rademacher matrix is ----
     // re-derived INDEPENDENTLY by the oracle (sign(j,i) = parity of the
@@ -833,13 +915,15 @@ object TextQueries {
     // with real neighborhood structure the recall criterion is 0.9 --
     QueryDef("sim_topk_ivf_clustered", (s, dir) =>
       annRecallRow(s, dir, minRecall = 0.9,
-        vectors = Some(clusteredVectors(s, dir)))((q, e) =>
+        vectors = Some(clusteredVectors(s, dir)),
+        truthTag = Some("clustered"))((q, e) =>
         Similarity.ivfTopK(q, e, k = 5)),
       Some(annRecallClusteredOracle)),
 
     QueryDef("sim_topk_rp_ivf_clustered", (s, dir) =>
       annRecallRow(s, dir, minRecall = 0.9,
-        vectors = Some(clusteredVectors(s, dir)))((q, e) =>
+        vectors = Some(clusteredVectors(s, dir)),
+        truthTag = Some("clustered"))((q, e) =>
         Similarity.rpIvfRerankTopK(q, e, k = 5, dIn = 64, dOut = 48,
           overFetch = 16, nprobe = 8)),
       Some(annRecallClusteredOracle)),
@@ -868,17 +952,20 @@ object TextQueries {
       val found = Similarity.embeddingNearDupPairs(vecs, tau = 0.95,
         numTables = 8, planesPerTable = planes).count()
       vecs.unpersist()
-      val planted = (n / 6) * 15
+      // within-cluster pairs per base vector: C(m, 2) over the variants
+      val pairsPerCluster = ClusteredVariants * (ClusteredVariants - 1) / 2
+      val planted = (n / ClusteredVariants) * pairsPerCluster
       Seq((n, planes.toLong, planted, found >= 0.9 * planted))
         .toDF("n_vectors", "planes", "n_planted", "recall_ok")
-    }, Some("""
-      WITH n AS (SELECT count(*) * 6 AS cnt FROM embeddings),
+    }, Some(s"""
+      WITH n AS (SELECT count(*) * $ClusteredVariants AS cnt FROM embeddings),
       pl AS (SELECT COALESCE(MIN(p), 30) AS planes
              FROM range(2, 31) t(p), n
              WHERE (CAST(32 AS BIGINT) << p) >= cnt)
       SELECT (SELECT cnt FROM n) AS n_vectors,
              (SELECT planes FROM pl) AS planes,
-             (SELECT count(*) * 15 FROM embeddings) AS n_planted,
+             (SELECT count(*) * ${ClusteredVariants * (ClusteredVariants - 1) / 2}
+                FROM embeddings) AS n_planted,
              true AS recall_ok""")),
 
     // nearest-centroid corpus sharding against DETERMINISTIC seeds (the
@@ -1134,7 +1221,8 @@ object TextQueries {
     QueryDef("hash_embed_topk", (s, dir) =>
       annRecallRow(s, dir, minRecall = 0.5,
         vectors = Some(graft.ops.Embedding.hashTfVectors(
-          Tables.load(s, dir, "documents"), "doc_id", "text", dim = 64)))(
+          Tables.load(s, dir, "documents"), "doc_id", "text", dim = 64)),
+        truthTag = Some("hashtf64"))(
         (q, e) => Similarity.ivfTopK(q, e, k = 5)),
       Some("""
       SELECT (SELECT count(*) FROM documents WHERE doc_id < 20) AS n_queries,

@@ -60,10 +60,13 @@ object StreamingSimilarity {
     * frame shuffle. Stateless per query row like the plain tier, so
     * batch ≡ stream and replay is idempotent (spec-pinned).
     *
-    * INDEX REFRESH: swap by VERSIONED PREFIX — save the retrained index
-    * under a new prefix ([[Similarity.saveIvfRerankIndex]]), load it,
-    * and start a new stream (or route new batches) against it; the
-    * running stream keeps probing v1 untouched (spec-pinned). This is
+    * INDEX REFRESH: swap by VERSIONED PREFIX — publish the retrained
+    * index with [[Similarity.saveIvfRerankIndexVersioned]] (writes
+    * `<base>_v<N>` then atomically appends the `<base>_manifest`
+    * pointer row — round 12; a crash mid-publish leaves the manifest
+    * resolving the previous complete version), have new streams
+    * [[Similarity.loadLatestIvfRerankIndex]] it, and the running
+    * stream keeps probing v1 untouched (spec-pinned). This is
     * the [[StreamingUpsample]] snapshot discipline for state too big to
     * snapshot: the centroid matrix IS snapshotted at load (driver-held
     * array), but `cells`/`vectors` from [[Similarity.loadIvfRerankIndex]]

@@ -31,27 +31,43 @@ object BpeDictProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (p <- sizes) {
+    // two alphabet widths per size: base-4 (a-d — adversarial for the
+    // round-12 merge batching: top pairs share symbols constantly, so
+    // rounds ~ merges is the EXPECTED floor) and base-16 (a-p — the
+    // diverse-symbol regime where the disjoint-prefix batch packs many
+    // merges per Spark round; real tokenizer alphabets are wider still)
+    val alphabets = Seq(
+      ("base4", 2, Array("a", "b", "c", "d")),
+      ("base16", 4, Array("a", "b", "c", "d", "e", "f", "g", "h",
+        "i", "j", "k", "l", "m", "n", "o", "p")))
+    for (p <- sizes; (tag, bits, alpha) <- alphabets) {
       val w = 1L << p
-      // base-4 expansion over a-d, fixed width so every word has the
-      // same symbol count (uniform per-round work, clean scaling read)
-      val width = (p + 1) / 2
+      // base-K expansion, fixed width so every word has the same
+      // symbol count (uniform per-round work, clean scaling read)
+      val width = (p + bits - 1) / bits
       val digits = (0 until width).map(j =>
-        element_at(lit(Array("a", "b", "c", "d")),
-          (shiftright(col("id"), 2 * j) % 4 + 1).cast("int")))
+        element_at(lit(alpha),
+          (shiftright(col("id"), bits * j) % alpha.length + 1).cast("int")))
       val vocab = spark.range(w)
         .select(concat(digits: _*).as("token"),
           (lit(w) / (col("id") + 1) + 1).cast("long").as("tf"))
       vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = vocab.count()
-      for (merges <- Seq(8, 40)) {
+      val mergeCounts = sys.env.get("GRAFT_BPE_MERGES")
+        .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(8, 40))
+      for (merges <- mergeCounts) {
+        val dictDf = vocab
+          .filter(!col("token").contains("|"))
+          .orderBy(col("tf").desc, col("token"))
+          .select("token", "tf")
         val t0 = System.nanoTime()
-        val out = Curation.bpeTrainFromVocab(vocab, numMerges = merges,
-          driverDictLimit = 0)
-        val rounds = out.count()
+        val (out, rewrites) = Curation.bpeMergeRoundsDistributedWithStats(
+          dictDf, numMerges = merges)
+        val applied = out.count()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[bpe-dict] W=2^$p ($n%,d words, width $width) merges=$merges " +
-          f"rounds=$rounds total=$dt%.1f s per-round=${dt / rounds}%.2f s")
+        println(f"[bpe-dict] W=2^$p/$tag ($n%,d words, width $width) " +
+          f"merges=$merges applied=$applied heavyRewrites=$rewrites " +
+          f"total=$dt%.1f s per-merge=${dt / applied}%.2f s")
       }
       vocab.unpersist()
     }

@@ -330,18 +330,30 @@ object ScaleLadder {
     *
     * AQE's initialPartitionNum cannot arbitrate (measured, rejected):
     * it coalesces for shuffle-IO size and re-fattens exactly the map
-    * tasks whose aggregate state must stay bounded. So the ladder does
+    * tasks whose aggregate state must stay bounded. So the ladder did
     * what a production pipeline does — a per-job setting: one
     * partition doubling per ~25× data over the 32-partition base, for
     * the queries whose per-task AGGREGATE state grows with the corpus;
     * everything else keeps the cpu count.
+    *
+    * ROUND 12: this discipline moved INTO the ops API
+    * ([[graft.ops.PairAggSizing]] — the pair tiers measure their
+    * candidate mass and size their own heavy exchanges), so the ladder
+    * no longer hand-tunes any query: [[AggHeavyParts]] is empty, and
+    * the x100 re-measure without the override matches the hand-tuned
+    * numbers (47.7-68.4 s vs 54.0-68.9 s same-box, identical rows).
+    * `GRAFT_LADDER_SHUFFLE` remains as a manual A/B lever; rungParts
+    * stays for any future query whose heavy aggregate lives OUTSIDE
+    * the sized pair tiers.
     */
   private def rungParts(cpus: Int, mult: Int): Int =
     math.max(cpus, cpus * mult / 25)
 
   /** Queries whose dominant cost is a pair aggregation with
-    * corpus-linear DISTINCT-key mass (see [[rungParts]]). */
-  val AggHeavyParts: Set[String] = Set("dedup_ngram")
+    * corpus-linear DISTINCT-key mass (see [[rungParts]]). Empty since
+    * round 12 — the pair tiers self-size ([[graft.ops.PairAggSizing]]).
+    */
+  val AggHeavyParts: Set[String] = Set.empty
 
   private def forkOne(name: String, dir: String,
                       parts: Option[Int] = None): Option[ChildResult] = Try {

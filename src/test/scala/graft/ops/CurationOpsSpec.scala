@@ -690,10 +690,10 @@ class CurationOpsSpec extends SparkSpec {
         .orderBy("rank").collect().map(_.toSeq)
       dist shouldBe driver
     }
-    // lineage truncation: a run crossing the LineageTruncateEvery(=32)
-    // boundary rebuilds the word-state frame from its persisted rows
-    // mid-loop — merge decisions must be unaffected (a 40-symbol word
-    // sustains one merge per round for > 32 rounds)
+    // a long merge run (40 merges over a 40-symbol word) crosses the
+    // RewriteEvery(=16) flush boundary twice mid-loop — merge
+    // decisions must be unaffected (the tighter rewrite/truncation
+    // cadences are pinned with explicit knobs in the incremental spec)
     val long = Seq(
       (1L, Seq.fill(4)("abcdefghijklmnopqrstuvwxyz0123456789#$%&").mkString(" ")),
       (2L, Seq.fill(2)("abcdefghijklmnopqrst").mkString(" ")))
@@ -704,8 +704,8 @@ class CurationOpsSpec extends SparkSpec {
     val distLong = Curation.bpeTrainFromVocab(lv, numMerges = 40,
         driverDictLimit = 0)
       .orderBy("rank").collect().map(_.toSeq)
-    // the 32-round truncation boundary was actually crossed (the corpus
-    // exhausts at 39 merges — enough; 40 would need a longer word)
+    // the run is long enough to flush pending merges twice (the corpus
+    // exhausts at 39 merges; RewriteEvery = 16)
     driverLong.length should be >= 33
     distLong shouldBe driverLong
     // threshold boundary: dict size exactly AT the limit runs the
@@ -729,6 +729,64 @@ class CurationOpsSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.toSeq)
     d2 shouldBe d1
     d1.length shouldBe 1 // a+b, then the single-symbol word has no pairs
+  }
+
+  test("incremental distributed BPE: delta counts, rewrite cadence, tie adversary") {
+    import Curation.bpeMergeRoundsDistributedWithStats
+    def dict(vocab: org.apache.spark.sql.DataFrame) = vocab
+      .filter(!col("token").contains("|"))
+      .orderBy(col("tf").desc, col("token")).select("token", "tf")
+    // (1) wide-alphabet dictionary: the incremental trainer must land
+    // the bit-identical sequence with ZERO full-frame rewrites when
+    // numMerges < rewriteEvery — every decision rides the delta-
+    // maintained count table alone
+    val wide = Seq((1L,
+      (Seq.fill(9)("ab") ++ Seq.fill(8)("cd") ++ Seq.fill(7)("ef") ++
+       Seq.fill(6)("gh") ++ Seq.fill(5)("ij") ++ Seq.fill(4)("kl"))
+        .mkString(" "))).toDF("doc_id", "text")
+    val wv = Curation.vocabulary(wide)
+    val driverWide = Curation.bpeTrainFromVocab(wv, numMerges = 6)
+      .orderBy("rank").collect().map(_.toSeq)
+    val (distDf, rewrites) = bpeMergeRoundsDistributedWithStats(
+      dict(wv), numMerges = 6)
+    distDf.orderBy("rank").collect().map(_.toSeq) shouldBe driverWide
+    driverWide.length shouldBe 6
+    rewrites shouldBe 0 // 6 merges < RewriteEvery — heavy cycle never ran
+    // (2) rewrite-boundary equality: rewriteEvery = 2 forces flushes
+    // MID-SEQUENCE (pending chain folded into the frame between
+    // merges); decisions must not move. Repeat-heavy dictionary makes
+    // the deltas non-trivial (back-to-back merges, left-to-right
+    // replace convention), and truncateEvery = 2 crosses the
+    // localCheckpoint boundary under test as well.
+    val chain = Seq(
+      (1L, Seq.fill(10)("aaaa").mkString(" ")),
+      (2L, Seq.fill(3)("aabb").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cv = Curation.vocabulary(chain)
+    val driverChain = Curation.bpeTrainFromVocab(cv, numMerges = 6)
+      .orderBy("rank").collect().map(_.toSeq)
+    val (chainDf, chainRewrites) = bpeMergeRoundsDistributedWithStats(
+      dict(cv), numMerges = 6, rewriteEvery = 2, truncateEvery = 2)
+    chainDf.orderBy("rank").collect().map(_.toSeq) shouldBe driverChain
+    chainRewrites should be >= 2 // flushed mid-loop AND crossed truncation
+    // (3) the tie ADVERSARY: dictionary {"acz", "bq"} with equal tf.
+    // Round-0 pairs all count 100: (a,c) < (b,q) < (c,z) in byte
+    // order. Merging (a,c) births ("ac","z") at count 100, and
+    // "ac" < "b", so the TRUE sequential order is (a,c), (ac,z),
+    // (b,q) — a batcher that applied same-count pairs together would
+    // reorder; the delta-maintained table must not. (This killed the
+    // round-12 disjoint-batch prototype; kept as the regression pin.)
+    val adv = Seq((1L, (Seq.fill(100)("acz") ++ Seq.fill(100)("bq"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val av = Curation.vocabulary(adv)
+    val driverAdv = Curation.bpeTrainFromVocab(av, numMerges = 3)
+      .orderBy("rank").collect().map(_.toSeq)
+    driverAdv.map(s => (s(1), s(2))) shouldBe
+      Seq(("a", "c"), ("ac", "z"), ("b", "q"))
+    val distAdv = Curation.bpeTrainFromVocab(av, numMerges = 3,
+        driverDictLimit = 0)
+      .orderBy("rank").collect().map(_.toSeq)
+    distAdv shouldBe driverAdv
   }
 
   test("pipelineV7Stages: gate feeds training, merges reflect survivors only") {

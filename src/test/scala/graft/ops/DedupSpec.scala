@@ -52,6 +52,24 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pair-cache registry evicts a stopped context's sessions (ADVICE r11: no driver leak)") {
+    spark.catalog.clearCache()
+    Dedup.releasePairCaches(spark)
+    Dedup.pairCacheSessionCount shouldBe 0
+    // register a survivor cache, then simulate the owning context's
+    // applicationEnd (the listener calls exactly this hook); the entry
+    // must drop WITHOUT releasePairCaches, so an application that stops
+    // its context never leaks SessionState/plans through the registry
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.5)
+      .collect()
+    Dedup.pairCacheSessionCount should be >= 1
+    Dedup.evictStoppedContext(spark.sparkContext)
+    Dedup.pairCacheSessionCount shouldBe 0
+    // eviction dropped refs only — the persisted blocks of a LIVE
+    // context are the caller's to clear (here: the harness)
+    spark.catalog.clearCache()
+  }
+
   test("df-cap bounds candidates under a planted ubiquitous shingle") {
     // 40 distinct docs that all share one 3-gram ("common filler words"):
     // an uncapped inverted index makes all C(40,2)=780 pairs candidates
