@@ -315,16 +315,25 @@ object Similarity {
     * augmentation primitive (train-time jitter), doubling as the
     * CLUSTERED-geometry generator for ANN recall measurement: each
     * source vector becomes a tight m-point cluster (δ components are
-    * uniform in ±eps/2 from md5 bytes — engine-portable, so an
-    * external engine re-derives every variant), with intra-cluster
+    * uniform in ±eps/2 from xxhash64 bytes — deterministic, so a
+    * re-build is bit-identical, spec-pinned), with intra-cluster
     * cosines ≈ 1 against the corpus's inter-vector spread. On this
     * production-like geometry a correct IVF/RP stack must score
     * recall ≈ 1, unlike the near-uniform raw corpus whose top-k gaps
     * are data-limited (the sim_topk_rp scaladoc).
     *
-    * Scale shape: one scan-side explode(sequence) per row, dim md5
-    * calls per emitted variant, all codegen'd built-ins — zero
-    * shuffles, linear in m·|corpus|.
+    * Scale shape: one scan-side explode(sequence) per row, dim/8
+    * fixed-width hash calls per emitted variant (8 jitter bytes ride
+    * each xxhash64), all codegen'd built-ins — zero shuffles, linear
+    * in m·|corpus|. Round 12 (guide §"per-task work"): this replaced
+    * one md5-of-built-string + hex substring + base-16 conv PER
+    * DIMENSION — 64 string builds and cryptographic hashes per
+    * variant row, measured as the dominant cost of building the
+    * clustered corpora — with dim/8 xxhash64 calls on fixed-width
+    * longs. Jitter VALUES change (they are uniform ±eps/2 either
+    * way); no oracle or spec pins the values, only determinism, the
+    * cluster geometry, and the recall gates — all re-verified at the
+    * three SFs (OPTIMIZATION_r12.md).
     */
   def perturbedVariants(df: DataFrame, m: Int, eps: Double, dim: Int,
                         tag: String = "jit"): DataFrame = {
@@ -332,13 +341,18 @@ object Similarity {
     val withK = df
       .withColumn("__k", explode(sequence(lit(0L), lit(m - 1L))))
       .withColumn("__uid", col("id") * m + col("__k"))
+    // one hash per 8 dims, materialized as columns so codegen evaluates
+    // each exactly once (not once per referencing array slot)
+    val blocks = (dim + 7) / 8
+    val withH = (0 until blocks).foldLeft(withK) { (d, b) =>
+      d.withColumn(s"__h$b", xxhash64(lit(tag), col("__uid"), lit(b)))
+    }
     val jittered = array((0 until dim).map { j =>
-      val h = conv(substring(md5(concat(lit(s"$tag:"),
-        col("__uid").cast("string"), lit(s":$j"))), 1, 2), 16, 10)
-        .cast("double")
+      val h = shiftright(col(s"__h${j / 8}"), 8 * (j % 8))
+        .bitwiseAND(lit(255L)).cast("double")
       element_at(col("vec"), j + 1) + (h / 255.0 - 0.5) * eps
     }: _*)
-    withK.select(col("__uid").as("id"), jittered.as("vec"))
+    withH.select(col("__uid").as("id"), jittered.as("vec"))
   }
 
   /** Brute-force top-k in the REDUCED space — the recall-measurement
@@ -510,13 +524,27 @@ object Similarity {
     *
     * Training is deterministic: seeded sample + `iters` Lloyd rounds,
     * all distributed (mapPartitions-free — groupBy(cell) mean).
+    *
+    * The seed draw is a hash-ordered TakeOrdered (`orderBy(xxhash64(
+    * vec, seed)).limit(nlist)`): a uniform without-replacement sample
+    * in ONE scan-side partial-top-k job. Round 12 (guide §1.2/§2.4):
+    * this replaced `RDD.takeSample`, which cost TWO jobs (an internal
+    * count plus the sampling pass) and deserialized every corpus
+    * vector to external `Seq[Double]` objects just to sample nlist of
+    * them — per IVF training, i.e. per `sim_topk_*`/`*_ivf` query.
+    * The drawn seeds differ (both are seeded uniform draws); centroid
+    * QUALITY is equivalent after Lloyd, and every recall gate was
+    * re-verified at the three SFs (OPTIMIZATION_r12.md). Ties on the
+    * hash break by the vector value, so the draw is total-order
+    * deterministic.
     */
   def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
                    seed: Long = 42L): Array[Seq[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents: Array[Seq[Double]] = corpus.select("vec").as[Seq[Double]]
-      .rdd.takeSample(withReplacement = false, nlist, seed)
+    var cents: Array[Seq[Double]] = corpus.select(col("vec"))
+      .orderBy(xxhash64(col("vec"), lit(seed)), col("vec"))
+      .limit(nlist).as[Seq[Double]].collect()
     for (_ <- 0 until iters) {
       val assigned = corpus.select(col("vec"),
         nearestCell(col("vec"), cents).as("cell"))

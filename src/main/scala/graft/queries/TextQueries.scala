@@ -746,9 +746,16 @@ object TextQueries {
       val nlist = Similarity.sizedIvfNlist(n)
       val nprobe = math.max(4, nlist / 4)
       val (na, of) = Similarity.sizedRerankKnobs(n)
-      val uni = annRecallRow(s, dir, minRecall = 0.8)((q, e) =>
+      // the two geometry audits share NOTHING (separate corpora,
+      // separate trainings, separate truth) and each is a serial chain
+      // of small jobs (sample, Lloyd collects, final aggregate) that
+      // underfills the machine — run them as concurrent driver-thread
+      // jobs (guide §2.6) so one chain's tail back-fills the other's
+      // idle cores; same frames, same results, FIFO-overlapped
+      val fUni = concurrent.Future(annRecallRow(s, dir, minRecall = 0.8)((q, e) =>
         Similarity.ivfRerankTopK(q, e, k = 5, nlist = nlist,
-          nprobe = nprobe, nassign = na, overFetch = of)).head()
+          nprobe = nprobe, nassign = na, overFetch = of)).head())(
+        concurrent.ExecutionContext.global)
       val cl = clusteredVectors(s, dir)
       val nc = n * ClusteredVariants // explode is exact: no second count job
       val cnlist = Similarity.sizedIvfNlist(nc)
@@ -757,6 +764,7 @@ object TextQueries {
       val clu = annRecallRow(s, dir, minRecall = 0.8, vectors = Some(cl))((q, e) =>
         Similarity.ivfRerankTopK(q, e, k = 5, nlist = cnlist,
           nprobe = cnprobe, nassign = cna, overFetch = cof)).head()
+      val uni = concurrent.Await.result(fUni, concurrent.duration.Duration.Inf)
       Seq((uni.getLong(0), 5L, uni.getBoolean(2), clu.getBoolean(2),
           na.toLong, of.toLong, nlist.toLong, cna.toLong, cnlist.toLong))
         .toDF("n_queries", "k", "recall_ok", "recall_ok_clustered",
@@ -813,14 +821,18 @@ object TextQueries {
       import s.implicits._
       val n = Tables.load(s, dir, "embeddings").count()
       val (na, of) = Similarity.sizedRerankKnobs(n)
-      val uni = annRecallRow(s, dir, minRecall = 0.8)((q, e) =>
+      // independent geometry chains overlapped from driver threads —
+      // see sim_topk_ivf_rerank_auto
+      val fUni = concurrent.Future(annRecallRow(s, dir, minRecall = 0.8)((q, e) =>
         Similarity.ivfRerankTopK(q, e, k = 5, nlist = 16, nprobe = 4,
-          nassign = na, overFetch = of)).head()
+          nassign = na, overFetch = of)).head())(
+        concurrent.ExecutionContext.global)
       val cl = clusteredVectors(s, dir)
       val (cna, cof) = Similarity.sizedRerankKnobs(n * ClusteredVariants)
       val clu = annRecallRow(s, dir, minRecall = 0.8, vectors = Some(cl))((q, e) =>
         Similarity.ivfRerankTopK(q, e, k = 5, nlist = 16, nprobe = 4,
           nassign = cna, overFetch = cof)).head()
+      val uni = concurrent.Await.result(fUni, concurrent.duration.Duration.Inf)
       Seq((uni.getLong(0), 5L, uni.getBoolean(2), clu.getBoolean(2),
           na.toLong, of.toLong, cna.toLong))
         .toDF("n_queries", "k", "recall_ok", "recall_ok_clustered",
