@@ -522,31 +522,82 @@ object Similarity {
     * driver-side broadcast, and per-query work is corpus_size *
     * nprobe/nlist.
     *
-    * Training is deterministic: seeded sample + `iters` Lloyd rounds,
-    * all distributed (mapPartitions-free — groupBy(cell) mean).
+    * Training is deterministic: seeded sample + `iters` Lloyd rounds
+    * over a bounded training sample, all distributed (mapPartitions-
+    * free — groupBy(cell) mean).
     *
     * The seed draw is a hash-ordered TakeOrdered (`orderBy(xxhash64(
     * vec, seed)).limit(nlist)`): a uniform without-replacement sample
-    * in ONE scan-side partial-top-k job. Round 12 (guide §1.2/§2.4):
-    * this replaced `RDD.takeSample`, which cost TWO jobs (an internal
-    * count plus the sampling pass) and deserialized every corpus
-    * vector to external `Seq[Double]` objects just to sample nlist of
-    * them — per IVF training, i.e. per `sim_topk_*`/`*_ivf` query.
-    * The drawn seeds differ (both are seeded uniform draws); centroid
-    * QUALITY is equivalent after Lloyd, and every recall gate was
-    * re-verified at the three SFs (OPTIMIZATION_r12.md). Ties on the
-    * hash break by the vector value, so the draw is total-order
-    * deterministic.
+    * in ONE scan-side partial-top-k job (round 12, guide §1.2/§2.4 —
+    * it replaced `RDD.takeSample`'s two jobs + full-corpus
+    * deserialization), now deduped driver-side. Round 13 (VERDICT r12
+    * item 3) additionally bounds the Lloyd TRAINING set to a
+    * deterministic scan-side hash-filtered sample of ~`sampleFactor ·
+    * nlist` rows when the corpus is meaningfully larger — see the body
+    * comment. Centroids differ from round 12 wherever the sampled
+    * branch engages (Lloyd means over a uniform sample — the FAISS
+    * convention); every recall gate was re-verified at the three SFs
+    * (OPTIMIZATION_r13.md). Ties on the hash break by the vector
+    * value, so the draw is total-order deterministic.
     */
   def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
-                   seed: Long = 42L): Array[Seq[Double]] = {
+                   seed: Long = 42L, sampleFactor: Int = 64,
+                   knownCount: Option[Long] = None): Array[Seq[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // seed draw: unchanged round-12 hash-ordered TakeOrdered, PLUS a
+    // driver-side dedup of the nlist collected rows (zero extra jobs):
+    // duplicate corpus vectors hash identically and sort adjacent, so
+    // they would seed duplicate centroids whose empty twin cells
+    // Lloyd's getOrElse(i, cents(i)) keeps stuck forever — the
+    // round-12 ADVICE degenerate-corpus finding. Fewer than nlist
+    // distinct drawn vectors now yields fewer centroids (the honest
+    // geometry), and on all-distinct corpora the draw is bit-identical
+    // to round 12.
     var cents: Array[Seq[Double]] = corpus.select(col("vec"))
       .orderBy(xxhash64(col("vec"), lit(seed)), col("vec"))
       .limit(nlist).as[Seq[Double]].collect()
+      .distinct
+    // Sample-based Lloyd (round 13, VERDICT r12 item 3 — the FAISS
+    // convention of ~64 training points per centroid): training
+    // previously assigned the FULL corpus to cells every iteration,
+    // O(iters · n · nlist · dim) — with the sized grid's nlist ≈ √n
+    // that is O(n^1.5 · dim), the dominant asymptotic cost of every
+    // *_ivf* audit row and the x100 rungs. When the corpus is
+    // meaningfully larger than the target sample (n > 6 · sampleFactor
+    // · nlist — below that the saved assignment flops are smaller than
+    // the sample cache's own materialization cost: at sf0.1 every
+    // extra JOB is ~0.1 s of pure latency while a full cached Lloyd
+    // scan is ~10 ms of flops, and an always-on TakeOrdered+distinct
+    // sample form was A/B-measured 6-30% SLOWER, a filter+cache form
+    // at 1.5· still ~10% slower on the one in-bracket row —
+    // OPTIMIZATION_r13.md has both tables), Lloyd iterates over a
+    // deterministic scan-side hash-filtered sample instead: a narrow
+    // filter over the (caller-persisted) corpus — no sort, no
+    // exchange, partitioning preserved, expected size sampleFactor ·
+    // nlist — cutting training to O(iters · 64 · nlist² · dim) =
+    // O(iters · 64 · n · dim) at the sized grid. The callers' one
+    // full-corpus ASSIGNMENT pass is unchanged. The branch is decided
+    // by `knownCount` — the corpus count the SIZED callers (the auto /
+    // rerank audit rows, which size nlist from n) already hold — so no
+    // extra job runs anywhere: a dedicated count() here was measured
+    // at +85-190 ms per training at sf0.1 (IvfTrainProbe), the whole
+    // Lloyd cost at that scale. Unknown-count callers (fixed small
+    // nlist — their training is O(n·16·dim), cheap at every rung) keep
+    // the full-corpus path unconditionally.
+    val sampleN = nlist.toLong * sampleFactor
+    val train =
+      if (knownCount.exists(_ > 6L * sampleN)) {
+        val n = knownCount.get
+        val m = 1L << 20
+        val keep = math.max(1L, m * sampleN / n)
+        corpus.select(col("vec"))
+          .filter(pmod(xxhash64(col("vec"), lit(seed), lit(0x9E3779B9L)),
+            lit(m)) < lit(keep))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else corpus
     for (_ <- 0 until iters) {
-      val assigned = corpus.select(col("vec"),
+      val assigned = train.select(col("vec"),
         nearestCell(col("vec"), cents).as("cell"))
       val next = assigned.groupBy("cell")
         .agg(array((0 until cents(0).size).map(i =>
@@ -554,6 +605,7 @@ object Similarity {
         .select("cell", "c").as[(Int, Seq[Double])].collect().toMap
       cents = cents.indices.map(i => next.getOrElse(i, cents(i))).toArray
     }
+    if (!(train eq corpus)) train.unpersist()
     cents
   }
 
@@ -587,8 +639,10 @@ object Similarity {
     * [[buildIvfIndex]] + [[ivfTopKIndexed]], which this delegates to.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
-    ivfTopKIndexed(queries, buildIvfIndex(corpus, nlist, iters), k, nprobe)
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+              knownCount: Option[Long] = None): DataFrame =
+    ivfTopKIndexed(queries,
+      buildIvfIndex(corpus, nlist, iters, knownCount = knownCount), k, nprobe)
 
   /** Corpus-adaptive IVF cell count: the smallest power of two `p`
     * with `p·p ≥ n`, clamped to [minNlist, maxNlist] — i.e. ⌈√n⌉
@@ -700,8 +754,10 @@ object Similarity {
     * scans 8× smaller candidate vectors with no per-query requantize.
     */
   def buildIvfIndex(corpus: DataFrame, nlist: Int = 16, iters: Int = 3,
-                    seed: Long = 42L): IvfIndex =
-    buildIvfIndexWith(corpus, ivfCentroids(corpus, nlist, iters, seed))
+                    seed: Long = 42L,
+                    knownCount: Option[Long] = None): IvfIndex =
+    buildIvfIndexWith(corpus,
+      ivfCentroids(corpus, nlist, iters, seed, knownCount = knownCount))
 
   /** [[buildIvfIndex]] against PRE-TRAINED centroids — index a second
     * corpus (or a new batch) into an existing cell layout without
@@ -828,8 +884,10 @@ object Similarity {
     * [[ivfTopKIndexedQ8]]).
     */
   def ivfTopKQ8(queries: DataFrame, corpus: DataFrame, k: Int,
-                nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
-    ivfTopKIndexedQ8(queries, buildIvfIndex(corpus, nlist, iters), k, nprobe)
+                nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+                knownCount: Option[Long] = None): DataFrame =
+    ivfTopKIndexedQ8(queries,
+      buildIvfIndex(corpus, nlist, iters, knownCount = knownCount), k, nprobe)
 
   /** The RECALL-LIFTED IVF tier: multi-assignment + int8 over-fetch +
     * exact re-rank, at the SAME probed fraction as [[ivfTopK]].
@@ -874,9 +932,10 @@ object Similarity {
   def ivfRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     nlist: Int = 16, nprobe: Int = 4, nassign: Int = 2,
                     overFetch: Int = 4, iters: Int = 3,
-                    seed: Long = 42L): DataFrame =
+                    seed: Long = 42L,
+                    knownCount: Option[Long] = None): DataFrame =
     ivfTopKIndexedRerank(queries,
-      buildIvfRerankIndex(corpus, nlist, nassign, iters, seed),
+      buildIvfRerankIndex(corpus, nlist, nassign, iters, seed, knownCount),
       k, nprobe, overFetch)
 
   /** The rerank tier's index-once shape: the int8 MULTI-ASSIGNED cell
@@ -902,9 +961,10 @@ object Similarity {
     */
   def buildIvfRerankIndex(corpus: DataFrame, nlist: Int = 16,
                           nassign: Int = 2, iters: Int = 3,
-                          seed: Long = 42L): IvfRerankIndex = {
+                          seed: Long = 42L,
+                          knownCount: Option[Long] = None): IvfRerankIndex = {
     require(nassign >= 1, "need nassign >= 1")
-    val cents = ivfCentroids(corpus, nlist, iters, seed)
+    val cents = ivfCentroids(corpus, nlist, iters, seed, knownCount = knownCount)
     IvfRerankIndex(cents,
       corpus.select(col("id").as("neighbor_id"),
         quantizeCol(col("vec")).as("qcv"),

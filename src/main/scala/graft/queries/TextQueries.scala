@@ -688,7 +688,8 @@ object TextQueries {
       val nlist = Similarity.sizedIvfNlist(n)
       val nprobe = math.max(4, nlist / 4)
       annRecallRow(s, dir)((q, e) =>
-          Similarity.ivfTopK(q, e, k = 5, nlist = nlist, nprobe = nprobe))
+          Similarity.ivfTopK(q, e, k = 5, nlist = nlist, nprobe = nprobe,
+            knownCount = Some(n)))
         .withColumn("nlist", lit(nlist.toLong))
     }, Some("""
       WITH n AS (SELECT count(*) AS cnt FROM embeddings),
@@ -719,7 +720,8 @@ object TextQueries {
       val nprobe = math.max(4, nlist / 4)
       annRecallRow(s, dir, minRecall = 0.8)((q, e) =>
           Similarity.ivfRerankTopK(q, e, k = 5, nlist = nlist,
-            nprobe = nprobe, nassign = 3, overFetch = 4))
+            nprobe = nprobe, nassign = 3, overFetch = 4,
+            knownCount = Some(n)))
         .withColumn("nlist", lit(nlist.toLong))
     }, Some("""
       WITH n AS (SELECT count(*) AS cnt FROM embeddings),
@@ -754,16 +756,24 @@ object TextQueries {
       // idle cores; same frames, same results, FIFO-overlapped
       val fUni = concurrent.Future(annRecallRow(s, dir, minRecall = 0.8)((q, e) =>
         Similarity.ivfRerankTopK(q, e, k = 5, nlist = nlist,
-          nprobe = nprobe, nassign = na, overFetch = of)).head())(
+          nprobe = nprobe, nassign = na, overFetch = of,
+          knownCount = Some(n))).head())(
         concurrent.ExecutionContext.global)
-      val cl = clusteredVectors(s, dir)
       val nc = n * ClusteredVariants // explode is exact: no second count job
       val cnlist = Similarity.sizedIvfNlist(nc)
       val cnprobe = math.max(4, cnlist / 4)
       val (cna, cof) = Similarity.sizedRerankKnobs(nc)
-      val clu = annRecallRow(s, dir, minRecall = 0.8, vectors = Some(cl))((q, e) =>
-        Similarity.ivfRerankTopK(q, e, k = 5, nlist = cnlist,
-          nprobe = cnprobe, nassign = cna, overFetch = cof)).head()
+      // the concurrent chain must be OBSERVED even when this chain
+      // throws (round-13 ADVICE fix): an abandoned Future keeps its
+      // Spark jobs running unsupervised and leaves its persisted frames
+      // cached, polluting the next query's timing
+      val clu = try {
+        val cl = clusteredVectors(s, dir)
+        annRecallRow(s, dir, minRecall = 0.8, vectors = Some(cl))((q, e) =>
+          Similarity.ivfRerankTopK(q, e, k = 5, nlist = cnlist,
+            nprobe = cnprobe, nassign = cna, overFetch = cof,
+            knownCount = Some(nc))).head()
+      } finally concurrent.Await.ready(fUni, concurrent.duration.Duration.Inf)
       val uni = concurrent.Await.result(fUni, concurrent.duration.Duration.Inf)
       Seq((uni.getLong(0), 5L, uni.getBoolean(2), clu.getBoolean(2),
           na.toLong, of.toLong, nlist.toLong, cna.toLong, cnlist.toLong))
@@ -825,13 +835,17 @@ object TextQueries {
       // see sim_topk_ivf_rerank_auto
       val fUni = concurrent.Future(annRecallRow(s, dir, minRecall = 0.8)((q, e) =>
         Similarity.ivfRerankTopK(q, e, k = 5, nlist = 16, nprobe = 4,
-          nassign = na, overFetch = of)).head())(
+          nassign = na, overFetch = of, knownCount = Some(n))).head())(
         concurrent.ExecutionContext.global)
-      val cl = clusteredVectors(s, dir)
       val (cna, cof) = Similarity.sizedRerankKnobs(n * ClusteredVariants)
-      val clu = annRecallRow(s, dir, minRecall = 0.8, vectors = Some(cl))((q, e) =>
-        Similarity.ivfRerankTopK(q, e, k = 5, nlist = 16, nprobe = 4,
-          nassign = cna, overFetch = cof)).head()
+      // always observe the concurrent chain — see sim_topk_ivf_rerank_auto
+      val clu = try {
+        val cl = clusteredVectors(s, dir)
+        annRecallRow(s, dir, minRecall = 0.8, vectors = Some(cl))((q, e) =>
+          Similarity.ivfRerankTopK(q, e, k = 5, nlist = 16, nprobe = 4,
+            nassign = cna, overFetch = cof,
+            knownCount = Some(n * ClusteredVariants))).head()
+      } finally concurrent.Await.ready(fUni, concurrent.duration.Duration.Inf)
       val uni = concurrent.Await.result(fUni, concurrent.duration.Duration.Inf)
       Seq((uni.getLong(0), 5L, uni.getBoolean(2), clu.getBoolean(2),
           na.toLong, of.toLong, cna.toLong))

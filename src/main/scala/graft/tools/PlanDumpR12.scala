@@ -30,8 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object PlanDumpR12 {
   def main(args: Array[String]): Unit = {
-    val outDir = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // flags are filtered out BEFORE positional assignment (round-13
+    // ADVICE fix: `<outDir> --no-seed` previously made "--no-seed" the
+    // sfDir and crashed the eager table load before the note was written)
+    val pos = args.filterNot(_.startsWith("--"))
+    val outDir = pos(0)
+    val sfDir = if (pos.length > 1) pos(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
